@@ -1,0 +1,128 @@
+"""Operator-level tests: joins, dedup, similarity, text, quality gates."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.operators.dedup import (
+    dedup_exact,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ug_dwh_etl_spark.operators.joins import asof_latest
+from ug_dwh_etl_spark.operators.quality import expect
+from ug_dwh_etl_spark.operators.similarity import ann_topk, cosine_topk
+from ug_dwh_etl_spark.operators.textstats import langid, token_stats
+from ug_dwh_etl_spark.sinks.alerts import LoggingAlertSink
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_asof_latest_picks_newest_within_bound(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (1, "2024-02-01", 20.0), (1, "2024-03-01", 30.0),
+         (2, "2024-01-15", 5.0)],
+        "key int, d string, v double",
+    ).withColumn("d", F.col("d").cast("date"))
+    out = asof_latest(df, ["key"], "d", as_of="2024-02-15").collect()
+    got = {r["key"]: r["v"] for r in out}
+    assert got == {1: 20.0, 2: 5.0}
+
+
+def test_dedup_exact_finds_planted_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello, World!"), (2, "hello   world"), (3, "different doc")],
+        "id long, text string",
+    )
+    out = dedup_exact(df, "id", "text").collect()
+    groups = {r["survivor_id"]: r["group_size"] for r in out}
+    # normalization (lowercase, strip punct) makes 1 and 2 identical
+    assert groups == {1: 2, 3: 1}
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = base.replace("today", "tomorrow")
+    other = "completely unrelated text about database engines and query planning"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "id long, text string"
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, "id", "text").collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_scores(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
+        "id long, text string",
+    )
+    out = ngram_jaccard_pairs(df, "id", "text", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_simhash_near_dup_small_hamming(spark):
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = base.replace("tok49", "tok99")
+    far = " ".join(f"other{i}" for i in range(50))
+    df = spark.createDataFrame([(1, base), (2, near), (3, far)], "id long, text string")
+    got = {r["id"]: r["simhash"] for r in simhash(df, "id", "text").collect()}
+    ham_near = bin(got[1] ^ got[2]).count("1")
+    ham_far = bin(got[1] ^ got[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    top = cosine_topk(emb, query_id=0, k=5).collect()
+    assert len(top) == 5
+    assert all(-1.0 <= r["cosine"] <= 1.0 for r in top)
+    # descending order
+    cos = [r["cosine"] for r in top]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_ann_results_subset_of_bucket(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ann = ann_topk(emb, query_id=0, k=10).collect()
+    exact = {r["vec_id"]: r["cosine"] for r in cosine_topk(emb, query_id=0, k=500).collect()}
+    for r in ann:
+        assert r["vec_id"] in exact
+        assert abs(exact[r["vec_id"]] - r["cosine"]) < 1e-9
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([(1, "Hello world, foo!")], "id long, text string")
+    r = token_stats(df, "id", "text").collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["n_chars_calc"] == 17
+
+
+def test_langid_stopword_votes(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house"),
+         (2, "der hund und die katze ist das"),
+         (3, "xyzzy qwerty")],
+        "id long, text string",
+    )
+    got = {r["id"]: r["predicted_lang"] for r in langid(df, "id", "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "und"}
+
+
+def test_expect_gate_fires_alert(spark):
+    # Q1 shape: root URL must be 200 (sf_html_data.py:95-105)
+    df = spark.createDataFrame([("https://root", 404), ("https://x", 200)], "url string, status int")
+    sink = LoggingAlertSink()
+    ok = expect(df, (F.col("url") == "https://root") & (F.col("status") != 200),
+                "root-not-200", "root URL returned non-200", alert=sink)
+    assert not ok
+    assert sink.alerts == [("root-not-200", "root URL returned non-200")]
+
+
+def test_expect_gate_passes_quiet(spark):
+    df = spark.createDataFrame([("https://root", 200)], "url string, status int")
+    sink = LoggingAlertSink()
+    assert expect(df, (F.col("url") == "https://root") & (F.col("status") != 200),
+                  "t", "m", alert=sink)
+    assert sink.alerts == []

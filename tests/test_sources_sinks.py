@@ -1,0 +1,60 @@
+"""Source/sink tests: CSV variants, REST pagination fan-out, writers."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from ug_dwh_etl_spark.sinks.writers import append_history, fan_out, overwrite_snapshot
+from ug_dwh_etl_spark.sources.readers import read_csv
+from ug_dwh_etl_spark.sources.rest import paginated_ingest
+
+
+def test_read_csv_semicolon_latin1(spark, tmp_path):
+    # Midoco feed shape: ';'-delimited latin-1 (product_data.py:56)
+    p = tmp_path / "bookings.csv"
+    p.write_bytes("Buchungs-Nr;Preis\n1;1.234,56\n".encode("latin-1"))
+    df = read_csv(spark, str(p), sep=";", encoding="ISO-8859-1")
+    assert df.columns == ["buchungs_nr", "preis"]
+    assert df.count() == 1
+
+
+def test_paginated_ingest_distributed(spark):
+    schema = StructType([StructField("row_id", LongType()), StructField("v", StringType())])
+
+    def fetch(offset: int, limit: int) -> pd.DataFrame:
+        n = min(limit, 250 - offset)
+        return pd.DataFrame(
+            {"row_id": range(offset, offset + n), "v": [f"r{i}" for i in range(offset, offset + n)]}
+        )
+
+    df = paginated_ingest(spark, total_rows=250, chunk_size=100, fetch_chunk=fetch, schema=schema)
+    assert df.count() == 250
+    assert df.agg(F.countDistinct("row_id")).collect()[0][0] == 250
+
+
+def test_append_and_overwrite_writers(spark, tmp_path):
+    df = spark.createDataFrame([(1, "2024-01-01"), (2, "2024-01-02")], "id long, crawl_date string")
+    hist = str(tmp_path / "hist")
+    append_history(df, hist)
+    append_history(df, hist)
+    assert spark.read.parquet(hist).count() == 4
+    # partition pruning path exists
+    assert os.path.isdir(os.path.join(hist, "crawl_date=2024-01-01"))
+
+    snap = str(tmp_path / "snap")
+    overwrite_snapshot(df, snap)
+    overwrite_snapshot(df.limit(1), snap)
+    assert spark.read.parquet(snap).count() == 1
+
+
+def test_fan_out_single_upstream(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "id long")
+    paths = [str(tmp_path / "a"), str(tmp_path / "b")]
+    fan_out(df, [lambda d: overwrite_snapshot(d, paths[0]),
+                 lambda d: overwrite_snapshot(d, paths[1])])
+    assert spark.read.parquet(paths[0]).count() == 1
+    assert spark.read.parquet(paths[1]).count() == 1

@@ -1,0 +1,106 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every registered query on Spark AND its DuckDB oracle at the given
+scale factor, compares row count, column names, and an order-insensitive
+value hash (values normalized to strings, rows sorted). Usage:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        if v is None or (isinstance(v, float) and pd.isna(v)):
+            return "NULL"
+        if pd.api.types.is_scalar(v) and pd.isna(v):
+            return "NULL"
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    out = df.map(cell)
+    return out.sort_values(by=list(out.columns), ignore_index=True)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from ug_dwh_etl_spark.session import get_spark
+
+    spark = get_spark("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(sdf)} rows  ({time.time() - t0:.1f}s)")
+            if len(sdf) == 0:
+                print(f"  WARNING: empty result")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as exc:
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {exc}")
+            continue
+        ok_rows = len(sdf) == len(odf)
+        ok_cols = sorted(sdf.columns) == sorted(odf.columns)
+        ok_vals = False
+        if ok_rows and ok_cols:
+            ns, no = normalize(sdf), normalize(odf)
+            ok_vals = ns.equals(no)
+            if not ok_vals:
+                diff = ns.compare(no) if ns.shape == no.shape else None
+                print(f"FAIL  {name}: value mismatch")
+                if diff is not None and len(diff):
+                    print(diff.head(5))
+                else:
+                    print("  spark:", ns.head(3).to_dict("records"))
+                    print("  duck :", no.head(3).to_dict("records"))
+        else:
+            print(
+                f"FAIL  {name}: rows {len(sdf)} vs {len(odf)}, "
+                f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
+            )
+        if ok_rows and ok_cols and ok_vals:
+            print(f"OK    {name}: {len(sdf)} rows  ({time.time() - t0:.1f}s)")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,108 @@
+"""Text analysis operators for training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (character-class
+ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting — all native Column expressions over the normalized token
+array, so the whole stage is one codegen pass over the corpus with no
+shuffle at all (per-row derivations).
+
+Expression strings are generated once and rendered to BOTH engines so
+the DuckDB oracle is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.operators import hashing as H
+
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "a"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "fr": ("le", "la", "et", "les", "des", "est", "une"),
+    "es": ("el", "los", "es", "una", "por", "con", "para"),
+}
+
+# BPE-ish pre-tokenizer: word pieces, digits, or single punctuation —
+# the public GPT-2-style pre-tokenization shape, ASCII-simplified.
+BPE_ISH_PATTERN = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"
+
+
+def _stop_filter_spark(tokens_col: str, words: tuple[str, ...]) -> Column:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({tokens_col}, x -> array_contains(array({arr}), x)))")
+
+
+def sql_stop_filter(tokens_col: str, words: tuple[str, ...]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter({tokens_col}, x -> list_contains([{arr}], x)))"
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count, BPE-ish regex token count, char count,
+    average token length."""
+    out = df.withColumn("t", H.tokens(text_col))
+    return out.select(
+        F.col(id_col),
+        F.size("t").alias("n_tokens"),
+        F.regexp_count(F.col(text_col), F.lit(BPE_ISH_PATTERN)).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_chars_calc"),
+        F.round(
+            F.when(F.size("t") > 0, F.length(F.concat_ws("", F.col("t"))) / F.size("t")),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Character-class ratios + English-stopword ratio — the standard
+    cheap quality signals (length, punctuation density, stopword density)
+    used to filter web corpora."""
+    n = F.length(text_col).cast("double")
+    alpha = F.length(F.regexp_replace(text_col, "[^a-zA-Z]", ""))
+    digit = F.length(F.regexp_replace(text_col, "[^0-9]", ""))
+    space = F.length(F.regexp_replace(text_col, "[^ ]", ""))
+    out = df.withColumn("t", H.tokens(text_col))
+    stop_hits = _stop_filter_spark("t", STOPWORDS["en"])
+    return out.select(
+        F.col(id_col),
+        F.round(alpha / n, 6).alias("alpha_ratio"),
+        F.round(digit / n, 6).alias("digit_ratio"),
+        F.round(space / n, 6).alias("space_ratio"),
+        F.round(
+            F.when(F.size("t") > 0, stop_hits / F.size("t")).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        (n >= 100).alias("len_ok"),
+    )
+
+
+def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit argmax over {en,de,fr,es}; 'und' when no hits.
+    Deterministic tie-break: en > de > fr > es."""
+    out = df.withColumn("t", H.tokens(text_col))
+    hits = {lang: _stop_filter_spark("t", words) for lang, words in STOPWORDS.items()}
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]) & (hits["de"] > 0), F.lit("de"))
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    return out.select(F.col(id_col), pred.alias("predicted_lang"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 of the token-normalized text plus its
+    60-bit integer form (join-key-friendly)."""
+    norm = F.concat_ws(" ", H.tokens(text_col))
+    fp = F.md5(norm)
+    return df.select(
+        F.col(id_col),
+        fp.alias("fingerprint"),
+        F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint_int"),
+    )

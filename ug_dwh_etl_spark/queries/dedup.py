@@ -1,0 +1,145 @@
+"""Dedup queries over the documents table, with exact DuckDB oracles.
+
+The oracle SQL is GENERATED from the same constants
+(``hashing.MINHASH_COEFFS`` etc.) that drive the Spark operators, so the
+two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ug_dwh_etl_spark.operators import hashing as H
+from ug_dwh_etl_spark.operators.dedup import (
+    N_BANDS,
+    N_MINHASH,
+    ROWS_PER_BAND,
+    SIMHASH_BITS,
+    dedup_exact,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from ug_dwh_etl_spark.queries.registry import register, table
+
+_TOK_CTE = f"tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents)"
+_SHINGLE_CTES = (
+    _TOK_CTE
+    + f""",
+    sh AS (SELECT doc_id, {H.sql_shingles('t', 3)} AS sgl FROM tok),
+    ex AS (SELECT DISTINCT doc_id, shingle
+           FROM (SELECT doc_id, unnest(sgl) AS shingle FROM sh))"""
+)
+
+
+# --- exact dedup --------------------------------------------------------------
+@register(
+    "dedup_exact_groups",
+    f"""
+    WITH {_TOK_CTE}
+    SELECT md5(array_to_string(t, ' ')) AS fingerprint,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS group_size
+    FROM tok
+    GROUP BY fingerprint
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_exact(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- minhash signatures ---------------------------------------------------------
+def _sig_sql() -> str:
+    h = H.sql_md5_long("shingle", 15)
+    mins = ",\n           ".join(
+        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {h} AS h FROM ex)
+    SELECT doc_id,
+           {mins}
+    FROM hashed
+    GROUP BY doc_id
+    """
+
+
+@register("dedup_minhash_signatures", _sig_sql())
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- minhash LSH candidate pairs -------------------------------------------------
+def _lsh_sql() -> str:
+    h = H.sql_md5_long("shingle", 15)
+    mins = ", ".join(f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH))
+    band_selects = []
+    for b in range(N_BANDS):
+        key = " || '_' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands}
+    )
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM bands l JOIN bands r
+      ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    """
+
+
+@register("dedup_minhash_lsh_pairs", _lsh_sql())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- simhash fingerprints ---------------------------------------------------------
+def _simhash_sql() -> str:
+    h = H.sql_md5_long("tok", 8)
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
+    return f"""
+    WITH {_TOK_CTE},
+    toks AS (SELECT DISTINCT doc_id, tok
+             FROM (SELECT doc_id, unnest(t) AS tok FROM tok)),
+    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
+    SELECT doc_id, {fp} AS simhash FROM sums
+    """
+
+
+@register("dedup_simhash", _simhash_sql())
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- exact n-gram Jaccard pairs -----------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLE_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 0.5)

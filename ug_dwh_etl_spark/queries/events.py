@@ -1,0 +1,126 @@
+"""Event-stream queries (batch semantics over the events fixture).
+
+The streaming module (`ug_dwh_etl_spark.streaming`) runs the same logic
+incrementally with Trigger.AvailableNow; these batch twins give the
+driver an exact DuckDB oracle for the stateful shapes (windowed agg,
+sessionization, dedup) per SURVEY.md §2.11.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.queries.registry import register, table
+
+
+# --- JSON extraction from the props payload ---------------------------------
+@register(
+    "events_json_extract",
+    """
+    SELECT event_type,
+           ROUND(AVG(CAST(props->>'$.k' AS BIGINT)), 6) AS avg_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --- tumbling window aggregate (batch twin of the streaming job) -------------
+@register(
+    "events_hourly_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    # F.window() start on an hour boundary == date_trunc('hour') — the
+    # same aggregation Structured Streaming runs with a watermark.
+    win = F.window("ts", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+# --- sessionization: 30-minute inactivity gap --------------------------------
+@register(
+    "events_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+    )
+
+
+# --- dedup on event_id (batch twin of dropDuplicatesWithinWatermark) ---------
+@register(
+    "events_dedup_count",
+    """
+    SELECT COUNT(DISTINCT event_id) AS n_unique, COUNT(*) AS n_rows
+    FROM events
+    """,
+)
+def events_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("event_id").alias("n_unique"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- top users by activity (orderBy+limit over an aggregate) -----------------
+@register(
+    "events_top_users",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id
+    LIMIT 25
+    """,
+)
+def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(25)
+    )

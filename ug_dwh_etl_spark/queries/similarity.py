@@ -1,0 +1,99 @@
+"""Similarity-search queries over the embeddings table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.operators.similarity import (
+    N_HYPERPLANES,
+    ann_topk,
+    cosine_topk,
+    sql_plane_literal,
+    with_srp_buckets,
+)
+from ug_dwh_etl_spark.queries.registry import register, table
+
+
+# --- exact brute-force cosine top-k ------------------------------------------
+@register(
+    "sim_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], q)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q, q))), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY list_dot_product(embedding::DOUBLE[], q)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q, q))) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# --- SRP-LSH buckets -----------------------------------------------------------
+def _bucket_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {sql_plane_literal(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    )
+    return f"SELECT vec_id, {terms} AS bucket FROM embeddings"
+
+
+@register("sim_srp_buckets", _bucket_sql())
+def sim_srp_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return with_srp_buckets(table(spark, sf_dir, "embeddings")).select("vec_id", "bucket")
+
+
+# --- ANN top-k within the query's bucket ------------------------------------------
+def _ann_sql() -> str:
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {sql_plane_literal(j)}) > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, {terms} AS bucket FROM embeddings),
+    q AS (SELECT e AS qe, bucket AS qb FROM b WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+    FROM b, q
+    WHERE bucket = qb AND vec_id != 0
+    ORDER BY list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ann_topk", _ann_sql())
+def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ann_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# --- centroid distance per label (grouped vector aggregation) ----------------------
+@register(
+    "sim_label_stats",
+    """
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6)
+             AS avg_norm
+    FROM embeddings
+    GROUP BY label
+    """,
+)
+def sim_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    from ug_dwh_etl_spark.operators.similarity import dot
+
+    norm = F.sqrt(dot(F.col("embedding"), F.col("embedding")))
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(norm), 6).alias("avg_norm"),
+    )

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32 threads);
+the same configuration is what we would ship to a 1000-executor cluster —
+AQE handles runtime re-planning (shuffle-partition coalescing, skew-join
+splitting), so the static ``shuffle.partitions`` only needs to be a sane
+upper bound for the local scale factors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(app_name: str = "ug-dwh-etl-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) the session.
+
+    Notes on choices, all standard Spark tuning:
+
+    - AQE on with partition coalescing + skew-join handling: at 100 TB the
+      static partition count is always wrong for some stage; AQE fixes it
+      from runtime statistics.
+    - ``shuffle.partitions`` = 2 * cores locally. On a real cluster this
+      would be ~2-3x total executor cores; AQE coalesces downward.
+    - Arrow enabled: every Pandas-UDF operator (similarity, multimodal)
+      moves data in Arrow batches, not pickled rows.
+    - Session timezone pinned to UTC so date/timestamp semantics are
+      deterministic and match the DuckDB oracle.
+    """
+    cpus = cpu_count()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()
