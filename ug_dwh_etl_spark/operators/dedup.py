@@ -17,6 +17,21 @@ for 100 TB corpora:
 
 Hashes are the cross-engine md5 primitives from ``hashing`` so every
 operator has an exact DuckDB oracle.
+
+Performance notes (measured at sf0.1, local[32]):
+
+- Token arrays are ALWAYS materialized in a projection before any
+  higher-order function consumes them. Referencing the raw
+  ``tokens(text)`` expression inside a ``transform`` lambda re-evaluates
+  the regex+split per ``element_at`` call (no CSE across lambda
+  boundaries) — 36x slower (20.4s vs 0.56s for shingle explode).
+- MinHash signatures skip the shingle-set ``distinct``: min over a
+  multiset equals min over its set, so the extra shuffle buys nothing.
+  One groupBy(doc_id) shuffle total, with map-side partial aggregation
+  shrinking the payload to 16 longs per doc per partition.
+- The Jaccard shingle self-join keys on the 60-bit shingle hash (long),
+  not the shingle string — smaller shuffle, cheaper compares. Identical
+  results modulo md5 collisions; the oracle applies the same mapping.
 """
 
 from __future__ import annotations
@@ -32,6 +47,36 @@ ROWS_PER_BAND = 4
 SIMHASH_BITS = 32
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Balance compute-heavy per-row work across all cores.
+
+    A small parquet file scans as 1-2 partitions, serializing CPU-bound
+    stages (shingling, hashing). Repartition round-robin only when the
+    scan yields fewer partitions than the cluster's parallelism — at
+    100 TB the scan already produces thousands of splits and this is a
+    no-op (no shuffle added).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
+def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks) with the token array materialized ONCE per row, so
+    downstream lambdas reference a cheap attribute, not the regex+split
+    expression tree (see module perf notes)."""
+    return df.select(F.col(id_col), H.tokens(text_col).alias("_toks"))
+
+
+def _exploded_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) with duplicates — the cheap pre-distinct relation."""
+    toks = _tokenized(df, id_col, text_col)
+    return toks.select(
+        F.col(id_col), F.explode(H.shingles(F.col("_toks"), n)).alias("shingle")
+    )
+
+
 def normalized_fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, fingerprint) — md5 of the token-normalized text."""
     norm = F.concat_ws(" ", H.tokens(text_col))
@@ -42,7 +87,7 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup groups: one row per distinct normalized content with
     the surviving (minimum) id and the group size. Deterministic — unlike
     ``dropDuplicates`` whose survivor is partition-order dependent."""
-    fp = normalized_fingerprint(df, id_col, text_col)
+    fp = normalized_fingerprint(spread(df), id_col, text_col)
     return fp.groupBy("fingerprint").agg(
         F.min(id_col).alias("survivor_id"),
         F.count(F.lit(1)).alias("group_size"),
@@ -51,27 +96,28 @@ def dedup_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def doc_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
     """(id, shingle) distinct — the exploded shingle-set relation."""
-    sh = H.shingles(H.tokens(text_col), n)
-    return (
-        df.select(F.col(id_col), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    return _exploded_shingles(df, id_col, text_col, n).distinct()
+
+
+def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, sh) distinct — shingle sets as 60-bit hashes. The distinct
+    shuffles (id, long) pairs instead of full shingle strings."""
+    ex = _exploded_shingles(df, id_col, text_col, n)
+    return ex.select(F.col(id_col), H.md5_long("shingle", 15).alias("sh")).distinct()
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, mh0..mh15) — min over shingles of each permuted hash.
 
-    One explode + one groupBy shuffle keyed on the doc id; the 16
-    permutations are computed per shingle row inside codegen, so the
-    shuffle payload is 16 longs per doc.
+    Single shuffle: explode → hash → groupBy(doc_id) with 16 mins.
+    No distinct (min is duplicate-insensitive); the 16 permutations are
+    computed per shingle row inside codegen and partial-aggregated
+    map-side, so the shuffle payload is 16 longs per doc per partition.
     """
-    exploded = doc_shingles(df, id_col, text_col)
-    h = H.md5_long("shingle", 15)
-    perms = [H.minhash_perm(h, i).alias(f"p{i}") for i in range(N_MINHASH)]
-    return (
-        exploded.select(id_col, *perms)
-        .groupBy(id_col)
-        .agg(*[F.min(f"p{i}").alias(f"mh{i}") for i in range(N_MINHASH)])
+    ex = _exploded_shingles(spread(df), id_col, text_col)
+    hashed = ex.select(F.col(id_col), H.md5_long("shingle", 15).alias("h"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(H.minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_MINHASH)]
     )
 
 
@@ -113,14 +159,16 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash) — 32-bit SimHash over distinct normalized tokens.
 
-    Explode distinct tokens, hash each to 32 bits, then for each bit
-    position sum +1/-1 and keep the sign. One shuffle on the doc id; the
-    32 per-bit sums ride the same aggregation.
+    Explode tokens, hash each to 32 bits, distinct on (id, hash) — longs,
+    not strings — then for each bit position sum +1/-1 and keep the sign.
+    One groupBy(doc_id) shuffle; the 32 per-bit sums ride the same
+    aggregation.
     """
     toks = (
-        df.select(F.col(id_col), F.explode(H.tokens(text_col)).alias("tok"))
+        spread(df)
+        .select(F.col(id_col), F.explode(H.tokens(text_col)).alias("tok"))
+        .select(F.col(id_col), H.md5_long("tok", 8).alias("h"))
         .distinct()
-        .withColumn("h", H.md5_long("tok", 8))
     )
     bit_sums = [
         F.sum(
@@ -139,20 +187,20 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:
-    """Exact Jaccard ≥ threshold pairs via shingle-join.
+    """Exact Jaccard ≥ threshold pairs via shingle-hash-join.
 
-    |A∩B| comes from joining the exploded shingle relation with itself on
-    the shingle (co-occurrence count), |A∪B| = |A|+|B|-|A∩B|. The join
-    key is the shingle, so cost is Σ bucket² over shingle frequencies —
-    at 100 TB this runs AFTER LSH banding prunes candidates; here it is
-    also exposed standalone as the exact baseline.
+    |A∩B| comes from joining the hashed shingle relation with itself on
+    the 60-bit shingle hash (co-occurrence count), |A∪B| = |A|+|B|-|A∩B|.
+    The join key is the shingle hash, so cost is Σ bucket² over shingle
+    frequencies — at 100 TB this runs AFTER LSH banding prunes
+    candidates; here it is also exposed standalone as the exact baseline.
     """
-    sh = doc_shingles(df, id_col, text_col)
+    sh = doc_shingle_hashes(spread(df), id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

@@ -31,6 +31,15 @@ _SHINGLE_CTES = (
     ex AS (SELECT DISTINCT doc_id, shingle
            FROM (SELECT doc_id, unnest(sgl) AS shingle FROM sh))"""
 )
+# Hashed-shingle variant: distinct on the 60-bit hash, mirroring the
+# Spark side's long-keyed shuffle (identical modulo md5 collisions).
+_SHINGLE_HASH_CTES = (
+    _TOK_CTE
+    + f""",
+    sh AS (SELECT doc_id, {H.sql_shingles('t', 3)} AS sgl FROM tok),
+    exh AS (SELECT DISTINCT doc_id, {H.sql_md5_long('shingle', 15)} AS sh
+            FROM (SELECT doc_id, unnest(sgl) AS shingle FROM sh))"""
+)
 
 
 # --- exact dedup --------------------------------------------------------------
@@ -109,9 +118,8 @@ def _simhash_sql() -> str:
     fp = " + ".join(f"(CASE WHEN s{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(SIMHASH_BITS))
     return f"""
     WITH {_TOK_CTE},
-    toks AS (SELECT DISTINCT doc_id, tok
-             FROM (SELECT doc_id, unnest(t) AS tok FROM tok)),
-    hashed AS (SELECT doc_id, {h} AS h FROM toks),
+    hashed AS (SELECT DISTINCT doc_id, {h} AS h
+               FROM (SELECT doc_id, unnest(t) AS tok FROM tok)),
     sums AS (SELECT doc_id, {sums} FROM hashed GROUP BY doc_id)
     SELECT doc_id, {fp} AS simhash FROM sums
     """
@@ -126,11 +134,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH {_SHINGLE_CTES},
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM ex GROUP BY doc_id),
+    WITH {_SHINGLE_HASH_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
-      FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM exh a JOIN exh b ON a.sh = b.sh AND a.doc_id < b.doc_id
       GROUP BY a.doc_id, b.doc_id
     )
     SELECT id_a, id_b,
