@@ -1,0 +1,48 @@
+"""Streaming surface tests: AvailableNow jobs equal their batch twins;
+foreachBatch incremental append processes only the delta."""
+
+from __future__ import annotations
+
+import shutil
+
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.queries.events import events_hourly_tumbling
+from ug_dwh_etl_spark.streaming.jobs import (
+    available_now_pipeline,
+    stream_dedup_events,
+    stream_hourly_tumbling,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_equals_batch(spark):
+    streamed = stream_hourly_tumbling(spark, SF_DIR)
+    batch = events_hourly_tumbling(spark, SF_DIR)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
+
+
+def test_stream_dedup_count(spark):
+    n_unique = stream_dedup_events(spark, SF_DIR).first()["n_unique"]
+    assert n_unique > 0
+
+
+def test_available_now_incremental_append(spark, tmp_path):
+    out = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    transform = lambda df: df.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    available_now_pipeline(spark, SF_DIR, transform, out, checkpoint=ckpt)
+    first = spark.read.parquet(out).count()
+    assert first > 0
+
+    # second run with the same checkpoint: no new files -> no new rows
+    available_now_pipeline(spark, SF_DIR, transform, out, checkpoint=ckpt)
+    assert spark.read.parquet(out).count() == first
+
+    # fresh checkpoint -> reprocesses everything (the cron re-run model)
+    shutil.rmtree(ckpt)
+    available_now_pipeline(spark, SF_DIR, transform, out, checkpoint=ckpt)
+    assert spark.read.parquet(out).count() == 2 * first

@@ -1,0 +1,60 @@
+"""Streaming queries for the driver gate: each runs a Structured
+Streaming job to completion (Trigger.AvailableNow) and is checked
+against the SAME DuckDB oracle as its batch twin — the strongest
+correctness statement available for the streaming surface (SURVEY.md §5
+step 2: streaming result == batch SQL)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ug_dwh_etl_spark.queries.registry import register
+from ug_dwh_etl_spark.streaming.jobs import (
+    stream_dedup_events,
+    stream_hourly_tumbling,
+    stream_session_windows,
+)
+
+
+@register(
+    "stream_hourly_tumbling",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+)
+def q_stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_hourly_tumbling(spark, sf_dir)
+
+
+@register(
+    "stream_sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # session_window merges on a >30min gap; LAG uses >1800s — identical
+    # boundaries, so streaming session counts equal the batch window SQL.
+    return stream_session_windows(spark, sf_dir)
+
+
+@register(
+    "stream_dedup_events",
+    "SELECT COUNT(DISTINCT event_id) AS n_unique FROM events",
+)
+def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stream_dedup_events(spark, sf_dir)

@@ -1,0 +1,160 @@
+"""Structured Streaming surface (SURVEY.md §2.11, §7 step 5).
+
+The reference's incremental model is cron + daily append
+(`/root/reference/README.md:12`, `sf_html_data.py:178`): every run picks
+up whatever arrived since the last one. ``Trigger.AvailableNow`` is that
+model exactly — process all available input, then stop — so each job
+here is the streaming twin of a batch query in ``queries/events.py``
+and must produce identical results (the test suite and the driver's
+oracle check both assert it).
+
+Scale notes:
+- Streaming aggregation state lives in the state store keyed by
+  (window, group) — at 100 TB/day the watermark bounds it; the memory
+  sink + complete mode used for the local oracle runs is test plumbing
+  only, the production path is append mode + parquet/Kafka sink
+  (``available_now_pipeline``).
+- ``dropDuplicatesWithinWatermark`` keeps only in-horizon event ids in
+  state, the unbounded-history dedup the reference can't do at all.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet stores TIMESTAMP(NANOS); the streaming reader needs an
+# explicit schema, so read nanos as long and truncate to micros — the
+# same convention as queries.registry.table().
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (S1 streaming twin)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # File-stream sources require a directory; glob-filter to the events
+    # file so the other fixture tables in sf_dir aren't picked up.
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Run a streaming frame to completion (AvailableNow) into a memory
+    sink and return the materialized result. Test/oracle plumbing — the
+    production sink path is ``available_now_pipeline``."""
+    name = f"mem_{uuid.uuid4().hex[:12]}"
+    spark = stream_df.sparkSession
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hourly_tumbling``: tumbling 1h window
+    × event_type with a 1h watermark."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    win = F.window("ts", "1 hour")
+    agg = (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization via ``session_window`` (30 min gap):
+    sessions and events per user — same result as the batch lag-based
+    ``events_sessionize``."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_memory(sessions, "complete")
+    return out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+    )
+
+
+def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark``), then count — twin of
+    ``events_dedup_count``'s n_unique."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "2 hours")
+    deduped = ev.dropDuplicatesWithinWatermark(["event_id"])
+    out = run_stream_to_memory(deduped, "append")
+    return out.agg(F.count(F.lit(1)).alias("n_unique"))
+
+
+def available_now_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    out_path: str,
+    checkpoint: str | None = None,
+) -> None:
+    """The cron-replacement shape (§2.11): AvailableNow stream →
+    ``foreachBatch`` running a BATCH transform → date-partitioned append.
+    Re-running after new files arrive processes only the delta — exactly
+    the reference's daily incremental append (K1), minus the cron."""
+    src = read_events_stream(spark, sf_dir)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            transform(batch_df)
+            .withColumn("crawl_date", F.current_date())
+            .write.mode("append")
+            .partitionBy("crawl_date")
+            .parquet(out_path)
+        )
+
+    q = (
+        src.writeStream.foreachBatch(write_batch)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix="ckpt_pipeline_"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
