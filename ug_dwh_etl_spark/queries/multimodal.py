@@ -1,0 +1,61 @@
+"""Multimodal queries: binary-payload plumbing with exact oracles.
+
+The payloads are UTF-8 bytes of documents.text, so DuckDB can recompute
+byte lengths and md5 digests over the same content — proving the Spark
+side's binary handling (encode, octet_length, mapInPandas feature
+extraction) end-to-end without any image libraries."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.operators.multimodal import extract_features, media_from_documents
+from ug_dwh_etl_spark.queries.registry import register, table
+
+
+@register(
+    "multimodal_meta_stats",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           COUNT(*) AS n,
+           CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+           MAX(strlen(text) % 640 + 1) AS max_width,
+           MAX(strlen(text) * 10) AS max_duration_ms
+    FROM documents
+    GROUP BY media_type
+    """,
+)
+def multimodal_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("meta.byte_len").alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+        F.max("meta.duration_ms").alias("max_duration_ms"),
+    )
+
+
+@register(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           strlen(text) AS byte_len,
+           md5(text) AS content_md5,
+           ROUND(('0x' || substr(md5(text), 1, 4))::BIGINT / 65536.0, 6) AS f0
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mapInPandas runs the Arrow-batched extractor; f0 (first 2 digest
+    # bytes / 2^16) is recomputable relationally, proving the Python
+    # batch path produced the right bytes.
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "content_md5",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
