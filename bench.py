@@ -34,9 +34,17 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
     "sim_srp_buckets",
+    "sim_ivf_topk",
     "text_token_stats",
     "text_langid",
+    "pipeline_e1_crawl",
+    "pipeline_e3_bookings",
+    "join_range_followups",
+    "window_moving_avg_spend",
+    "multimodal_features",
+    "stream_hourly_tumbling",
 ]
 
 

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import random
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 import pyspark.sql.functions as F
 
@@ -29,9 +31,33 @@ HYPERPLANES: list[list[int]] = [
 ]
 
 
-def dot(a: Column, b: Column) -> Column:
+def dot_sql(a: str, b: str) -> str:
+    """Dot product as ONE SQL expression string.
+
+    Expression trees here are built as SQL text, not composed Column
+    objects: a 64-element literal array built with ``F.array(*lits)``
+    costs ~65 py4j round-trips, and the IVF plan needs 16 of them plus
+    folds — measured 2.5s of DataFrame BUILD time before any execution.
+    ``F.expr`` parses the whole thing in a single call. Fold order is
+    sequential left-to-right, matching DuckDB's list_dot_product."""
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> double(x) * double(y)), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-to-right double fold — bitwise-identical to the
-    oracle's list_dot_product accumulation order."""
+    oracle's list_dot_product accumulation order. Pass SQL strings for
+    cheap plan construction (see ``dot_sql``)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(dot_sql(a, b))
+    a = F.expr(a) if isinstance(a, str) else a
+    b = F.expr(b) if isinstance(b, str) else b
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -39,7 +65,9 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(cosine_sql(a, b))
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
 
 
@@ -51,18 +79,28 @@ def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
     return (
         embeddings.filter(F.col("vec_id") != query_id)
         .crossJoin(F.broadcast(query))
-        .select(
-            "vec_id",
-            cosine(F.col("embedding"), F.col("q")).alias("cos_raw"),
-        )
+        .select("vec_id", cosine("embedding", "q").alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
     )
 
 
-def srp_bucket(embedding: Column) -> Column:
-    """b-bit signed-random-projection bucket id."""
+def _plane_sql(j: int) -> str:
+    return "array(" + ", ".join(f"{float(s)!r}D" for s in HYPERPLANES[j]) + ")"
+
+
+def srp_bucket_sql(embedding: str) -> str:
+    """b-bit signed-random-projection bucket id as one SQL expression."""
+    return " + ".join(
+        f"(CASE WHEN {dot_sql(embedding, _plane_sql(j))} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    )
+
+
+def srp_bucket(embedding: Column | str) -> Column:
+    if isinstance(embedding, str):
+        return F.expr(srp_bucket_sql(embedding))
     bucket = F.lit(0)
     for j, plane in enumerate(HYPERPLANES):
         proj = dot(embedding, F.array(*[F.lit(float(s)) for s in plane]))
@@ -71,7 +109,7 @@ def srp_bucket(embedding: Column) -> Column:
 
 
 def with_srp_buckets(embeddings: DataFrame) -> DataFrame:
-    return embeddings.withColumn("bucket", srp_bucket(F.col("embedding")))
+    return embeddings.withColumn("bucket", srp_bucket("embedding"))
 
 
 def ann_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
@@ -84,7 +122,146 @@ def ann_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
     return (
         bucketed.crossJoin(F.broadcast(query))
         .filter((F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != query_id))
-        .select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("cos_raw"))
+        .select("vec_id", cosine("embedding", "q").alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# --- IVF (inverted-file) ANN ---------------------------------------------------
+#
+# The scale path beyond SRP bucketing: assign every vector to its nearest
+# of K fixed centroids (at 100 TB the table is written partitioned/
+# bucketed by that cluster id), then a query probes only the n_probe
+# nearest clusters. Centroids here are seeded constants — a production
+# build would k-means them offline — so the DuckDB oracle reproduces the
+# exact assignment.
+
+N_CENTROIDS = 8
+_crng = random.Random(11)
+CENTROIDS: list[list[float]] = [
+    [round(_crng.uniform(-1.0, 1.0), 4) for _ in range(EMBED_DIM)] for _ in range(N_CENTROIDS)
+]
+
+
+def _centroid_sql(j: int) -> str:
+    return "array(" + ", ".join(f"{v!r}D" for v in CENTROIDS[j]) + ")"
+
+
+def centroid_dist_sql(embedding: str, j: int) -> str:
+    """Squared L2 distance to centroid j as one SQL expression, expanded
+    as |e|² − 2·e·c + |c|² with the |c|² term pre-folded to a constant."""
+    c_norm2 = sum(v * v for v in CENTROIDS[j])
+    return f"({dot_sql(embedding, embedding)} - 2.0D * {dot_sql(embedding, _centroid_sql(j))} + {c_norm2!r}D)"
+
+
+def centroid_dist(embedding: Column | str, j: int) -> Column:
+    if isinstance(embedding, str):
+        return F.expr(centroid_dist_sql(embedding, j))
+    c_norm2 = sum(v * v for v in CENTROIDS[j])
+    c_lit = F.array(*[F.lit(v) for v in CENTROIDS[j]])
+    return dot(embedding, embedding) - 2.0 * dot(embedding, c_lit) + F.lit(c_norm2)
+
+
+def centroids_df(spark) -> DataFrame:
+    """The 8-row centroid relation (cluster id only; distances are
+    computed against the inlined literals)."""
+    return spark.range(N_CENTROIDS).toDF("cluster")
+
+
+def ivf_assign(embeddings: DataFrame) -> DataFrame:
+    """Attach the nearest-centroid cluster id: argmin over the K
+    distances, ties to the lower id — pure codegen, no shuffle. At
+    ingest this is the partitioning column.
+
+    The K distance folds are materialized as columns BEFORE the
+    least/argmin chain: inlining them would re-evaluate each 64-element
+    fold once per comparison (the lambda-CSE trap — see
+    operators/dedup.py perf notes; this exact shape measured 24x slower
+    inlined)."""
+    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
+    with_d = embeddings.select(
+        "*", *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)]
+    )
+    best = F.least(*[F.col(c) for c in dcols])
+    cluster = None
+    # first j whose distance equals the min == argmin with low-id ties
+    for j in reversed(range(N_CENTROIDS)):
+        cond = F.col(dcols[j]) == best
+        cluster = F.when(cond, F.lit(j)) if cluster is None else F.when(cond, F.lit(j)).otherwise(cluster)
+    return with_d.withColumn("cluster", cluster).drop(*dcols)
+
+
+def ivf_topk(embeddings: DataFrame, query_id: int, k: int = 10, n_probe: int = 2) -> DataFrame:
+    """IVF search: brute-force cosine restricted to the query's n_probe
+    nearest clusters. Join plan: tiny (n_probe-row) cluster list
+    broadcast against the cluster-pruned table — at scale with the table
+    partitioned by cluster this is a partition-pruned scan of
+    n_probe/K of the data."""
+    from ug_dwh_etl_spark.operators.dedup import spread
+
+    assigned = ivf_assign(spread(embeddings))
+    # the query row never needs a cluster id — filter the RAW table so
+    # the probe subtree doesn't re-run the full K-distance assignment
+    query = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+    # materialize the query's K distances once (8-row frame, trivial),
+    # then rank — same CSE discipline as ivf_assign
+    qd = query.select(
+        F.expr(
+            "array(" + ", ".join(centroid_dist_sql("q", j) for j in range(N_CENTROIDS)) + ")"
+        ).alias("qdists")
+    )
+    probe = (
+        centroids_df(embeddings.sparkSession)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "cluster",
+            F.element_at(F.col("qdists"), (F.col("cluster") + 1).cast("int")).alias("qdist"),
+        )
+        .orderBy("qdist", "cluster")
+        .limit(n_probe)
+        .select("cluster")
+    )
+    return (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cosine("embedding", "q").alias("cos_raw"))
+        .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        .limit(k)
+        .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
+    )
+
+
+# --- Pandas-UDF cosine (the Arrow-vectorized alternative path) -----------------
+
+def cosine_topk_pandas(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
+    """Same result as ``cosine_topk`` via an Arrow-batched Pandas UDF —
+    the path to use when the scorer is a real model/numpy kernel rather
+    than an expressible column fold. numpy einsum computes a whole batch
+    per Arrow transfer."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def cos_batch(e: pd.Series, q: pd.Series) -> pd.Series:
+        em = np.stack(e.to_numpy())  # (batch, dim) float32
+        qm = np.stack(q.to_numpy())
+        num = np.einsum("ij,ij->i", em, qm, dtype=np.float64)
+        den = np.sqrt(np.einsum("ij,ij->i", em, em, dtype=np.float64)) * np.sqrt(
+            np.einsum("ij,ij->i", qm, qm, dtype=np.float64)
+        )
+        return pd.Series(num / den)
+
+    query = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+    return (
+        embeddings.filter(F.col("vec_id") != query_id)
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", cos_batch(F.col("embedding"), F.col("q")).alias("cos_raw"))
         .orderBy(F.desc("cos_raw"), F.asc("vec_id"))
         .limit(k)
         .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
@@ -96,3 +273,17 @@ def ann_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
 def sql_plane_literal(j: int) -> str:
     vals = ", ".join(f"{s}.0" for s in HYPERPLANES[j])
     return f"[{vals}]::DOUBLE[]"
+
+
+def sql_centroid_literal(j: int) -> str:
+    vals = ", ".join(repr(v) for v in CENTROIDS[j])
+    return f"[{vals}]::DOUBLE[]"
+
+
+def sql_centroid_dist(embedding_expr: str, j: int) -> str:
+    c_norm2 = sum(v * v for v in CENTROIDS[j])
+    return (
+        f"(list_dot_product({embedding_expr}, {embedding_expr})"
+        f" - 2.0 * list_dot_product({embedding_expr}, {sql_centroid_literal(j)})"
+        f" + {c_norm2!r})"
+    )

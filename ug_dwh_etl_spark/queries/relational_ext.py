@@ -1,0 +1,247 @@
+"""Extended relational coverage (SURVEY.md §2.5-§2.9): min-per-group,
+set operations, grouping sets, range join, moving-average frames, full
+outer join, pivot, lateral explode, scalar subquery.
+
+These fill the query-layer surface the reference delegates to BigQuery
+(`README.md:15-24`) beyond the first relational batch."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.queries.registry import register, table
+
+
+# --- min/max-per-group (TPC-H Q2 shape: correlated subquery → window) ---------
+@register(
+    "minmax_priciest_part_per_brand",
+    """
+    SELECT p_brand, p_partkey, ROUND(p_retailprice, 2) AS price
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             ROW_NUMBER() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part)
+    WHERE rn = 1
+    """,
+)
+def minmax_priciest_part_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("price"))
+    )
+
+
+# --- set operations -------------------------------------------------------------
+@register(
+    "setop_nations_cust_and_supp",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def setop_nations_cust_and_supp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+@register(
+    "setop_nations_cust_only",
+    """
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def setop_nations_cust_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # supplier side thinned so EXCEPT is non-empty at every scale factor
+    cust = table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+    return cust.distinct().exceptAll(supp.distinct())
+
+
+# --- GROUPING SETS with grouping_id ---------------------------------------------
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(l_quantity), 2) AS sum_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               grouping_id(l_returnflag, l_linestatus) AS grp,
+               COUNT(*) AS n,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM v_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+# --- range join: follow-up events within 5 minutes ------------------------------
+@register(
+    "join_range_followups",
+    """
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_followups
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def join_range_followups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    a, b = ev.alias("a"), ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        a.join(b, cond)
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
+
+
+# --- moving average over a row frame --------------------------------------------
+@register(
+    "window_moving_avg_spend",
+    """
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+    FROM orders
+    """,
+)
+def window_moving_avg_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg"),
+    )
+
+
+# --- full outer join ------------------------------------------------------------
+@register(
+    "join_full_outer_coverage",
+    """
+    SELECT COALESCE(has_cust, FALSE) AS has_cust,
+           COALESCE(has_supp, FALSE) AS has_supp,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM (
+      SELECT n_nationkey,
+             MAX(c.c_custkey IS NOT NULL) AS has_cust,
+             MAX(s.s_suppkey IS NOT NULL) AS has_supp
+      FROM nation n
+      LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
+      GROUP BY n_nationkey)
+    GROUP BY 1, 2
+    """,
+)
+def join_full_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = table(spark, sf_dir, "nation")
+    cust = table(spark, sf_dir, "customer")
+    supp = table(spark, sf_dir, "supplier")
+    per_nation = (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .join(supp, supp.s_nationkey == nation.n_nationkey, "full_outer")
+        .groupBy("n_nationkey")
+        .agg(
+            F.max(F.col("c_custkey").isNotNull()).alias("has_cust"),
+            F.max(F.col("s_suppkey").isNotNull()).alias("has_supp"),
+        )
+        .filter(F.col("n_nationkey").isNotNull())
+    )
+    return per_nation.groupBy(
+        F.coalesce("has_cust", F.lit(False)).alias("has_cust"),
+        F.coalesce("has_supp", F.lit(False)).alias("has_supp"),
+    ).agg(F.count(F.lit(1)).alias("n_nations"))
+
+
+# --- pivot (explicit value list for deterministic columns) ----------------------
+@register(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS BIGINT) AS F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS BIGINT) AS O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 END), 0) AS BIGINT) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["F", "O", "P"])
+    )
+
+
+# --- lateral explode (UDTF-shape: one row in, N out) ----------------------------
+@register(
+    "lateral_explode_type_words",
+    """
+    SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+    GROUP BY word
+    """,
+)
+def lateral_explode_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    return (
+        part.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --- scalar subquery: orders above the global average ---------------------------
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) FROM orders)
+    GROUP BY o_orderpriority
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    avg_df = orders.agg(F.avg("o_totalprice").alias("global_avg"))
+    return (
+        orders.crossJoin(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > F.col("global_avg"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )

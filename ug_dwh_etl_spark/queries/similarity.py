@@ -6,9 +6,14 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ug_dwh_etl_spark.operators.similarity import (
+    N_CENTROIDS,
     N_HYPERPLANES,
     ann_topk,
     cosine_topk,
+    cosine_topk_pandas,
+    ivf_assign,
+    ivf_topk,
+    sql_centroid_dist,
     sql_plane_literal,
     with_srp_buckets,
 )
@@ -75,6 +80,82 @@ def _ann_sql() -> str:
 @register("sim_ann_topk", _ann_sql())
 def sim_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# --- Pandas-UDF cosine: same oracle as the native fold -------------------------
+@register(
+    "sim_cosine_topk_pandas",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], q)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(q, q))), 6) AS cosine
+    FROM embeddings, q
+    WHERE vec_id != 0
+    ORDER BY list_dot_product(embedding::DOUBLE[], q)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q, q))) DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_cosine_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Arrow-batched numpy kernel; must reproduce the JVM fold to 6 dp.
+    return cosine_topk_pandas(table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+# --- IVF cluster assignment -----------------------------------------------------
+def _ivf_assign_sql() -> str:
+    dists = ", ".join(f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS))
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, {dists} FROM base),
+    m AS (SELECT vec_id, {least} AS m, * FROM d)
+    SELECT vec_id, CASE {case} END AS cluster FROM m
+    """
+
+
+@register("sim_ivf_clusters", _ivf_assign_sql())
+def sim_ivf_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_assign(emb).select("vec_id", F.col("cluster").cast("int").alias("cluster"))
+
+
+# --- IVF top-k (probe the 2 nearest clusters) -----------------------------------
+def _ivf_topk_sql() -> str:
+    dists = ", ".join(f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS))
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    qdist_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS cluster, {sql_centroid_dist('qe', j)} AS qdist FROM q"
+        for j in range(N_CENTROIDS)
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
+    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
+    q AS (SELECT e AS qe FROM base WHERE vec_id = 0),
+    qd AS (
+      {qdist_rows}
+    ),
+    probe AS (SELECT cluster FROM qd ORDER BY qdist, cluster LIMIT 2)
+    SELECT vec_id,
+           ROUND(list_dot_product(e, qe)
+                 / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+    FROM a JOIN probe USING (cluster), q
+    WHERE vec_id != 0
+    ORDER BY list_dot_product(e, qe)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(qe, qe))) DESC, vec_id
+    LIMIT 10
+    """
+
+
+@register("sim_ivf_topk", _ivf_topk_sql())
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ivf_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_probe=2)
 
 
 # --- centroid distance per label (grouped vector aggregation) ----------------------
