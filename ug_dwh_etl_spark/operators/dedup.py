@@ -184,6 +184,44 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return summed.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
+def embedding_cosine_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥
+    threshold), SRP-bucketed.
+
+    Near-identical vectors agree on every random hyperplane sign, so
+    candidate generation joins on the SRP bucket (equi-join shuffle on
+    the bucket id) instead of comparing all pairs — the same
+    LSH-candidates-then-verify shape as minhash_lsh_pairs, but for the
+    embedding modality. At 2^b buckets the join cost drops ~2^b-fold;
+    recall loss only for pairs straddling a hyperplane (cosine near the
+    threshold), the standard SRP trade-off."""
+    from ug_dwh_etl_spark.operators.similarity import cosine_sql, srp_bucket
+
+    bucketed = spread(embeddings).select(
+        F.col(id_col), F.col(vec_col), srp_bucket(vec_col).alias("bucket")
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cos = F.expr(cosine_sql(f"a.{vec_col}", f"b.{vec_col}"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, threshold: float = 0.5
 ) -> DataFrame:

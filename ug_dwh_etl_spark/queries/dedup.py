@@ -16,6 +16,7 @@ from ug_dwh_etl_spark.operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     dedup_exact,
+    embedding_cosine_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -151,3 +152,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
+
+
+# --- embedding-cosine near-dups (SRP-bucketed candidates) -------------------------
+def _emb_cos_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import N_HYPERPLANES, sql_plane_literal
+
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {sql_plane_literal(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS e, {terms} AS bucket FROM embeddings)
+    SELECT a.vec_id AS id_a, bb.vec_id AS id_b,
+           ROUND(list_dot_product(a.e, bb.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e))),
+                 6) AS cosine
+    FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+    WHERE ROUND(list_dot_product(a.e, bb.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e))),
+                6) >= 0.3
+    """
+
+
+@register("dedup_embedding_cosine", _emb_cos_sql())
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # threshold 0.3: the synthetic vectors are near-orthogonal (max pair
+    # cosine ~0.51), so a production-style 0.9 would make this a 0-row
+    # check; 0.3 keeps a meaningful verified pair set
+    return embedding_cosine_pairs(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3)

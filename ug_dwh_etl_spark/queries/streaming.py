@@ -58,3 +58,18 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_dedup_events(spark, sf_dir)
+
+
+@register(
+    "stream_stateful_user_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom applyInPandasWithState operator; max-per-user of the running
+    # totals is micro-batch-split-invariant, so it matches the batch SQL
+    from ug_dwh_etl_spark.streaming.stateful import stream_user_running_totals
+
+    return stream_user_running_totals(spark, sf_dir)
