@@ -23,5 +23,7 @@ import ug_dwh_etl_spark.queries.pipelines  # noqa: F401
 import ug_dwh_etl_spark.queries.streaming  # noqa: F401
 import ug_dwh_etl_spark.queries.multimodal  # noqa: F401
 import ug_dwh_etl_spark.queries.relational_ext  # noqa: F401
+import ug_dwh_etl_spark.queries.graph  # noqa: F401
+import ug_dwh_etl_spark.queries.scale  # noqa: F401
 
 __all__ = ["QUERIES", "register", "table"]

@@ -1,0 +1,70 @@
+"""Link-graph queries: PageRank over a deterministic edge table.
+
+Edge stand-in (FIXTURES.md §B2 — the inlinks edge CSV): the distinct
+supplier→part bipartite relation from lineitem. Both engines derive the
+identical edge set, and the fixed-iteration dataflow is unrolled into
+the oracle SQL, so ranks match to float precision."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.operators.graph import pagerank, sql_pagerank
+from ug_dwh_etl_spark.queries.registry import register, table
+
+# supplier s<k> links to part p<k>; prefixes keep the two node
+# namespaces disjoint so the graph is a real bipartite link graph
+_EDGES_SQL = """
+    SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                    'p' || l_partkey::VARCHAR AS dst
+    FROM lineitem
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+
+
+@register("graph_pagerank", sql_pagerank(_EDGES_SQL, iterations=3))
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ranks = pagerank(_edges(spark, sf_dir), iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@register(
+    "graph_degree_stats",
+    """
+    WITH edges AS (
+      SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                      'p' || l_partkey::VARCHAR AS dst
+      FROM lineitem)
+    SELECT 'out' AS side, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(d) AS BIGINT) AS max_degree, ROUND(AVG(d), 6) AS avg_degree
+    FROM (SELECT src, COUNT(*) AS d FROM edges GROUP BY src)
+    UNION ALL
+    SELECT 'in' AS side, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(d) AS BIGINT) AS max_degree, ROUND(AVG(d), 6) AS avg_degree
+    FROM (SELECT dst, COUNT(*) AS d FROM edges GROUP BY dst)
+    """,
+)
+def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+
+    def side(col: str, label: str) -> DataFrame:
+        return (
+            edges.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("d"))
+            .agg(
+                F.lit(label).alias("side"),
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.max("d").alias("max_degree"),
+                F.round(F.avg("d"), 6).alias("avg_degree"),
+            )
+        )
+
+    return side("src", "out").unionByName(side("dst", "in"))

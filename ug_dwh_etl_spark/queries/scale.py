@@ -1,0 +1,79 @@
+"""Scale-technique queries: manual skew salting and bucketed co-located
+joins, each proven equal to its plain relational oracle.
+
+The point of these is the PLAN, not the answer: salted_agg's answer is
+identical to a plain GROUP BY (that is the test), but the hot key's
+rows fan out over n_salt reducers; the bucketed join's answer is
+identical to a plain join, but its physical plan has no Exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.operators.bucketing import bucketed_join, write_bucketed
+from ug_dwh_etl_spark.operators.skew import salted_agg
+from ug_dwh_etl_spark.queries.registry import register, table
+
+
+@register(
+    "skew_salted_event_counts",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # event_type has 5 hot keys — the canonical skewed-groupBy shape.
+    ev = table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        key="event_type",
+        aggs={
+            "n": ("event_id", "count"),
+            "total_value_raw": ("value", "sum"),
+            "max_value_raw": ("value", "max"),
+        },
+        salt_from=["event_id"],
+        n_salt=16,
+    )
+    return out.select(
+        "event_type",
+        "n",
+        F.round("total_value_raw", 2).alias("total_value"),
+        F.round("max_value_raw", 2).alias("max_value"),
+    )
+
+
+@register(
+    "bucketed_join_order_lineitems",
+    """
+    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_extendedprice), 2) AS total_price
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one-time clustered write per scale factor, then an Exchange-free
+    # sort-merge join (plan asserted shuffle-free in tests/test_scale.py)
+    tag = sf_dir.rstrip("/").rsplit("sf", 1)[-1].replace(".", "_")
+    lt, ot = f"li_b_{tag}", f"ord_b_{tag}"
+    existing = {t.name for t in spark.catalog.listTables()}
+    if lt not in existing:
+        write_bucketed(
+            table(spark, sf_dir, "lineitem")
+            .select(F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"),
+            lt,
+            "o_orderkey",
+        )
+    if ot not in existing:
+        write_bucketed(
+            table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"), ot, "o_orderkey"
+        )
+    joined = bucketed_join(spark, ot, lt, "o_orderkey")
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -45,6 +45,10 @@ def get_spark(app_name: str = "ug-dwh-etl-spark", master: str | None = None) -> 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
+        # managed-table home for bucketed tables (operators/bucketing);
+        # keep the metastore/warehouse out of the repo tree
+        .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
+        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/derby")
     )
     if master is not None:
         builder = builder.master(master)
