@@ -24,6 +24,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q4_priority_with_late_lines",
+    "q6_forecast_revenue",
+    "q10_returned_item_revenue",
+    "q18_large_quantity_orders",
     "join_left_customer_orders",
     "window_top3_orders_per_customer",
     "asof_latest_order_per_customer",
@@ -45,6 +49,8 @@ HEADLINE = [
     "window_moving_avg_spend",
     "multimodal_features",
     "stream_hourly_tumbling",
+    "graph_pagerank",
+    "skew_salted_event_counts",
 ]
 
 
@@ -54,8 +60,19 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan so q1 doesn't pay startup cost.
+    # JVM/codegen warmup so the first timed queries don't pay startup:
+    # a trivial agg (executor spin-up), a parquet scan (reader paths),
+    # and an md5/regex expression (the codegen classes the dedup/text
+    # queries compile).
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .selectExpr("conv(substring(md5(regexp_replace(p_name, ' ', '_')), 1, 15), 16, 10)")
+        .limit(100)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
