@@ -26,7 +26,10 @@ HEADLINE = [
     "q5_local_supplier_volume",
     "q4_priority_with_late_lines",
     "q6_forecast_revenue",
+    "q7_nation_trade_volume",
+    "q9_product_profit",
     "q10_returned_item_revenue",
+    "q13_customer_order_distribution",
     "q18_large_quantity_orders",
     "join_left_customer_orders",
     "window_top3_orders_per_customer",
