@@ -1,0 +1,81 @@
+"""Plan-shape tests: filters and projections must reach the parquet
+scan (SURVEY.md §4 — "what Catalyst gives for free" has to actually
+show up in the physical plan, or a 100 TB scan reads 100 TB).
+
+Checks the *executed/optimized* plan text for:
+- PushedFilters: the predicate at the scan node (row-group pruning);
+- ReadSchema: only the referenced columns in the scan schema;
+- WholeStageCodegen: the expression pipeline is JVM-compiled.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.filter(F.col("l_quantity") < 24).select("l_orderkey", "l_quantity")
+    plan = _formatted(df)
+    assert "PushedFilters" in plan, plan
+    assert "LessThan(l_quantity,24" in plan.replace(" ", ""), plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # 2-column projection over an 11-column table: the scan schema must
+    # contain only the 2 referenced columns
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
+    plan = _formatted(df)
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema, plan
+    schema_line = read_schema[0]
+    assert "l_returnflag" in schema_line and "l_quantity" in schema_line
+    assert "l_extendedprice" not in schema_line, schema_line
+    assert "l_shipdate" not in schema_line, schema_line
+
+
+def test_query_layer_pushes_date_filter(spark):
+    # the registered q6 plan: shipdate range + discount + quantity all
+    # reach the scan as parquet pushed filters
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    df = QUERIES["q6_forecast_revenue"].fn(spark, SF_DIR)
+    plan = _formatted(df)
+    compact = plan.replace(" ", "")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in compact, plan
+    assert "LessThan(l_quantity,24" in compact, plan
+
+
+def test_whole_stage_codegen_spans_expressions(spark):
+    # reference-shaped derive chain (url levels + regex case) must stay
+    # inside WholeStageCodegen — no Python UDF boundary (BatchEvalPython)
+    from ug_dwh_etl_spark.functions.urls import url_levels
+    from ug_dwh_etl_spark.functions.text import regex_case
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = docs.select(
+        *[c.alias(n) for n, c in url_levels(F.col("source")).items()],
+        regex_case(
+            F.col("source"),
+            [("(?i)internal", "Internal"), ("(?i)partner", "Whitelabel")],
+            "External",
+        ).alias("website_type"),
+    )
+    plan = _executed_plan(df)
+    # "*(1)" prefix = the operator runs inside WholeStageCodegen stage 1
+    assert "*(1) Project" in plan, plan
+    assert "BatchEvalPython" not in plan, plan

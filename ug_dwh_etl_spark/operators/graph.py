@@ -45,10 +45,16 @@ def pagerank(
     nothing (the simple variant — matches the unrolled oracle exactly).
     Ranks start at 1.0; rank_{i+1} = (1-d) + d·Σ_in rank_i/outdeg.
     """
+    # edges may be an expensive derivation (e.g. a distinct over a fact
+    # table): persist it — it is scanned 4x building the invariants below
+    edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
+        # loop invariant: re-read every iteration for the dangling-node
+        # left join, and again for the initial ranks
+        .persist()
     )
     deg = out_degrees(edges, src)
     # contribution edge list: (src, dst, 1/outdeg) — computed once,

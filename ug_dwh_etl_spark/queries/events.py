@@ -124,3 +124,38 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(25)
     )
+
+
+# --- sliding window (2h width, 1h slide): each event lands in 2 windows ------
+@register(
+    "events_sliding_2h",
+    """
+    WITH expanded AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+)
+def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.window(width=2h, slide=1h); the oracle unrolls the 2-window
+    membership as a UNION ALL of the two shifted hourly buckets."""
+    ev = table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )

@@ -73,3 +73,23 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     from ug_dwh_etl_spark.streaming.stateful import stream_user_running_totals
 
     return stream_user_running_totals(spark, sf_dir)
+
+
+@register(
+    "stream_sliding_2h",
+    """
+    WITH expanded AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value
+      FROM events)
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+    FROM expanded GROUP BY window_start, event_type
+    """,
+)
+def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ug_dwh_etl_spark.streaming.jobs import stream_sliding_counts
+
+    return stream_sliding_counts(spark, sf_dir)

@@ -158,3 +158,27 @@ def available_now_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_sliding_2h``: sliding window (2h width,
+    1h slide) × event_type with a 1h watermark — every event is counted
+    into the two hourly-aligned windows covering it."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    win = F.window("ts", "2 hours", "1 hour")
+    agg = (
+        ev.groupBy(win.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg, "complete")
