@@ -1,0 +1,133 @@
+"""Ad-hoc SQL entry point (SURVEY.md §3 lifecycle, entry point b).
+
+The reference delegates its entire query layer to BigQuery SQL — "each
+data analysis question is separately queried on a daily basis"
+(`/root/reference/README.md:15-24`). This module is that surface: the
+fixture tables registered as views and queries expressed as
+``spark.sql(...)`` text rather than DataFrame calls, planned by the
+same Catalyst pipeline (pushdown/pruning/join selection apply
+identically — SQL and DataFrame code meet in the same logical plan).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ug_dwh_etl_spark.functions.urls import url_levels_sql
+from ug_dwh_etl_spark.queries.registry import register, table
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
+    """Register every fixture table as a temp view so users can run
+    arbitrary ``spark.sql`` over them (the warehouse catalog surface;
+    in production this is a real metastore/catalog, not temp views)."""
+    for name in tables:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def run_sql(spark: SparkSession, sf_dir: str, sql: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(sql)
+
+
+# --- dashboard shape: daily history rollup (the reference's per-day
+#     pre-computed query tables, README.md:15) -------------------------------
+_DAILY_SQL_SPARK = """
+    SELECT date_format(o_orderdate, 'yyyy-MM-dd') AS day,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS daily_total
+    FROM orders
+    GROUP BY day, o_orderpriority
+"""
+
+_DAILY_SQL_DUCKDB = """
+    SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+           o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+             AS daily_total
+    FROM orders
+    GROUP BY day, o_orderpriority
+"""
+
+
+@register("sql_adhoc_daily_orders", _DAILY_SQL_DUCKDB)
+def sql_adhoc_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = run_sql(spark, sf_dir, _DAILY_SQL_SPARK)
+    return df.withColumn("daily_total", df.daily_total.cast("double"))
+
+
+# --- dashboard shape: per-directory URL rollup (the content ⋈ inlinks
+#     analysis the reference comments at sf_html_data.py:20) -----------------
+# documents.source is a plain label ('src1'); build the crawl-style URL
+# the reference splits (sf_html_data.py:109-115) and roll up by its
+# directory (lang) and first page level (source label).
+_DOC_URL = "'https://example.com/' || lang || '/' || source || '/index.html'"
+
+_DIR_SPARK = f"""
+    WITH lv AS (
+      SELECT {', '.join(url_levels_sql(_DOC_URL, dialect='spark')[:3])},
+             n_chars
+      FROM documents)
+    SELECT root, directory, page_level1, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM lv
+    GROUP BY root, directory, page_level1
+"""
+
+_DIR_DUCKDB = f"""
+    WITH lv AS (
+      SELECT {', '.join(url_levels_sql(_DOC_URL, dialect='duckdb')[:3])},
+             n_chars
+      FROM documents)
+    SELECT root, directory, page_level1, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM lv
+    GROUP BY root, directory, page_level1
+"""
+
+
+@register("sql_adhoc_directory_rollup", _DIR_DUCKDB)
+def sql_adhoc_directory_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, _DIR_SPARK)
+
+
+# --- dashboard shape: latest-rank-per-url time series (history table
+#     keyed by crawl_date, Audisto/audisto.py:147-159) -----------------------
+_TREND_SPARK = """
+    WITH hist AS (
+      SELECT o_custkey,
+             date_format(o_orderdate, 'yyyy-MM-dd') AS day,
+             o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey, day AS latest_day,
+           ROUND(o_totalprice, 2) AS latest_total
+    FROM hist WHERE rn = 1
+"""
+
+_TREND_DUCKDB = """
+    WITH hist AS (
+      SELECT o_custkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders)
+    SELECT o_custkey, day AS latest_day,
+           ROUND(o_totalprice, 2) AS latest_total
+    FROM hist WHERE rn = 1
+"""
+
+
+@register("sql_adhoc_latest_snapshot", _TREND_DUCKDB)
+def sql_adhoc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(spark, sf_dir, _TREND_SPARK)
