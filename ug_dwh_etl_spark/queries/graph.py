@@ -68,3 +68,26 @@ def graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side("src", "out").unionByName(side("dst", "in"))
+
+
+@register(
+    "graph_cheirank",
+    sql_pagerank(
+        """
+        SELECT DISTINCT 'p' || l_partkey::VARCHAR AS src,
+                        's' || l_suppkey::VARCHAR AS dst
+        FROM lineitem
+        """,
+        iterations=3,
+    ),
+)
+def graph_cheirank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CheiRank — the second rank column the reference ingests per URL
+    (`Audisto/audisto.py:147-148`): PageRank over the REVERSED edge set
+    (communicativity instead of popularity). Same operator, edges
+    flipped."""
+    edges = _edges(spark, sf_dir).select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    ranks = pagerank(edges, iterations=3)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
