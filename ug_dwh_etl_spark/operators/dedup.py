@@ -141,7 +141,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 for b in range(N_BANDS)
             ])
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key")
+    ).select(id_col, "band.band_id", "band.band_key").persist()
+    # ^ both self-join sides read the banded signatures; persisting skips
+    # recomputing the full minhash pipeline for the second side
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -233,6 +235,10 @@ def ngram_jaccard_pairs(
     frequencies — at 100 TB this runs AFTER LSH banding prunes
     candidates; here it is also exposed standalone as the exact baseline.
     """
+    # NOT persisted: both self-join sides shuffle on `sh`, so Spark's
+    # ReuseExchange already computes the shingle relation once (measured:
+    # persisting is ~40% slower — it pays materialization and blocks
+    # nothing, since the sides share one exchange)
     sh = doc_shingle_hashes(spread(df), id_col, text_col)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
