@@ -126,3 +126,35 @@ def test_expect_gate_passes_quiet(spark):
     assert expect(df, (F.col("url") == "https://root") & (F.col("status") != 200),
                   "t", "m", alert=sink)
     assert sink.alerts == []
+
+
+def test_pagerank_matches_hand_computed_ranks(spark):
+    # a→{b,c,d}, b→c, c→a; d dangles (contributes nothing — simple variant).
+    # Two iterations by hand at d=0.85 from rank_0 ≡ 1.0:
+    #   rank_1 = a 1.0, b 0.433333, c 1.283333, d 0.433333
+    #   rank_2 = a 1.240833, b 0.433333, c 0.801667, d 0.433333
+    from ug_dwh_etl_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("c", "a")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=2).collect()}
+    expected = {"a": 1.240833, "b": 0.433333, "c": 0.801667, "d": 0.433333}
+    assert set(got) == set(expected)
+    for node, want in expected.items():
+        assert abs(got[node] - want) < 1e-6, node
+
+
+def test_e4_union_aligns_by_name_with_null_fill(spark):
+    # U1: the html-images side has no status_code/size_bytes, the crawl
+    # side no source_page/alt_text — union fills the gaps with NULLs.
+    from ug_dwh_etl_spark.plans.reference_pipelines_ext import e4_images_inventory
+
+    df = e4_images_inventory(spark, SF_DIR)
+    rows = df.collect()
+    assert rows
+    html_rows = [r for r in rows if r["alt_text"] is not None]
+    crawl_rows = [r for r in rows if r["status_code"] is not None]
+    assert html_rows and crawl_rows
+    assert all(r["status_code"] is None and r["size_bytes"] is None for r in html_rows)
+    assert all(r["source_page"] is None and r["alt_text"] is None for r in crawl_rows)

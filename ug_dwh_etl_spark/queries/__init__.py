@@ -27,5 +27,7 @@ import ug_dwh_etl_spark.queries.graph  # noqa: F401
 import ug_dwh_etl_spark.queries.scale  # noqa: F401
 import ug_dwh_etl_spark.queries.relational_tpch  # noqa: F401
 import ug_dwh_etl_spark.queries.adhoc_sql  # noqa: F401
+import ug_dwh_etl_spark.queries.pipelines_ext  # noqa: F401
+import ug_dwh_etl_spark.queries.history  # noqa: F401
 
 __all__ = ["QUERIES", "register", "table"]

@@ -1,0 +1,118 @@
+"""History-table monitoring queries — the Website-Monitoring dashboard
+shape over the reference's append-with-crawl_date model
+(`README.md:17-24`; history appends at `sf_html_data.py:178`,
+`Audisto/audisto.py:159,167`).
+
+The reference builds daily per-URL history precisely so the SQL layer can
+ask "what appeared / disappeared / changed since yesterday". Both engines
+derive the SAME deterministic two-crawl history from ``documents``:
+
+- crawl 2026-01-01: every doc except ``doc_id % 17 = 3`` (these are
+  "new" tomorrow), metric = n_chars;
+- crawl 2026-01-02: every doc except ``doc_id % 13 = 5`` (these were
+  "lost"), metric bumped +50 where ``doc_id % 7 = 0`` ("changed").
+
+At 100 TB the history table is partitioned by ``crawl_date``
+(`sinks/writers.py append_history`), so both queries prune to exactly the
+two snapshot partitions before the address-keyed shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.queries.registry import register, table
+
+_URL_SPARK = "concat('https://www.example.com/', lang, '/', source, '/p', CAST(doc_id AS STRING))"
+_URL_DUCK = "'https://www.example.com/' || lang || '/' || source || '/p' || doc_id::VARCHAR"
+
+_HIST_DUCK = f"""
+    c1 AS (SELECT {_URL_DUCK} AS address, '2026-01-01' AS crawl_date,
+                  n_chars::BIGINT AS metric
+           FROM documents WHERE doc_id % 17 <> 3),
+    c2 AS (SELECT {_URL_DUCK} AS address, '2026-01-02' AS crawl_date,
+                  (n_chars + CASE WHEN doc_id % 7 = 0 THEN 50 ELSE 0 END)::BIGINT AS metric
+           FROM documents WHERE doc_id % 13 <> 5)
+"""
+
+
+def _crawls(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    docs = table(spark, sf_dir, "documents").withColumn("address", F.expr(_URL_SPARK))
+    c1 = docs.filter(F.col("doc_id") % 17 != 3).select(
+        "address",
+        F.lit("2026-01-01").alias("crawl_date"),
+        F.col("n_chars").cast("long").alias("metric"),
+    )
+    c2 = docs.filter(F.col("doc_id") % 13 != 5).select(
+        "address",
+        F.lit("2026-01-02").alias("crawl_date"),
+        (
+            F.col("n_chars") + F.when(F.col("doc_id") % 7 == 0, 50).otherwise(0)
+        ).cast("long").alias("metric"),
+    )
+    return c1, c2
+
+
+@register(
+    "history_url_churn",
+    f"""
+    WITH {_HIST_DUCK}
+    SELECT address, status FROM (
+      SELECT COALESCE(c2.address, c1.address) AS address,
+             CASE WHEN c1.address IS NULL THEN 'new'
+                  WHEN c2.address IS NULL THEN 'lost'
+                  WHEN c1.metric <> c2.metric THEN 'changed'
+                  ELSE 'same' END AS status
+      FROM c1 FULL OUTER JOIN c2 ON c1.address = c2.address)
+    WHERE status <> 'same'
+    """,
+)
+def history_url_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New / lost / changed URLs between consecutive crawls: one full
+    outer join on the URL key. Both sides shuffle-partition on address;
+    with the history parquet partitioned by crawl_date this reads exactly
+    two partitions regardless of history depth."""
+    c1, c2 = _crawls(spark, sf_dir)
+    j = c1.alias("c1").join(c2.alias("c2"), F.col("c1.address") == F.col("c2.address"), "full")
+    status = (
+        F.when(F.col("c1.address").isNull(), "new")
+        .when(F.col("c2.address").isNull(), "lost")
+        .when(F.col("c1.metric") != F.col("c2.metric"), "changed")
+        .otherwise("same")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("c2.address"), F.col("c1.address")).alias("address"),
+            status.alias("status"),
+        )
+        .filter(F.col("status") != "same")
+    )
+
+
+@register(
+    "history_metric_delta",
+    f"""
+    WITH {_HIST_DUCK},
+    hist AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2)
+    SELECT address, crawl_date, metric, metric - prev AS delta
+    FROM (
+      SELECT address, crawl_date, metric,
+             LAG(metric) OVER (PARTITION BY address ORDER BY crawl_date) AS prev
+      FROM hist)
+    WHERE prev IS NOT NULL AND metric <> prev
+    """,
+)
+def history_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL change detection via lag over crawl_date (SURVEY.md §2.7 —
+    the time-series query the history tables exist for). One shuffle on
+    the partition key; the filter on ``prev`` drops first-appearance
+    rows."""
+    c1, c2 = _crawls(spark, sf_dir)
+    hist = c1.unionByName(c2)
+    w = Window.partitionBy("address").orderBy("crawl_date")
+    return (
+        hist.withColumn("prev", F.lag("metric").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("metric") != F.col("prev")))
+        .select("address", "crawl_date", "metric", (F.col("metric") - F.col("prev")).alias("delta"))
+    )
