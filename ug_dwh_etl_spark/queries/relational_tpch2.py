@@ -1,0 +1,258 @@
+"""TPC-H Q2/Q11/Q20/Q21-shaped queries, adapted to the fixture schema.
+
+The fixture has no ``partsupp`` table and no ``l_commitdate`` /
+``l_receiptdate`` columns, so the four TPC-H queries that depend on them
+are re-expressed shape-for-shape over the available columns: ``lineitem``
+grouped by (part, supplier) stands in for the part-supplier relation, and
+``l_shipdate`` vs ``o_orderdate + 90 days`` stands in for the
+receipt-after-commit lateness test. The plan shapes — correlated-min
+join-back (Q2), HAVING vs a scalar-subquery threshold (Q11), nested
+semi-join chain (Q20), EXISTS + NOT-EXISTS self-joins on the fact table
+(Q21) — are the point; they are the shapes the reference's BigQuery
+dashboard layer (`/root/reference/README.md:17-24`) delegates downstream.
+
+Engine notes for 100 TB:
+- Every dim (supplier=100 rows, nation, region, filtered part) is
+  broadcast; only lineitem self-joins shuffle, and Q21's three fact
+  relations all shuffle on the SAME key (l_orderkey) so the exchange is
+  reused across the semi and anti joins.
+- Q2/Q11/Q20 derive a (partkey, suppkey) relation first — that agg is
+  partial/map-side combined by Catalyst before the shuffle.
+- min/count aggregates and double division are order-independent, so no
+  decimal detour is needed except where sums feed thresholds (Q11, Q20).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
+
+from ug_dwh_etl_spark.queries.registry import register, table
+
+
+def _eu_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers in region EUROPE with their nation name (dim-only, tiny)."""
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+
+
+# --- Q2 shape: min-cost supplier per part (correlated min + join-back) ---------
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    eu AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'),
+    eups AS (
+      SELECT l_partkey, supplycost, s_name, s_acctbal, n_name
+      FROM ps JOIN eu ON l_suppkey = s_suppkey)
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+           ROUND(supplycost, 4) AS supplycost
+    FROM eups
+      JOIN part ON p_partkey = l_partkey
+    WHERE p_type = 'LARGE'
+      AND supplycost = (
+        SELECT MIN(e2.supplycost) FROM eups e2 WHERE e2.l_partkey = p_partkey)
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").filter(F.col("p_type") == "LARGE")
+    # lineitem as the part-supplier cost relation: min observed unit price.
+    # min is order-independent, so plain double arithmetic matches the oracle.
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eups = ps.join(
+        F.broadcast(_eu_suppliers(spark, sf_dir)),
+        ps.l_suppkey == F.col("s_suppkey"),
+    ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
+    min_cost = eups.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
+        F.min("supplycost").alias("min_cost")
+    )
+    return (
+        eups.join(
+            min_cost,
+            (eups.l_partkey == F.col("m_partkey"))
+            & (eups.supplycost == F.col("min_cost")),
+        )
+        .join(F.broadcast(part), eups.l_partkey == part.p_partkey)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+# --- Q11 shape: important parts by national inventory value --------------------
+@register(
+    "q11_important_parts",
+    """
+    WITH natl AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * CAST(l_quantity AS DECIMAL(12,2))) AS val
+      FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name = 'NATION_7'
+      GROUP BY l_partkey)
+    SELECT l_partkey, CAST(ROUND(val, 2) AS DOUBLE) AS part_value
+    FROM natl
+    WHERE CAST(val AS DOUBLE) > 0.001 * (SELECT CAST(SUM(val) AS DOUBLE) FROM natl)
+    ORDER BY part_value DESC, l_partkey
+    """,
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    nat_supp = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select("s_suppkey")
+    )
+    val = F.col("l_extendedprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "decimal(12,2)"
+    )
+    natl = (
+        li.join(F.broadcast(nat_supp), li.l_suppkey == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("val"))
+    )
+    total = natl.agg((0.001 * F.sum("val").cast("double")).alias("threshold"))
+    return (
+        natl.join(F.broadcast(total))
+        .filter(F.col("val").cast("double") > F.col("threshold"))
+        .select("l_partkey", F.round("val", 2).cast("double").alias("part_value"))
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+# --- Q20 shape: suppliers shipping an outsized share of a part -----------------
+@register(
+    "q20_excess_share_shippers",
+    """
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_partkey, l_suppkey),
+    tot AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey)
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT shipped.l_suppkey
+      FROM shipped
+        JOIN tot ON shipped.l_partkey = tot.l_partkey
+      WHERE shipped.l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        AND CAST(qty AS DOUBLE) > 0.3 * CAST(total_qty AS DOUBLE))
+    ORDER BY s_suppkey
+    """,
+)
+def q20_excess_share_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    promo = table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp = table(spark, sf_dir, "supplier")
+    shipped = (
+        li.join(F.broadcast(promo), li.l_partkey == F.col("p_partkey"), "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("qty"))
+    )
+    tot = shipped.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    excess = (
+        shipped.join(tot, shipped.l_partkey == F.col("t_partkey"))
+        .filter(
+            F.col("qty").cast("double") > 0.3 * F.col("total_qty").cast("double")
+        )
+        .select("l_suppkey")
+    )
+    return (
+        supp.join(excess, supp.s_suppkey == excess.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q21 shape: suppliers who alone shipped late on shared orders --------------
+@register(
+    "q21_sole_late_shippers",
+    """
+    WITH late AS (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+    SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM late l1 JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+        SELECT 1 FROM late l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 100
+    """,
+)
+def q21_sole_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supp = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l1 = late.alias("l1")
+    # all three fact relations shuffle on l_orderkey — one exchange, reused
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = late.alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l1.l_suppkey") == supp.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
