@@ -116,3 +116,63 @@ def history_metric_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("prev").isNotNull() & (F.col("metric") != F.col("prev")))
         .select("address", "crawl_date", "metric", (F.col("metric") - F.col("prev")).alias("delta"))
     )
+
+
+@register(
+    "history_gap_fill",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders),
+    spine AS (
+      SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+    keys AS (SELECT DISTINCT o_orderpriority FROM orders),
+    obs AS (
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             MAX(o_totalprice) AS day_max
+      FROM orders GROUP BY 1, 2)
+    SELECT k.o_orderpriority, strftime(s.day, '%Y-%m-%d') AS day,
+           ROUND(LAST_VALUE(o.day_max IGNORE NULLS) OVER (
+             PARTITION BY k.o_orderpriority ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled_max
+    FROM keys k
+      CROSS JOIN spine s
+      LEFT JOIN obs o ON o.o_orderpriority = k.o_orderpriority AND o.day = s.day
+    """,
+)
+def history_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap fill + forward fill — the resample operator a daily
+    append-history table needs when a crawl is skipped (the reference's
+    cron model guarantees nothing on failure days).
+
+    Spine = ``sequence(min_day, max_day)`` exploded (distributed after
+    explode, no driver loop), cross-joined with the tiny key dim, left
+    join of the observed daily aggregate, then ``last(ignorenulls)`` over
+    an unbounded-preceding row frame. At 100 TB the spine side is trivially
+    small (days x keys); only the observation agg shuffles, and the final
+    window re-uses the same (key, day) partitioning."""
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "day", F.to_date("o_orderdate")
+    )
+    obs = orders.groupBy("o_orderpriority", "day").agg(
+        F.max("o_totalprice").alias("day_max")
+    )
+    bounds = orders.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    ).select(F.col("day").cast("date").alias("day"))
+    keys = orders.select("o_orderpriority").distinct()
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        keys.crossJoin(spine)
+        .join(obs, ["o_orderpriority", "day"], "left")
+        .select(
+            "o_orderpriority",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(F.last("day_max", ignorenulls=True).over(w), 2).alias("filled_max"),
+        )
+    )

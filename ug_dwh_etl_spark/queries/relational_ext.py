@@ -245,3 +245,90 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("n_above"))
     )
+
+
+# --- ntile: equal-frequency bucketing (distribution dashboards) -----------------
+@register(
+    "window_ntile_quartiles",
+    """
+    SELECT quartile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(c_acctbal), 2) AS lo, ROUND(MAX(c_acctbal), 2) AS hi
+    FROM (
+      SELECT NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile, c_acctbal
+      FROM customer)
+    GROUP BY quartile
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile with a unique (value, key) ordering so bucket assignment is
+    deterministic across engines; single global window then re-agg.
+
+    Scale note: a global window is acceptable here because it runs over a
+    *dimension* table (customer), which stays orders of magnitude smaller
+    than the facts at 100 TB. For fact-scale exact global ranks, use the
+    two-pass pattern instead: sort, count rows per partition, broadcast
+    the running offsets, add per-partition row_number — no single-node
+    window. For bucketing only (no exact ranks), approx_percentile
+    boundaries + comparison assignment is one scan and no sort."""
+    cust = table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("lo"),
+            F.round(F.max("c_acctbal"), 2).alias("hi"),
+        )
+    )
+
+
+# --- percent_rank: top-percentile selection -------------------------------------
+@register(
+    "window_percent_rank_top",
+    """
+    SELECT c_custkey, ROUND(c_acctbal, 2) AS bal, ROUND(pr, 6) AS pr
+    FROM (
+      SELECT c_custkey, c_acctbal,
+             PERCENT_RANK() OVER (ORDER BY c_acctbal DESC, c_custkey) AS pr
+      FROM customer)
+    WHERE pr <= 0.01
+    """,
+)
+def window_percent_rank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    return (
+        cust.select(
+            "c_custkey",
+            F.round("c_acctbal", 2).alias("bal"),
+            F.round(F.percent_rank().over(w), 6).alias("pr"),
+        )
+        .filter(F.col("pr") <= 0.01)
+    )
+
+
+# --- statistical moments: stddev / correlation / covariance ---------------------
+@register(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           ROUND(AVG(l_quantity), 4) AS qty_avg,
+           ROUND(STDDEV_SAMP(l_quantity), 4) AS qty_sd,
+           ROUND(CORR(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS qty_price_cov
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment aggregates (variance/correlation dashboards). Both
+    engines use numerically stable one-pass merges; rounding absorbs the
+    partition-order ulp drift. Fully parallel partial aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_quantity"), 4).alias("qty_avg"),
+        F.round(F.stddev_samp("l_quantity"), 4).alias("qty_sd"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+    )
