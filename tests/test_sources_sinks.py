@@ -58,3 +58,29 @@ def test_fan_out_single_upstream(spark, tmp_path):
                  lambda d: overwrite_snapshot(d, paths[1])])
     assert spark.read.parquet(paths[0]).count() == 1
     assert spark.read.parquet(paths[1]).count() == 1
+
+
+def test_merge_upsert_replaces_and_inserts(spark, tmp_path):
+    from ug_dwh_etl_spark.sinks.writers import merge_upsert
+
+    path = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a", "d1"), (2, "b", "d1"), (3, "c", "d2")], ["k", "v", "day"]
+    )
+    merge_upsert(base, path, keys=["k"], partition_col="day")
+    updates = spark.createDataFrame(
+        [(2, "B", "d1"), (4, "d", "d2")], ["k", "v", "day"]
+    )
+    merge_upsert(updates, path, keys=["k"], partition_col="day")
+    got = {(r.k, r.v, r.day) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "a", "d1"), (2, "B", "d1"), (3, "c", "d2"), (4, "d", "d2")}
+
+
+def test_merge_upsert_unpartitioned(spark, tmp_path):
+    from ug_dwh_etl_spark.sinks.writers import merge_upsert
+
+    path = str(tmp_path / "flat")
+    merge_upsert(spark.createDataFrame([(1, "a")], ["k", "v"]), path, keys=["k"])
+    merge_upsert(spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"]), path, keys=["k"])
+    got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {(1, "A"), (2, "b")}

@@ -181,3 +181,49 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine ~0.51), so a production-style 0.9 would make this a 0-row
     # check; 0.3 keeps a meaningful verified pair set
     return embedding_cosine_pairs(table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3)
+
+
+# --- deterministic hash split (train/validation/test) ---------------------------
+@register(
+    "split_train_test",
+    """
+    SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM (
+      SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '0d' THEN 'validation'
+                  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a' THEN 'test'
+                  ELSE 'train' END AS split,
+             lang, n_chars
+      FROM documents)
+    GROUP BY split
+    """,
+)
+def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test split by content-stable hash —
+    the assignment every training-data pipeline needs: reproducible
+    across runs, engines, partitionings, and appends (a doc's split never
+    changes when other docs arrive, unlike percentage sampling).
+
+    Hash-prefix brackets on md5(doc_id): first byte < 0x0d → validation
+    (~5.1%), < 0x1a → test (~5.1%), else train. Pure narrow map — no
+    shuffle except the final tiny rollup; at 100 TB the split column is
+    computed inline at scan time and costs nothing."""
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    prefix = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(prefix < "0d", "validation")
+        .when(prefix < "1a", "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select(split.alias("split"), "lang", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

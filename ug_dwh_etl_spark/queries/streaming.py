@@ -93,3 +93,22 @@ def q_stream_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_sliding_counts
 
     return stream_sliding_counts(spark, sf_dir)
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT v.user_id, CAST(COUNT(*) AS BIGINT) AS n_attributed
+    FROM events v JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view' AND p.event_type = 'purchase'
+     AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (view→purchase within 1h),
+    checked against the identical batch join SQL."""
+    from ug_dwh_etl_spark.streaming.jobs import stream_stream_attribution_join
+
+    return stream_stream_attribution_join(spark, sf_dir)

@@ -182,3 +182,38 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_stream_to_memory(agg, "complete")
+
+
+def stream_stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with watermarks on BOTH sides and a
+    time-range join condition — the attribution shape (view → purchase
+    by the same user within 1 hour).
+
+    State bounds (the whole point at 100 TB/day): the range condition
+    plus both watermarks lets Spark evict view-side state older than
+    (watermark + 1 hour) and purchase-side state older than the
+    watermark, so the join state is a sliding 3-hour slice of each
+    stream, not unbounded history. The joined output is appended to the
+    sink as matches become final; the per-user rollup happens batch-side
+    on the materialized appends."""
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= views.view_ts)
+        & (purchases.purchase_ts <= views.view_ts + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    )
+    out = run_stream_to_memory(joined, "append")
+    return out.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_attributed"))
