@@ -65,3 +65,46 @@ def test_bucketed_join_has_no_exchange(spark):
         assert joined.count() == plain
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_compact_table_reduces_files(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.storage import compact_table
+
+    path = str(tmp_path / "frag")
+    spark.range(10_000).repartition(32).write.parquet(path)
+    import os
+
+    before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert before == 32
+    compact_table(spark, path, target_file_bytes=1 << 30)
+    after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert after == 1
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
+    import pyarrow.parquet as pq
+    import os
+
+    from ug_dwh_etl_spark.operators.storage import write_clustered
+
+    path = str(tmp_path / "clustered")
+    df = spark.range(0, 100_000).withColumnRenamed("id", "k")
+    write_clustered(df, path, ["k"], n_files=4)
+
+    ranges = []
+    for f in os.listdir(path):
+        if f.endswith(".parquet"):
+            md = pq.read_metadata(os.path.join(path, f))
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)
+                mins.append(col.statistics.min)
+                maxs.append(col.statistics.max)
+            ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    # non-overlapping: every file's max < next file's min
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    assert spark.read.parquet(path).count() == 100_000

@@ -33,6 +33,10 @@ EXPECTED_NESTED_LOOP = {
     "sim_cosine_topk",
     "sim_cosine_topk_pandas",
     "sim_ann_topk",
+    # scalar-threshold broadcast cross-join (one-row agg)
+    "q11_important_parts",
+    # 5-row key dim × date spine grid
+    "history_gap_fill",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

@@ -1,0 +1,77 @@
+"""Storage-layout maintenance operators — the table-management side of a
+100 TB lake the reference never needed (BigQuery did it invisibly;
+`pandas_gbq.to_gbq` at `sf_html_data.py:178`).
+
+Two jobs a daily-append parquet warehouse cannot skip at scale:
+
+- **Small-file compaction.** A `crawl_date`-partitioned history table
+  appended daily by a 1000-executor job accretes thousands of tiny files
+  per partition; scan cost becomes file-open cost. ``compact_table``
+  rewrites a path to ~``target_file_bytes`` files, preserving data.
+- **Range-clustered writes.** ``write_clustered`` lays data out sorted by
+  the dominant filter columns (repartitionByRange + sortWithinPartitions)
+  so every parquet file covers a narrow min/max range — the poor man's
+  Z-order. Readers filtering on those columns skip whole files on footer
+  stats before a single row group is read.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _dir_bytes(path: str) -> int:
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite the parquet table at ``path`` into ceil(size/target) files
+    and return the new file count.
+
+    The rewrite goes to a staging dir then swaps in (the same
+    self-overwrite-safe pattern as ``sinks.writers.merge_upsert``).
+    Locally this is a plain repartition; on a partitioned production
+    table you run it per-partition (compact only partitions whose file
+    count exceeds a threshold) so compaction cost tracks the append rate,
+    not the table size.
+    """
+    n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+    df = spark.read.parquet(path)
+    staging = path.rstrip("/") + ".compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(staging)
+    shutil.rmtree(path)
+    os.rename(staging, path)
+    return n_files
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int = 8,
+) -> None:
+    """Write ``df`` range-clustered on ``cluster_cols``: global range
+    partitioning (sampled split points) then an in-partition sort, so
+    each output file owns a contiguous, non-overlapping range of the
+    leading cluster column and parquet footer min/max stats actually
+    exclude files at read time."""
+    cols = [df[c] for c in cluster_cols]
+    (
+        df.repartitionByRange(n_files, *cols)
+        .sortWithinPartitions(*cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -82,15 +82,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(_eu_suppliers(spark, sf_dir)),
         ps.l_suppkey == F.col("s_suppkey"),
     ).select("l_partkey", "supplycost", "s_name", "s_acctbal", "n_name")
-    min_cost = eups.groupBy(F.col("l_partkey").alias("m_partkey")).agg(
-        F.min("supplycost").alias("min_cost")
-    )
+    # correlated min as a window over the part key: one shuffle on
+    # l_partkey instead of a separate agg + equality join-back
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey")
     return (
-        eups.join(
-            min_cost,
-            (eups.l_partkey == F.col("m_partkey"))
-            & (eups.supplycost == F.col("min_cost")),
-        )
+        eups.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
         .join(F.broadcast(part), eups.l_partkey == part.p_partkey)
         .select(
             "s_acctbal",
