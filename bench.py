@@ -54,6 +54,12 @@ HEADLINE = [
     "stream_hourly_tumbling",
     "graph_pagerank",
     "skew_salted_event_counts",
+    "q2_min_cost_supplier",
+    "q21_sole_late_shippers",
+    "history_gap_fill",
+    "split_train_test",
+    "text_redact_pii",
+    "text_repetition",
 ]
 
 

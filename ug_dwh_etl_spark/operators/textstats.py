@@ -106,3 +106,50 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.conv(F.substring(fp, 1, 15), 16, 10).cast("long").alias("fingerprint_int"),
     )
+
+
+# PII-shaped patterns, RE2-compatible so Spark (Java regex) and DuckDB
+# (RE2) match the identical spans: email, IPv4.
+EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_PATTERN = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Replace email addresses and IPv4 literals with typed placeholder
+    tags and count what was removed — the scrubbing pass every
+    web-corpus training pipeline runs before tokenization. Pure narrow
+    map (regexp_replace/regexp_count), no shuffle, whole-stage codegen."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
+        IPV4_PATTERN,
+        "<IP>",
+    )
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(IPV4_PATTERN)).alias("n_ips"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def repetition_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signal: the fraction of all word bigrams
+    taken by the single most frequent bigram. Highly repetitive
+    boilerplate (nav bars, keyword stuffing) scores near 1.
+
+    Shape: array-native bigram construction (no self-join), explode,
+    count per (doc, bigram), max/sum re-agg per doc — two key-local
+    shuffles on doc_id, fully parallel. Docs with <2 tokens drop out
+    (no bigrams), identically in both engines."""
+    out = df.withColumn("t", H.tokens(text_col))
+    bigrams = F.expr(
+        "transform(sequence(1, size(t) - 1),"
+        " i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+    )
+    exploded = out.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+    counts = exploded.groupBy(id_col, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    return counts.groupBy(id_col).agg(
+        F.max("c").alias("top_bigram_count"),
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_bigram_frac"),
+    )

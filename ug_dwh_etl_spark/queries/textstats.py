@@ -91,3 +91,60 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# deterministic PII injection so the redaction is actually exercised:
+# every doc gets a synthetic email + IP derived from its doc_id
+_PII_SPARK = (
+    "concat(text, ' contact user', CAST(doc_id AS STRING),"
+    " '@mail.example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7')"
+)
+_PII_DUCK = (
+    "text || ' contact user' || doc_id::VARCHAR"
+    " || '@mail.example.com from 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+)
+
+
+@register(
+    "text_redact_pii",
+    f"""
+    WITH pii AS (SELECT doc_id, {_PII_DUCK} AS text FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{{EMAIL}}')) AS n_emails,
+           len(regexp_extract_all(text, '{{IPV4}}')) AS n_ips,
+           md5(regexp_replace(regexp_replace(text, '{{EMAIL}}', '<EMAIL>', 'g'),
+                              '{{IPV4}}', '<IP>', 'g')) AS redacted_md5
+    FROM pii
+    """.replace("{EMAIL}", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
+    .replace("{IPV4}", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
+)
+def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from ug_dwh_etl_spark.operators.textstats import redact_pii
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_PII_SPARK).alias("text")
+    )
+    return redact_pii(docs, "doc_id", "text")
+
+
+@register(
+    "text_repetition",
+    f"""
+    WITH {_TOK_CTE},
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM tok),
+    cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram)
+    SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           ROUND(MAX(c) / SUM(c)::DOUBLE, 6) AS top_bigram_frac
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ug_dwh_etl_spark.operators.textstats import repetition_scores
+
+    return repetition_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
