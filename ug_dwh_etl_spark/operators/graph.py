@@ -38,59 +38,91 @@ def pagerank(
     damping: float = DAMPING,
     src: str = "src",
     dst: str = "dst",
+    loop_partitions: int | None = None,
 ) -> DataFrame:
     """(node, rank) after ``iterations`` synchronous updates.
 
     Node universe = src ∪ dst; dangling nodes (no out-edges) contribute
     nothing (the simple variant — matches the unrolled oracle exactly).
     Ranks start at 1.0; rank_{i+1} = (1-d) + d·Σ_in rank_i/outdeg.
+
+    ``loop_partitions`` sizes the iteration's shuffles: the loop state is
+    |V|-sized (node, inflow) rows, far smaller than the fact tables the
+    session's shuffle-partition default is tuned for, and per-iteration
+    task overhead multiplies by the iteration count (64 partitions is
+    4x slower than 16 on the sf0.1 graph). When set, the final result is
+    eagerly localCheckpoint-ed inside the call — the whole iteration
+    dataflow is planned and executed at this size, and the returned
+    frame carries no lineage (the iterative-algorithm checkpoint
+    pattern; at cluster scale use ``checkpoint`` to a reliable store).
     """
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
-    # edges may be an expensive derivation (e.g. a distinct over a fact
-    # table): persist it — it is scanned 3x building the invariants below
-    edges = edges.persist()
-    nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
-        .distinct()
-    )
-    deg = out_degrees(edges, src)
-    # contribution edge list: (src, dst, 1/outdeg) — computed once,
-    # reused every iteration (cache: it is the loop invariant)
-    contrib_edges = (
-        edges.join(deg, src)
-        .select(F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), (F.lit(1.0) / F.col("outdeg")).alias("w"))
-        # persist hash-partitioned on the join key: every iteration's
-        # join reuses this distribution, so only the (small) inflow side
-        # shuffles per iteration — the edge relation moves ONCE total
-        .repartition("c_src")
-        .persist()
-    )
-    # The loop tracks INFLOW, not ranks: rank_i(u) = (1-d) + d·inflow_i(u)
-    # is folded into the next iteration's flow expression, so the
-    # dangling-node left join against the full node table happens ONCE at
-    # the end instead of once per iteration (3 → 2 shuffles/iteration),
-    # and iteration 1 (rank_0 ≡ 1.0) needs no join at all. Arithmetic is
-    # expression-identical to the rank-materializing form, so results
-    # match the unrolled oracle bit-for-bit.
-    inflow = contrib_edges.groupBy(F.col("c_dst").alias("node")).agg(
-        F.sum("w").alias("inflow")
-    )
-    rank_of = lambda c: F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(c, F.lit(0.0))  # noqa: E731
-    for _ in range(iterations - 1):
-        inflow = (
-            contrib_edges.join(inflow, contrib_edges.c_src == inflow.node, "left")
-            .select(
-                F.col("c_dst").alias("node"),
-                (rank_of(F.col("inflow")) * F.col("w")).alias("flow"),
-            )
-            .groupBy("node")
-            .agg(F.sum("flow").alias("inflow"))
+    spark = edges.sparkSession
+    prev_parts = None
+    if loop_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        # edges may be an expensive derivation (e.g. a distinct over a fact
+        # table): persist it — it is scanned 3x building the invariants below
+        edges = edges.persist()
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
         )
-    return nodes.join(inflow, "node", "left").select(
-        "node", rank_of(F.col("inflow")).alias("rank")
-    )
+        deg = out_degrees(edges, src)
+        # contribution edge list: (src, dst, 1/outdeg) — computed once,
+        # reused every iteration (cache: it is the loop invariant)
+        contrib_edges = (
+            edges.join(deg, src)
+            .select(F.col(src).alias("c_src"), F.col(dst).alias("c_dst"), (F.lit(1.0) / F.col("outdeg")).alias("w"))
+            # persist hash-partitioned on the join key: every iteration's
+            # join reuses this distribution, so only the (small) inflow side
+            # shuffles per iteration — the edge relation moves ONCE total
+            .repartition("c_src")
+            .persist()
+        )
+        # The loop tracks INFLOW, not ranks: rank_i(u) = (1-d) + d·inflow_i(u)
+        # is folded into the next iteration's flow expression, so the
+        # dangling-node left join against the full node table happens ONCE at
+        # the end instead of once per iteration (3 → 2 shuffles/iteration),
+        # and iteration 1 (rank_0 ≡ 1.0) needs no join at all. Arithmetic is
+        # expression-identical to the rank-materializing form, so results
+        # match the unrolled oracle bit-for-bit.
+        inflow = contrib_edges.groupBy(F.col("c_dst").alias("node")).agg(
+            F.sum("w").alias("inflow")
+        )
+        rank_of = lambda c: F.lit(1.0 - damping) + F.lit(damping) * F.coalesce(c, F.lit(0.0))  # noqa: E731
+        for _ in range(iterations - 1):
+            inflow = (
+                contrib_edges.join(inflow, contrib_edges.c_src == inflow.node, "left")
+                .select(
+                    F.col("c_dst").alias("node"),
+                    (rank_of(F.col("inflow")) * F.col("w")).alias("flow"),
+                )
+                .groupBy("node")
+                .agg(F.sum("flow").alias("inflow"))
+            )
+        result = nodes.join(inflow, "node", "left").select(
+            "node", rank_of(F.col("inflow")).alias("rank")
+        )
+        if loop_partitions is not None:
+            # one eager materialization while the lowered setting is
+            # active: the WHOLE iteration dataflow is planned and run at
+            # loop_partitions (conf is read at action time, which for a
+            # lazy return value would be after the finally restores it),
+            # and the returned frame carries no lineage to recompute
+            result = result.localCheckpoint(eager=True)
+            # checkpoint severed the lineage — the cached invariants
+            # can't be needed again; free them immediately
+            contrib_edges.unpersist()
+            edges.unpersist()
+        return result
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def sql_pagerank(

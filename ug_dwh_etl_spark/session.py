@@ -39,6 +39,11 @@ def get_spark(app_name: str = "ug-dwh-etl-spark", master: str | None = None) -> 
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let AQE re-plan the output partitioning of cached plans too —
+        # without this, persisted loop invariants (PageRank's contribution
+        # edges) pin every downstream shuffle to the static partition
+        # count, exempting the iteration from coalescing
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

@@ -63,22 +63,35 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_stream_to_memory(
-    stream_df: DataFrame, output_mode: str = "complete"
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int = 8,
 ) -> DataFrame:
     """Run a streaming frame to completion (AvailableNow) into a memory
     sink and return the materialized result. Test/oracle plumbing — the
-    production sink path is ``available_now_pipeline``."""
+    production sink path is ``available_now_pipeline``.
+
+    ``state_partitions`` becomes the state-store partition count (fixed
+    for the checkpoint's lifetime at first start): size it to expected
+    state volume — 8 covers the local fixtures where the session default
+    (2x cores) would pay 64 state-store inits per micro-batch for a few
+    thousand keys; a cluster deployment passes ~2-3x total cores."""
     name = f"mem_{uuid.uuid4().hex[:12]}"
     spark = stream_df.sparkSession
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
