@@ -1,0 +1,102 @@
+"""Empirical scaling probe: does runtime grow linearly with data?
+
+Expands the sf0.1 fixture N× by unioning key-shifted copies (written once
+to /tmp as parquet), then times representative queries at 1×, 4×, and 16×.
+A scale-ready plan shows ~linear growth (shuffle- and agg-bound); an
+accidentally quadratic one (bad join key, exploding candidate set) or a
+driver-bound one (collect, giant broadcast) shows superlinear growth —
+this is the local stand-in for "would it survive 100 TB".
+
+Usage:
+    python tools/scale_probe.py [query ...]        # default: probe set
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import pyspark.sql.functions as F  # noqa: E402
+
+from ug_dwh_etl_spark.queries import QUERIES  # noqa: E402
+from ug_dwh_etl_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+WORK = "/tmp/scale_probe"
+FACTORS = (1, 4, 16)
+# fact tables get expanded with shifted keys; dims are copied as-is so
+# FK joins stay broadcast-able (matching how a real warehouse scales:
+# facts grow, dims don't)
+FACTS = {
+    "lineitem": ("l_orderkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+DIMS = ("region", "nation", "customer", "supplier", "part")
+PROBES = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "dedup_exact_groups",
+    "text_token_stats",
+    "window_top3_orders_per_customer",
+)
+SHIFT = 1_000_000_000
+
+
+def build(spark, factor: int) -> str:
+    out = f"{WORK}/x{factor}"
+    if os.path.exists(f"{out}/_OK"):
+        return out
+    os.makedirs(out, exist_ok=True)
+    # events stores TIMESTAMP(NANOS): read it as raw int64 (the same
+    # convention queries.registry.table uses) so the copy round-trips
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for name in DIMS:
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    for name, keys in FACTS.items():
+        df = spark.read.parquet(f"{BASE}/{name}.parquet")
+        copies = []
+        for i in range(factor):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, (F.col(k) + F.lit(i * SHIFT)).cast(df.schema[k].dataType))
+            copies.append(c)
+        expanded = copies[0]
+        for c in copies[1:]:
+            expanded = expanded.unionByName(c)
+        expanded.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
+    open(f"{out}/_OK", "w").close()
+    return out
+
+
+def main() -> None:
+    probes = sys.argv[1:] or list(PROBES)
+    spark = get_spark("scale-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+
+    dirs = {f: build(spark, f) for f in FACTORS}
+    print(f"{'query':40s} " + " ".join(f"{f:>7d}x" for f in FACTORS) + "   growth(16x)")
+    for name in probes:
+        fn = QUERIES[name].fn
+        times = []
+        for f in FACTORS:
+            t0 = time.perf_counter()
+            fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        growth = times[-1] / times[0] if times[0] > 0 else float("nan")
+        flag = "" if growth <= FACTORS[-1] * 1.5 else "  <-- SUPERLINEAR"
+        print(
+            f"{name:40s} " + " ".join(f"{t:7.2f}s" for t in times)
+            + f"   {growth:5.1f}x{flag}"
+        )
+
+
+if __name__ == "__main__":
+    main()
