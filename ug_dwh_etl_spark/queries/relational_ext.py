@@ -332,3 +332,40 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
         F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
     )
+
+
+# --- null-safe equality join (<=> / IS NOT DISTINCT FROM) -----------------------
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (
+      SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders),
+    b AS (
+      SELECT CASE WHEN c_custkey % 89 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN a.k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_pairs
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality (`<=>`): NULL keys match each other instead of
+    dropping out — and Spark still plans it as a hash equi-join (EqualNullSafe
+    is a valid equi-join key), not a nested loop."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    a = orders.select(
+        F.when(F.col("o_orderkey") % 97 == 0, None)
+        .otherwise(F.col("o_custkey"))
+        .alias("ak")
+    )
+    b = cust.select(
+        F.when(F.col("c_custkey") % 89 == 0, None)
+        .otherwise(F.col("c_custkey"))
+        .alias("bk")
+    )
+    return a.join(b, a.ak.eqNullSafe(b.bk)).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.when(F.col("ak").isNull(), 1).otherwise(0)).alias("null_pairs"),
+    )
