@@ -26,3 +26,13 @@ def test_queries_run_nonempty_sample(spark):
                  "sim_cosine_topk", "events_sessionize"]:
         df = qs[name](spark, SF_DIR)
         assert df.count() > 0, name
+
+
+def test_cli_query_and_pipeline(spark, tmp_path, capsys):
+    from ug_dwh_etl_spark.__main__ import main
+
+    assert main(["query", "macro_url_levels", "--sf-dir", "/root/testdata/sf0.001", "--limit", "2"]) == 0
+    assert main(["pipeline", "e5", "--sf-dir", "/root/testdata/sf0.001", "--out", str(tmp_path)]) == 0
+    assert spark.read.parquet(str(tmp_path / "e5")).count() > 0
+    assert main(["list"]) == 0
+    assert "q1_pricing_summary" in capsys.readouterr().out

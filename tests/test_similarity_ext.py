@@ -34,3 +34,45 @@ def test_ivf_topk_recall_vs_exact(spark):
     approx = {r.vec_id for r in ivf_topk(_emb(spark), query_id=0, k=10, n_probe=2).collect()}
     # approximate search: require meaningful overlap with the exact top-10
     assert len(exact & approx) >= 3
+
+
+def test_ivf_index_probe_matches_inline_ivf_and_prunes(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ug_dwh_etl_spark.operators.similarity import (
+        ivf_index_probe,
+        ivf_index_write,
+        ivf_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    path = str(tmp_path / "ivf")
+    ivf_index_write(emb, path)
+
+    qrow = emb.filter(F.col("vec_id") == 7).select("embedding").first()
+    qvec = [float(v) for v in qrow.embedding]
+
+    # probe includes the query row itself (cosine 1.0) — drop it, then
+    # the remaining ranking must equal the inline ivf_topk result
+    got = [
+        (r.vec_id, r.cosine)
+        for r in ivf_index_probe(spark, path, qvec, k=6, n_probe=2).collect()
+        if r.vec_id != 7
+    ][:5]
+    want = [(r.vec_id, r.cosine) for r in ivf_topk(emb, 7, k=5, n_probe=2).collect()]
+    assert got == want
+
+    # partition pruning: the probe's scan node must carry a non-empty
+    # PartitionFilters entry on the cluster column (inputFiles() can't be
+    # used here — it lists the relation's files ignoring filters)
+    import contextlib
+    import io
+
+    probed = ivf_index_probe(spark, path, qvec, k=5, n_probe=2)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain(True)
+    plan = buf.getvalue()
+    after = plan.split("PartitionFilters: [", 1)[1]
+    assert not after.startswith("]") and "cluster" in after[:200]

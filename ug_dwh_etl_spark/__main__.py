@@ -1,0 +1,109 @@
+"""CLI entry point — the runnable surface a user of the reference's
+cron scripts switches to.
+
+    python -m ug_dwh_etl_spark list
+    python -m ug_dwh_etl_spark query q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m ug_dwh_etl_spark sql "SELECT COUNT(*) AS n FROM orders" --sf-dir ...
+    python -m ug_dwh_etl_spark pipeline e1 --sf-dir ... --out /tmp/warehouse
+
+Each reference script maps onto ``pipeline eN`` (E1 crawl, E2 ranks,
+E3 bookings run with gates + history/snapshot sinks; E4-E8 compute their
+transform chain and land a snapshot table), mirroring the reference's
+cron entry points (`/root/reference/README.md:12`).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="ug_dwh_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list registered queries")
+
+    qp = sub.add_parser("query", help="run a registered query")
+    qp.add_argument("name")
+    qp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    qp.add_argument("--limit", type=int, default=20)
+    qp.add_argument("--explain", action="store_true")
+
+    sp = sub.add_parser("sql", help="ad-hoc SQL over the registered views")
+    sp.add_argument("statement")
+    sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sp.add_argument("--limit", type=int, default=20)
+
+    pp = sub.add_parser("pipeline", help="run a reference-pipeline replica")
+    pp.add_argument("name", choices=[f"e{i}" for i in range(1, 9)])
+    pp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    pp.add_argument("--out", required=True, help="warehouse output directory")
+
+    args = p.parse_args(argv)
+
+    from ug_dwh_etl_spark.queries import QUERIES
+    from ug_dwh_etl_spark.session import get_spark
+
+    if args.cmd == "list":
+        for name in sorted(QUERIES):
+            print(name)
+        return 0
+
+    spark = get_spark(f"cli-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if args.cmd == "query":
+        if args.name not in QUERIES:
+            print(f"unknown query: {args.name}", file=sys.stderr)
+            return 2
+        df = QUERIES[args.name].fn(spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "sql":
+        from ug_dwh_etl_spark.queries.adhoc_sql import run_sql
+
+        run_sql(spark, args.sf_dir, args.statement).show(args.limit, truncate=False)
+        return 0
+
+    # pipeline
+    if args.name in ("e1", "e2", "e3"):
+        from ug_dwh_etl_spark.plans.reference_pipelines import (
+            e1_crawl_pipeline,
+            e2_ranks_pipeline,
+            e3_bookings_pipeline,
+        )
+        from ug_dwh_etl_spark.sinks.alerts import LoggingAlertSink
+
+        pipe = {
+            "e1": lambda: e1_crawl_pipeline(args.sf_dir, args.out),
+            "e2": lambda: e2_ranks_pipeline(args.out),
+            "e3": lambda: e3_bookings_pipeline(args.sf_dir, args.out),
+        }[args.name]()
+        ok = pipe.run(spark, alert=LoggingAlertSink())
+        print(f"{pipe.name}: gates {'passed' if ok else 'FAILED'}, sinks written to {args.out}")
+        return 0 if ok else 1
+
+    from ug_dwh_etl_spark.plans import reference_pipelines_ext as ext
+    from ug_dwh_etl_spark.sinks.writers import overwrite_snapshot
+
+    fn = {
+        "e4": ext.e4_images_inventory,
+        "e5": ext.e5_orphan_urls,
+        "e6": ext.e6_inlinks_edges,
+        "e7": ext.e7_backlink_metrics,
+        "e8": ext.e8_hreflang_issues,
+    }[args.name]
+    df = fn(spark, args.sf_dir)
+    overwrite_snapshot(df, f"{args.out}/{args.name}")
+    print(f"{args.name}: {spark.read.parquet(f'{args.out}/{args.name}').count()} rows written to {args.out}/{args.name}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
