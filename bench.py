@@ -71,8 +71,9 @@ def main() -> None:
 
     # JVM/codegen warmup so the first timed queries don't pay startup:
     # a trivial agg (executor spin-up), a parquet scan (reader paths),
-    # and an md5/regex expression (the codegen classes the dedup/text
-    # queries compile).
+    # an md5/regex expression (the codegen classes the dedup/text
+    # queries compile), and the fact tables' file listing + footers
+    # (limit(1) reads metadata + one row group, not the table).
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
     (
         spark.read.parquet(f"{sf_dir}/part.parquet")
@@ -82,6 +83,14 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    for warm_tbl in ("lineitem", "orders"):
+        (
+            spark.read.parquet(f"{sf_dir}/{warm_tbl}.parquet")
+            .limit(1)
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -369,3 +369,39 @@ def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.when(F.col("ak").isNull(), 1).otherwise(0)).alias("null_pairs"),
     )
+
+
+# --- unpivot / melt (stack) ------------------------------------------------------
+@register(
+    "unpivot_lineitem_metrics",
+    """
+    SELECT metric, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(val AS DECIMAL(14,2))), 2) AS DOUBLE) AS total
+    FROM (
+      SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+      UNION ALL SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL SELECT 'tax', l_tax FROM lineitem)
+    GROUP BY metric
+    """,
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long unpivot via ``stack`` — one scan emitting 3 rows per
+    input row (the SQL UNION-ALL form rescans the table per metric; the
+    stack form reads it once, which is the difference at 100 TB)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.expr(
+                "stack(3, 'quantity', l_quantity,"
+                " 'extendedprice', l_extendedprice,"
+                " 'tax', l_tax) AS (metric, val)"
+            )
+        )
+        .groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("val").cast("decimal(14,2)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
+    )
