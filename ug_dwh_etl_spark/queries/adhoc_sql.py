@@ -131,3 +131,26 @@ _TREND_DUCKDB = """
 @register("sql_adhoc_latest_snapshot", _TREND_DUCKDB)
 def sql_adhoc_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _TREND_SPARK)
+
+
+_RECURSIVE_SQL = """
+    WITH RECURSIVE anc(node, anc, depth) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation
+      UNION ALL
+      SELECT a.node, CAST(FLOOR(a.anc / 2.0) AS INT), a.depth + 1
+      FROM anc a WHERE a.anc > 0
+    )
+    SELECT node, CAST(MAX(depth) AS BIGINT) AS depth_to_root
+    FROM anc GROUP BY node
+"""
+
+
+@register("sql_recursive_hierarchy", _RECURSIVE_SQL)
+def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4 WITH RECURSIVE): walk a synthetic
+    parent-of hierarchy (parent(k) = floor(k/2), rooted at 0) to each
+    node's depth — the org-chart / BOM-explosion query shape. Iteration
+    count is bounded by tree depth (log n), each step a self-join the
+    engine unions breadth-first; the identical SQL runs on both
+    engines."""
+    return run_sql(spark, sf_dir, _RECURSIVE_SQL)
