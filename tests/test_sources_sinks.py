@@ -84,3 +84,22 @@ def test_merge_upsert_unpartitioned(spark, tmp_path):
     merge_upsert(spark.createDataFrame([(1, "A"), (2, "b")], ["k", "v"]), path, keys=["k"])
     got = {(r.k, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {(1, "A"), (2, "b")}
+
+
+def test_paged_rest_python_datasource(spark):
+    from ug_dwh_etl_spark.sources.pyds import PagedRestDataSource
+
+    spark.dataSource.register(PagedRestDataSource)
+    df = (
+        spark.read.format("paged_rest")
+        .option("total_rows", "250")
+        .option("chunk_size", "100")
+        .load()
+    )
+    # one input partition per page — the scheduler parallelizes fetches
+    assert df.rdd.getNumPartitions() == 3
+    rows = df.collect()
+    assert len(rows) == 250
+    assert len({r.url for r in rows}) == 250
+    first = next(r for r in rows if r.url.endswith("/page/0"))
+    assert first.page_rank == 1.0

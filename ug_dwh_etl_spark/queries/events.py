@@ -159,3 +159,32 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "total_value",
         )
     )
+
+
+@register(
+    "events_variant_parse",
+    """
+    SELECT event_type,
+           CAST(SUM(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def events_variant_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured ingestion via the VARIANT type (Spark 4):
+    ``parse_json`` once into a binary variant, then typed path access
+    with ``variant_get`` — the shredded-JSON path that avoids
+    re-parsing the JSON string per extracted field (vs
+    ``get_json_object``, proven in ``events_json_extract``)."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.expr("variant_get(parse_json(props), '$.k', 'int')").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

@@ -1,0 +1,88 @@
+"""Spark 4 Python DataSource connector for paginated-REST ingest
+(SURVEY.md §2.1 S4 — the idiomatic connector form of ``rest.py``).
+
+The reference fetches pages sequentially with a 1 s sleep
+(`Audisto/audisto.py:112-134`). ``rest.paginated_ingest`` parallelizes
+that with mapInPandas; this module goes one step further and packages it
+as a first-class `spark.read.format("paged_rest")` source: one input
+partition per page, so the scheduler owns retry/locality/parallelism and
+the source composes with the rest of the reader API (schema, options,
+pushdown-ready).
+
+The HTTP call is resolved from the ``fetcher`` option as a
+``module:function`` import path (executors re-import it — the function
+must be module-level). The default fetcher synthesizes a deterministic
+Audisto-shaped rank page, which is what this offline container tests
+against.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+DEFAULT_SCHEMA = "url string, page_rank double, chei_rank double"
+
+
+def synthetic_rank_page(offset: int, limit: int):
+    """Deterministic stand-in for one Audisto rank-API page."""
+    import pandas as pd
+
+    rows = range(offset, offset + limit)
+    return pd.DataFrame(
+        {
+            "url": [f"https://www.example.com/page/{i}" for i in rows],
+            "page_rank": [round(1.0 / (i + 1), 8) for i in rows],
+            "chei_rank": [round(1.0 / (2 * i + 1), 8) for i in rows],
+        }
+    )
+
+
+def _resolve(path: str):
+    mod, _, fn = path.partition(":")
+    return getattr(importlib.import_module(mod), fn)
+
+
+class _PagePartition(InputPartition):
+    def __init__(self, offset: int, limit: int):
+        self.offset = offset
+        self.limit = limit
+
+
+class PagedRestReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.total_rows = int(options.get("total_rows", "0"))
+        self.chunk_size = int(options.get("chunk_size", "100"))
+        self.fetcher = options.get(
+            "fetcher", "ug_dwh_etl_spark.sources.pyds:synthetic_rank_page"
+        )
+
+    def partitions(self):
+        n = -(-self.total_rows // self.chunk_size)
+        return [
+            _PagePartition(i * self.chunk_size, min(self.chunk_size, self.total_rows - i * self.chunk_size))
+            for i in range(n)
+        ]
+
+    def read(self, partition: _PagePartition) -> Iterator[tuple]:
+        fetch = _resolve(self.fetcher)
+        page = fetch(partition.offset, partition.limit)
+        cols = [f.name for f in self.schema.fields]
+        for row in page[cols].itertuples(index=False):
+            yield tuple(row)
+
+
+class PagedRestDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "paged_rest"
+
+    def schema(self) -> str:
+        return self.options.get("schema", DEFAULT_SCHEMA)
+
+    def reader(self, schema: StructType) -> PagedRestReader:
+        return PagedRestReader(schema, dict(self.options))
