@@ -3,6 +3,7 @@ foreachBatch incremental append processes only the delta."""
 
 from __future__ import annotations
 
+import pytest
 import shutil
 
 import pyspark.sql.functions as F
@@ -46,3 +47,17 @@ def test_available_now_incremental_append(spark, tmp_path):
     shutil.rmtree(ckpt)
     available_now_pipeline(spark, SF_DIR, transform, out, checkpoint=ckpt)
     assert spark.read.parquet(out).count() == 2 * first
+
+
+def test_transform_with_state_twin(spark):
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas driver worker needs protobuf (absent in this container)",
+    )
+    from ug_dwh_etl_spark.streaming.stateful import stream_user_totals_tws
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stream_user_totals_tws(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) > 0

@@ -72,3 +72,59 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events_cum").alias("n_events"),
         F.round(F.max("total_value_cum"), 2).alias("total_value"),
     )
+
+
+# --- transformWithStateInPandas (the Spark 4 successor API) --------------------
+#
+# Same per-user running-totals state as _update_user_totals, on the
+# next-generation stateful API: typed state handles (value/list/map
+# state), timers, and TTL support — the applyInPandasWithState skeleton
+# above carries over operator-for-operator.
+#
+# RUNTIME GATE: Spark's TWS driver worker needs google.protobuf, which
+# this container does not ship (no installs allowed), so the operator is
+# implemented + unit-gated (tests skip without protobuf) but NOT in the
+# driver registry; the applyInPandasWithState twin above carries the
+# oracle check. On a normal Spark 4 deployment this path runs as-is.
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class UserTotalsProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for batch in rows:
+            n += len(batch)
+            total += float(batch["value"].sum())
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events_cum": [n], "total_value_cum": [total]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``transformWithStateInPandas`` twin of
+    ``stream_user_running_totals`` — identical state model and the same
+    batch-split-invariant max-per-user reduction, so it shares the batch
+    oracle."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    out = run_stream_to_memory(updated, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events_cum").alias("n_events"),
+        F.round(F.max("total_value_cum"), 2).alias("total_value"),
+    )
