@@ -103,3 +103,33 @@ def test_paged_rest_python_datasource(spark):
     assert len({r.url for r in rows}) == 250
     first = next(r for r in rows if r.url.endswith("/page/0"))
     assert first.page_rank == 1.0
+
+
+def test_paged_rest_stream_catches_up_like_cron(spark, tmp_path):
+    from ug_dwh_etl_spark.sources.pyds import PagedRestDataSource
+
+    spark.dataSource.register(PagedRestDataSource)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.format("paged_rest")
+            .option("total_rows", "300")
+            .option("chunk_size", "100")
+            .option("pages_per_batch", "2")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out).count()
+
+    # each cron-style run ingests the next 2 pages; idempotent once caught up
+    assert run_once() == 200
+    assert run_once() == 300
+    assert run_once() == 300
+    urls = spark.read.parquet(out).select("url").distinct().count()
+    assert urls == 300
