@@ -259,3 +259,45 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def near_dup_clusters(
+    df: DataFrame, id_col: str, text_col: str, iterations: int = 3
+) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected
+    components over the LSH candidate-pair graph via BOUNDED min-label
+    propagation (label(v) <- min(label(v), min of neighbors' labels),
+    ``iterations`` rounds).
+
+    The dedup decision a training pipeline actually needs — "keep one
+    canonical doc per near-dup group" — is the component, not the pair
+    list. Bounded iteration keeps the computation a fixed dataflow
+    (exactly unrollable into the SQL oracle, like PageRank); components
+    with diameter > iterations would need more rounds, which at scale is
+    the standard large-star/small-star loop over the same join shape.
+    Returns (cluster, n_docs) for clusters of size > 1, cluster = min
+    doc_id of the group (the canonical survivor)."""
+    pairs = minhash_lsh_pairs(df, id_col, text_col)
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .persist()
+    )
+    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(iterations):
+        nbr = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        labels = labels.join(nbr, labels.node == F.col("nbr_node"), "left").select(
+            "node",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            ).alias("label"),
+        )
+    return (
+        labels.groupBy(F.col("label").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )

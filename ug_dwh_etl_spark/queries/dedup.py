@@ -227,3 +227,58 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# --- near-dup clusters (connected components over the LSH pair graph) -----------
+def _clusters_sql(iterations: int = 3) -> str:
+    h = H.sql_md5_long("shingle", 15)
+    mins = ", ".join(
+        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        key = " || '_' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    parts = [
+        f"""{_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""l{i + 1} AS (
+      SELECT l.node,
+             LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+      FROM l{i} l
+        LEFT JOIN edges e ON e.a = l.node
+        LEFT JOIN l{i} n ON n.node = e.b
+      GROUP BY l.node, l.label)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT label AS cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM l{iterations} GROUP BY label HAVING COUNT(*) > 1"""
+    )
+
+
+@register("dedup_clusters", _clusters_sql())
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ug_dwh_etl_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
