@@ -277,27 +277,39 @@ def near_dup_clusters(
     the standard large-star/small-star loop over the same join shape.
     Returns (cluster, n_docs) for clusters of size > 1, cluster = min
     doc_id of the group (the canonical survivor)."""
-    pairs = minhash_lsh_pairs(df, id_col, text_col)
-    edges = (
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
-        .persist()
-    )
-    labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(iterations):
-        nbr = (
-            edges.join(labels, edges.b == labels.node)
-            .groupBy(F.col("a").alias("nbr_node"))
-            .agg(F.min("label").alias("nbr_label"))
+    spark = df.sparkSession
+    # the label table is |docs|-sized and the pair graph is sparse — size
+    # the iteration's shuffles to that, not the fact-table session
+    # default, and checkpoint the final result eagerly while the setting
+    # is active (same pattern + rationale as operators/graph.pagerank)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        pairs = minhash_lsh_pairs(df, id_col, text_col)
+        edges = (
+            pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+            .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+            .persist()
         )
-        labels = labels.join(nbr, labels.node == F.col("nbr_node"), "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            ).alias("label"),
-        )
-    return (
-        labels.groupBy(F.col("label").alias("cluster"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") > 1)
-    )
+        labels = df.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+        for _ in range(iterations):
+            nbr = (
+                edges.join(labels, edges.b == labels.node)
+                .groupBy(F.col("a").alias("nbr_node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = labels.join(nbr, labels.node == F.col("nbr_node"), "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        result = (
+            labels.groupBy(F.col("label").alias("cluster"))
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .filter(F.col("n_docs") > 1)
+        ).localCheckpoint(eager=True)
+        edges.unpersist()
+        return result
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
