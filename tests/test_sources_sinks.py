@@ -133,3 +133,18 @@ def test_paged_rest_stream_catches_up_like_cron(spark, tmp_path):
     assert run_once() == 300
     urls = spark.read.parquet(out).select("url").distinct().count()
     assert urls == 300
+
+
+def test_read_orc_and_text_roundtrip(spark, tmp_path):
+    from ug_dwh_etl_spark.sources.readers import read_orc, read_text
+
+    orc_path = str(tmp_path / "t.orc")
+    spark.range(100).withColumnRenamed("id", "k").write.orc(orc_path)
+    assert read_orc(spark, orc_path).count() == 100
+
+    txt_dir = tmp_path / "txt"
+    txt_dir.mkdir()
+    (txt_dir / "a.txt").write_text("line1\nline2\nline3\n")
+    df = read_text(spark, str(txt_dir), normalize_col="text")
+    assert df.columns == ["text"]
+    assert df.count() == 3

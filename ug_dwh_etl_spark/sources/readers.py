@@ -64,3 +64,19 @@ def read_json(spark: SparkSession, path: str, schema: StructType | None = None) 
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
     """Load the synthetic star schema from a scale-factor directory."""
     return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """Columnar alternative to parquet — same pushdown/pruning behavior
+    through the ORC datasource (vectorized reader, predicate pushdown)."""
+    return spark.read.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole: bool = False, normalize_col: str = "value"
+) -> DataFrame:
+    """Line-oriented text scan (one row per line; ``whole=True`` gives
+    one row per file) — the raw-corpus entry point for the text/dedup
+    operators when documents arrive as flat files rather than parquet."""
+    df = spark.read.option("wholetext", whole).text(path)
+    return df.withColumnRenamed("value", normalize_col)
