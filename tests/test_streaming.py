@@ -61,3 +61,41 @@ def test_transform_with_state_twin(spark):
         for r in stream_user_totals_tws(spark, "/root/testdata/sf0.001").collect()
     }
     assert len(got) > 0
+
+
+def test_incremental_rollup_equals_batch(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.queries.registry import table
+    from ug_dwh_etl_spark.streaming.jobs import (
+        incremental_rollup_pipeline,
+        merge_rollup_delta,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    ev = table(spark, sf_dir, "events")
+    expected = {
+        (str(r.day), r.event_type): (r.n, round(r.total_value, 2))
+        for r in ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
+        .collect()
+    }
+
+    # arbitrary batch split: merge two disjoint halves as separate deltas
+    out = str(tmp_path / "rollup_manual")
+    merge_rollup_delta(ev.filter(F.col("event_id") % 2 == 0), out)
+    merge_rollup_delta(ev.filter(F.col("event_id") % 2 == 1), out)
+    got = {
+        (str(r.day), r.event_type): (r.n, round(r.total_value, 2))
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+
+    # end-to-end streaming run produces the same view
+    out2 = str(tmp_path / "rollup_stream")
+    incremental_rollup_pipeline(spark, sf_dir, out2, checkpoint=str(tmp_path / "ck"))
+    got2 = {
+        (str(r.day), r.event_type): (r.n, round(r.total_value, 2))
+        for r in spark.read.parquet(out2).collect()
+    }
+    assert got2 == expected
