@@ -85,6 +85,9 @@ def main() -> None:
     print(f"{'query':40s} " + " ".join(f"{f:>7d}x" for f in FACTORS) + "   growth(16x)")
     for name in probes:
         fn = QUERIES[name].fn
+        # untimed 1x run first: absorbs the query's codegen compilation so
+        # the 1x timing doesn't carry one-time costs the 16x run won't pay
+        fn(spark, dirs[FACTORS[0]]).write.format("noop").mode("overwrite").save()
         times = []
         for f in FACTORS:
             t0 = time.perf_counter()
