@@ -108,3 +108,31 @@ def test_write_clustered_files_have_disjoint_ranges(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2
     assert spark.read.parquet(path).count() == 100_000
+
+
+def test_hll_sketches_merge_across_partitions(spark):
+    """Pre-aggregated distinct-count sketches (DataSketches HLL) merged at
+    query time — the 100 TB pattern for 'distinct users per day/week/all
+    time' dashboards: store one tiny sketch per (day) partition, answer
+    any date-range distinct by unioning sketches instead of rescanning
+    events. Asserts the merged estimate matches the exact global distinct
+    within HLL error bounds, and equals the single-pass sketch estimate."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.queries.registry import table
+
+    ev = table(spark, "/root/testdata/sf0.01", "events")
+    exact = ev.select("user_id").distinct().count()
+
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = per_day.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first().est
+    single = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est")
+    ).first().est
+
+    assert merged == single  # register-maxima merge is lossless
+    assert abs(merged - exact) / exact < 0.05
