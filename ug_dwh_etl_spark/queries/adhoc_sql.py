@@ -154,3 +154,59 @@ def sql_recursive_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine unions breadth-first; the identical SQL runs on both
     engines."""
     return run_sql(spark, sf_dir, _RECURSIVE_SQL)
+
+
+# --- SQL-defined macro functions (Spark 4 SQL UDFs, Catalyst-inlined) ----------
+#
+# The expression-macro library (functions/) exposed to the ad-hoc SQL
+# entry point as CREATE TEMPORARY FUNCTION ... RETURN <expression>: the
+# body is inlined into the plan (no UDF call boundary, full codegen +
+# pushdown), so dashboard authors writing plain SQL get the engine's
+# derived-column semantics (C1 url levels, C10 locale decimal, C12
+# lenient int) without importing Python.
+
+SQL_MACROS = (
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_root(u STRING) RETURNS STRING "
+    "RETURN element_at(split(u, '/'), 3)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_directory(u STRING) RETURNS STRING "
+    "RETURN element_at(split(u, '/'), 4)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION url_page_level(u STRING, j INT) RETURNS STRING "
+    "RETURN element_at(split(u, '/'), j + 4)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION locale_decimal(s STRING) RETURNS DOUBLE "
+    "RETURN CAST(replace(replace(s, '.', ''), ',', '.') AS DOUBLE)",
+    "CREATE OR REPLACE TEMPORARY FUNCTION lenient_int(s STRING) RETURNS BIGINT "
+    "RETURN COALESCE(TRY_CAST(s AS BIGINT), 0)",
+)
+
+
+def register_sql_macros(spark: SparkSession) -> None:
+    for ddl in SQL_MACROS:
+        spark.sql(ddl)
+
+
+_MACRO_URL = "concat('https://www.example.com/', lang, '/', source, '/p', CAST(doc_id AS STRING))"
+_MACRO_URL_DUCK = "'https://www.example.com/' || lang || '/' || source || '/p' || doc_id::VARCHAR"
+
+
+@register(
+    "sql_macro_rollup",
+    f"""
+    SELECT string_split(address, '/')[3] AS root,
+           string_split(address, '/')[4] AS directory,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT {_MACRO_URL_DUCK} AS address FROM documents)
+    GROUP BY root, directory
+    """,
+)
+def sql_macro_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_sql_macros(spark)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT url_root(address) AS root,
+               url_directory(address) AS directory,
+               COUNT(*) AS n
+        FROM (SELECT {_MACRO_URL} AS address FROM documents)
+        GROUP BY root, directory
+        """
+    )
