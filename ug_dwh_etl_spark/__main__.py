@@ -66,8 +66,9 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "sql":
-        from ug_dwh_etl_spark.queries.adhoc_sql import run_sql
+        from ug_dwh_etl_spark.queries.adhoc_sql import register_sql_macros, run_sql
 
+        register_sql_macros(spark)
         run_sql(spark, args.sf_dir, args.statement).show(args.limit, truncate=False)
         return 0
 
