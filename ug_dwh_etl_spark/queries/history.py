@@ -176,3 +176,50 @@ def history_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.last("day_max", ignorenulls=True).over(w), 2).alias("filled_max"),
         )
     )
+
+
+@register(
+    "history_scd2",
+    f"""
+    WITH {_HIST_DUCK},
+    hist AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    versioned AS (
+      SELECT address, metric, crawl_date AS valid_from,
+             LEAD(crawl_date) OVER w AS valid_to,
+             LAG(metric) OVER w AS prev_metric
+      FROM hist
+      WINDOW w AS (PARTITION BY address ORDER BY crawl_date)
+    )
+    SELECT address, metric, valid_from,
+           COALESCE(valid_to, '9999-12-31') AS valid_to,
+           valid_to IS NULL AS is_current
+    FROM versioned
+    WHERE prev_metric IS NULL OR metric <> prev_metric
+    """,
+)
+def history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-type-2 view over the append history: one row per (address,
+    metric-version) with valid_from/valid_to/is_current, suppressing
+    no-change snapshots — the versioned-dimension read the reference's
+    daily append model implies but its BigQuery layer must rebuild per
+    query. One shuffle on the entity key; both window functions share
+    the same (address, crawl_date) sort."""
+    c1, c2 = _crawls(spark, sf_dir)
+    hist = c1.unionByName(c2)
+    w = Window.partitionBy("address").orderBy("crawl_date")
+    versioned = hist.select(
+        "address",
+        "metric",
+        F.col("crawl_date").alias("valid_from"),
+        F.lead("crawl_date").over(w).alias("valid_to"),
+        F.lag("metric").over(w).alias("prev_metric"),
+    )
+    return versioned.filter(
+        F.col("prev_metric").isNull() | (F.col("metric") != F.col("prev_metric"))
+    ).select(
+        "address",
+        "metric",
+        "valid_from",
+        F.coalesce("valid_to", F.lit("9999-12-31")).alias("valid_to"),
+        F.col("valid_to").isNull().alias("is_current"),
+    )
