@@ -37,6 +37,8 @@ EXPECTED_NESTED_LOOP = {
     "q11_important_parts",
     # 5-row key dim × date spine grid
     "history_gap_fill",
+    # three 1-row stage counts cross-joined into the funnel summary row
+    "events_funnel",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")
