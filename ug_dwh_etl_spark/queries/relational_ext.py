@@ -405,3 +405,27 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total"),
         )
     )
+
+
+# --- array aggregation (collect_list made deterministic) ------------------------
+@register(
+    "agg_collect_sorted",
+    """
+    SELECT c_mktsegment,
+           array_to_string(list_sort(list(DISTINCT c_nationkey)), ',') AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: the nation set per market segment as a sorted,
+    joined array — ``collect_set`` alone is partition-order-
+    nondeterministic, so every engine-portable use sorts before
+    presenting. Map-side partial collect keeps the shuffle proportional
+    to distinct values, not rows."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
