@@ -429,3 +429,78 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.sort_array(F.collect_set("c_nationkey")), ",").alias("nations"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+# --- histogram via width_bucket -------------------------------------------------
+@register(
+    "agg_histogram",
+    """
+    SELECT LEAST(CAST(FLOOR(o_totalprice / 50000) AS BIGINT) + 1, 13) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    """,
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (width_bucket) — single scan, one tiny
+    shuffle of 12 partial buckets per task; the dashboard distribution
+    plot at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            ),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+# --- fuzzy matching via edit distance -------------------------------------------
+@register(
+    "fuzzy_match_parts",
+    """
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching: edit-distance pairs, blocked on
+    (brand, type) so the quadratic distance computation runs only inside
+    blocking groups — the standard record-linkage shape (blocking key →
+    in-block pairwise scoring), same discipline as the LSH dedup path."""
+    part = table(spark, sf_dir, "part")
+    a = part.select(
+        F.col("p_partkey").alias("id_a"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = part.select(
+        F.col("p_partkey").alias("id_b"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand", "type"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= 3)
+    )

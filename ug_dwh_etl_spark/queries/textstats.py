@@ -148,3 +148,36 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.textstats import repetition_scores
 
     return repetition_scores(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+      FROM documents)
+    WHERE rn <= 5
+    """,
+)
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: k docs per language, chosen by
+    hash-order (md5 of the stable key) — 'random' for any statistical
+    purpose, yet reproducible across runs/engines/partitionings, unlike
+    TABLESAMPLE. One shuffle on the stratum key; at 100 TB the hash rank
+    prunes with a per-group top-k (window + filter), never a global
+    sort."""
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    docs = table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("lang", "doc_id")
+    )
