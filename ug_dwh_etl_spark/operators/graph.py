@@ -17,7 +17,10 @@ every ~5 iterations to cut lineage, and let AQE handle hub-node skew
 
 A fixed iteration count keeps the computation exactly expressible as an
 unrolled SQL oracle (graph.sql_pagerank) — both engines run the same
-dataflow, so values match to float precision.
+dataflow. Ranks are compared ROUNDED TO 4 DECIMALS: the iterated float
+sums accumulate ~1e-9 cross-engine divergence (partial-agg order), so a
+6-decimal grid gets boundary flips (~1e-3 per row — observed at
+sf0.001); at 4 decimals the flip probability is ~1e-5 per row.
 """
 
 from __future__ import annotations
@@ -153,6 +156,6 @@ def sql_pagerank(
         + ",\n    ".join(parts)
         + f"""
     SELECT n.node,
-           ROUND({1.0 - d!r} + {d!r} * COALESCE(i{iterations}.inflow, 0.0), 6) AS rank
+           ROUND({1.0 - d!r} + {d!r} * COALESCE(i{iterations}.inflow, 0.0), 4) AS rank
     FROM nodes n LEFT JOIN i{iterations} ON n.node = i{iterations}.node"""
     )

@@ -33,7 +33,7 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("graph_pagerank", sql_pagerank(_EDGES_SQL, iterations=3))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_edges(spark, sf_dir), iterations=3, loop_partitions=16)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", F.round("rank", 4).alias("rank"))
 
 
 @register(
@@ -90,4 +90,4 @@ def graph_cheirank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
     ranks = pagerank(edges, iterations=3, loop_partitions=16)
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    return ranks.select("node", F.round("rank", 4).alias("rank"))
