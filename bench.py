@@ -60,6 +60,17 @@ HEADLINE = [
     "split_train_test",
     "text_redact_pii",
     "text_repetition",
+    "q11_important_parts",
+    "q20_excess_share_shippers",
+    "window_ntile_quartiles",
+    "unpivot_lineitem_metrics",
+    "agg_histogram",
+    "agg_stats_moments",
+    "fuzzy_match_parts",
+    "events_funnel",
+    "history_scd2",
+    "sample_stratified",
+    "dedup_clusters",
 ]
 
 
