@@ -240,3 +240,100 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     nc = c.agg(F.count(F.lit(1)).alias("n_click"))
     np_ = p.agg(F.count(F.lit(1)).alias("n_purchase"))
     return nv.crossJoin(nc).crossJoin(np_)
+
+
+# --- weekly cohort retention (the classic append-history dashboard query) -----
+@register(
+    "events_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events
+    ),
+    firstseen AS (
+      SELECT user_id, MIN(act_week) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT strftime(f.cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.act_week) // 7 AS BIGINT)
+             AS week_offset,
+           COUNT(*) AS n_users
+    FROM activity a JOIN firstseen f USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort = week of a user's first event; retention = distinct users
+    from that cohort active k weeks later. Both engines truncate weeks
+    to Monday; the offset divides a day-diff of two week-truncated
+    dates, so it is exact (never a boundary-crossing count). activity
+    and firstseen share the user_id shuffle key, so the self-join reuses
+    one exchange; at 100 TB the DISTINCT is the only full-data pass and
+    is partial-aggregated map-side."""
+    ev = table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("act_week")
+    ).distinct()
+    firstseen = activity.groupBy("user_id").agg(
+        F.min("act_week").alias("cohort_week")
+    )
+    return (
+        activity.join(firstseen, "user_id")
+        .groupBy(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.expr("datediff(act_week, cohort_week) div 7").alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+# --- new vs returning users per day + cumulative reach ------------------------
+@register(
+    "events_new_vs_returning",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    firstday AS (
+      SELECT user_id, MIN(day) AS first_day FROM daily GROUP BY user_id
+    ),
+    per_day AS (
+      SELECT d.day,
+             COUNT(*) AS n_active,
+             CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_new
+      FROM daily d JOIN firstday f USING (user_id)
+      GROUP BY d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n_active, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_users
+    FROM per_day
+    """,
+)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into new (first-ever day) vs returning,
+    plus cumulative distinct reach — computed as a running sum of new
+    users, because COUNT(DISTINCT) OVER a cumulative frame is
+    unsupported (and unscalable) in both engines. The running sum runs
+    over the tiny per-day aggregate, so the single-partition window is
+    ~365 rows/year regardless of fact size."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    firstday = daily.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    per_day = (
+        daily.join(firstday, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).alias("n_new"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return per_day.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_active",
+        "n_new",
+        F.sum("n_new").over(w).alias("cum_users"),
+    )

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from ug_dwh_etl_spark.operators import hashing as H
 from ug_dwh_etl_spark.operators.textstats import (
@@ -180,4 +181,55 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", "doc_id", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
         .select("lang", "doc_id")
+    )
+
+
+@register(
+    "text_tfidf_terms",
+    """
+    WITH terms AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents)
+      WHERE term <> ''
+    ),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY doc_id, term
+    ),
+    stats AS (
+      SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf
+      FROM tf GROUP BY term
+    )
+    SELECT term, df, total_tf,
+           ROUND(total_tf * LN((SELECT COUNT(*) FROM documents) / df), 4)
+             AS total_tfidf
+    FROM stats
+    """,
+)
+def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF per term: tokenize (lowercase alpha runs), term
+    frequency per doc, document frequency, idf = ln(N/df). The per-term
+    score aggregates distributively (sum of tf x a per-term constant),
+    so the whole thing is two partial-aggregated shuffles on term — no
+    doc-side join back. At 100 TB the vocabulary table is tiny next to
+    the corpus; N arrives via a broadcast of a 1-row aggregate, never a
+    driver-side collect."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return stats.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df",
+        "total_tf",
+        F.round(
+            F.col("total_tf") * F.log(F.col("n_docs") / F.col("df")), 4
+        ).alias("total_tfidf"),
     )
