@@ -39,6 +39,8 @@ EXPECTED_NESTED_LOOP = {
     "history_gap_fill",
     # three 1-row stage counts cross-joined into the funnel summary row
     "events_funnel",
+    # 1-row corpus-size agg broadcast onto the per-term stats
+    "text_tfidf_terms",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")
