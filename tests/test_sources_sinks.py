@@ -148,3 +148,37 @@ def test_read_orc_and_text_roundtrip(spark, tmp_path):
     df = read_text(spark, str(txt_dir), normalize_col="text")
     assert df.columns == ["text"]
     assert df.count() == 3
+
+
+def test_read_xml_sitemap(spark, tmp_path):
+    # sitemap shape the orphan pipeline consumes (sf_orphan_data.py:67-68),
+    # via Spark 4's built-in XML datasource
+    from ug_dwh_etl_spark.sources.readers import read_xml
+
+    p = tmp_path / "sitemap.xml"
+    p.write_text(
+        '<?xml version="1.0"?><urlset>'
+        "<url><loc>https://ex.com/a</loc><priority>0.8</priority></url>"
+        "<url><loc>https://ex.com/b/c</loc><priority>0.5</priority></url>"
+        "</urlset>"
+    )
+    df = read_xml(spark, str(p), row_tag="url")
+    assert df.columns == ["loc", "priority"]
+    assert df.count() == 2
+    assert {r.loc for r in df.collect()} == {"https://ex.com/a", "https://ex.com/b/c"}
+
+
+def test_read_binary_files_glob(spark, tmp_path):
+    # multimodal blob ingest: one row per file, content as binary
+    from ug_dwh_etl_spark.sources.readers import read_binary_files
+
+    b = tmp_path / "blobs"
+    b.mkdir()
+    for i in range(3):
+        (b / f"img_{i}.bin").write_bytes(bytes([i]) * (10 + i))
+    (b / "skip.txt").write_text("not a blob")
+    df = read_binary_files(spark, str(b), glob="*.bin")
+    rows = df.select("path", "length", "content").collect()
+    assert len(rows) == 3
+    got = {os.path.basename(r.path): (r.length, bytes(r.content)) for r in rows}
+    assert got["img_2.bin"] == (12, bytes([2]) * 12)

@@ -80,3 +80,37 @@ def read_text(
     operators when documents arrive as flat files rather than parquet."""
     df = spark.read.option("wholetext", whole).text(path)
     return df.withColumnRenamed("value", normalize_col)
+
+
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """XML scan via Spark 4's built-in XML datasource (sitemaps, feed
+    exports — the reference's orphan pipeline consumes sitemap URL
+    lists, sf_orphan_data.py:67-68). ``rowTag`` picks the repeating
+    element; attributes surface as ``_attr`` columns. Schema inference
+    costs an extra pass — pass an explicit StructType for registered
+    sources, same policy as read_csv."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return normalize_names(reader.load(path))
+
+
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Binary-blob scan (``binaryFile`` source): one row per file with
+    (path, modificationTime, length, content) — the ingest path for
+    multimodal payloads (images/audio/video) that downstream
+    mapInPandas decoders consume (operators/multimodal.py). Partition
+    count follows spark.sql.files.maxPartitionBytes, so a directory of
+    millions of small blobs parallelizes without driver-side listing
+    loops; pair with compact_table for the small-file problem."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
