@@ -71,6 +71,9 @@ HEADLINE = [
     "history_scd2",
     "sample_stratified",
     "dedup_clusters",
+    "events_cohort_retention",
+    "events_new_vs_returning",
+    "text_tfidf_terms",
 ]
 
 
