@@ -282,3 +282,65 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.dedup import near_dup_clusters
 
     return near_dup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@register(
+    "split_leakage_check",
+    f"""
+    WITH {_SHINGLE_HASH_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM exh a JOIN exh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    )
+    SELECT CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2) >= '1a'
+                THEN id_a ELSE id_b END AS train_id,
+           CASE WHEN substr(md5(CAST(id_a AS VARCHAR)), 1, 2) >= '1a'
+                THEN id_b ELSE id_a END AS eval_id,
+           jaccard
+    FROM pairs
+    WHERE (substr(md5(CAST(id_a AS VARCHAR)), 1, 2) >= '1a')
+       <> (substr(md5(CAST(id_b AS VARCHAR)), 1, 2) >= '1a')
+    """,
+)
+def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination audit at the NEAR-duplicate level: n-gram
+    Jaccard >= 0.5 pairs (the exact-verification stage of the dedup
+    stack) where one doc landed in train and the other in eval under the
+    deterministic hash split (split_train_test's brackets) — the
+    benchmark-leakage check every LLM data pipeline runs before
+    training. Exact-fingerprint leakage is the jaccard = 1.0 subset. The
+    split is a pure expression on doc_id, so membership costs no join;
+    at 100 TB the pair generation runs after LSH banding prunes
+    candidates (same plan as dedup_ngram_jaccard)."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    def is_train(c):
+        return F.substring(F.md5(F.col(c).cast("string")), 1, 2) >= "1a"
+
+    pairs = ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 0.5
+    )
+    return (
+        pairs.filter(is_train("id_a") != is_train("id_b"))
+        .select(
+            F.when(is_train("id_a"), F.col("id_a"))
+            .otherwise(F.col("id_b"))
+            .alias("train_id"),
+            F.when(is_train("id_a"), F.col("id_b"))
+            .otherwise(F.col("id_a"))
+            .alias("eval_id"),
+            "jaccard",
+        )
+    )

@@ -337,3 +337,39 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).alias("cum_users"),
     )
+
+
+# --- per-group z-score outliers (data-quality monitoring) ---------------------
+@register(
+    "events_value_outliers",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_SAMP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND(e.value, 2) AS value,
+           ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s USING (event_type)
+    WHERE s.sigma > 0 AND ABS((e.value - s.mu) / s.sigma) > 3.0
+    """,
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers (|z| > 3): the anomaly screen a
+    monitoring dashboard runs over the append history. The per-group
+    moment table is tiny (one row per event type), so it broadcasts and
+    the fact table is scanned exactly once — same shape at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sigma")
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > 3.0))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 2).alias("value"),
+            F.round(z, 4).alias("z"),
+        )
+    )

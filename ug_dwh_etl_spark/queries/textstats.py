@@ -233,3 +233,46 @@ def text_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("total_tf") * F.log(F.col("n_docs") / F.col("df")), 4
         ).alias("total_tfidf"),
     )
+
+
+@register(
+    "text_chunk_docs",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0)
+    SELECT doc_id, start, LEAST(32, n - start + 1) AS n_tokens,
+           array_to_string(list_slice(t, start, LEAST(start + 31, n)), ' ')
+             AS chunk_text
+    FROM (SELECT doc_id, t, n, unnest(generate_series(1, n, 24)) AS start
+          FROM nz)
+    """,
+)
+def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (size 32, stride 24) — the
+    context-window packing step of a training-data pipeline. The token
+    array is computed once per doc; chunk starts come from `sequence`
+    and explode, so a doc yields ceil(n/stride) rows with no Python and
+    no re-tokenization per chunk. Narrow until the explode, which is a
+    local row-expansion — zero shuffles at any scale; chunk output is
+    written partitioned by whatever the sink keys on."""
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", H.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    return d.select(
+        "doc_id",
+        "t",
+        "n",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(24))).alias("start"),
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(32), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(32))).alias(
+            "chunk_text"
+        ),
+    )
