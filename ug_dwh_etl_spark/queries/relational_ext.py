@@ -504,3 +504,79 @@ def fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("dist") <= 3)
     )
+
+
+# --- single-scan column profiling (warehouse data-profiling surface) -------------
+@register(
+    "profile_orders_columns",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(o_orderpriority) AS nn_prio,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio,
+             MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+             COUNT(o_orderstatus) AS nn_status,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+             MIN(o_orderstatus) AS min_status, MAX(o_orderstatus) AS max_status,
+             COUNT(o_totalprice) AS nn_price,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+             CAST(MIN(o_totalprice) AS VARCHAR) AS min_price,
+             CAST(MAX(o_totalprice) AS VARCHAR) AS max_price
+      FROM orders
+    )
+    SELECT col_name, n_rows, n_nonnull, n_distinct, min_val, max_val
+    FROM (
+      SELECT 'o_orderpriority' AS col_name, n_rows, nn_prio AS n_nonnull,
+             nd_prio AS n_distinct, min_prio AS min_val, max_prio AS max_val
+      FROM agg
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status, min_status, max_status
+      FROM agg
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price, min_price, max_price
+      FROM agg)
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling: per-column row/non-null/distinct counts and
+    min/max, computed in ONE scan (a single wide aggregate, then a
+    metadata-only unpivot of the 1-row result) — the schema-drift and
+    quality dashboard a warehouse runs nightly over every table. All
+    values surface as strings so heterogeneous columns stack; at 100 TB
+    swap COUNT(DISTINCT x) for approx_count_distinct, same shape."""
+    orders = table(spark, sf_dir, "orders")
+    agg = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("o_orderpriority").alias("nn_prio"),
+        F.count_distinct("o_orderpriority").alias("nd_prio"),
+        F.min("o_orderpriority").alias("min_prio"),
+        F.max("o_orderpriority").alias("max_prio"),
+        F.count("o_orderstatus").alias("nn_status"),
+        F.count_distinct("o_orderstatus").alias("nd_status"),
+        F.min("o_orderstatus").alias("min_status"),
+        F.max("o_orderstatus").alias("max_status"),
+        F.count("o_totalprice").alias("nn_price"),
+        F.count_distinct("o_totalprice").alias("nd_price"),
+        F.min("o_totalprice").cast("string").alias("min_price"),
+        F.max("o_totalprice").cast("string").alias("max_price"),
+    )
+    rows = [
+        ("o_orderpriority", "nn_prio", "nd_prio", "min_prio", "max_prio"),
+        ("o_orderstatus", "nn_status", "nd_status", "min_status", "max_status"),
+        ("o_totalprice", "nn_price", "nd_price", "min_price", "max_price"),
+    ]
+    parts = [
+        agg.select(
+            F.lit(name).alias("col_name"),
+            F.col("n_rows"),
+            F.col(nn).alias("n_nonnull"),
+            F.col(nd).alias("n_distinct"),
+            F.col(mn).cast("string").alias("min_val"),
+            F.col(mx).cast("string").alias("max_val"),
+        )
+        for name, nn, nd, mn, mx in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -276,3 +276,67 @@ def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@register(
+    "text_pack_sequences",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, start, LEAST(32, n - start + 1) AS n_tokens,
+             doc_id % 8 AS shard
+      FROM (SELECT doc_id, n, unnest(generate_series(1, n, 24)) AS start
+            FROM nz)
+    )
+    SELECT doc_id, start, shard,
+           CAST((SUM(n_tokens) OVER (PARTITION BY shard
+                                     ORDER BY doc_id, start
+                                     ROWS UNBOUNDED PRECEDING) - n_tokens)
+                // 1024 AS BIGINT) AS pack_id,
+           n_tokens
+    FROM chunks
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign token chunks to fixed 1024-token training
+    sequences by contiguous fill — running token count within a shard,
+    pack_id = floor(prefix-sum / budget). Deterministic given the
+    (doc_id, start) order. Sharding (doc_id % 8) bounds each window
+    partition, so at 100 TB packing parallelizes across shards instead
+    of serializing through one global running sum; a shard is still
+    billions of tokens, far above one executor's window partition limit
+    only if left unsharded."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", H.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    chunks = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(24))).alias("start"),
+        "n",
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.least(F.lit(32), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tokens"),
+        (F.col("doc_id") % 8).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return chunks.select(
+        "doc_id",
+        "start",
+        "shard",
+        F.floor((cum - F.col("n_tokens")) / 1024).alias("pack_id"),
+        "n_tokens",
+    )
