@@ -33,6 +33,8 @@ EXPECTED_NESTED_LOOP = {
     "sim_cosine_topk",
     "sim_cosine_topk_pandas",
     "sim_ann_topk",
+    # broadcast block-nested-loop IS the brute-force kNN-join algorithm
+    "sim_knn_join",
     # scalar-threshold broadcast cross-join (one-row agg)
     "q11_important_parts",
     # 5-row key dim × date spine grid

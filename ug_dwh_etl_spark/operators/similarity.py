@@ -337,3 +337,36 @@ def ivf_index_probe(
         .limit(k)
         .select("vec_id", F.round("cos_raw", 6).alias("cosine"))
     )
+
+
+def knn_join(embeddings: DataFrame, query_mod: int, k: int = 3) -> DataFrame:
+    """Batched exact k-NN join: top-k cosine neighbors for EVERY query
+    vector (here the deterministic subset ``vec_id % query_mod == 0``)
+    in one plan — the set-at-a-time primitive behind retrieval eval and
+    near-dup mining, vs the single-query ``cosine_topk``.
+
+    The query side broadcasts; the non-equi self-pairing is a
+    block-nested-loop over the broadcast (the classic brute-force kNN
+    join), then a per-query top-k window prunes to k rows. Scale path:
+    corpus-side scan is one pass regardless of |Q|; when |Q| outgrows
+    the broadcast limit, swap the broadcast for SRP-bucket co-grouping
+    (``ann_topk``'s bucketing) with the same output contract."""
+    from pyspark.sql import Window
+
+    q = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine("embedding", "qe").alias("cos_raw"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "q_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+    )

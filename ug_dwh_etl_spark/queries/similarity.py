@@ -178,3 +178,28 @@ def sim_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg(norm), 6).alias("avg_norm"),
     )
+
+
+# --- batched exact kNN join (set-at-a-time retrieval) -----------------------------
+def _knn_join_sql() -> str:
+    cos = ("list_dot_product(e, qe) / (sqrt(list_dot_product(e, e))"
+           " * sqrt(list_dot_product(qe, qe)))")
+    return f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe
+               FROM embeddings WHERE vec_id % 97 = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ranked AS (
+      SELECT q_id, vec_id, {cos} AS cos_raw,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY {cos} DESC, vec_id) AS rn
+      FROM q JOIN c ON vec_id <> q_id)
+    SELECT q_id, vec_id AS neighbor_id, ROUND(cos_raw, 6) AS cosine
+    FROM ranked WHERE rn <= 3
+    """
+
+
+@register("sim_knn_join", _knn_join_sql())
+def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ug_dwh_etl_spark.operators.similarity import knn_join
+
+    return knn_join(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
