@@ -580,3 +580,39 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# --- dense_rank: nth-distinct-value ranking --------------------------------------
+@register(
+    "window_dense_rank_days",
+    """
+    SELECT DISTINCT o_orderpriority,
+           strftime(o_orderdate, '%Y-%m-%d') AS day, dr
+    FROM (
+      SELECT o_orderpriority, o_orderdate,
+             CAST(DENSE_RANK() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_orderdate) AS BIGINT) AS dr
+      FROM orders)
+    WHERE dr <= 5
+    """,
+)
+def window_dense_rank_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 5 DISTINCT order dates per priority class via dense_rank —
+    the rank family member the rest of the window coverage lacks (rank
+    leaves gaps on ties, dense_rank doesn't; many orders share a date,
+    so the two genuinely differ here). Ordering by a duplicated key is
+    safe because dense_rank assigns equal ranks to equal keys — no
+    tie-break column needed, unlike row_number."""
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_orderdate")
+    return (
+        orders.select(
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+            F.dense_rank().over(w).cast("long").alias("dr"),
+        )
+        .filter(F.col("dr") <= 5)
+        .distinct()
+    )
