@@ -79,3 +79,48 @@ def test_whole_stage_codegen_spans_expressions(spark):
     # "*(1)" prefix = the operator runs inside WholeStageCodegen stage 1
     assert "*(1) Project" in plan, plan
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_partition_pruning_on_history_table(spark, tmp_path):
+    # the crawl_date append model exists so dashboards prune partitions:
+    # a one-day query over a multi-day history must scan one partition
+    from ug_dwh_etl_spark.sinks.writers import append_history
+
+    hist = str(tmp_path / "hist")
+    for day in ("2026-01-01", "2026-01-02", "2026-01-03"):
+        append_history(
+            spark.range(10).select(
+                F.col("id"), F.lit(day).alias("crawl_date")
+            ),
+            hist,
+        )
+    df = spark.read.parquet(hist).filter(F.col("crawl_date") == "2026-01-02")
+    plan = _executed_plan(df)
+    assert "PartitionFilters" in plan and "crawl_date" in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+    assert df.count() == 10
+
+
+def test_append_schema_evolution_merges(spark, tmp_path):
+    # day-2 adds a column (the reference's inferred CSVs drift);
+    # mergeSchema reconciles, old rows read NULL for the new column
+    from ug_dwh_etl_spark.sinks.writers import append_history
+
+    hist = str(tmp_path / "hist")
+    append_history(
+        spark.range(5).select(F.col("id"), F.lit("2026-01-01").alias("crawl_date")),
+        hist,
+    )
+    append_history(
+        spark.range(5).select(
+            F.col("id"),
+            F.lit(1.5).alias("new_metric"),
+            F.lit("2026-01-02").alias("crawl_date"),
+        ),
+        hist,
+    )
+    df = spark.read.option("mergeSchema", True).parquet(hist)
+    assert set(df.columns) == {"id", "new_metric", "crawl_date"}
+    old = df.filter(F.col("crawl_date") == "2026-01-01")
+    assert old.filter(F.col("new_metric").isNull()).count() == 5
