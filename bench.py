@@ -74,6 +74,8 @@ HEADLINE = [
     "events_cohort_retention",
     "events_new_vs_returning",
     "text_tfidf_terms",
+    "sim_knn_join",
+    "text_pack_sequences",
 ]
 
 
