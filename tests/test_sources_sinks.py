@@ -182,3 +182,46 @@ def test_read_binary_files_glob(spark, tmp_path):
     assert len(rows) == 3
     got = {os.path.basename(r.path): (r.length, bytes(r.content)) for r in rows}
     assert got["img_2.bin"] == (12, bytes([2]) * 12)
+
+
+def test_read_csv_malformed_rows_quarantine(spark, tmp_path):
+    # feed drift: a row with a non-numeric amount; PERMISSIVE nulls the
+    # field and captures the raw line, DROPMALFORMED discards the row
+    from pyspark.sql.types import DoubleType
+
+    from ug_dwh_etl_spark.sources.readers import read_csv
+
+    p = tmp_path / "feed.csv"
+    p.write_text("id,amount\n1,10.5\n2,not_a_number\n3,7.25\n")
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("amount", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    df = read_csv(spark, str(p), schema=schema, normalize=False).cache()
+    assert df.count() == 3
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]._corrupt_record == "2,not_a_number"
+    assert bad[0].amount is None
+
+    schema2 = StructType(
+        [StructField("id", LongType()), StructField("amount", DoubleType())]
+    )
+    dropped = read_csv(
+        spark, str(p), schema=schema2, normalize=False, mode="DROPMALFORMED"
+    )
+    assert [r.id for r in dropped.orderBy("id").collect()] == [1, 3]
+
+
+def test_ignore_corrupt_parquet_files(spark, tmp_path):
+    # a truncated/garbage file in the table directory must not sink the
+    # whole 100 TB scan when ignoreCorruptFiles is on
+    d = tmp_path / "tbl"
+    spark.range(10).write.parquet(str(d))
+    (d / "part-garbage.parquet").write_bytes(b"PAR1 this is not parquet")
+    ok = (
+        spark.read.option("ignoreCorruptFiles", True).parquet(str(d)).count()
+    )
+    assert ok == 10

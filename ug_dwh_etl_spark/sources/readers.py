@@ -35,11 +35,23 @@ def read_csv(
     sep: str = ",",
     encoding: str = "UTF-8",
     normalize: bool = True,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """S1/S2 — CSV scan. ``sep=';'`` + latin-1 covers the reference's
     Midoco feed (`Midoco/product_data.py:56`). Explicit schema keeps the
-    scan single-pass and the types stable."""
-    reader = spark.read.option("header", True).option("sep", sep).option("encoding", encoding)
+    scan single-pass and the types stable.
+
+    ``mode`` controls malformed-row policy (the reference's inferred
+    feeds drift): PERMISSIVE nulls bad fields (add a
+    ``_corrupt_record`` StringType field to the schema to capture the
+    raw line for quarantine), DROPMALFORMED discards, FAILFAST aborts
+    the job at first bad row."""
+    reader = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("encoding", encoding)
+        .option("mode", mode)
+    )
     if schema is not None:
         reader = reader.schema(schema)
     else:
