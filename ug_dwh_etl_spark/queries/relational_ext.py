@@ -616,3 +616,63 @@ def window_dense_rank_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dr") <= 5)
         .distinct()
     )
+
+
+# --- bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) --------------------------
+@register(
+    "setop_nation_bag_overlap",
+    """
+    SELECT n_name FROM (
+      SELECT n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      INTERSECT ALL
+      SELECT n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    """,
+)
+def setop_nation_bag_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (bag semantics): each nation name survives
+    min(customer-side count, supplier-side count) times — the
+    multiplicity-preserving variant the distinct-set `intersect`
+    coverage lacks. Spark plans both ALL variants as an aggregate of
+    per-side counts, not a pairwise join — one shuffle per side at any
+    scale."""
+    nation = table(spark, sf_dir, "nation")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    return cust.intersectAll(supp)
+
+
+@register(
+    "setop_nation_bag_excess",
+    """
+    SELECT n_name FROM (
+      SELECT n.n_name FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      EXCEPT ALL
+      SELECT n.n_name FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    )
+    """,
+)
+def setop_nation_bag_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL: customer-side multiplicity minus supplier-side
+    multiplicity per nation (floor 0) — e.g. 40 customers and 3
+    suppliers in GERMANY leaves 37 rows."""
+    nation = table(spark, sf_dir, "nation")
+    cust = (
+        table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    supp = (
+        table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("n_name")
+    )
+    return cust.exceptAll(supp)

@@ -340,3 +340,24 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((cum - F.col("n_tokens")) / 1024).alias("pack_id"),
         "n_tokens",
     )
+
+
+@register(
+    "text_token_positions",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents)
+    SELECT doc_id, CAST(i AS BIGINT) AS pos, t[i] AS term
+    FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+          FROM tok WHERE doc_id % 100 = 0)
+    """,
+)
+def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization via posexplode (1-based to match SQL
+    subscripts) — the (doc, position, term) relation inverted indexes
+    and positional n-gram features build on. Narrow row expansion, no
+    shuffle; the doc_id % 100 filter keeps the oracle comparison small
+    while the plan shape is corpus-size-independent."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("doc_id") % 100 == 0)
+    return docs.select(
+        "doc_id", F.posexplode(H.tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
