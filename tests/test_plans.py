@@ -72,3 +72,34 @@ def test_e3_parses_locale_and_leadtime(spark):
     assert row is not None
     assert row.preis is not None and row.preis > 0
     assert row.personen >= 0
+
+
+def test_daily_run_lands_all_reference_tables(spark, tmp_path):
+    # the whole cron day (all 8 reference scripts) as one orchestrated run
+    from ug_dwh_etl_spark.plans.daily import daily_run
+    from ug_dwh_etl_spark.sinks.alerts import LoggingAlertSink
+
+    wh = str(tmp_path / "warehouse")
+    alert = LoggingAlertSink()
+    counts = daily_run(spark, SF_DIR, wh, alert=alert)
+    expected = {
+        "bq_content_history",
+        "bq_content",
+        "bq_audisto_ranks",
+        "bq_bookings",
+        "bq_images",
+        "bq_orphan_urls",
+        "bq_backlinks",
+        "bq_inlinks",
+        "bq_hreflang_issues",
+    }
+    assert set(counts) == expected
+    assert all(n > 0 for n in counts.values()), counts
+
+    # day 2: history tables grow, snapshots don't
+    day1 = dict(counts)
+    counts2 = daily_run(spark, SF_DIR, wh, alert=alert)
+    for tbl in ("bq_content_history", "bq_audisto_ranks", "bq_images"):
+        assert counts2[tbl] == 2 * day1[tbl], tbl
+    for tbl in ("bq_content", "bq_inlinks", "bq_hreflang_issues"):
+        assert counts2[tbl] == day1[tbl], tbl
