@@ -42,6 +42,12 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     pp.add_argument("--out", required=True, help="warehouse output directory")
 
+    dp = sub.add_parser(
+        "daily", help="run ALL eight pipelines (the reference's whole cron day)"
+    )
+    dp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    dp.add_argument("--out", required=True, help="warehouse output directory")
+
     args = p.parse_args(argv)
 
     from ug_dwh_etl_spark.queries import QUERIES
@@ -70,6 +76,15 @@ def main(argv: list[str] | None = None) -> int:
 
         register_sql_macros(spark)
         run_sql(spark, args.sf_dir, args.statement).show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "daily":
+        from ug_dwh_etl_spark.plans.daily import daily_run
+        from ug_dwh_etl_spark.sinks.alerts import LoggingAlertSink
+
+        counts = daily_run(spark, args.sf_dir, args.out, alert=LoggingAlertSink())
+        for tbl, n in sorted(counts.items()):
+            print(f"{tbl}: {n} rows")
         return 0
 
     # pipeline
