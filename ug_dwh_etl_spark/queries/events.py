@@ -373,3 +373,52 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 4).alias("z"),
         )
     )
+
+
+# --- multi-granularity time rollup (hour + day from ONE scan) -----------------
+@register(
+    "events_rollup_hour_day",
+    """
+    WITH b AS (
+      SELECT date_trunc('day', ts) AS day, date_trunc('hour', ts) AS hr,
+             value
+      FROM events
+    )
+    SELECT CASE WHEN hr IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
+           strftime(day, '%Y-%m-%d') AS day,
+           COALESCE(strftime(hr, '%Y-%m-%d %H:%M:%S'), '') AS bucket,
+           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+    FROM b
+    GROUP BY ROLLUP (day, hr)
+    HAVING day IS NOT NULL
+    """,
+)
+def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly AND daily aggregates of the event stream from one scan via
+    ROLLUP(day, hour) — the continuous-aggregate cascade a time-series
+    store maintains as separate tables, as one partial-aggregated
+    shuffle. The grand-total row is dropped (HAVING day IS NOT NULL);
+    grain labels which level a row belongs to. At 100 TB this is the
+    nightly rollup feeding the incremental delta-merge pipeline
+    (streaming/jobs.py incremental_rollup_pipeline) — same shape, and
+    the day level prunes to touched partitions."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("day", "ts").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        "value",
+    )
+    return (
+        b.rollup("day", "hr")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .filter(F.col("day").isNotNull())
+        .select(
+            F.when(F.col("hr").isNotNull(), "hour").otherwise("day").alias("grain"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce(
+                F.date_format("hr", "yyyy-MM-dd HH:mm:ss"), F.lit("")
+            ).alias("bucket"),
+            "n",
+            "total_value",
+        )
+    )
