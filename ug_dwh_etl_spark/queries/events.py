@@ -422,3 +422,32 @@ def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# --- MapType: JSON props as a map column, exploded --------------------------------
+@register(
+    "events_props_map_explode",
+    """
+    WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+    SELECT key, COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.' || key) AS BIGINT)), 6)
+             AS avg_v
+    FROM kv GROUP BY key
+    """,
+)
+def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semi-structured payload as a first-class MapType:
+    from_json into map<string,bigint>, exploded to (key, value) rows,
+    aggregated per key — schema-on-read over payloads whose key set
+    drifts (vs. the fixed-schema get_json_object path in
+    events_json_extract). Explode-of-map is a narrow row expansion; the
+    per-key aggregate is one partial-aggregated shuffle on a key space
+    that's tiny by construction."""
+    ev = table(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "value")
+    )
+    return kv.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("value"), 6).alias("avg_v"),
+    )
