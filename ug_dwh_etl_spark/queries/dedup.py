@@ -344,3 +344,129 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
         )
     )
+
+
+def _minhash_accuracy_sql() -> str:
+    h = H.sql_md5_long("shingle", 15)
+    mins = ", ".join(
+        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        key = " || '_' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key
+           AND l.doc_id < r.doc_id
+    ),
+    exh AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS inter
+      FROM pairs p
+        JOIN exh a ON a.doc_id = p.id_a
+        JOIN exh b ON b.doc_id = p.id_b AND b.sh = a.sh
+      GROUP BY p.id_a, p.id_b
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b, ({match_sum}) / 16.0 AS est
+      FROM pairs p
+        JOIN sig a ON a.doc_id = p.id_a
+        JOIN sig b ON b.doc_id = p.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(e.est, 6) AS est_jaccard,
+           ROUND(COALESCE(i.inter / (sa.sz + sb.sz - i.inter), 0.0), 6)
+             AS exact_jaccard,
+           ROUND(ABS(e.est - COALESCE(i.inter / (sa.sz + sb.sz - i.inter), 0.0)), 6)
+             AS abs_err
+    FROM est e
+      LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      JOIN sizes sa ON sa.doc_id = e.id_a
+      JOIN sizes sb ON sb.doc_id = e.id_b
+    """
+
+
+@register("dedup_minhash_accuracy", _minhash_accuracy_sql())
+def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of agreeing signature
+    components) next to the EXACT shingle-set Jaccard, with the
+    absolute error — the measurement that justifies (or rejects) a
+    16-permutation signature before a 100 TB dedup run. The estimate
+    costs only the signature self-join on the candidate pairs; the
+    exact value reuses the hashed-shingle relation, so the audit runs on
+    candidates (tiny), never all pairs."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        spread,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    match_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (match_sum / 16.0).alias("est"))
+    )
+    shh = doc_shingle_hashes(spread(docs), "doc_id", "text")
+    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    exact = F.coalesce(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        F.lit(0.0),
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est", 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est") - exact), 6).alias("abs_err"),
+        )
+    )
