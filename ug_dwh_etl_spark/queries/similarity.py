@@ -203,3 +203,37 @@ def sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.similarity import knn_join
 
     return knn_join(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
+
+
+# --- grouped vector aggregation: per-label centroids ------------------------------
+@register(
+    "sim_label_centroids",
+    """
+    SELECT label, CAST(pos AS BIGINT) AS pos, ROUND(AVG(e[pos]), 6) AS c
+    FROM (SELECT label, embedding::DOUBLE[] AS e,
+                 unnest(generate_series(1, len(embedding))) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors — grouped vector MEAN, the building
+    block of k-means/IVF training — computed as posexplode + a
+    (label, position) hash aggregate, then emitted in exploded form
+    (label, pos, c). The aggregate is partial map-side, so the shuffle
+    carries one partial sum per (label, pos, partition) — dimensions x
+    labels rows, independent of corpus size; re-assembling array
+    centroids is a collect_list over the tiny result when a consumer
+    needs them (operators/similarity.py centroids_df shows the
+    assembled form)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos0", "v"
+            ),
+        )
+        .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("c"))
+    )
