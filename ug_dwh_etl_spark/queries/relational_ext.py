@@ -676,3 +676,55 @@ def setop_nation_bag_excess(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name")
     )
     return cust.exceptAll(supp)
+
+
+# --- ratio-to-report: share of the region total per nation -----------------------
+@register(
+    "window_revenue_share",
+    """
+    WITH nat AS (
+      SELECT r.r_name AS region, n.n_name AS nation,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY region, nation
+    )
+    SELECT region, nation,
+           CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE)
+                 / CAST(SUM(rev) OVER (PARTITION BY region) AS DOUBLE), 6)
+             AS region_share
+    FROM nat
+    """,
+)
+def window_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of its region's order
+    revenue — the percent-of-total column every dashboard table wants.
+    Revenue sums as DECIMAL (order-independent across engines and
+    partitionings); the share window runs over the 25-row aggregate,
+    not the fact table, so its single-partition-per-region cost is
+    nil at any fact scale. nation/region broadcast; orders⋈customer is
+    a key shuffle (customer is NOT broadcastable at warehouse scale —
+    AQE may still promote it at small SFs)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    nat = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("region_share"),
+    )
