@@ -59,3 +59,46 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content_md5",
         F.round(F.element_at("features", 1), 6).alias("f0"),
     )
+
+
+@register(
+    "multimodal_frame_plan",
+    """
+    WITH vid AS (
+      SELECT doc_id AS media_id, strlen(text) * 10 AS duration_ms
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    SELECT media_id, CAST(t AS BIGINT) AS frame_ms,
+           CAST(t / 500 AS BIGINT) AS frame_idx
+    FROM (SELECT media_id, duration_ms,
+                 unnest(generate_series(0, duration_ms - 1, 500)) AS t
+          FROM vid)
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling PLAN for the video rows: one output row per
+    500 ms sample position, derived from metadata duration — the
+    scheduling half of frame extraction, computed relationally
+    (sequence + explode, zero Python). The decode half consumes this
+    exact relation through mapInPandas against the stubbed codec
+    (operators/multimodal.py sample_frames), so at 100 TB the expensive
+    stage is driven by a partitionable frame-task table instead of
+    per-file driver loops."""
+    media = media_from_documents(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "video"
+    )
+    frames = media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("meta.duration_ms") - 1,
+                F.lit(500).cast("long"),
+            )
+        ).alias("frame_ms"),
+    )
+    return frames.select(
+        "media_id",
+        "frame_ms",
+        (F.col("frame_ms") / 500).cast("long").alias("frame_idx"),
+    )
