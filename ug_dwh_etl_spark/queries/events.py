@@ -451,3 +451,42 @@ def events_props_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.avg("value"), 6).alias("avg_v"),
     )
+
+
+# --- time-weighted average value per event type -------------------------------
+@register(
+    "events_time_weighted_value",
+    """
+    WITH g AS (
+      SELECT event_type, value,
+             date_diff('second', ts,
+                       LEAD(ts) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id)) AS gap_s
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(gap_s) AS BIGINT) AS n_intervals,
+           ROUND(SUM(value * gap_s) / SUM(gap_s), 4) AS twap
+    FROM g WHERE gap_s IS NOT NULL AND gap_s > 0
+    GROUP BY event_type
+    """,
+)
+def events_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type: each reading is
+    weighted by how long it was current (gap to the next event in the
+    same series) — the correct mean for irregularly sampled series,
+    where the plain AVG over-weights bursts. One window pass for the
+    lead + one aggregate; at 100 TB the window partitions by series key
+    so state is per-key-ordered, never global."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gap = F.lead(F.col("ts").cast("long")).over(w) - F.col("ts").cast("long")
+    g = ev.select("event_type", "value", gap.alias("gap_s")).filter(
+        F.col("gap_s").isNotNull() & (F.col("gap_s") > 0)
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_s").alias("n_intervals"),
+        F.round(F.sum(F.col("value") * F.col("gap_s")) / F.sum("gap_s"), 4).alias(
+            "twap"
+        ),
+    )
