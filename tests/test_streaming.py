@@ -99,3 +99,55 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
         for r in spark.read.parquet(out2).collect()
     }
     assert got2 == expected
+
+
+def test_available_now_pipeline_gates_and_quarantines(spark, tmp_path):
+    # per-micro-batch DQ: a non-blocking gate alerts but lands; a
+    # blocking gate diverts the batch to quarantine
+    from ug_dwh_etl_spark.plans.pipeline import Gate
+    from ug_dwh_etl_spark.sinks.alerts import LoggingAlertSink
+    from ug_dwh_etl_spark.streaming.jobs import available_now_pipeline
+
+    alert = LoggingAlertSink()
+    out = str(tmp_path / "out")
+    q = str(tmp_path / "quarantine")
+
+    available_now_pipeline(
+        spark,
+        SF_DIR,
+        transform=lambda df: df.select("event_id", "event_type", "value"),
+        out_path=out,
+        checkpoint=str(tmp_path / "ck1"),
+        gates=(
+            Gate(
+                violation=F.col("value") > -1e18,  # always fires: alert-only
+                title="warn gate",
+                message="values present",
+            ),
+        ),
+        alert=alert,
+    )
+    assert alert.alerts and alert.alerts[0][0] == "warn gate"
+    assert spark.read.parquet(out).count() > 0
+
+    available_now_pipeline(
+        spark,
+        SF_DIR,
+        transform=lambda df: df.select("event_id", "event_type", "value"),
+        out_path=str(tmp_path / "never"),
+        checkpoint=str(tmp_path / "ck2"),
+        gates=(
+            Gate(
+                violation=F.col("value") > -1e18,
+                title="block gate",
+                message="bad batch",
+                blocking=True,
+            ),
+        ),
+        alert=alert,
+        quarantine_path=q,
+    )
+    import os
+
+    assert not os.path.exists(str(tmp_path / "never"))
+    assert spark.read.parquet(q).count() > 0

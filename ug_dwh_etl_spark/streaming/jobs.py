@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import tempfile
 import uuid
-from collections.abc import Callable
+from collections.abc import Callable, Sequence
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from ug_dwh_etl_spark.plans.pipeline import Gate
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
@@ -145,21 +149,44 @@ def available_now_pipeline(
     transform: Callable[[DataFrame], DataFrame],
     out_path: str,
     checkpoint: str | None = None,
+    gates: Sequence["Gate"] = (),
+    alert=None,
+    quarantine_path: str | None = None,
 ) -> None:
     """The cron-replacement shape (§2.11): AvailableNow stream →
     ``foreachBatch`` running a BATCH transform → date-partitioned append.
     Re-running after new files arrive processes only the delta — exactly
-    the reference's daily incremental append (K1), minus the cron."""
+    the reference's daily incremental append (K1), minus the cron.
+
+    ``gates`` run the batch DQ checks (§2.13 Q1: the reference alerts
+    per cron run, `sf_html_data.py:95-105`) against EVERY micro-batch:
+    a non-blocking violation alerts and still lands; a blocking one
+    diverts the whole batch to ``quarantine_path`` (or drops it) so bad
+    data never reaches the serving table while the stream keeps
+    running."""
+    from ug_dwh_etl_spark.operators.quality import expect
+
     src = read_events_stream(spark, sf_dir)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            transform(batch_df)
-            .withColumn("crawl_date", F.current_date())
-            .write.mode("append")
-            .partitionBy("crawl_date")
-            .parquet(out_path)
-        )
+        out = transform(batch_df).withColumn("crawl_date", F.current_date())
+        ok = True
+        if gates:
+            out = out.persist()
+            for gate in gates:
+                passed = expect(
+                    out, gate.violation, gate.title, gate.message, alert=alert
+                )
+                ok = ok and (passed or not gate.blocking)
+        target = out_path if ok else quarantine_path
+        if target is not None:
+            (
+                out.write.mode("append")
+                .partitionBy("crawl_date")
+                .parquet(target)
+            )
+        if gates:
+            out.unpersist()
 
     q = (
         src.writeStream.foreachBatch(write_batch)
