@@ -91,6 +91,17 @@ def main() -> None:
     # queries compile), and the fact tables' file listing + footers
     # (limit(1) reads metadata + one row group, not the table).
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
+    # one real exchange, so the first timed query doesn't pay shuffle
+    # subsystem init (serializer, shuffle service, AQE machinery)
+    (
+        spark.range(100_000)
+        .selectExpr("id % 32 AS k", "id AS v")
+        .groupBy("k")
+        .sum("v")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     (
         spark.read.parquet(f"{sf_dir}/part.parquet")
         .selectExpr("conv(substring(md5(regexp_replace(p_name, ' ', '_')), 1, 15), 16, 10)")
