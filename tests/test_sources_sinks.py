@@ -225,3 +225,28 @@ def test_ignore_corrupt_parquet_files(spark, tmp_path):
         spark.read.option("ignoreCorruptFiles", True).parquet(str(d)).count()
     )
     assert ok == 10
+
+
+def test_webhook_alert_datasource_writer(spark, tmp_path):
+    # the K4 alert sink as a Spark 4 Python DataSource WRITER: rows
+    # post from executors in batches; the spool stub stands in for HTTP
+    import json
+
+    from ug_dwh_etl_spark.sources.pyds import WebhookAlertDataSource
+
+    spark.dataSource.register(WebhookAlertDataSource)
+    ep = str(tmp_path / "spool" / "alerts.jsonl")
+    df = spark.range(25).selectExpr(
+        "id", "concat('violation-', id) AS title", "'dq' AS kind"
+    )
+    (
+        df.write.format("webhook_alert")
+        .option("endpoint", ep)
+        .option("batch_size", "10")
+        .mode("append")
+        .save()
+    )
+    lines = [json.loads(line) for line in open(ep)]
+    assert len(lines) == 25
+    assert {r["id"] for r in lines} == set(range(25))
+    assert all(r["title"] == f"violation-{r['id']}" and r["kind"] == "dq" for r in lines)

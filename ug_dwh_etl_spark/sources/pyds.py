@@ -24,8 +24,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -136,3 +138,76 @@ class PagedRestStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return self._rows(start["offset"], end["offset"])
+
+
+# --- writer side: the alert/export sink as a first-class DataSource -----------
+def spool_poster(endpoint: str, payloads: list[str]) -> None:
+    """Default poster STUB: append JSON-line payloads to a local spool
+    file (the offline stand-in for the reference's Teams webhook POST,
+    `sf_html_data.py:28-49`). A real deployment resolves an HTTP poster
+    here; executors call it per batch, so alert delivery scales with
+    partitions and never serializes through the driver."""
+    import os
+
+    os.makedirs(os.path.dirname(endpoint), exist_ok=True)
+    with open(endpoint, "a", encoding="utf-8") as f:
+        for p in payloads:
+            f.write(p + "\n")
+
+
+class _PostCommit(WriterCommitMessage):
+    def __init__(self, n: int):
+        self.n = n
+
+
+class WebhookWriter(DataSourceWriter):
+    """One ``write(iterator)`` call per partition: rows serialize to
+    JSON and post in batches of ``batch_size`` — the K4 alert sink
+    (§2.2) in connector form, usable as ``df.write.format("webhook_alert")``."""
+
+    def __init__(self, schema: StructType, options: dict, overwrite: bool):
+        self.fields = schema.fieldNames()
+        self.endpoint = options.get("endpoint", "/tmp/webhook_spool/alerts.jsonl")
+        self.poster_path = options.get("poster", "ug_dwh_etl_spark.sources.pyds:spool_poster")
+        self.batch_size = int(options.get("batch_size", "100"))
+
+    def write(self, iterator):
+        import json as _json
+
+        poster = _resolve(self.poster_path)
+        buf: list[str] = []
+        n = 0
+        for row in iterator:
+            buf.append(_json.dumps(dict(zip(self.fields, row)), default=str))
+            if len(buf) >= self.batch_size:
+                poster(self.endpoint, buf)
+                n += len(buf)
+                buf = []
+        if buf:
+            poster(self.endpoint, buf)
+            n += len(buf)
+        return _PostCommit(n)
+
+    def commit(self, messages) -> None:
+        total = sum(m.n for m in messages if m is not None)
+        import logging
+
+        logging.getLogger("ug_dwh_etl_spark.alerts").info(
+            "webhook_alert: posted %d rows", total
+        )
+
+    def abort(self, messages) -> None:  # pragma: no cover - failure path
+        pass
+
+
+class WebhookAlertDataSource(DataSource):
+    """`df.write.format("webhook_alert")` — the write-side twin of
+    PagedRestDataSource, completing the custom-connector surface
+    (read, streaming read, write)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "webhook_alert"
+
+    def writer(self, schema: StructType, overwrite: bool) -> WebhookWriter:
+        return WebhookWriter(schema, self.options, overwrite)
