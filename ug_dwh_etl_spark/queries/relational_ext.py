@@ -728,3 +728,46 @@ def window_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
         ).alias("region_share"),
     )
+
+
+# --- RANGE frame over time: trailing-7-day spend ---------------------------------
+@register(
+    "window_trailing_7d_spend",
+    """
+    WITH daily AS (
+      SELECT o_custkey, o_orderdate AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS spend
+      FROM orders GROUP BY o_custkey, day
+    )
+    SELECT o_custkey, strftime(day, '%Y-%m-%d') AS day,
+           CAST(spend AS DOUBLE) AS spend,
+           CAST(SUM(spend) OVER (
+             PARTITION BY o_custkey
+             ORDER BY date_diff('day', DATE '1970-01-01', day)
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS trailing_7d
+    FROM daily
+    """,
+)
+def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-DAY spend per customer via a RANGE frame keyed on
+    epoch-day — the time-based window the ROWS-frame coverage
+    (window_moving_avg_spend) can't express: order days are sparse, so
+    'last 7 rows' and 'last 7 days' genuinely differ. Both engines
+    range over the same integer day key; money stays DECIMAL inside
+    the frame sum (order-independent), cast at the edge."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_custkey", F.col("o_orderdate").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("spend"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.datediff("day", F.lit("1970-01-01").cast("date")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "o_custkey",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("spend").cast("double").alias("spend"),
+        F.sum("spend").over(w).cast("double").alias("trailing_7d"),
+    )
