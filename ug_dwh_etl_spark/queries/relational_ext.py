@@ -771,3 +771,31 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("spend").cast("double").alias("spend"),
         F.sum("spend").over(w).cast("double").alias("trailing_7d"),
     )
+
+
+# --- cume_dist + nth_value (completing the statistical window family) -----------
+@register(
+    "window_cume_dist_nth",
+    """
+    SELECT o_orderpriority, o_orderkey,
+           ROUND(CUME_DIST() OVER w, 6) AS cd,
+           NTH_VALUE(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist (fraction of partition at-or-below each row) and
+    nth_value over the default running frame — the remaining members of
+    the statistical window family (rank/dense_rank/ntile/percent_rank
+    are covered elsewhere). The unique (price, orderkey) ordering keeps
+    both engines' tie handling identical."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
