@@ -43,6 +43,8 @@ EXPECTED_NESTED_LOOP = {
     "events_funnel",
     # 1-row corpus-size agg broadcast onto the per-term stats
     "text_tfidf_terms",
+    # 1-row average broadcast onto the per-key counts
+    "diag_custkey_skew",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

@@ -77,3 +77,44 @@ def bucketed_join_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_lines"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+@register(
+    "diag_custkey_skew",
+    """
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_per_key,
+           ROUND(AVG(n), 4) AS avg_per_key,
+           ROUND(MAX(n) / AVG(n), 4) AS skew_ratio,
+           CAST(SUM(CASE WHEN n > 2 * (SELECT AVG(n) FROM per_key)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_keys
+    FROM per_key
+    """,
+)
+def diag_custkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per-key cardinality moments and the
+    max/avg skew ratio — the measurement that decides whether a key
+    needs salting (operators/skew.py) or AQE skew-join splitting before
+    a 100 TB join. Two cheap aggregates (per-key, then global); the
+    hot-key count attaches the scalar average via a broadcast, the same
+    1-row pattern as text_tfidf_terms."""
+    import pyspark.sql.functions as F
+
+    orders = table(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    avg_row = per_key.agg(F.avg("n").alias("avg_n"))
+    return (
+        per_key.crossJoin(F.broadcast(avg_row))
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").alias("max_per_key"),
+            F.round(F.avg("n"), 4).alias("avg_per_key"),
+            F.round(F.max("n") / F.avg("n"), 4).alias("skew_ratio"),
+            F.sum(
+                F.when(F.col("n") > 2 * F.col("avg_n"), 1).otherwise(0)
+            ).alias("n_hot_keys"),
+        )
+    )
