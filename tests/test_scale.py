@@ -136,3 +136,20 @@ def test_hll_sketches_merge_across_partitions(spark):
 
     assert merged == single  # register-maxima merge is lossless
     assert abs(merged - exact) / exact < 0.05
+
+
+def test_percentile_approx_tracks_exact(spark):
+    # the 100 TB scale path for agg_price_percentiles /
+    # events_value_outliers_mad: bounded-memory sketch quantiles must
+    # track the exact interpolated percentile closely
+    import pyspark.sql.functions as F
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    row = orders.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile_approx(o_totalprice, 0.5, 10000)").alias("apx_p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("exact_p95"),
+        F.expr("percentile_approx(o_totalprice, 0.95, 10000)").alias("apx_p95"),
+    ).collect()[0]
+    assert abs(row.apx_p50 - row.exact_p50) / row.exact_p50 < 0.01
+    assert abs(row.apx_p95 - row.exact_p95) / row.exact_p95 < 0.01
