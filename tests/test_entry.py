@@ -36,3 +36,24 @@ def test_cli_query_and_pipeline(spark, tmp_path, capsys):
     assert spark.read.parquet(str(tmp_path / "e5")).count() > 0
     assert main(["list"]) == 0
     assert "q1_pricing_summary" in capsys.readouterr().out
+
+
+def test_every_oracle_parses_in_duckdb():
+    # cheap syntactic guard: EXPLAIN each oracle against views over the
+    # real fixture files, so a typo'd oracle fails in milliseconds
+    # instead of at the driver's gate
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    bad = []
+    for name, sql in E.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # noqa: BLE001
+            bad.append((name, str(e).splitlines()[0]))
+    assert not bad, bad
