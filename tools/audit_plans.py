@@ -45,6 +45,8 @@ EXPECTED_NESTED_LOOP = {
     "text_tfidf_terms",
     # 1-row average broadcast onto the per-key counts
     "diag_custkey_skew",
+    # trailing-week range join against the broadcast ~30-row day spine
+    "events_dau_wau",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

@@ -549,3 +549,48 @@ def events_value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(rz, 4).alias("robust_z"),
         )
     )
+
+
+# --- DAU / trailing-7-day WAU ------------------------------------------------
+@register(
+    "events_dau_wau",
+    """
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM daily)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(DISTINCT CASE WHEN a.day = d.day THEN a.user_id END)
+                AS BIGINT) AS dau,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS wau
+    FROM days d
+      JOIN daily a ON a.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily and trailing-7-day distinct actives (DAU/WAU) — the
+    headline engagement metrics. COUNT(DISTINCT) can't run in a sliding
+    window, so each day joins the (tiny, broadcast) day spine against
+    the deduped (day, user) activity within its trailing week and
+    re-counts distinct — the standard rewrite. Work scales with
+    activity x 7, not activity x days; the distinct pre-aggregation is
+    the only full-data pass."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = daily.select("day").distinct()
+    joined = daily.alias("a").join(
+        F.broadcast(days.alias("d")),
+        (F.col("a.day") >= F.date_sub(F.col("d.day"), 6))
+        & (F.col("a.day") <= F.col("d.day")),
+    )
+    return (
+        joined.groupBy(F.col("d.day").alias("d_day"))
+        .agg(
+            F.count_distinct(
+                F.when(F.col("a.day") == F.col("d.day"), F.col("a.user_id"))
+            ).alias("dau"),
+            F.count_distinct("a.user_id").alias("wau"),
+        )
+        .select(F.date_format("d_day", "yyyy-MM-dd").alias("day"), "dau", "wau")
+    )
