@@ -19,9 +19,10 @@ from __future__ import annotations
 
 import math
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+
+from ug_dwh_etl_spark.sinks.writers import swap_dir
 
 
 def _dir_bytes(path: str) -> int:
@@ -52,8 +53,7 @@ def compact_table(
     df = spark.read.parquet(path)
     staging = path.rstrip("/") + ".compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    swap_dir(staging, path)
     return n_files
 
 

@@ -41,7 +41,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -50,10 +50,17 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # F.window() start on an hour boundary == date_trunc('hour') — the
     # same aggregation Structured Streaming runs with a watermark.
+    # Decimal-sum parity rule: sum as DECIMAL(12,2) (order-independent
+    # across partial aggs), round+cast double only at the edge.
     win = F.window("ts", "1 hour")
     return (
         ev.groupBy(win.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type", "n", "total_value",
@@ -109,7 +116,8 @@ def events_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_top_users",
     """
-    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY n_events DESC, user_id
@@ -120,7 +128,12 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(25)
     )

@@ -22,7 +22,7 @@ from ug_dwh_etl_spark.streaming.jobs import (
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
     """,

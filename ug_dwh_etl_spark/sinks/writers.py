@@ -14,10 +14,29 @@ The reference lands every table in BigQuery with ``if_exists='append'``
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
+
+
+def swap_dir(staging: str, path: str) -> None:
+    """Replace the directory at ``path`` with ``staging``, keeping one
+    complete copy on disk at every intermediate state: the old table is
+    renamed aside first, so a crash between steps leaves either the old
+    or the new data intact (never neither, as a delete-then-rename
+    would). The leftover ``.old`` from a crash is removed on the next
+    successful swap."""
+    old = path.rstrip("/") + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(path):
+        os.rename(path, old)
+    os.rename(staging, path)
+    if os.path.exists(old):
+        shutil.rmtree(old)
 
 
 def append_history(df: DataFrame, path: str, partition_col: str = "crawl_date") -> None:
@@ -71,9 +90,6 @@ def merge_upsert(
     operator maps 1:1 onto Delta/Iceberg MERGE INTO; the parquet
     staging-swap here keeps the same semantics without a table format.
     """
-    import os
-    import shutil
-
     spark = df.sparkSession
     if not os.path.exists(path):
         w = df.write.mode("overwrite")
@@ -100,5 +116,4 @@ def merge_upsert(
     if partition_col:
         w = w.partitionBy(partition_col)
     w.parquet(staging)
-    shutil.rmtree(path)
-    os.rename(staging, path)
+    swap_dir(staging, path)

@@ -20,9 +20,11 @@ Scale notes:
 
 from __future__ import annotations
 
+import contextlib
+import shutil
 import tempfile
 import uuid
-from collections.abc import Callable, Sequence
+from collections.abc import Callable, Iterator, Sequence
 from typing import TYPE_CHECKING
 
 if TYPE_CHECKING:
@@ -51,6 +53,22 @@ EVENTS_RAW_SCHEMA = StructType(
         StructField("props", StringType()),
     ]
 )
+
+
+@contextlib.contextmanager
+def _checkpoint_dir(explicit: str | None, prefix: str) -> Iterator[str]:
+    """Yield a checkpoint location; remove it afterwards ONLY when we
+    created it ourselves (an explicit checkpoint is the caller's durable
+    incremental state — a temp one is single-run by construction, and
+    leaving it would accrete /tmp garbage across test and bench runs)."""
+    if explicit is not None:
+        yield explicit
+        return
+    tmp = tempfile.mkdtemp(prefix=prefix)
+    try:
+        yield tmp
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,15 +103,16 @@ def run_stream_to_memory(
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        q = (
-            stream_df.writeStream.format("memory")
-            .queryName(name)
-            .outputMode(output_mode)
-            .option("checkpointLocation", tempfile.mkdtemp(prefix=f"ckpt_{name}_"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with _checkpoint_dir(None, f"ckpt_{name}_") as ckpt:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
@@ -106,7 +125,14 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = F.window("ts", "1 hour")
     agg = (
         ev.groupBy(win.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal-sum parity rule: sum as DECIMAL(12,2) (order-
+            # independent), round+cast double only at the edge.
+            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .select(
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
             "event_type",
@@ -161,10 +187,17 @@ def available_now_pipeline(
     ``gates`` run the batch DQ checks (§2.13 Q1: the reference alerts
     per cron run, `sf_html_data.py:95-105`) against EVERY micro-batch:
     a non-blocking violation alerts and still lands; a blocking one
-    diverts the whole batch to ``quarantine_path`` (or drops it) so bad
-    data never reaches the serving table while the stream keeps
-    running."""
+    diverts the whole batch to ``quarantine_path`` so bad data never
+    reaches the serving table while the stream keeps running. Blocking
+    gates REQUIRE a quarantine path: silently dropping a failed batch
+    while the checkpoint advances would lose the data permanently."""
     from ug_dwh_etl_spark.operators.quality import expect
+
+    if quarantine_path is None and any(g.blocking for g in gates):
+        raise ValueError(
+            "available_now_pipeline: blocking gates need quarantine_path — "
+            "a dropped micro-batch is unrecoverable once the checkpoint commits"
+        )
 
     src = read_events_stream(spark, sf_dir)
 
@@ -188,16 +221,14 @@ def available_now_pipeline(
         if gates:
             out.unpersist()
 
-    q = (
-        src.writeStream.foreachBatch(write_batch)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="ckpt_pipeline_"),
+    with _checkpoint_dir(checkpoint, "ckpt_pipeline_") as ckpt:
+        q = (
+            src.writeStream.foreachBatch(write_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,16 +313,14 @@ def incremental_rollup_pipeline(
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
         merge_rollup_delta(batch_df, out_path)
 
-    q = (
-        src.writeStream.foreachBatch(merge_batch)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix="ckpt_rollup_"),
+    with _checkpoint_dir(checkpoint, "ckpt_rollup_") as ckpt:
+        q = (
+            src.writeStream.foreachBatch(merge_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
 
 
 def merge_rollup_delta(batch_df: DataFrame, out_path: str) -> None:
@@ -299,7 +328,8 @@ def merge_rollup_delta(batch_df: DataFrame, out_path: str) -> None:
     re-aggregate (existing ∪ delta-agg) and staging-swap. Separated from
     the streaming wrapper so tests can drive arbitrary batch splits."""
     import os
-    import shutil
+
+    from ug_dwh_etl_spark.sinks.writers import swap_dir
 
     spark = batch_df.sparkSession
     delta = (
@@ -324,6 +354,4 @@ def merge_rollup_delta(batch_df: DataFrame, out_path: str) -> None:
         merged = delta
     staging = out_path.rstrip("/") + ".staging"
     merged.write.mode("overwrite").parquet(staging)
-    if os.path.exists(out_path):
-        shutil.rmtree(out_path)
-    os.rename(staging, out_path)
+    swap_dir(staging, out_path)
