@@ -53,6 +53,18 @@ def test_minhash_lsh_finds_near_duplicates(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_lsh_leaves_no_cached_relation(spark):
+    # regression (ADVICE r1): the banded-signature persist leaked a
+    # CacheManager entry per call for the session lifetime. The
+    # localCheckpoint replacement must leave the cache manager empty.
+    df = spark.createDataFrame(
+        [(i, f"doc number {i} with some shared words") for i in range(20)],
+        "id long, text string",
+    )
+    minhash_lsh_pairs(df, "id", "text").count()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
 def test_ngram_jaccard_scores(spark):
     df = spark.createDataFrame(
         [(1, "a b c d e f g h"), (2, "a b c d e f g h"), (3, "z y x w v u t s")],
@@ -60,6 +72,26 @@ def test_ngram_jaccard_scores(spark):
     )
     out = ngram_jaccard_pairs(df, "id", "text", threshold=0.9).collect()
     assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in out] == [(1, 2, 1.0)]
+
+
+def test_ngram_jaccard_df_cap_parity_and_pruning(spark):
+    from ug_dwh_etl_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon eta"),
+        (3, "one two three four five six seven"),
+        (4, "one two three four five six eight"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    uncapped = set(map(tuple, ngram_jaccard_pairs(df, "id", "text", 0.3).collect()))
+    # cap above every shingle's df → bit-identical to the uncapped run
+    high_cap = set(
+        map(tuple, ngram_jaccard_pairs(df, "id", "text", 0.3, max_shingle_df=10).collect())
+    )
+    assert high_cap == uncapped and len(uncapped) > 0
+    # cap=1 drops every shared shingle → no pair can survive
+    assert ngram_jaccard_pairs(df, "id", "text", 0.3, max_shingle_df=1).count() == 0
 
 
 def test_simhash_near_dup_small_hamming(spark):

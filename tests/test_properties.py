@@ -63,9 +63,11 @@ _num_text = st.one_of(
 
 
 def _ref_locale_decimal(s: str) -> float | None:
+    # reference keeps full float precision (product_data.py:63-64) —
+    # no quantization in the model either
     cleaned = s.replace(".", "").replace(",", ".")
     try:
-        return round(float(cleaned), 2)
+        return float(cleaned)
     except ValueError:
         return None
 

@@ -85,8 +85,9 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     out = str(tmp_path / "rollup_manual")
     merge_rollup_delta(ev.filter(F.col("event_id") % 2 == 0), out)
     merge_rollup_delta(ev.filter(F.col("event_id") % 2 == 1), out)
+    # total_value is DECIMAL in the stored rollup — compare as float
     got = {
-        (str(r.day), r.event_type): (r.n, round(r.total_value, 2))
+        (str(r.day), r.event_type): (r.n, round(float(r.total_value), 2))
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
@@ -95,7 +96,7 @@ def test_incremental_rollup_equals_batch(spark, tmp_path):
     out2 = str(tmp_path / "rollup_stream")
     incremental_rollup_pipeline(spark, sf_dir, out2, checkpoint=str(tmp_path / "ck"))
     got2 = {
-        (str(r.day), r.event_type): (r.n, round(r.total_value, 2))
+        (str(r.day), r.event_type): (r.n, round(float(r.total_value), 2))
         for r in spark.read.parquet(out2).collect()
     }
     assert got2 == expected

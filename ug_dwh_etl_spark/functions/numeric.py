@@ -15,12 +15,15 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def locale_decimal(col: Column | str, precision: int = 18, scale: int = 2) -> Column:
+def locale_decimal(col: Column | str) -> Column:
     """C10 — German-locale money parse: strip '.' thousands separators,
-    ','→'.', then decimal cast (`Midoco/product_data.py:63-64`).
-    DecimalType internally; callers cast to double for oracle parity."""
+    ','→'.', then full-precision double cast. The reference
+    (`Midoco/product_data.py:63-64`) keeps full float precision after the
+    parse; quantizing to cents here would silently round sub-cent inputs,
+    so cents-quantization belongs at the money-aggregation edge (where the
+    DECIMAL-sum parity rule already applies), never at parse time."""
     cleaned = F.regexp_replace(F.regexp_replace(_c(col), r"\.", ""), ",", ".")
-    return cleaned.try_cast(f"decimal({precision},{scale})")
+    return cleaned.try_cast("double")
 
 
 def lenient_int(col: Column | str, default: int = 0) -> Column:

@@ -154,6 +154,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 0.5)
 
 
+# --- df-capped n-gram Jaccard (the bounded-quadratic scale path) -----------------
+@register(
+    "dedup_ngram_jaccard_capped",
+    f"""
+    WITH {_SHINGLE_HASH_CTES},
+    capped AS (SELECT doc_id, sh FROM exh
+               QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 5),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quadratic-bounded variant: shingles in more than 5 documents
+    (boilerplate — the hot join keys) are dropped from the shingle sets
+    before the self-join. At sf0.01 the hottest shingle has df=7, so the
+    cap is genuinely exercised; the oracle applies the identical cap via
+    a QUALIFY window filter. Σ bucket² over shingle frequencies is
+    thereby hard-bounded by cap² per shingle — the standalone exact
+    Jaccard becomes safe at corpus scale, not just as a post-LSH
+    verifier."""
+    return ngram_jaccard_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 0.5, max_shingle_df=5
+    )
+
+
 # --- embedding-cosine near-dups (SRP-bucketed candidates) -------------------------
 def _emb_cos_sql() -> str:
     from ug_dwh_etl_spark.operators.similarity import N_HYPERPLANES, sql_plane_literal

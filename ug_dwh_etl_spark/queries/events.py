@@ -41,7 +41,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -50,14 +50,14 @@ def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     # F.window() start on an hour boundary == date_trunc('hour') — the
     # same aggregation Structured Streaming runs with a watermark.
-    # Decimal-sum parity rule: sum as DECIMAL(12,2) (order-independent
+    # Decimal-sum parity rule: sum as DECIMAL(18,2) (order-independent
     # across partial aggs), round+cast double only at the edge.
     win = F.window("ts", "1 hour")
     return (
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total_value"),
         )
@@ -117,7 +117,7 @@ def events_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_top_users",
     """
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY user_id
     ORDER BY n_events DESC, user_id
@@ -130,7 +130,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total_value"),
         )
@@ -150,7 +150,7 @@ def events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events)
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM expanded GROUP BY window_start, event_type
     """,
 )
@@ -163,7 +163,7 @@ def events_sliding_2h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total_value"),
         )
@@ -400,7 +400,8 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN hr IS NOT NULL THEN 'hour' ELSE 'day' END AS grain,
            strftime(day, '%Y-%m-%d') AS day,
            COALESCE(strftime(hr, '%Y-%m-%d %H:%M:%S'), '') AS bucket,
-           COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+           COUNT(*) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM b
     GROUP BY ROLLUP (day, hr)
     HAVING day IS NOT NULL
@@ -423,7 +424,12 @@ def events_rollup_hour_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         b.rollup("day", "hr")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
         .filter(F.col("day").isNotNull())
         .select(
             F.when(F.col("hr").isNotNull(), "hour").otherwise("day").alias("grain"),

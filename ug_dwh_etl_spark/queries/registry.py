@@ -27,14 +27,37 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events reader tolerant of the fixture's timestamp physical type.
+
+    The generator has shipped events.ts as both TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects without the nanosAsLong escape
+    hatch) and TIMESTAMP(MICROS) (plain timestamp read). Probe the
+    footer schema and convert long-nanos to a timestamp only when the
+    file actually stores nanos — micros files pass through untouched
+    (DuckDB's view narrows ns → µs identically, so oracles agree either
+    way)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    path = f"{sf_dir}/events.parquet"
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force footer conversion so a nanos file fails HERE
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # micros files arrive as TIMESTAMP_NTZ; normalize to TIMESTAMP
+        # (LTZ) — watermarks require it, and with the session pinned to
+        # UTC the wall-clock values are identical to DuckDB's naive read
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read nanos as long and truncate to micros
-        # (exactly what DuckDB does when it narrows ns → its µs TIMESTAMP).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return read_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")

@@ -19,14 +19,19 @@ from ug_dwh_etl_spark.queries.registry import register, table
 @register(
     "skew_salted_event_counts",
     """
-    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total_value,
-           ROUND(MAX(value), 2) AS max_value
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+           CAST(ROUND(MAX(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS max_value
     FROM events GROUP BY event_type
     """,
 )
 def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event_type has 5 hot keys — the canonical skewed-groupBy shape.
-    ev = table(spark, sf_dir, "events")
+    # Decimal-sum parity: cast BEFORE the salted two-phase sum so both
+    # partial and merge sums are order-independent decimals.
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
     out = salted_agg(
         ev,
         key="event_type",
@@ -41,8 +46,8 @@ def skew_salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_type",
         "n",
-        F.round("total_value_raw", 2).alias("total_value"),
-        F.round("max_value_raw", 2).alias("max_value"),
+        F.round("total_value_raw", 2).cast("double").alias("total_value"),
+        F.round("max_value_raw", 2).cast("double").alias("max_value"),
     )
 
 

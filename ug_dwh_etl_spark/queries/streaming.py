@@ -22,7 +22,7 @@ from ug_dwh_etl_spark.streaming.jobs import (
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -63,7 +63,8 @@ def q_stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stateful_user_totals",
     """
-    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -85,7 +86,7 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM events)
     SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type,
            COUNT(*) AS n,
-           CAST(ROUND(SUM(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
     FROM expanded GROUP BY window_start, event_type
     """,
 )

@@ -28,7 +28,15 @@ def swap_dir(staging: str, path: str) -> None:
     renamed aside first, so a crash between steps leaves either the old
     or the new data intact (never neither, as a delete-then-rename
     would). The leftover ``.old`` from a crash is removed on the next
-    successful swap."""
+    successful swap.
+
+    SINGLE-WRITER assumption: crash-safe for data durability, but not
+    atomic for readers — between the two renames there is a window where
+    ``path`` does not exist, so a concurrent read of the serving table
+    can fail, and two concurrent swaps on the same path race on ``.old``.
+    Matches the reference's one-job-per-table daily cron model; a
+    multi-writer deployment needs a lock or a table format with atomic
+    commit (Delta/Iceberg) instead."""
     old = path.rstrip("/") + ".old"
     if os.path.exists(old):
         shutil.rmtree(old)

@@ -32,27 +32,26 @@ if TYPE_CHECKING:
 
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
-from pyspark.sql.types import (
-    DoubleType,
-    LongType,
-    StringType,
-    StructField,
-    StructType,
-)
+from pyspark.sql.types import LongType, StructType
 
-# events.parquet stores TIMESTAMP(NANOS); the streaming reader needs an
-# explicit schema, so read nanos as long and truncate to micros — the
-# same convention as queries.registry.table().
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
+    """Schema for the streaming events source, probed from the parquet
+    footer (metadata-only read — no data scan).
+
+    The fixture generator has shipped events.ts as both TIMESTAMP(NANOS)
+    (which Spark reads only as long via the nanosAsLong escape hatch)
+    and TIMESTAMP(MICROS) (native timestamp); the streaming reader needs
+    an explicit schema, so take whatever the batch footer conversion
+    yields rather than hardcoding one — same convention as
+    queries.registry.read_events."""
+    path = f"{sf_dir}/events.parquet"
+    try:
+        schema = spark.read.parquet(path).schema
+        schema["ts"]  # force resolution
+        return schema
+    except Exception:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(path).schema
 
 
 @contextlib.contextmanager
@@ -73,15 +72,20 @@ def _checkpoint_dir(explicit: str | None, prefix: str) -> Iterator[str]:
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events fixture (S1 streaming twin)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     # File-stream sources require a directory; glob-filter to the events
     # file so the other fixture tables in sf_dir aren't picked up.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(events_raw_schema(spark, sf_dir))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        # micros files arrive as TIMESTAMP_NTZ; watermarks require
+        # TIMESTAMP (LTZ) — identical wall-clock under the UTC session
+        raw = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def run_stream_to_memory(
@@ -127,9 +131,9 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            # decimal-sum parity rule: sum as DECIMAL(12,2) (order-
+            # decimal-sum parity rule: sum as DECIMAL(18,2) (order-
             # independent), round+cast double only at the edge.
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total_value"),
         )
@@ -241,7 +245,7 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(win.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
             .cast("double")
             .alias("total_value"),
         )
@@ -337,7 +341,13 @@ def merge_rollup_delta(batch_df: DataFrame, out_path: str) -> None:
             F.to_date("ts").alias("day"), "event_type"
         ).agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("value").alias("total_value"),
+            # decimal sum: partial sums are re-merged on EVERY delta, so
+            # double accumulation would drift with batch split order;
+            # decimal keeps the merge exact. Cast back to (18,2) so the
+            # stored table schema stays fixed across merges.
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total_value"),
         )
     )
     if os.path.exists(out_path):
@@ -347,7 +357,7 @@ def merge_rollup_delta(batch_df: DataFrame, out_path: str) -> None:
             .groupBy("day", "event_type")
             .agg(
                 F.sum("n").alias("n"),
-                F.sum("total_value").alias("total_value"),
+                F.sum("total_value").cast("decimal(18,2)").alias("total_value"),
             )
         )
     else:

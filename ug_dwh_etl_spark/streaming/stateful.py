@@ -30,8 +30,13 @@ from pyspark.sql.types import (
 
 from ug_dwh_etl_spark.streaming.jobs import read_events_stream, run_stream_to_memory
 
+# state keeps the value total as integer CENTS, not a double: the state
+# is folded over micro-batches in arrival order, and float addition is
+# order-dependent — integer cents make the running total exact and
+# batch-split-invariant (same parity rule as the DECIMAL sums batch-side;
+# fixture contract: event values carry exactly 2 decimals).
 STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_cents", LongType())]
 )
 OUTPUT_SCHEMA = StructType(
     [
@@ -46,13 +51,13 @@ def _update_user_totals(
     key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for batch in batches:
         n += len(batch)
-        total += float(batch["value"].sum())
-    state.update((n, total))
+        cents += int(batch["value"].mul(100).round().sum())
+    state.update((n, cents))
     yield pd.DataFrame(
-        {"user_id": [user_id], "n_events_cum": [n], "total_value_cum": [total]}
+        {"user_id": [user_id], "n_events_cum": [n], "total_value_cum": [cents / 100.0]}
     )
 
 
@@ -98,13 +103,13 @@ class UserTotalsProcessor(StatefulProcessor):
         self._totals = handle.getValueState("totals", STATE_SCHEMA)
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
-        n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
         for batch in rows:
             n += len(batch)
-            total += float(batch["value"].sum())
-        self._totals.update((n, total))
+            cents += int(batch["value"].mul(100).round().sum())
+        self._totals.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events_cum": [n], "total_value_cum": [total]}
+            {"user_id": [key[0]], "n_events_cum": [n], "total_value_cum": [cents / 100.0]}
         )
 
     def close(self) -> None:
