@@ -76,6 +76,10 @@ HEADLINE = [
     "text_tfidf_terms",
     "sim_knn_join",
     "text_pack_sequences",
+    # added round 3: the bounded-quadratic Jaccard and the end-to-end
+    # dedup decision (retained-corpus filter)
+    "dedup_ngram_jaccard_capped",
+    "dedup_corpus_survivors",
 ]
 
 

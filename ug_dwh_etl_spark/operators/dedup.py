@@ -289,22 +289,16 @@ def ngram_jaccard_pairs(
     )
 
 
-def near_dup_clusters(
+def near_dup_labels(
     df: DataFrame, id_col: str, text_col: str, iterations: int = 3
 ) -> DataFrame:
-    """Group near-duplicate documents into clusters: connected
-    components over the LSH candidate-pair graph via BOUNDED min-label
-    propagation (label(v) <- min(label(v), min of neighbors' labels),
-    ``iterations`` rounds).
-
-    The dedup decision a training pipeline actually needs — "keep one
-    canonical doc per near-dup group" — is the component, not the pair
-    list. Bounded iteration keeps the computation a fixed dataflow
-    (exactly unrollable into the SQL oracle, like PageRank); components
-    with diameter > iterations would need more rounds, which at scale is
-    the standard large-star/small-star loop over the same join shape.
-    Returns (cluster, n_docs) for clusters of size > 1, cluster = min
-    doc_id of the group (the canonical survivor)."""
+    """(node, label) after BOUNDED min-label propagation over the LSH
+    candidate-pair graph (label(v) <- min(label(v), min of neighbors'
+    labels), ``iterations`` rounds). label = the minimum doc id
+    reachable within the iteration horizon — the canonical survivor of
+    the near-dup component (components with diameter > iterations would
+    need more rounds, which at scale is the standard
+    large-star/small-star loop over the same join shape)."""
     spark = df.sparkSession
     # the label table is |docs|-sized and the pair graph is sparse — size
     # the iteration's shuffles to that, not the fact-table session
@@ -332,12 +326,43 @@ def near_dup_clusters(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
             )
-        result = (
-            labels.groupBy(F.col("label").alias("cluster"))
-            .agg(F.count(F.lit(1)).alias("n_docs"))
-            .filter(F.col("n_docs") > 1)
-        ).localCheckpoint(eager=True)
+        result = labels.localCheckpoint(eager=True)
         edges.unpersist()
         return result
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def near_dup_clusters(
+    df: DataFrame, id_col: str, text_col: str, iterations: int = 3
+) -> DataFrame:
+    """Group near-duplicate documents into clusters: connected
+    components over the LSH candidate-pair graph (see
+    ``near_dup_labels``). Returns (cluster, n_docs) for clusters of
+    size > 1, cluster = min doc_id of the group (the canonical
+    survivor)."""
+    labels = near_dup_labels(df, id_col, text_col, iterations)
+    return (
+        labels.groupBy(F.col("label").alias("cluster"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_survivors(
+    df: DataFrame, id_col: str, text_col: str, iterations: int = 3
+) -> DataFrame:
+    """The end-to-end dedup DECISION: the retained document ids after
+    removing exact and near duplicates — keep a doc iff it is the
+    minimum id of its near-dup component (singletons keep themselves).
+
+    Exact duplicates have identical shingle sets, hence identical
+    minhash signatures, hence agree on every LSH band — so they are
+    always candidate pairs and the component minimum subsumes exact
+    dedup's min-id survivor rule. One pass over the corpus produces the
+    filter a training pipeline joins against; at 100 TB the retained set
+    writes out as the cleaned corpus partition."""
+    labels = near_dup_labels(df, id_col, text_col, iterations)
+    return labels.filter(F.col("label") == F.col("node")).select(
+        F.col("node").alias(id_col)
+    )

@@ -265,7 +265,10 @@ def split_train_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- near-dup clusters (connected components over the LSH pair graph) -----------
-def _clusters_sql(iterations: int = 3) -> str:
+def _label_prop_ctes(iterations: int = 3) -> str:
+    """Shared WITH-body for bounded min-label propagation: tokenize →
+    minhash → bands → candidate pairs → ``iterations`` rounds of
+    min-neighbor-label; the final label table is ``l{iterations}``."""
     h = H.sql_md5_long("shingle", 15)
     mins = ", ".join(
         f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
@@ -303,9 +306,12 @@ def _clusters_sql(iterations: int = 3) -> str:
         LEFT JOIN l{i} n ON n.node = e.b
       GROUP BY l.node, l.label)"""
         )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _clusters_sql(iterations: int = 3) -> str:
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _label_prop_ctes(iterations)
         + f"""
     SELECT label AS cluster, CAST(COUNT(*) AS BIGINT) AS n_docs
     FROM l{iterations} GROUP BY label HAVING COUNT(*) > 1"""
@@ -317,6 +323,23 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.dedup import near_dup_clusters
 
     return near_dup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- end-to-end dedup decision: the retained corpus ----------------------------
+@register(
+    "dedup_corpus_survivors",
+    _label_prop_ctes()
+    + """
+    SELECT node AS doc_id FROM l3 WHERE label = node""",
+)
+def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document ids a training pipeline RETAINS after exact +
+    near-dup removal: min-id survivor per near-dup component (exact dups
+    always share every LSH band, so the component minimum subsumes the
+    exact-dedup survivor rule)."""
+    from ug_dwh_etl_spark.operators.dedup import dedup_survivors
+
+    return dedup_survivors(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
 @register(
