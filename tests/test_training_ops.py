@@ -60,3 +60,83 @@ def test_knn_join_contract(spark):
         assert cosines == sorted(cosines, reverse=True)
     # every query vector produced a group
     assert len(per_q) == emb.filter(F.col("vec_id") % 97 == 0).count()
+
+
+def test_quality_filter_rules_fire_individually(spark):
+    from ug_dwh_etl_spark.operators.textstats import quality_filter
+
+    rows = [
+        (1, "the quick brown fox " * 10),          # prose-ish: keep
+        (2, "short text the end"),                 # too few words
+        (3, ("zz " * 50).strip()),                 # no stopwords
+        (4, "supercalifragilisticexpialidocious " * 40),  # words too long
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in quality_filter(df, "id", "text", min_words=10).collect()}
+    assert got[1].keep
+    assert not got[2].words_ok and not got[2].keep
+    assert not got[3].stopword_ok and not got[3].keep
+    assert not got[4].word_len_ok and not got[4].keep
+
+
+def test_contamination_scan_counts_and_misses(spark):
+    from ug_dwh_etl_spark.operators.textstats import contamination_scan
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta gamma delta"), (3, "unrelated")],
+        "id long, text string",
+    )
+    got = {r.probe: (r.n_docs, r.pct_docs) for r in contamination_scan(
+        df, "id", "text", ("beta gamma", "nope")).collect()}
+    assert got["beta gamma"] == (2, round(2 / 3, 6))
+    assert got["nope"] == (0, 0.0)
+
+
+def test_dedup_incremental_batch_and_corpus_rules(spark):
+    from ug_dwh_etl_spark.operators.dedup import dedup_incremental
+
+    existing = spark.createDataFrame(
+        [(1, "already in the corpus"), (2, "another old doc")], "id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already in the corpus!"),   # normalizes to an existing doc
+            (11, "a brand new document"),
+            (12, "a brand new document"),     # in-batch dup of 11
+            (13, "second new document"),
+        ],
+        "id long, text string",
+    )
+    kept = {r.id for r in dedup_incremental(batch, existing, "id", "text").collect()}
+    assert kept == {11, 13}
+
+
+def test_verify_pairs_restricted_to_candidates(spark):
+    from ug_dwh_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        verify_pairs_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, base),
+        (2, base.replace("today", "tomorrow")),
+        (3, "completely unrelated text about database engines and query planning"),
+        (4, "completely unrelated text about database engines and query planners"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    pairs = minhash_lsh_pairs(df, "id", "text")
+    verified = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verify_pairs_jaccard(df, pairs, "id", "text", 0.3).collect()
+    }
+    # verification on candidates agrees with the standalone exact Jaccard
+    # wherever LSH proposed the pair
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, "id", "text", 0.3).collect()
+    }
+    cand = {tuple(r) for r in pairs.collect()}
+    assert verified == {p: j for p, j in exact.items() if p in cand}
+    assert (1, 2) in verified

@@ -289,6 +289,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def dedup_incremental(
+    batch: DataFrame, existing: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental-ingest exact dedup: the ids from ``batch`` to admit
+    into a corpus that already contains ``existing``.
+
+    Two rules, both single-shuffle: (1) within the batch keep the
+    min-id doc per normalized fingerprint; (2) drop batch docs whose
+    fingerprint already exists in the corpus (left-anti join on the
+    fingerprint — at 100 TB the corpus side is the stored fingerprint
+    index, partition-pruned to the dedup-key range of the delta, not a
+    rescan of the corpus text)."""
+    b = normalized_fingerprint(spread(batch), id_col, text_col)
+    e = normalized_fingerprint(existing, id_col, text_col).select("fingerprint")
+    batch_survivors = b.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    return batch_survivors.join(e, "fingerprint", "left_anti").select(id_col)
+
+
+def verify_pairs_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification RESTRICTED to a candidate pair list —
+    the production near-dup shape (LSH proposes, Jaccard disposes).
+
+    Unlike the standalone shingle self-join (cost Σ df² over shingle
+    frequencies), this walks only the candidates: pairs ⋈ shingles(a)
+    ⋈ shingles(b), so cost is Σ over pairs of |shingles(a)| — linear in
+    the candidate count times document length, independent of hot-shingle
+    frequency. Returns (id_a, id_b, jaccard) for verified pairs."""
+    sh = doc_shingle_hashes(spread(df), id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("_vb"), F.col("sh").alias("sh_b"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, (F.col("id_b") == F.col("_vb")) & (F.col("sh_a") == F.col("sh_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def near_dup_labels(
     df: DataFrame, id_col: str, text_col: str, iterations: int = 3
 ) -> DataFrame:

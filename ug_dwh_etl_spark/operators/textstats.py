@@ -77,6 +77,79 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+# Gopher/C4-style document filter rules (public heuristics: Rae et al.
+# 2021 "Scaling Language Models" appendix A; Raffel et al. 2020 C4).
+# Thresholds are parameters; defaults tuned to the fixture's synthetic
+# word-salad so both keep and drop branches are exercised.
+QUALITY_RULES_DEFAULTS = dict(
+    min_words=30,
+    max_words=100_000,
+    min_mean_word_len=2.0,
+    max_mean_word_len=12.0,
+    min_stopword_ratio=0.01,
+)
+
+
+def quality_filter(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    **rules: float,
+) -> DataFrame:
+    """Per-document rule flags + the keep decision — the C4/Gopher-style
+    corpus gate. Pure Column expressions (one scan, zero shuffles, zero
+    Python): word-count bounds, mean-word-length bounds, and a minimum
+    English-stopword ratio (the cheap "is this prose" test). Returns
+    (id, n_words, mean_word_len, stopword_ratio, words_ok, word_len_ok,
+    stopword_ok, keep)."""
+    r = {**QUALITY_RULES_DEFAULTS, **rules}
+    out = df.withColumn("t", H.tokens(text_col))
+    n_words = F.size("t")
+    mean_len = F.when(n_words > 0, F.length(F.concat_ws("", F.col("t"))) / n_words)
+    stop_ratio = F.when(
+        n_words > 0, _stop_filter_spark("t", STOPWORDS["en"]) / n_words
+    ).otherwise(F.lit(0.0))
+    flags = out.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        n_words.between(r["min_words"], r["max_words"]).alias("words_ok"),
+        F.coalesce(
+            mean_len.between(r["min_mean_word_len"], r["max_mean_word_len"]),
+            F.lit(False),
+        ).alias("word_len_ok"),
+        (stop_ratio >= r["min_stopword_ratio"]).alias("stopword_ok"),
+    )
+    return flags.withColumn(
+        "keep", F.col("words_ok") & F.col("word_len_ok") & F.col("stopword_ok")
+    )
+
+
+def contamination_scan(
+    df: DataFrame, id_col: str, text_col: str, probes: tuple[str, ...]
+) -> DataFrame:
+    """Benchmark-contamination check: for each probe string (an eval-set
+    fragment), count documents containing it verbatim. One scan with
+    |probes| contains() per row folded into a single aggregation — the
+    probe set is a literal (conceptually broadcast), never a join side,
+    so the plan is corpus-size-linear no matter how many probes.
+    Returns (probe, n_docs, pct_docs) per probe."""
+    aggs = [
+        F.sum(F.contains(F.col(text_col), F.lit(p)).cast("long")).alias(f"_p{i}")
+        for i, p in enumerate(probes)
+    ]
+    counts = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
+    stack_args = ", ".join(f"'{p}', _p{i}" for i, p in enumerate(probes))
+    return counts.selectExpr(
+        f"stack({len(probes)}, {stack_args}) AS (probe, n_docs)", "_n"
+    ).select(
+        "probe",
+        "n_docs",
+        F.round(F.col("n_docs") / F.col("_n"), 6).alias("pct_docs"),
+    )
+
+
 def langid(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-hit argmax over {en,de,fr,es}; 'und' when no hits.
     Deterministic tie-break: en > de > fr > es."""

@@ -8,6 +8,7 @@ two sides cannot drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from ug_dwh_etl_spark.operators import hashing as H
 from ug_dwh_etl_spark.operators.dedup import (
@@ -528,3 +529,87 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est") - exact), 6).alias("abs_err"),
         )
     )
+
+
+# --- incremental-ingest dedup (new batch vs existing corpus) --------------------
+@register(
+    "dedup_incremental",
+    f"""
+    WITH {_TOK_CTE},
+    fp AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint FROM tok),
+    batch AS (SELECT * FROM fp WHERE doc_id % 10 = 0),
+    existing AS (SELECT fingerprint FROM fp WHERE doc_id % 10 <> 0),
+    batch_survivors AS (
+      SELECT fingerprint, MIN(doc_id) AS doc_id FROM batch GROUP BY fingerprint)
+    SELECT doc_id FROM batch_survivors b
+    WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.fingerprint = b.fingerprint)
+    """,
+)
+def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-increment dedup shape: docs with doc_id % 10 = 0 play the
+    incoming batch, the rest the already-ingested corpus. Batch is
+    deduped internally (min-id per fingerprint) then anti-joined against
+    the corpus fingerprints — at 100 TB the right side is the stored
+    fingerprint index, not a corpus rescan."""
+    from ug_dwh_etl_spark.operators.dedup import dedup_incremental
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup_incremental(batch, existing, "doc_id", "text")
+
+
+# --- candidate-restricted Jaccard verification ---------------------------------
+def _verified_pairs_sql(threshold: float = 0.5) -> str:
+    h = H.sql_md5_long("shingle", 15)
+    mins = ", ".join(
+        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    band_selects = []
+    for b in range(N_BANDS):
+        key = " || '_' || ".join(
+            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
+    bands = "\n      UNION ALL\n      ".join(band_selects)
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {h} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    bands AS (
+      {bands}
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    exh2 AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS inter
+      FROM pairs p
+        JOIN exh2 a ON a.doc_id = p.id_a
+        JOIN exh2 b ON b.doc_id = p.id_b AND b.h = a.h
+      GROUP BY p.id_a, p.id_b)
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+    """
+
+
+@register("dedup_verified_pairs", _verified_pairs_sql())
+def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production near-dup pipeline: LSH banding proposes candidate
+    pairs, exact Jaccard verifies them — computed ONLY on the candidates
+    (pairs ⋈ shingles ⋈ shingles), so verification cost is linear in the
+    candidate count × doc length, immune to the hot-shingle quadratic of
+    the standalone self-join."""
+    from ug_dwh_etl_spark.operators.dedup import verify_pairs_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    return verify_pairs_jaccard(docs, pairs, "doc_id", "text", 0.5)

@@ -8,9 +8,12 @@ import pyspark.sql.functions as F
 from ug_dwh_etl_spark.operators import hashing as H
 from ug_dwh_etl_spark.operators.textstats import (
     BPE_ISH_PATTERN,
+    QUALITY_RULES_DEFAULTS,
     STOPWORDS,
+    contamination_scan,
     fingerprints,
     langid,
+    quality_filter,
     quality_scores,
     sql_stop_filter,
     token_stats,
@@ -361,3 +364,111 @@ def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.posexplode(H.tokens(F.col("text"))).alias("pos0", "term")
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+
+
+# --- Gopher/C4-style corpus quality gate ---------------------------------------
+# SQL twin of operators.textstats.quality_filter with its default rules.
+_QF = QUALITY_RULES_DEFAULTS
+
+
+@register(
+    "corpus_quality_filter",
+    f"""
+    WITH {_TOK_CTE},
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             CASE WHEN len(t) > 0
+                  THEN length(array_to_string(t, '')) / len(t)::DOUBLE END AS mean_raw,
+             CASE WHEN len(t) > 0
+                  THEN {sql_stop_filter('t', STOPWORDS['en'])} / len(t)::DOUBLE
+                  ELSE 0.0 END AS stop_raw
+      FROM tok)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mean_raw, 6) AS mean_word_len,
+           ROUND(stop_raw, 6) AS stopword_ratio,
+           n_words BETWEEN {_QF['min_words']} AND {_QF['max_words']} AS words_ok,
+           COALESCE(mean_raw BETWEEN {_QF['min_mean_word_len']} AND {_QF['max_mean_word_len']},
+                    FALSE) AS word_len_ok,
+           stop_raw >= {_QF['min_stopword_ratio']} AS stopword_ok,
+           (n_words BETWEEN {_QF['min_words']} AND {_QF['max_words']})
+             AND COALESCE(mean_raw BETWEEN {_QF['min_mean_word_len']} AND {_QF['max_mean_word_len']}, FALSE)
+             AND stop_raw >= {_QF['min_stopword_ratio']} AS keep
+    FROM m
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-rule document gate (word-count bounds, mean word
+    length, minimum stopword ratio) — one scan, zero shuffles, the keep
+    decision plus per-rule flags for filter-rate dashboards."""
+    return quality_filter(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- corpus n-gram statistics ---------------------------------------------------
+@register(
+    "text_ngram_counts",
+    f"""
+    WITH {_TOK_CTE},
+    sh AS (SELECT doc_id, {H.sql_shingles('t', 2)} AS sgl FROM tok),
+    grams AS (SELECT unnest(sgl) AS bigram FROM sh)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams GROUP BY bigram
+    ORDER BY n DESC, bigram LIMIT 50
+    """,
+)
+def text_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequency top-50 (the LM n-gram statistic):
+    explode word-2-grams, one partial-aggregated shuffle on the gram,
+    TakeOrdered for the top-k — never a global sort. Deterministic
+    tiebreak on the bigram text."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(H.tokens(F.col("text")).alias("t"))
+    grams = toks.select(F.explode(H.shingles(F.col("t"), 2)).alias("bigram"))
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(50)
+    )
+
+
+# --- benchmark-contamination scan -----------------------------------------------
+# Probe fragments (stand-ins for eval-set strings); literal on both sides.
+CONTAMINATION_PROBES = (
+    "key agg row scan",
+    "fast merge batch",
+    "table window table",
+    "stream fast order group",
+    "no such fragment anywhere",
+)
+
+
+def _contamination_sql() -> str:
+    probes = "\n      UNION ALL\n      ".join(
+        f"SELECT '{p.replace(chr(39), chr(39)*2)}' AS probe" for p in CONTAMINATION_PROBES
+    )
+    return f"""
+    WITH probes AS (
+      {probes}
+    ),
+    n AS (SELECT COUNT(*) AS total FROM documents)
+    SELECT p.probe,
+           CAST(SUM(CASE WHEN contains(d.text, p.probe) THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+           ROUND(SUM(CASE WHEN contains(d.text, p.probe) THEN 1 ELSE 0 END)
+                 / (SELECT total FROM n)::DOUBLE, 6) AS pct_docs
+    FROM probes p CROSS JOIN documents d
+    GROUP BY p.probe
+    """
+
+
+@register("contamination_scan", _contamination_sql())
+def contamination_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set contamination check: verbatim containment counts for a
+    literal probe set, folded into ONE corpus scan (|probes| contains()
+    per row riding a single aggregation — no join, no second pass). The
+    oracle cross-joins for clarity; the Spark plan stays linear in the
+    corpus regardless of probe count."""
+    return contamination_scan(
+        table(spark, sf_dir, "documents"), "doc_id", "text", CONTAMINATION_PROBES
+    )
