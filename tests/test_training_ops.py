@@ -140,3 +140,27 @@ def test_verify_pairs_restricted_to_candidates(spark):
     cand = {tuple(r) for r in pairs.collect()}
     assert verified == {p: j for p, j in exact.items() if p in cand}
     assert (1, 2) in verified
+
+
+def test_duplicate_spans_flags_repeated_ngrams(spark):
+    from ug_dwh_etl_spark.queries.dedup import text_duplicate_spans, _SPAN_N
+
+    assert _SPAN_N == 8
+    import shutil, tempfile, os
+    tmp = tempfile.mkdtemp(prefix="dupspan_")
+    try:
+        boiler = "one two three four five six seven eight"  # exactly 8 tokens
+        rows = [
+            (1, boiler + " unique tail alpha beta"),
+            (2, boiler + " different ending gamma delta"),  # shares the boiler span
+            (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen"),
+        ]
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{tmp}/documents.parquet"
+        )
+        got = {r.doc_id: r for r in text_duplicate_spans(spark, tmp).collect()}
+        # docs 1 and 2 share the 8-token boiler span -> it counts as dup in both
+        assert got[1].n_dup_spans >= 1 and got[2].n_dup_spans >= 1
+        assert got[3].n_dup_spans == 0 and got[3].dup_span_ratio == 0.0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -613,3 +613,79 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "doc_id", "text")
     return verify_pairs_jaccard(docs, pairs, "doc_id", "text", 0.5)
+
+
+# --- boilerplate report: hottest shingles by document frequency -----------------
+@register(
+    "dedup_hot_shingles",
+    f"""
+    WITH {_SHINGLE_CTES}
+    SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+    FROM ex GROUP BY shingle
+    ORDER BY df DESC, shingle LIMIT 20
+    """,
+)
+def dedup_hot_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The boilerplate report: word-3-gram shingles ranked by document
+    frequency — exactly the keys that drive the Σ df² blow-up in the
+    exact-Jaccard self-join (see dedup_ngram_jaccard_capped). One
+    partial-aggregated shuffle + TakeOrdered; the operational use is
+    picking/validating the df cap before a corpus-scale run."""
+    from ug_dwh_etl_spark.operators.dedup import doc_shingles
+
+    sh = doc_shingles(table(spark, sf_dir, "documents"), "doc_id", "text")
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("shingle"))
+        .limit(20)
+    )
+
+
+# --- duplicated-span density (sequence-level dedup signal) ----------------------
+_SPAN_N = 8  # span length in tokens; fixture docs run ~30-100 tokens
+
+
+@register(
+    "text_duplicate_spans",
+    f"""
+    WITH {_TOK_CTE},
+    sh AS (SELECT doc_id, {H.sql_shingles('t', _SPAN_N)} AS sgl FROM tok),
+    spans AS (SELECT doc_id, {H.sql_md5_long('span', 15)} AS h
+              FROM (SELECT doc_id, unnest(sgl) AS span FROM sh)),
+    counted AS (SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS occ FROM spans)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
+           ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 6)
+             AS dup_span_ratio
+    FROM counted GROUP BY doc_id
+    """,
+)
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-level dedup signal (the n-gram-granular approximation of
+    exact substring dedup, Lee et al. 2022 "Deduplicating Training Data
+    Makes Language Models Better"): for every {_SPAN_N}-token span,
+    count corpus-wide occurrences of its hash; report per-document how
+    many of its spans occur more than once anywhere (including within
+    the doc). High dup_span_ratio = boilerplate-heavy document — the cut
+    list for span-level cleaning. Two shuffles (span-hash count, per-doc
+    agg); span hashes are 60-bit longs, never strings."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), H.tokens(F.col("text")).alias("t"))
+    spans = toks.select(
+        "doc_id",
+        F.explode(H.shingles(F.col("t"), _SPAN_N)).alias("span"),
+    ).select("doc_id", H.md5_long("span", 15).alias("h"))
+    occ = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    return (
+        spans.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum((F.col("occ") > 1).cast("long")).alias("n_dup_spans"),
+            F.round(
+                F.sum((F.col("occ") > 1).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("dup_span_ratio"),
+        )
+    )
