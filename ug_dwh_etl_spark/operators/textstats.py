@@ -90,6 +90,33 @@ QUALITY_RULES_DEFAULTS = dict(
 )
 
 
+def quality_rule_columns(tokens_col: str, **rules: float) -> dict[str, Column]:
+    """The C4/Gopher rule expressions over a materialized token-array
+    column — shared by the batch gate (quality_filter) and the streaming
+    ingest (streaming.jobs.stream_corpus_ingest) so the rules cannot
+    drift between the two."""
+    r = {**QUALITY_RULES_DEFAULTS, **rules}
+    n_words = F.size(tokens_col)
+    mean_len = F.when(n_words > 0, F.length(F.concat_ws("", F.col(tokens_col))) / n_words)
+    stop_ratio = F.when(
+        n_words > 0, _stop_filter_spark(tokens_col, STOPWORDS["en"]) / n_words
+    ).otherwise(F.lit(0.0))
+    words_ok = n_words.between(r["min_words"], r["max_words"])
+    word_len_ok = F.coalesce(
+        mean_len.between(r["min_mean_word_len"], r["max_mean_word_len"]), F.lit(False)
+    )
+    stopword_ok = stop_ratio >= r["min_stopword_ratio"]
+    return {
+        "n_words": n_words,
+        "mean_word_len": F.round(mean_len, 6),
+        "stopword_ratio": F.round(stop_ratio, 6),
+        "words_ok": words_ok,
+        "word_len_ok": word_len_ok,
+        "stopword_ok": stopword_ok,
+        "keep": words_ok & word_len_ok & stopword_ok,
+    }
+
+
 def quality_filter(
     df: DataFrame,
     id_col: str,
@@ -102,27 +129,10 @@ def quality_filter(
     English-stopword ratio (the cheap "is this prose" test). Returns
     (id, n_words, mean_word_len, stopword_ratio, words_ok, word_len_ok,
     stopword_ok, keep)."""
-    r = {**QUALITY_RULES_DEFAULTS, **rules}
     out = df.withColumn("t", H.tokens(text_col))
-    n_words = F.size("t")
-    mean_len = F.when(n_words > 0, F.length(F.concat_ws("", F.col("t"))) / n_words)
-    stop_ratio = F.when(
-        n_words > 0, _stop_filter_spark("t", STOPWORDS["en"]) / n_words
-    ).otherwise(F.lit(0.0))
-    flags = out.select(
-        F.col(id_col),
-        n_words.alias("n_words"),
-        F.round(mean_len, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        n_words.between(r["min_words"], r["max_words"]).alias("words_ok"),
-        F.coalesce(
-            mean_len.between(r["min_mean_word_len"], r["max_mean_word_len"]),
-            F.lit(False),
-        ).alias("word_len_ok"),
-        (stop_ratio >= r["min_stopword_ratio"]).alias("stopword_ok"),
-    )
-    return flags.withColumn(
-        "keep", F.col("words_ok") & F.col("word_len_ok") & F.col("stopword_ok")
+    cols = quality_rule_columns("t", **rules)
+    return out.select(
+        F.col(id_col), *[expr.alias(name) for name, expr in cols.items()]
     )
 
 

@@ -113,3 +113,43 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_stream_attribution_join
 
     return stream_stream_attribution_join(spark, sf_dir)
+
+
+def _corpus_ingest_sql() -> str:
+    from ug_dwh_etl_spark.operators import hashing as H
+    from ug_dwh_etl_spark.operators.textstats import (
+        QUALITY_RULES_DEFAULTS as R,
+        STOPWORDS,
+        sql_stop_filter,
+    )
+
+    return f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    m AS (
+      SELECT doc_id, t,
+             len(t) AS n_words,
+             CASE WHEN len(t) > 0
+                  THEN length(array_to_string(t, '')) / len(t)::DOUBLE END AS mean_raw,
+             CASE WHEN len(t) > 0
+                  THEN {sql_stop_filter('t', STOPWORDS['en'])} / len(t)::DOUBLE
+                  ELSE 0.0 END AS stop_raw
+      FROM tok),
+    keepers AS (
+      SELECT doc_id, md5(array_to_string(t, ' ')) AS fingerprint
+      FROM m
+      WHERE n_words BETWEEN {R['min_words']} AND {R['max_words']}
+        AND COALESCE(mean_raw BETWEEN {R['min_mean_word_len']} AND {R['max_mean_word_len']}, FALSE)
+        AND stop_raw >= {R['min_stopword_ratio']})
+    SELECT MIN(doc_id) AS doc_id FROM keepers GROUP BY fingerprint
+    """
+
+
+@register("stream_corpus_ingest", _corpus_ingest_sql())
+def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-corpus ingest: per-micro-batch C4/Gopher
+    quality gate + fingerprinting, batch-side min-id-per-fingerprint
+    exact dedup — split-invariant, so the AvailableNow run matches the
+    pure-batch gate+dedup SQL exactly."""
+    from ug_dwh_etl_spark.streaming.jobs import stream_corpus_ingest
+
+    return stream_corpus_ingest(spark, sf_dir)

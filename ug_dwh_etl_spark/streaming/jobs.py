@@ -235,6 +235,39 @@ def available_now_pipeline(
         q.awaitTermination()
 
 
+def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming training-corpus ingest: documents arrive as a file
+    stream, each micro-batch passes the C4/Gopher quality gate
+    (stateless Column expressions), survivors carry their normalized
+    content fingerprint into the sink; the batch-side reduction keeps
+    the min doc id per fingerprint (exact dedup) — split-invariant, so
+    the AvailableNow run equals the batch gate + dedup no matter how the
+    source chops micro-batches. At scale the per-batch appends land
+    partitioned and the dedup reduction is the stored fingerprint index
+    (see operators.dedup.dedup_incremental); dropDuplicatesWithin-
+    Watermark replaces the exact reduction when arrival-order survivor
+    choice is acceptable."""
+    from ug_dwh_etl_spark.operators import hashing as H
+    from ug_dwh_etl_spark.operators.textstats import quality_rule_columns
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    # one stateless projection per batch: tokenize once, gate + fingerprint
+    toks = raw.select("doc_id", F.col("text"), H.tokens("text").alias("t"))
+    keep = quality_rule_columns("t")["keep"]
+    survivors = toks.filter(keep).select(
+        "doc_id", F.md5(F.concat_ws(" ", F.col("t"))).alias("fingerprint")
+    )
+    out = run_stream_to_memory(survivors, "append")
+    return out.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id")).select(
+        "doc_id"
+    )
+
+
 def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of ``events_sliding_2h``: sliding window (2h width,
     1h slide) × event_type with a 1h watermark — every event is counted
