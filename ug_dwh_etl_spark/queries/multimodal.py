@@ -102,3 +102,30 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frame_ms",
         (F.col("frame_ms") / 500).cast("long").alias("frame_idx"),
     )
+
+
+@register(
+    "multimodal_dedup_payloads",
+    """
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+             AS media_type,
+           md5(text) AS content_md5,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY media_type, content_md5
+    """,
+)
+def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash dedup of binary media payloads — the image/audio
+    counterpart of dedup_exact_groups. md5 over the raw bytes needs no
+    codec, so it is the real production shape for multimodal training
+    sets (dedupe before decode): one shuffle on (media_type, digest),
+    survivor = min id, digest computed scan-side in codegen."""
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    return media.groupBy(
+        "media_type", F.md5("payload").alias("content_md5")
+    ).agg(
+        F.min("media_id").alias("survivor_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )

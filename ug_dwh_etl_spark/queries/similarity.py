@@ -237,3 +237,51 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", (F.col("pos0") + 1).cast("long").alias("pos"))
         .agg(F.round(F.avg("v"), 6).alias("c"))
     )
+
+
+@register(
+    "sim_quantize_int8",
+    """
+    WITH flat AS (
+      -- parallel unnests of equal-length lists zip row-wise in DuckDB
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    dims AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY dim),
+    q AS (
+      SELECT f.vec_id, f.dim,
+             CAST(ROUND(255.0 * (f.v - d.mn) / NULLIF(d.mx - d.mn, 0.0)) AS BIGINT) AS qv
+      FROM flat f JOIN dims d USING (dim))
+    SELECT vec_id, list(qv ORDER BY dim) AS qvec
+    FROM q GROUP BY vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization of the embedding column — the 4-8x
+    storage compression step before a 100 TB ANN index build. Per-dim
+    min/max is a dims-sized aggregate (8 rows) broadcast back onto the
+    flattened relation; quantized vectors re-assemble with a sorted
+    collect per id. Two shuffles total (dim stats, re-assembly); the
+    dims join is a broadcast, never a shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", (F.col("pos0") + 1).cast("long").alias("dim"), "v")
+    dims = flat.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    q = flat.join(F.broadcast(dims), "dim").select(
+        "vec_id",
+        "dim",
+        F.round(
+            255.0 * (F.col("v") - F.col("mn"))
+            / F.when(F.col("mx") != F.col("mn"), F.col("mx") - F.col("mn"))
+        )
+        .cast("long")
+        .alias("qv"),
+    )
+    return q.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "qv"))), lambda s: s.qv
+        ).alias("qvec")
+    )
