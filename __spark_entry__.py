@@ -47,152 +47,163 @@ def entry(spark: SparkSession) -> DataFrame:
 # q1 leads: it is the cheap flagship and pays the one-time JVM warmup.
 _CHEAPEST_FIRST = (
     "q1_pricing_summary",
-    "agg_histogram",
-    "macro_website_type",
-    "text_token_positions",
-    "topk_orders_by_price",
-    "window_percent_rank_top",
-    "agg_collect_sorted",
-    "lateral_explode_type_words",
+    "macro_url_levels",
+    "agg_rollup_status_priority",
+    "contamination_scan",
+    "join_semi_shipped",
     "macro_concat_ws_skipnull",
-    "macro_doctype_label",
-    "pipeline_e8_hreflang",
-    "sample_stratified",
-    "sim_cosine_topk",
+    "macro_fill_cast",
+    "macro_website_type",
+    "minmax_priciest_part_per_brand",
+    "multimodal_frame_plan",
+    "multimodal_meta_stats",
+    "q6_forecast_revenue",
+    "setop_nations_cust_and_supp",
     "text_fingerprints",
     "text_redact_pii",
-    "window_ntile_quartiles",
-    "agg_price_percentiles",
-    "agg_stats_moments",
-    "diag_custkey_skew",
-    "events_dedup_count",
-    "events_top_users",
-    "fuzzy_match_parts",
-    "history_scd2",
-    "history_url_churn",
-    "join_null_safe",
-    "join_range_followups",
-    "macro_dates_truncate",
-    "macro_fill_cast",
-    "macro_url_levels",
-    "pipeline_e1_crawl",
-    "pipeline_e4_images",
-    "pipeline_e5_orphans",
-    "scalar_subquery_above_avg",
-    "sim_label_centroids",
-    "sim_label_stats",
-    "sim_srp_buckets",
-    "split_train_test",
     "text_token_stats",
     "union_mismatched_entities",
-    "window_dense_rank_days",
     "agg_cube_flag_status",
+    "agg_distinct_suppliers",
     "agg_grouping_sets",
     "asof_latest_order_per_customer",
     "broadcast_nation_region",
+    "corpus_quality_filter",
+    "events_dedup_count",
     "events_json_extract",
+    "events_sessionize",
+    "events_top_users",
+    "join_anti_unshipped",
+    "lateral_explode_type_words",
+    "macro_dates_truncate",
+    "macro_doctype_label",
+    "macro_regex_projection",
+    "multimodal_dedup_payloads",
+    "pipeline_e1_crawl",
+    "pipeline_e5_orphans",
+    "pivot_status_by_priority",
+    "setop_nations_cust_only",
+    "sim_ivf_clusters",
+    "sim_label_centroids",
+    "sim_label_stats",
+    "sim_srp_buckets",
+    "skew_salted_event_counts",
+    "split_train_test",
+    "text_chunk_docs",
+    "topk_orders_by_price",
+    "unpivot_lineitem_metrics",
+    "window_ntile_quartiles",
+    "window_top3_orders_per_customer",
+    "agg_collect_sorted",
+    "agg_price_percentiles",
+    "agg_stats_moments",
+    "dedup_exact_groups",
+    "dedup_incremental",
+    "events_hourly_tumbling",
     "events_props_map_explode",
     "events_rollup_hour_day",
-    "events_sessionize",
     "events_sliding_2h",
     "events_time_weighted_value",
     "events_value_outliers",
     "events_variant_parse",
     "history_metric_delta",
-    "macro_regex_projection",
-    "pivot_status_by_priority",
-    "q12_priority_class_by_status",
-    "q14_promo_revenue_share",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q6_forecast_revenue",
-    "setop_nation_bag_excess",
-    "setop_nation_bag_overlap",
-    "sim_ann_topk",
-    "sim_ivf_clusters",
-    "skew_salted_event_counts",
-    "text_pack_sequences",
-    "unpivot_lineitem_metrics",
-    "agg_distinct_suppliers",
-    "agg_rollup_status_priority",
-    "join_anti_unshipped",
-    "join_full_outer_coverage",
-    "join_semi_shipped",
-    "profile_orders_columns",
-    "q18_large_quantity_orders",
-    "q19_disjunctive_bracket",
-    "q22_idle_customers",
-    "sim_knn_join",
-    "text_chunk_docs",
-    "text_quality_scores",
-    "text_tfidf_terms",
-    "window_moving_avg_spend",
-    "window_running_spend",
-    "events_cohort_retention",
-    "events_hourly_tumbling",
-    "graph_degree_stats",
-    "macro_days_between",
-    "macro_lenient_int",
+    "join_left_customer_orders",
+    "join_null_safe",
     "macro_locale_decimal",
-    "q10_returned_item_revenue",
+    "pipeline_e4_images",
+    "pipeline_e8_hreflang",
     "q13_customer_order_distribution",
-    "q16_supplier_variety",
+    "q14_promo_revenue_share",
     "q4_priority_with_late_lines",
-    "text_langid",
-    "text_repetition",
-    "window_cume_dist_nth",
+    "sample_stratified",
+    "scalar_subquery_above_avg",
+    "sim_ann_topk",
+    "sim_cosine_topk_pandas",
+    "text_ngram_counts",
+    "text_pack_sequences",
+    "text_quality_scores",
+    "window_dense_rank_days",
+    "window_moving_avg_spend",
     "window_order_gap_days",
-    "window_revenue_share",
-    "window_top3_orders_per_customer",
+    "window_running_spend",
+    "dedup_embedding_cosine",
+    "events_cohort_retention",
+    "events_dau_wau",
     "events_new_vs_returning",
     "events_value_outliers_mad",
-    "history_gap_fill",
-    "join_left_customer_orders",
-    "minmax_priciest_part_per_brand",
-    "multimodal_frame_plan",
-    "q21_sole_late_shippers",
-    "window_trailing_7d_spend",
-    "pipeline_e3_bookings",
-    "q20_excess_share_shippers",
-    "dedup_embedding_cosine",
-    "events_dau_wau",
-    "pipeline_e7_backlinks",
-    "q11_important_parts",
-    "q7_nation_trade_volume",
-    "q9_product_profit",
-    "multimodal_features",
-    "multimodal_meta_stats",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "sql_adhoc_directory_rollup",
-    "stream_sliding_2h",
-    "events_funnel",
-    "setop_nations_cust_and_supp",
-    "setop_nations_cust_only",
-    "sql_macro_rollup",
-    "stream_dedup_events",
-    "stream_stateful_user_totals",
-    "dedup_minhash_lsh_pairs",
-    "dedup_minhash_signatures",
-    "graph_cheirank",
-    "sim_ivf_topk",
-    "sql_adhoc_daily_orders",
-    "stream_sessionize",
-    "q5_local_supplier_volume",
-    "dedup_simhash",
-    "pipeline_e6_inlinks",
-    "dedup_ngram_jaccard",
+    "fuzzy_match_parts",
+    "history_url_churn",
+    "join_full_outer_coverage",
+    "join_range_followups",
+    "macro_days_between",
+    "macro_lenient_int",
+    "q12_priority_class_by_status",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_bracket",
+    "q22_idle_customers",
     "q3_shipping_priority",
-    "sql_adhoc_latest_snapshot",
-    "graph_pagerank",
-    "split_leakage_check",
-    "bucketed_join_order_lineitems",
+    "setop_nation_bag_overlap",
+    "sim_knn_join",
+    "text_repetition",
+    "text_tfidf_terms",
+    "window_cume_dist_nth",
+    "agg_histogram",
+    "diag_custkey_skew",
+    "events_funnel",
+    "history_gap_fill",
     "pipeline_e2_ranks",
-    "stream_hourly_tumbling",
-    "dedup_ngram_jaccard_capped",
-    "sim_cosine_topk_pandas",
+    "pipeline_e3_bookings",
+    "pipeline_e7_backlinks",
+    "profile_orders_columns",
+    "q15_top_supplier",
+    "q18_large_quantity_orders",
+    "q5_local_supplier_volume",
+    "q9_product_profit",
+    "setop_nation_bag_excess",
+    "text_langid",
+    "window_percent_rank_top",
+    "window_revenue_share",
+    "dedup_hot_shingles",
+    "dedup_minhash_signatures",
+    "graph_degree_stats",
+    "history_scd2",
+    "q10_returned_item_revenue",
+    "q11_important_parts",
+    "q16_supplier_variety",
+    "q21_sole_late_shippers",
+    "q7_nation_trade_volume",
+    "window_trailing_7d_spend",
+    "q2_min_cost_supplier",
+    "sim_cosine_topk",
+    "sql_adhoc_directory_rollup",
+    "q20_excess_share_shippers",
+    "q8_market_share",
+    "sim_quantize_int8",
+    "sql_adhoc_daily_orders",
+    "sql_adhoc_latest_snapshot",
+    "sql_macro_rollup",
     "sql_recursive_hierarchy",
-    "dedup_exact_groups",
+    "stream_hourly_tumbling",
+    "text_duplicate_spans",
+    "stream_corpus_ingest",
+    "stream_dedup_events",
+    "stream_sessionize",
+    "dedup_minhash_lsh_pairs",
+    "sim_ivf_topk",
+    "stream_stateful_user_totals",
+    "graph_pagerank",
+    "text_token_positions",
+    "multimodal_features",
+    "pipeline_e6_inlinks",
+    "split_leakage_check",
+    "dedup_simhash",
+    "stream_sliding_2h",
+    "dedup_ngram_jaccard",
+    "graph_cheirank",
+    "dedup_ngram_jaccard_capped",
+    "bucketed_join_order_lineitems",
+    "dedup_verified_pairs",
+    "dedup_corpus_survivors",
     "stream_stream_join",
     "dedup_clusters",
     "dedup_minhash_accuracy",

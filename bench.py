@@ -76,10 +76,14 @@ HEADLINE = [
     "text_tfidf_terms",
     "sim_knn_join",
     "text_pack_sequences",
-    # added round 3: the bounded-quadratic Jaccard and the end-to-end
-    # dedup decision (retained-corpus filter)
+    # added round 3: the bounded-quadratic Jaccard, the end-to-end dedup
+    # decision, sequence-level dup-span density, the streaming corpus
+    # ingest, and int8 embedding quantization
     "dedup_ngram_jaccard_capped",
     "dedup_corpus_survivors",
+    "text_duplicate_spans",
+    "stream_corpus_ingest",
+    "sim_quantize_int8",
 ]
 
 
