@@ -41,6 +41,8 @@ EXPECTED_NESTED_LOOP = {
     "history_gap_fill",
     # three 1-row stage counts cross-joined into the funnel summary row
     "events_funnel",
+    # four 1-row stage counts cross-joined into the corpus funnel row
+    "corpus_pipeline_funnel",
     # 1-row corpus-size agg broadcast onto the per-term stats
     "text_tfidf_terms",
     # 1-row average broadcast onto the per-key counts

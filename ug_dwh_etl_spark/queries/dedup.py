@@ -689,3 +689,89 @@ def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_span_ratio"),
         )
     )
+
+
+# --- end-to-end corpus funnel: the pipeline dashboard row -----------------------
+def _funnel_sql() -> str:
+    from ug_dwh_etl_spark.operators.textstats import (
+        QUALITY_RULES_DEFAULTS as R,
+        STOPWORDS,
+        sql_stop_filter,
+    )
+
+    return f"""
+    WITH {_TOK_CTE},
+    spans AS (SELECT doc_id, {H.sql_md5_long('span', 15)} AS h
+              FROM (SELECT doc_id, unnest({H.sql_shingles('t', _SPAN_N)}) AS span
+                    FROM tok)),
+    spanstats AS (
+      SELECT doc_id,
+             SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE AS dup_ratio
+      FROM (SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS occ FROM spans)
+      GROUP BY doc_id),
+    m AS (
+      SELECT doc_id,
+             md5(array_to_string(t, ' ')) AS fingerprint,
+             len(t) AS n_words,
+             CASE WHEN len(t) > 0
+                  THEN length(array_to_string(t, '')) / len(t)::DOUBLE END AS mean_raw,
+             CASE WHEN len(t) > 0
+                  THEN {sql_stop_filter('t', STOPWORDS['en'])} / len(t)::DOUBLE
+                  ELSE 0.0 END AS stop_raw
+      FROM tok),
+    keepers AS (
+      SELECT doc_id, fingerprint FROM m
+      WHERE n_words BETWEEN {R['min_words']} AND {R['max_words']}
+        AND COALESCE(mean_raw BETWEEN {R['min_mean_word_len']} AND {R['max_mean_word_len']}, FALSE)
+        AND stop_raw >= {R['min_stopword_ratio']}),
+    exact AS (SELECT MIN(doc_id) AS doc_id FROM keepers GROUP BY fingerprint)
+    SELECT (SELECT COUNT(*) FROM documents) AS n_total,
+           (SELECT COUNT(*) FROM keepers) AS n_quality,
+           (SELECT COUNT(*) FROM exact) AS n_exact,
+           (SELECT COUNT(*) FROM exact e JOIN spanstats s ON s.doc_id = e.doc_id
+            WHERE s.dup_ratio < 0.5) AS n_final
+    """
+
+
+@register("corpus_pipeline_funnel", _funnel_sql())
+def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pipeline dashboard row: document counts surviving each
+    chained cleaning stage — raw corpus → C4/Gopher quality gate →
+    exact dedup (min-id per fingerprint among keepers) → duplicated-span
+    cut (dup_span_ratio < 0.5). One scan feeds all stages; the stage
+    relations are doc-id-sized. The number a data-curation team watches
+    per ingest day."""
+    from ug_dwh_etl_spark.operators import hashing as HH
+    from ug_dwh_etl_spark.operators.textstats import quality_rule_columns
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", HH.tokens("text").alias("t"))
+    keep = quality_rule_columns("t")["keep"]
+    keepers = toks.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.col("t"))).alias("fingerprint"),
+        keep.alias("keep"),
+    ).filter(F.col("keep"))
+    exact = keepers.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    spans = toks.select(
+        "doc_id", F.explode(HH.shingles(F.col("t"), _SPAN_N)).alias("span")
+    ).select("doc_id", HH.md5_long("span", 15).alias("h"))
+    occ = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    spanstats = (
+        spans.join(occ, "h")
+        .groupBy("doc_id")
+        .agg(
+            (F.sum((F.col("occ") > 1).cast("long")) / F.count(F.lit(1))).alias(
+                "dup_ratio"
+            )
+        )
+    )
+    n_total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    n_quality = keepers.agg(F.count(F.lit(1)).alias("n_quality"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_final = (
+        exact.join(spanstats, "doc_id")
+        .filter(F.col("dup_ratio") < 0.5)
+        .agg(F.count(F.lit(1)).alias("n_final"))
+    )
+    return n_total.crossJoin(n_quality).crossJoin(n_exact).crossJoin(n_final)
