@@ -152,3 +152,16 @@ def test_available_now_pipeline_gates_and_quarantines(spark, tmp_path):
 
     assert not os.path.exists(str(tmp_path / "never"))
     assert spark.read.parquet(q).count() > 0
+
+
+def test_stream_source_handles_directory_layout(spark, tmp_path):
+    # regression: pathGlobFilter on the leaf name silently matched
+    # NOTHING (0 rows) when the table was a Spark-written directory of
+    # part files instead of a single parquet file
+    from ug_dwh_etl_spark.streaming.jobs import stream_corpus_ingest
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src.repartition(3).write.parquet(str(tmp_path / "documents.parquet"))
+    dir_rows = stream_corpus_ingest(spark, str(tmp_path)).count()
+    file_rows = stream_corpus_ingest(spark, "/root/testdata/sf0.001").count()
+    assert dir_rows == file_rows > 0

@@ -70,15 +70,30 @@ def _checkpoint_dir(explicit: str | None, prefix: str) -> Iterator[str]:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture (S1 streaming twin)."""
-    # File-stream sources require a directory; glob-filter to the events
-    # file so the other fixture tables in sf_dir aren't picked up.
-    raw = (
-        spark.readStream.schema(events_raw_schema(spark, sf_dir))
-        .option("pathGlobFilter", "events.parquet")
+def stream_table_source(
+    spark: SparkSession, sf_dir: str, name: str, schema: StructType
+) -> DataFrame:
+    """File-source stream over one fixture table, tolerant of BOTH
+    parquet layouts: a single file ``{name}.parquet`` (glob-filter it out
+    of the shared directory — streaming sources require a directory, so
+    the file path itself can't be the source) and a Spark-written
+    DIRECTORY ``{name}.parquet/part-*.parquet`` (stream the directory;
+    a leaf-name glob would silently match nothing and read 0 rows)."""
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    if os.path.isdir(path):
+        return spark.readStream.schema(schema).parquet(path)
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", f"{name}.parquet")
         .parquet(sf_dir)
     )
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture (S1 streaming twin)."""
+    raw = stream_table_source(spark, sf_dir, "events", events_raw_schema(spark, sf_dir))
     if isinstance(raw.schema["ts"].dataType, LongType):
         raw = raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     else:
@@ -251,11 +266,7 @@ def stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.textstats import quality_rule_columns
 
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "documents.parquet")
-        .parquet(sf_dir)
-    )
+    raw = stream_table_source(spark, sf_dir, "documents", schema)
     # one stateless projection per batch: tokenize once, gate + fingerprint
     toks = raw.select("doc_id", F.col("text"), H.tokens("text").alias("t"))
     keep = quality_rule_columns("t")["keep"]
