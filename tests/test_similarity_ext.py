@@ -76,3 +76,21 @@ def test_ivf_index_probe_matches_inline_ivf_and_prunes(spark, tmp_path):
     plan = buf.getvalue()
     after = plan.split("PartitionFilters: [", 1)[1]
     assert not after.startswith("]") and "cluster" in after[:200]
+
+
+def test_dequantize_roundtrip_bounded_error(spark):
+    from ug_dwh_etl_spark.operators.similarity import dequantized_embeddings
+    from ug_dwh_etl_spark.queries.registry import table
+
+    emb = table(spark, "/root/testdata/sf0.001", "embeddings")
+    dq = {r.vec_id: r.dqe for r in dequantized_embeddings(emb).collect()}
+    orig = {r.vec_id: [float(x) for x in r.embedding] for r in emb.collect()}
+    # per-dim quantization error is bounded by half a step of the dim's range
+    import itertools
+    dims = len(next(iter(orig.values())))
+    lo = [min(v[i] for v in orig.values()) for i in range(dims)]
+    hi = [max(v[i] for v in orig.values()) for i in range(dims)]
+    for vid, vec in itertools.islice(orig.items(), 50):
+        for i in range(dims):
+            step = (hi[i] - lo[i]) / 255.0 or 1.0
+            assert abs(dq[vid][i] - vec[i]) <= step / 2 + 1e-9

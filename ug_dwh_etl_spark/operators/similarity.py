@@ -370,3 +370,73 @@ def knn_join(embeddings: DataFrame, query_mod: int, k: int = 3) -> DataFrame:
             F.round("cos_raw", 6).alias("cosine"),
         )
     )
+
+
+def dequantized_embeddings(
+    embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, dqe) — embeddings round-tripped through int8 scalar
+    quantization (per-dim min/max, 256 levels) back to doubles: the
+    representation an ANN index built on quantized storage actually
+    searches. Per-dim stats are a dims-sized broadcast; vectors
+    re-assemble with a sorted collect per id (one shuffle)."""
+    flat = embeddings.select(
+        F.col(id_col),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos0", "v"),
+    ).select(id_col, (F.col("pos0") + 1).cast("long").alias("dim"), "v")
+    dims = flat.groupBy("dim").agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+    step = F.when(F.col("mx") != F.col("mn"), (F.col("mx") - F.col("mn")) / 255.0)
+    dq = flat.join(F.broadcast(dims), "dim").select(
+        F.col(id_col),
+        "dim",
+        (
+            F.col("mn")
+            + F.coalesce(
+                F.round((F.col("v") - F.col("mn")) / step) * step, F.lit(0.0)
+            )
+        ).alias("dv"),
+    )
+    return dq.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "dv"))), lambda s: s.dv
+        ).alias("dqe")
+    )
+
+
+def quantized_knn_recall(
+    embeddings: DataFrame, query_mod: int, k: int = 3
+) -> DataFrame:
+    """Recall@k of int8-quantized search against exact cosine — the
+    measurement that justifies (or rejects) quantized storage before a
+    100 TB index build, sibling of the MinHash accuracy audit. Runs the
+    identical kNN-join plan twice (original vs dequantized vectors) and
+    counts per-query overlap of the neighbor sets."""
+    from pyspark.sql import Window
+
+    def topk(vectors: DataFrame, vec_col: str) -> DataFrame:
+        q = vectors.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("q_id"), F.col(vec_col).alias("qe")
+        )
+        scored = vectors.join(
+            F.broadcast(q), F.col("vec_id") != F.col("q_id")
+        ).select("q_id", "vec_id", cosine(vec_col, "qe").alias("cos_raw"))
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    exact = topk(embeddings, "embedding")
+    quant = topk(dequantized_embeddings(embeddings), "dqe")
+    qm = quant.select(F.col("q_id").alias("mq"), F.col("neighbor_id").alias("mn_id"))
+    return (
+        exact.join(
+            qm,
+            (F.col("q_id") == F.col("mq")) & (F.col("neighbor_id") == F.col("mn_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("mn_id").alias("n_match"))
+        .select("q_id", "n_match", F.round(F.col("n_match") / float(k), 6).alias(f"recall_at_{k}"))
+    )

@@ -285,3 +285,56 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "qv"))), lambda s: s.qv
         ).alias("qvec")
     )
+
+
+def _quantize_recall_sql(k: int = 3) -> str:
+    cos = ("list_dot_product(e, qe) / (sqrt(list_dot_product(e, e))"
+           " * sqrt(list_dot_product(qe, qe)))")
+    return f"""
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    dims AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY dim),
+    dqflat AS (
+      SELECT f.vec_id, f.dim,
+             d.mn + COALESCE(ROUND((f.v - d.mn) / ((d.mx - d.mn) / 255.0))
+                             * ((d.mx - d.mn) / 255.0), 0.0) AS dv
+      FROM flat f JOIN dims d USING (dim)),
+    dq AS (SELECT vec_id, list(dv ORDER BY dim) AS e FROM dqflat GROUP BY vec_id),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    exact AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id, {cos} AS cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM (SELECT vec_id, e AS qe FROM c WHERE vec_id % 97 = 0) q
+          JOIN c ON c.vec_id <> q.vec_id)
+      WHERE rn <= {k}),
+    quant AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, dq.vec_id, {cos} AS cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, dq.vec_id) AS rn
+        FROM (SELECT vec_id, e AS qe FROM dq WHERE vec_id % 97 = 0) q
+          JOIN dq ON dq.vec_id <> q.vec_id)
+      WHERE rn <= {k})
+    SELECT e.q_id, CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_match,
+           ROUND(COUNT(m.neighbor_id) / {k}.0, 6) AS recall_at_{k}
+    FROM exact e
+      LEFT JOIN quant m ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """
+
+
+@register("sim_quantize_recall", _quantize_recall_sql())
+def sim_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of int8-quantized vectors vs exact cosine for the
+    deterministic query subset — the accuracy audit that justifies
+    quantized storage, sibling of dedup_minhash_accuracy. Identical
+    kNN-join plan on both representations; deterministic neighbor
+    tiebreak keeps the comparison engine-exact."""
+    from ug_dwh_etl_spark.operators.similarity import quantized_knn_recall
+
+    return quantized_knn_recall(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
