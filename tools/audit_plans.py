@@ -45,6 +45,8 @@ EXPECTED_NESTED_LOOP = {
     "corpus_pipeline_funnel",
     # 1-row corpus-size agg broadcast onto the per-term stats
     "text_tfidf_terms",
+    # 1-row corpus-total agg broadcast onto the vocab top-100
+    "text_vocab_coverage",
     # 1-row average broadcast onto the per-key counts
     "diag_custkey_skew",
     # trailing-week range join against the broadcast ~30-row day spine

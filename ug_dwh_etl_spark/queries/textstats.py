@@ -472,3 +472,57 @@ def contamination_scan_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_scan(
         table(spark, sf_dir, "documents"), "doc_id", "text", CONTAMINATION_PROBES
     )
+
+
+@register(
+    "text_vocab_coverage",
+    f"""
+    WITH {_TOK_CTE},
+    words AS (SELECT unnest(t) AS term FROM tok),
+    counts AS (SELECT term, COUNT(*) AS n FROM words GROUP BY term),
+    total AS (SELECT SUM(n) AS tot FROM counts),
+    ranked AS (
+      SELECT term, n,
+             ROW_NUMBER() OVER (ORDER BY n DESC, term) AS rnk,
+             SUM(n) OVER (ORDER BY n DESC, term
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts)
+    SELECT CAST(rnk AS BIGINT) AS rnk, term, n,
+           ROUND(cum / (SELECT tot FROM total)::DOUBLE, 6) AS coverage
+    FROM ranked WHERE rnk <= 100
+    """,
+)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-vocab prep: the top-100 terms by corpus frequency with
+    CUMULATIVE coverage (what fraction of all token occurrences a vocab
+    of that size explains). Token counts are one partial-aggregated
+    shuffle; the ranking/cumsum window runs over the vocab-sized count
+    table (≤ distinct terms, corpus-size-independent), and the corpus
+    total rides along as a 1-row broadcast."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(H.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("tot"))
+    # top-100 FIRST (TakeOrderedAndProject — per-partition heap, no
+    # global sort), THEN rank+cumsum over just those 100 rows: the
+    # cumulative sum at rank i only involves ranks 1..i, so restricting
+    # to the top-N loses nothing
+    top = counts.orderBy(F.desc("n"), F.asc("term")).limit(100)
+    w = Window.orderBy(F.desc("n"), F.asc("term"))
+    ranked = top.select(
+        F.row_number().over(w).alias("rnk"),
+        "term",
+        "n",
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        F.col("rnk").cast("long").alias("rnk"),
+        "term",
+        "n",
+        F.round(F.col("cum") / F.col("tot"), 6).alias("coverage"),
+    )
