@@ -613,3 +613,52 @@ def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.date_format("d_day", "yyyy-MM-dd").alias("day"), "dau", "wau")
     )
+
+
+# --- seasonal anomaly detection: hour-of-day baseline ---------------------------
+@register(
+    "events_hourly_anomaly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, hour(ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY hr, hod),
+    baseline AS (
+      SELECT hod, AVG(n) AS mu,
+             COALESCE(STDDEV_SAMP(n), 0.0) AS sigma,
+             COUNT(*) AS n_days
+      FROM hourly GROUP BY hod)
+    SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           h.n,
+           ROUND(b.mu, 6) AS expected,
+           ROUND(CASE WHEN b.sigma > 0 THEN (h.n - b.mu) / b.sigma END, 6) AS zscore,
+           COALESCE(b.sigma > 0 AND ABS((h.n - b.mu) / b.sigma) > 2.0, FALSE)
+             AS is_anomaly
+    FROM hourly h JOIN baseline b USING (hod)
+    """,
+)
+def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-aware anomaly flags: each hour's event count compared
+    against the mean/stddev of the SAME hour-of-day across the whole
+    horizon (the diurnal baseline), z-score > 2 flagged. Two aggregates:
+    hourly counts (one shuffle), then a 24-row baseline joined back by
+    broadcast — at any scale the baseline side stays 24 rows."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hr"), F.hour("ts").alias("hod")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    baseline = hourly.groupBy("hod").agg(
+        F.avg("n").alias("mu"),
+        F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sigma"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    z = F.when(F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma"))
+    return hourly.join(F.broadcast(baseline), "hod").select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n",
+        F.round("mu", 6).alias("expected"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce((F.col("sigma") > 0) & (F.abs(z) > 2.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
