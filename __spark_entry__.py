@@ -47,166 +47,170 @@ def entry(spark: SparkSession) -> DataFrame:
 # q1 leads: it is the cheap flagship and pays the one-time JVM warmup.
 _CHEAPEST_FIRST = (
     "q1_pricing_summary",
-    "macro_url_levels",
-    "agg_rollup_status_priority",
-    "contamination_scan",
-    "join_semi_shipped",
-    "macro_concat_ws_skipnull",
-    "macro_fill_cast",
-    "macro_website_type",
-    "minmax_priciest_part_per_brand",
-    "multimodal_frame_plan",
-    "multimodal_meta_stats",
-    "q6_forecast_revenue",
-    "setop_nations_cust_and_supp",
-    "text_fingerprints",
-    "text_redact_pii",
-    "text_token_stats",
-    "union_mismatched_entities",
-    "agg_cube_flag_status",
-    "agg_distinct_suppliers",
-    "agg_grouping_sets",
-    "asof_latest_order_per_customer",
-    "broadcast_nation_region",
-    "corpus_quality_filter",
-    "events_dedup_count",
-    "events_json_extract",
-    "events_sessionize",
-    "events_top_users",
-    "join_anti_unshipped",
+    "text_token_positions",
+    "topk_orders_by_price",
+    "agg_collect_sorted",
+    "agg_histogram",
     "lateral_explode_type_words",
-    "macro_dates_truncate",
+    "macro_concat_ws_skipnull",
     "macro_doctype_label",
+    "macro_website_type",
+    "pipeline_e8_hreflang",
+    "sample_stratified",
+    "text_redact_pii",
+    "window_dense_rank_days",
+    "window_ntile_quartiles",
+    "window_percent_rank_top",
+    "agg_cube_flag_status",
+    "agg_stats_moments",
+    "events_dedup_count",
+    "events_time_weighted_value",
+    "events_variant_parse",
+    "fuzzy_match_parts",
+    "history_scd2",
+    "join_null_safe",
+    "macro_dates_truncate",
+    "macro_locale_decimal",
     "macro_regex_projection",
     "multimodal_dedup_payloads",
+    "multimodal_features",
     "pipeline_e1_crawl",
-    "pipeline_e5_orphans",
-    "pivot_status_by_priority",
-    "setop_nations_cust_only",
-    "sim_ivf_clusters",
+    "pipeline_e4_images",
+    "q14_promo_revenue_share",
+    "scalar_subquery_above_avg",
+    "sim_cosine_topk",
     "sim_label_centroids",
     "sim_label_stats",
     "sim_srp_buckets",
-    "skew_salted_event_counts",
-    "split_train_test",
     "text_chunk_docs",
-    "topk_orders_by_price",
+    "text_tfidf_terms",
+    "text_token_stats",
+    "text_vocab_coverage",
+    "union_mismatched_entities",
     "unpivot_lineitem_metrics",
-    "window_ntile_quartiles",
-    "window_top3_orders_per_customer",
-    "agg_collect_sorted",
+    "window_order_gap_days",
+    "window_running_spend",
+    "agg_grouping_sets",
     "agg_price_percentiles",
-    "agg_stats_moments",
-    "dedup_exact_groups",
-    "dedup_incremental",
-    "events_hourly_tumbling",
+    "broadcast_nation_region",
+    "diag_custkey_skew",
+    "events_hourly_anomaly",
+    "events_json_extract",
     "events_props_map_explode",
     "events_rollup_hour_day",
     "events_sliding_2h",
-    "events_time_weighted_value",
+    "events_top_users",
     "events_value_outliers",
-    "events_variant_parse",
-    "history_metric_delta",
+    "history_url_churn",
+    "join_anti_unshipped",
     "join_left_customer_orders",
-    "join_null_safe",
-    "macro_locale_decimal",
-    "pipeline_e4_images",
-    "pipeline_e8_hreflang",
+    "join_range_followups",
+    "macro_days_between",
+    "macro_fill_cast",
+    "macro_lenient_int",
+    "multimodal_frame_plan",
+    "pipeline_e5_orphans",
+    "pivot_status_by_priority",
+    "q12_priority_class_by_status",
     "q13_customer_order_distribution",
-    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_quantity_orders",
+    "q19_disjunctive_bracket",
+    "q22_idle_customers",
     "q4_priority_with_late_lines",
-    "sample_stratified",
-    "scalar_subquery_above_avg",
+    "q6_forecast_revenue",
+    "setop_nation_bag_excess",
+    "setop_nation_bag_overlap",
     "sim_ann_topk",
-    "sim_cosine_topk_pandas",
+    "sim_knn_join",
+    "skew_salted_event_counts",
+    "split_train_test",
     "text_ngram_counts",
     "text_pack_sequences",
     "text_quality_scores",
-    "window_dense_rank_days",
-    "window_moving_avg_spend",
-    "window_order_gap_days",
-    "window_running_spend",
-    "dedup_embedding_cosine",
-    "events_cohort_retention",
-    "events_dau_wau",
-    "events_new_vs_returning",
-    "events_value_outliers_mad",
-    "fuzzy_match_parts",
-    "history_url_churn",
-    "join_full_outer_coverage",
-    "join_range_followups",
-    "macro_days_between",
-    "macro_lenient_int",
-    "q12_priority_class_by_status",
-    "q17_small_qty_revenue",
-    "q19_disjunctive_bracket",
-    "q22_idle_customers",
-    "q3_shipping_priority",
-    "setop_nation_bag_overlap",
-    "sim_knn_join",
-    "text_repetition",
-    "text_tfidf_terms",
     "window_cume_dist_nth",
-    "agg_histogram",
-    "diag_custkey_skew",
-    "events_funnel",
-    "history_gap_fill",
-    "pipeline_e2_ranks",
-    "pipeline_e3_bookings",
-    "pipeline_e7_backlinks",
-    "profile_orders_columns",
-    "q15_top_supplier",
-    "q18_large_quantity_orders",
-    "q5_local_supplier_volume",
-    "q9_product_profit",
-    "setop_nation_bag_excess",
-    "text_langid",
-    "window_percent_rank_top",
-    "window_revenue_share",
+    "window_moving_avg_spend",
+    "window_top3_orders_per_customer",
+    "agg_distinct_suppliers",
+    "asof_latest_order_per_customer",
+    "dedup_embedding_cosine",
+    "dedup_exact_groups",
     "dedup_hot_shingles",
-    "dedup_minhash_signatures",
+    "dedup_incremental",
+    "events_cohort_retention",
+    "events_hourly_tumbling",
+    "events_new_vs_returning",
+    "events_sessionize",
+    "events_value_outliers_mad",
+    "history_metric_delta",
+    "join_full_outer_coverage",
+    "macro_url_levels",
+    "multimodal_meta_stats",
+    "pipeline_e3_bookings",
+    "profile_orders_columns",
+    "q3_shipping_priority",
+    "setop_nations_cust_and_supp",
+    "setop_nations_cust_only",
+    "text_langid",
+    "text_repetition",
+    "agg_rollup_status_priority",
+    "contamination_scan",
+    "corpus_quality_filter",
+    "events_dau_wau",
+    "events_funnel",
     "graph_degree_stats",
-    "history_scd2",
+    "history_gap_fill",
+    "pipeline_e7_backlinks",
     "q10_returned_item_revenue",
-    "q11_important_parts",
     "q16_supplier_variety",
     "q21_sole_late_shippers",
+    "q5_local_supplier_volume",
+    "sim_ivf_clusters",
+    "window_revenue_share",
+    "join_semi_shipped",
+    "minmax_priciest_part_per_brand",
+    "pipeline_e2_ranks",
     "q7_nation_trade_volume",
+    "q9_product_profit",
     "window_trailing_7d_spend",
-    "q2_min_cost_supplier",
-    "sim_cosine_topk",
-    "sql_adhoc_directory_rollup",
+    "dedup_minhash_signatures",
+    "q11_important_parts",
     "q20_excess_share_shippers",
+    "q2_min_cost_supplier",
     "q8_market_share",
-    "sim_quantize_int8",
-    "sql_adhoc_daily_orders",
+    "sql_adhoc_directory_rollup",
     "sql_adhoc_latest_snapshot",
-    "sql_macro_rollup",
-    "sql_recursive_hierarchy",
-    "stream_hourly_tumbling",
-    "text_duplicate_spans",
     "stream_corpus_ingest",
+    "text_duplicate_spans",
+    "sim_quantize_int8",
+    "sim_quantize_recall",
+    "sql_adhoc_daily_orders",
+    "sql_macro_rollup",
     "stream_dedup_events",
+    "sql_recursive_hierarchy",
     "stream_sessionize",
     "dedup_minhash_lsh_pairs",
     "sim_ivf_topk",
     "stream_stateful_user_totals",
-    "graph_pagerank",
-    "text_token_positions",
-    "multimodal_features",
-    "pipeline_e6_inlinks",
-    "split_leakage_check",
-    "dedup_simhash",
-    "stream_sliding_2h",
+    "text_fingerprints",
+    "corpus_pipeline_funnel",
     "dedup_ngram_jaccard",
     "graph_cheirank",
-    "dedup_ngram_jaccard_capped",
+    "stream_sliding_2h",
+    "pipeline_e6_inlinks",
+    "dedup_simhash",
+    "sim_cosine_topk_pandas",
+    "stream_hourly_tumbling",
+    "graph_pagerank",
+    "split_leakage_check",
     "bucketed_join_order_lineitems",
     "dedup_verified_pairs",
-    "dedup_corpus_survivors",
-    "stream_stream_join",
     "dedup_clusters",
+    "stream_stream_join",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_accuracy",
+    "dedup_corpus_survivors",
 )
 
 

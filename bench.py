@@ -84,6 +84,8 @@ HEADLINE = [
     "text_duplicate_spans",
     "stream_corpus_ingest",
     "sim_quantize_int8",
+    "corpus_pipeline_funnel",
+    "sim_quantize_recall",
 ]
 
 

@@ -35,6 +35,8 @@ EXPECTED_NESTED_LOOP = {
     "sim_ann_topk",
     # broadcast block-nested-loop IS the brute-force kNN-join algorithm
     "sim_knn_join",
+    # same kNN join run twice (exact + dequantized) for the recall audit
+    "sim_quantize_recall",
     # scalar-threshold broadcast cross-join (one-row agg)
     "q11_important_parts",
     # 5-row key dim × date spine grid
