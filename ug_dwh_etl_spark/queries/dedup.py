@@ -81,10 +81,17 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-# --- minhash LSH candidate pairs -------------------------------------------------
-def _lsh_sql() -> str:
+
+def _lsh_pairs_ctes() -> str:
+    """Shared CTE chain 'tok → sh → ex → hashed → sig → bands → pairs'
+    (no WITH keyword) — the minhash-LSH candidate-pair dataflow every
+    LSH-derived oracle builds on. One definition so the four consumers
+    (_lsh_sql, _label_prop_ctes, _verified_pairs_sql,
+    _minhash_accuracy_sql) cannot drift."""
     h = H.sql_md5_long("shingle", 15)
-    mins = ", ".join(f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH))
+    mins = ", ".join(
+        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
     band_selects = []
     for b in range(N_BANDS):
         key = " || '_' || ".join(
@@ -92,16 +99,24 @@ def _lsh_sql() -> str:
         )
         band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
     bands = "\n      UNION ALL\n      ".join(band_selects)
-    return f"""
-    WITH {_SHINGLE_CTES},
+    return f"""{_SHINGLE_CTES},
     hashed AS (SELECT doc_id, {h} AS h FROM ex),
     sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
     bands AS (
       {bands}
-    )
-    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-    FROM bands l JOIN bands r
-      ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
+    )"""
+
+
+# --- minhash LSH candidate pairs -------------------------------------------------
+def _lsh_sql() -> str:
+    return f"""
+    WITH {_lsh_pairs_ctes()}
+    SELECT id_a, id_b FROM pairs
     """
 
 
@@ -270,29 +285,8 @@ def _label_prop_ctes(iterations: int = 3) -> str:
     """Shared WITH-body for bounded min-label propagation: tokenize →
     minhash → bands → candidate pairs → ``iterations`` rounds of
     min-neighbor-label; the final label table is ``l{iterations}``."""
-    h = H.sql_md5_long("shingle", 15)
-    mins = ", ".join(
-        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
-    )
-    band_selects = []
-    for b in range(N_BANDS):
-        key = " || '_' || ".join(
-            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-        )
-        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
-    bands = "\n      UNION ALL\n      ".join(band_selects)
     parts = [
-        f"""{_SHINGLE_CTES},
-    hashed AS (SELECT doc_id, {h} AS h FROM ex),
-    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-    bands AS (
-      {bands}
-    ),
-    pairs AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
-        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-    ),
+        f"""{_lsh_pairs_ctes()},
     edges AS (SELECT id_a AS a, id_b AS b FROM pairs
               UNION ALL SELECT id_b, id_a FROM pairs),
     l0 AS (SELECT doc_id AS node, doc_id AS label FROM documents)"""
@@ -406,33 +400,11 @@ def split_leakage_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_accuracy_sql() -> str:
-    h = H.sql_md5_long("shingle", 15)
-    mins = ", ".join(
-        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
-    )
-    band_selects = []
-    for b in range(N_BANDS):
-        key = " || '_' || ".join(
-            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-        )
-        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
-    bands = "\n      UNION ALL\n      ".join(band_selects)
     match_sum = " + ".join(
         f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
     )
     return f"""
-    WITH {_SHINGLE_CTES},
-    hashed AS (SELECT doc_id, {h} AS h FROM ex),
-    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-    bands AS (
-      {bands}
-    ),
-    pairs AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
-        ON l.band_id = r.band_id AND l.band_key = r.band_key
-           AND l.doc_id < r.doc_id
-    ),
+    WITH {_lsh_pairs_ctes()},
     exh AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
     inter AS (
@@ -561,29 +533,8 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- candidate-restricted Jaccard verification ---------------------------------
 def _verified_pairs_sql(threshold: float = 0.5) -> str:
-    h = H.sql_md5_long("shingle", 15)
-    mins = ", ".join(
-        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
-    )
-    band_selects = []
-    for b in range(N_BANDS):
-        key = " || '_' || ".join(
-            f"mh{b * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND)
-        )
-        band_selects.append(f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig")
-    bands = "\n      UNION ALL\n      ".join(band_selects)
     return f"""
-    WITH {_SHINGLE_CTES},
-    hashed AS (SELECT doc_id, {h} AS h FROM ex),
-    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
-    bands AS (
-      {bands}
-    ),
-    pairs AS (
-      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-      FROM bands l JOIN bands r
-        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id
-    ),
+    WITH {_lsh_pairs_ctes()},
     exh2 AS (SELECT DISTINCT doc_id, h FROM hashed),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh2 GROUP BY doc_id),
     inter AS (
