@@ -153,3 +153,31 @@ def q_stream_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_corpus_ingest
 
     return stream_corpus_ingest(spark, sf_dir)
+
+
+@register(
+    "stream_hourly_anomaly",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, hour(ts) AS hod,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY hr, hod),
+    baseline AS (
+      SELECT hod, AVG(n) AS mu,
+             COALESCE(STDDEV_SAMP(n), 0.0) AS sigma
+      FROM hourly GROUP BY hod)
+    SELECT strftime(h.hr, '%Y-%m-%d %H:%M:%S') AS hour_start,
+           h.n,
+           ROUND(b.mu, 6) AS expected,
+           ROUND(CASE WHEN b.sigma > 0 THEN (h.n - b.mu) / b.sigma END, 6) AS zscore,
+           COALESCE(b.sigma > 0 AND ABS((h.n - b.mu) / b.sigma) > 2.0, FALSE)
+             AS is_anomaly
+    FROM hourly h JOIN baseline b USING (hod)
+    """,
+)
+def q_stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained hourly counts + batch-side diurnal
+    baseline and z-flags — shares the batch twin's exact oracle."""
+    from ug_dwh_etl_spark.streaming.jobs import stream_hourly_anomaly
+
+    return stream_hourly_anomaly(spark, sf_dir)

@@ -409,3 +409,33 @@ def merge_rollup_delta(batch_df: DataFrame, out_path: str) -> None:
     staging = out_path.rstrip("/") + ".staging"
     merged.write.mode("overwrite").parquet(staging)
     swap_dir(staging, out_path)
+
+
+def stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_hourly_anomaly``: the hourly counts
+    accumulate incrementally (tumbling window, complete mode); the
+    24-row diurnal baseline and z-score flags compute batch-side over
+    the materialized counts — at scale the windowed aggregate is the
+    continuously-maintained table and the baseline join is a nightly
+    (or per-trigger) 24-row broadcast, so anomaly flags lag the stream
+    by one trigger, never require reprocessing history."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    win = F.window("ts", "1 hour")
+    agg = ev.groupBy(win.alias("w")).agg(F.count(F.lit(1)).alias("n"))
+    counts = run_stream_to_memory(agg, "complete").select(
+        F.col("w.start").alias("hr"), F.hour("w.start").alias("hod"), "n"
+    )
+    baseline = counts.groupBy("hod").agg(
+        F.avg("n").alias("mu"),
+        F.coalesce(F.stddev_samp("n"), F.lit(0.0)).alias("sigma"),
+    )
+    z = F.when(F.col("sigma") > 0, (F.col("n") - F.col("mu")) / F.col("sigma"))
+    return counts.join(F.broadcast(baseline), "hod").select(
+        F.date_format("hr", "yyyy-MM-dd HH:mm:ss").alias("hour_start"),
+        "n",
+        F.round("mu", 6).alias("expected"),
+        F.round(z, 6).alias("zscore"),
+        F.coalesce((F.col("sigma") > 0) & (F.abs(z) > 2.0), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
