@@ -47,170 +47,171 @@ def entry(spark: SparkSession) -> DataFrame:
 # q1 leads: it is the cheap flagship and pays the one-time JVM warmup.
 _CHEAPEST_FIRST = (
     "q1_pricing_summary",
-    "text_token_positions",
-    "topk_orders_by_price",
-    "agg_collect_sorted",
-    "agg_histogram",
-    "lateral_explode_type_words",
-    "macro_concat_ws_skipnull",
-    "macro_doctype_label",
+    "macro_url_levels",
     "macro_website_type",
-    "pipeline_e8_hreflang",
-    "sample_stratified",
-    "text_redact_pii",
-    "window_dense_rank_days",
-    "window_ntile_quartiles",
-    "window_percent_rank_top",
-    "agg_cube_flag_status",
-    "agg_stats_moments",
-    "events_dedup_count",
-    "events_time_weighted_value",
-    "events_variant_parse",
-    "fuzzy_match_parts",
-    "history_scd2",
-    "join_null_safe",
+    "agg_rollup_status_priority",
+    "asof_latest_order_per_customer",
+    "contamination_scan",
+    "events_top_users",
+    "join_semi_shipped",
+    "macro_concat_ws_skipnull",
     "macro_dates_truncate",
-    "macro_locale_decimal",
-    "macro_regex_projection",
-    "multimodal_dedup_payloads",
-    "multimodal_features",
-    "pipeline_e1_crawl",
-    "pipeline_e4_images",
-    "q14_promo_revenue_share",
-    "scalar_subquery_above_avg",
-    "sim_cosine_topk",
-    "sim_label_centroids",
-    "sim_label_stats",
-    "sim_srp_buckets",
-    "text_chunk_docs",
-    "text_tfidf_terms",
+    "macro_fill_cast",
+    "minmax_priciest_part_per_brand",
+    "multimodal_frame_plan",
+    "multimodal_meta_stats",
+    "q6_forecast_revenue",
+    "setop_nations_cust_and_supp",
+    "text_fingerprints",
     "text_token_stats",
-    "text_vocab_coverage",
     "union_mismatched_entities",
-    "unpivot_lineitem_metrics",
-    "window_order_gap_days",
-    "window_running_spend",
+    "window_top3_orders_per_customer",
+    "agg_distinct_suppliers",
     "agg_grouping_sets",
     "agg_price_percentiles",
     "broadcast_nation_region",
-    "diag_custkey_skew",
-    "events_hourly_anomaly",
+    "corpus_quality_filter",
+    "events_hourly_tumbling",
     "events_json_extract",
+    "events_sessionize",
+    "history_metric_delta",
+    "join_anti_unshipped",
+    "join_left_customer_orders",
+    "lateral_explode_type_words",
+    "macro_regex_projection",
+    "multimodal_dedup_payloads",
+    "pipeline_e1_crawl",
+    "pipeline_e4_images",
+    "pipeline_e5_orphans",
+    "pivot_status_by_priority",
+    "setop_nations_cust_only",
+    "sim_ivf_clusters",
+    "sim_label_centroids",
+    "skew_salted_event_counts",
+    "split_train_test",
+    "text_quality_scores",
+    "text_redact_pii",
+    "topk_orders_by_price",
+    "window_percent_rank_top",
+    "window_running_spend",
+    "dedup_exact_groups",
+    "dedup_incremental",
+    "diag_custkey_skew",
+    "events_cohort_retention",
+    "events_dedup_count",
     "events_props_map_explode",
     "events_rollup_hour_day",
     "events_sliding_2h",
-    "events_top_users",
     "events_value_outliers",
+    "events_variant_parse",
     "history_url_churn",
-    "join_anti_unshipped",
-    "join_left_customer_orders",
+    "join_null_safe",
     "join_range_followups",
     "macro_days_between",
-    "macro_fill_cast",
+    "macro_doctype_label",
     "macro_lenient_int",
-    "multimodal_frame_plan",
-    "pipeline_e5_orphans",
-    "pivot_status_by_priority",
+    "macro_locale_decimal",
     "q12_priority_class_by_status",
     "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "q18_large_quantity_orders",
     "q19_disjunctive_bracket",
     "q22_idle_customers",
     "q4_priority_with_late_lines",
-    "q6_forecast_revenue",
-    "setop_nation_bag_excess",
+    "scalar_subquery_above_avg",
     "setop_nation_bag_overlap",
-    "sim_ann_topk",
     "sim_knn_join",
-    "skew_salted_event_counts",
-    "split_train_test",
+    "sim_label_stats",
+    "sim_srp_buckets",
+    "text_chunk_docs",
     "text_ngram_counts",
     "text_pack_sequences",
-    "text_quality_scores",
+    "text_tfidf_terms",
+    "unpivot_lineitem_metrics",
     "window_cume_dist_nth",
     "window_moving_avg_spend",
-    "window_top3_orders_per_customer",
-    "agg_distinct_suppliers",
-    "asof_latest_order_per_customer",
+    "window_ntile_quartiles",
+    "window_order_gap_days",
+    "agg_collect_sorted",
+    "agg_cube_flag_status",
+    "agg_histogram",
+    "agg_stats_moments",
     "dedup_embedding_cosine",
-    "dedup_exact_groups",
-    "dedup_hot_shingles",
-    "dedup_incremental",
-    "events_cohort_retention",
-    "events_hourly_tumbling",
+    "events_dau_wau",
     "events_new_vs_returning",
-    "events_sessionize",
+    "events_time_weighted_value",
     "events_value_outliers_mad",
-    "history_metric_delta",
+    "fuzzy_match_parts",
     "join_full_outer_coverage",
-    "macro_url_levels",
-    "multimodal_meta_stats",
-    "pipeline_e3_bookings",
+    "pipeline_e8_hreflang",
     "profile_orders_columns",
-    "q3_shipping_priority",
-    "setop_nations_cust_and_supp",
-    "setop_nations_cust_only",
+    "q14_promo_revenue_share",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q18_large_quantity_orders",
+    "sample_stratified",
+    "setop_nation_bag_excess",
+    "sim_ann_topk",
+    "sim_cosine_topk",
+    "sim_cosine_topk_pandas",
     "text_langid",
     "text_repetition",
-    "agg_rollup_status_priority",
-    "contamination_scan",
-    "corpus_quality_filter",
-    "events_dau_wau",
+    "text_vocab_coverage",
     "events_funnel",
+    "events_hourly_anomaly",
+    "history_scd2",
+    "pipeline_e3_bookings",
+    "q16_supplier_variety",
+    "q3_shipping_priority",
+    "window_dense_rank_days",
+    "dedup_hot_shingles",
     "graph_degree_stats",
     "history_gap_fill",
-    "pipeline_e7_backlinks",
     "q10_returned_item_revenue",
-    "q16_supplier_variety",
-    "q21_sole_late_shippers",
     "q5_local_supplier_volume",
-    "sim_ivf_clusters",
+    "sim_quantize_int8",
     "window_revenue_share",
-    "join_semi_shipped",
-    "minmax_priciest_part_per_brand",
+    "window_trailing_7d_spend",
     "pipeline_e2_ranks",
+    "pipeline_e7_backlinks",
+    "q21_sole_late_shippers",
+    "q2_min_cost_supplier",
     "q7_nation_trade_volume",
     "q9_product_profit",
-    "window_trailing_7d_spend",
-    "dedup_minhash_signatures",
+    "sql_adhoc_latest_snapshot",
     "q11_important_parts",
     "q20_excess_share_shippers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
     "sql_adhoc_directory_rollup",
-    "sql_adhoc_latest_snapshot",
-    "stream_corpus_ingest",
-    "text_duplicate_spans",
-    "sim_quantize_int8",
-    "sim_quantize_recall",
-    "sql_adhoc_daily_orders",
     "sql_macro_rollup",
-    "stream_dedup_events",
+    "dedup_minhash_signatures",
+    "q8_market_share",
+    "sql_adhoc_daily_orders",
     "sql_recursive_hierarchy",
+    "stream_hourly_tumbling",
+    "text_duplicate_spans",
     "stream_sessionize",
+    "stream_sliding_2h",
     "dedup_minhash_lsh_pairs",
     "sim_ivf_topk",
+    "sim_quantize_recall",
+    "stream_dedup_events",
+    "stream_hourly_anomaly",
     "stream_stateful_user_totals",
-    "text_fingerprints",
     "corpus_pipeline_funnel",
-    "dedup_ngram_jaccard",
-    "graph_cheirank",
-    "stream_sliding_2h",
+    "text_token_positions",
+    "multimodal_features",
     "pipeline_e6_inlinks",
-    "dedup_simhash",
-    "sim_cosine_topk_pandas",
-    "stream_hourly_tumbling",
     "graph_pagerank",
     "split_leakage_check",
-    "bucketed_join_order_lineitems",
+    "stream_corpus_ingest",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "graph_cheirank",
     "dedup_verified_pairs",
-    "dedup_clusters",
-    "stream_stream_join",
     "dedup_ngram_jaccard_capped",
-    "dedup_minhash_accuracy",
+    "stream_stream_join",
+    "bucketed_join_order_lineitems",
     "dedup_corpus_survivors",
+    "dedup_clusters",
+    "dedup_minhash_accuracy",
 )
 
 
