@@ -159,3 +159,81 @@ def sql_pagerank(
            ROUND({1.0 - d!r} + {d!r} * COALESCE(i{iterations}.inflow, 0.0), 4) AS rank
     FROM nodes n LEFT JOIN i{iterations} ON n.node = i{iterations}.node"""
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, component) after ``iterations`` rounds of BOUNDED
+    min-label propagation over the undirected view of the edge list —
+    component = the minimum node id reachable within the horizon.
+
+    Same fixed dataflow as the dedup cluster operator
+    (operators.dedup.near_dup_labels), generalized to any edge table:
+    exactly unrollable into a SQL oracle, shuffles sized to the |V|
+    label table via ``loop_partitions``, eager localCheckpoint while
+    the sizing is active. Unbounded-diameter graphs need the
+    large-star/small-star loop over the same join shape."""
+    spark = edges.sparkSession
+    prev = None
+    if loop_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        undirected = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .persist()
+        )
+        labels = (
+            undirected.select(F.col("a").alias("node"))
+            .distinct()
+            .select("node", F.col("node").alias("label"))
+        )
+        for _ in range(iterations):
+            nbr = (
+                undirected.join(labels, undirected.b == labels.node)
+                .groupBy(F.col("a").alias("nbr_node"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = labels.join(nbr, labels.node == F.col("nbr_node"), "left").select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        result = labels.select("node", F.col("label").alias("component"))
+        if loop_partitions is not None:
+            result = result.localCheckpoint(eager=True)
+            undirected.unpersist()
+        return result
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def sql_connected_components(edges_sql: str, iterations: int = 3) -> str:
+    """The identical bounded label propagation as unrolled SQL.
+    ``edges_sql`` must select (src, dst)."""
+    parts = [
+        f"""e0 AS ({edges_sql}),
+    und AS (SELECT DISTINCT a, b FROM (
+      SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)"""
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""l{i + 1} AS (
+      SELECT l.node,
+             LEAST(l.label, COALESCE(MIN(n.label), l.label)) AS label
+      FROM l{i} l
+        LEFT JOIN und e ON e.a = l.node
+        LEFT JOIN l{i} n ON n.node = e.b
+      GROUP BY l.node, l.label)"""
+        )
+    return "WITH " + ",\n    ".join(parts)

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ug_dwh_etl_spark.operators.graph import pagerank, sql_pagerank
+from ug_dwh_etl_spark.operators.graph import pagerank, sql_connected_components, sql_pagerank
 from ug_dwh_etl_spark.queries.registry import register, table
 
 # supplier s<k> links to part p<k>; prefixes keep the two node
@@ -91,3 +91,53 @@ def graph_cheirank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(edges, iterations=3, loop_partitions=16)
     return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+
+# disjoint-by-construction community subgraph for the components query:
+# supplier s<k> links part p<j> only when k % 10 == j % 10
+_COMMUNITY_EDGES_SQL = """
+    SELECT DISTINCT 's' || l_suppkey::VARCHAR AS src,
+                    'p' || l_partkey::VARCHAR AS dst
+    FROM lineitem WHERE l_suppkey % 10 = l_partkey % 10
+"""
+
+
+def _community_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
+    )
+    return li.select(
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+    ).distinct()
+
+
+@register(
+    "graph_components",
+    sql_connected_components(_COMMUNITY_EDGES_SQL, iterations=3)
+    + """
+    SELECT label AS component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l3 GROUP BY label HAVING COUNT(*) > 1
+    """,
+)
+def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (bounded min-label propagation, 3 rounds)
+    aggregated to (component, n_nodes) for non-singleton groups — the
+    'site cluster' report over an inlinks edge table, same machinery as
+    the near-dup clusterer. Runs on the residue-class community
+    subgraph (supplier links part only when suppkey%10 == partkey%10),
+    which has genuinely disjoint components — the full bipartite graph
+    collapses to one giant component and checks nothing. 3 rounds do
+    not fully converge these diameters; the oracle runs the identical
+    bounded dataflow, so the comparison is exact either way."""
+    from ug_dwh_etl_spark.operators.graph import connected_components
+
+    comp = connected_components(
+        _community_edges(spark, sf_dir), iterations=3, loop_partitions=16
+    )
+    return (
+        comp.groupBy(F.col("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .filter(F.col("n_nodes") > 1)
+    )
