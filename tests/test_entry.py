@@ -57,3 +57,20 @@ def test_every_oracle_parses_in_duckdb():
         except Exception as e:  # noqa: BLE001
             bad.append((name, str(e).splitlines()[0]))
     assert not bad, bad
+
+
+def test_cheapest_first_names_all_registered():
+    # the ordering list is respliced from timing runs — a typo or a
+    # renamed query would silently fall back to registry order; every
+    # listed name must exist, and the ordering must cover the registry
+    # minus at most the handful of queries added since the last splice
+    import __spark_entry__ as E
+    from ug_dwh_etl_spark.queries import QUERIES
+
+    listed = set(E._CHEAPEST_FIRST)
+    registered = set(QUERIES)
+    assert listed <= registered, f"stale names: {sorted(listed - registered)}"
+    missing = registered - listed
+    assert len(missing) <= 5, f"resplice the ordering: {sorted(missing)}"
+    # ordering has no duplicates
+    assert len(E._CHEAPEST_FIRST) == len(listed)
