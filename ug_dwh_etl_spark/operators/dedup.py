@@ -411,13 +411,31 @@ def dedup_survivors(
     removing exact and near duplicates — keep a doc iff it is the
     minimum id of its near-dup component (singletons keep themselves).
 
-    Exact duplicates have identical shingle sets, hence identical
-    minhash signatures, hence agree on every LSH band — so they are
-    always candidate pairs and the component minimum subsumes exact
-    dedup's min-id survivor rule. One pass over the corpus produces the
-    filter a training pipeline joins against; at 100 TB the retained set
-    writes out as the cleaned corpus partition."""
+    For docs with >= 3 tokens, exact duplicates have identical shingle
+    sets, hence identical minhash signatures, hence agree on every LSH
+    band — so they are always candidate pairs and the component minimum
+    subsumes exact dedup's min-id survivor rule. Docs SHORTER than the
+    3-token shingle width produce no shingles and never enter the pair
+    graph, so they get an explicit exact-dedup pass: group by the
+    normalized-text fingerprint, keep only the min id. One pass over the
+    corpus produces the filter a training pipeline joins against; at
+    100 TB the retained set writes out as the cleaned corpus partition
+    (the short-doc side is a vanishing fraction, one extra tiny
+    shuffle)."""
+    from ug_dwh_etl_spark.operators import hashing as H
+
     labels = near_dup_labels(df, id_col, text_col, iterations)
-    return labels.filter(F.col("label") == F.col("node")).select(
+    base = labels.filter(F.col("label") == F.col("node")).select(
         F.col("node").alias(id_col)
     )
+    toks = df.select(F.col(id_col), H.tokens(text_col).alias("t"))
+    short = toks.filter(F.size("t") < 3).select(
+        id_col, F.md5(F.concat_ws(" ", "t")).alias("norm")
+    )
+    keepers = short.groupBy("norm").agg(F.min(id_col).alias("keep_id"))
+    short_drop = (
+        short.join(keepers, "norm")
+        .filter(F.col(id_col) != F.col("keep_id"))
+        .select(id_col)
+    )
+    return base.join(short_drop, id_col, "left_anti")

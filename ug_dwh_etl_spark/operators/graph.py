@@ -208,9 +208,11 @@ def connected_components(
                 ).alias("label"),
             )
         result = labels.select("node", F.col("label").alias("component"))
-        if loop_partitions is not None:
-            result = result.localCheckpoint(eager=True)
-            undirected.unpersist()
+        # Cut the lineage and release the pinned edge relation on EVERY
+        # path — leaving `undirected` persisted for the session lifetime
+        # is the same leak class fixed in dedup.minhash_lsh_pairs.
+        result = result.localCheckpoint(eager=True)
+        undirected.unpersist()
         return result
     finally:
         if prev is not None:

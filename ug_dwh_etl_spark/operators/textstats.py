@@ -150,10 +150,18 @@ def contamination_scan(
         for i, p in enumerate(probes)
     ]
     counts = df.agg(F.count(F.lit(1)).alias("_n"), *aggs)
-    stack_args = ", ".join(f"'{p}', _p{i}" for i, p in enumerate(probes))
-    return counts.selectExpr(
-        f"stack({len(probes)}, {stack_args}) AS (probe, n_docs)", "_n"
-    ).select(
+    # Typed literals, not selectExpr interpolation: a probe containing a
+    # quote (plausible for verbatim eval fragments) must stay data, not
+    # become SQL text.
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(p).alias("probe"), F.col(f"_p{i}").alias("n_docs")
+            )
+            for i, p in enumerate(probes)
+        ]
+    )
+    return counts.select(F.inline(pairs), "_n").select(
         "probe",
         "n_docs",
         F.round(F.col("n_docs") / F.col("_n"), 6).alias("pct_docs"),

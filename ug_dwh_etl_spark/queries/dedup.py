@@ -324,14 +324,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_corpus_survivors",
     _label_prop_ctes()
-    + """
-    SELECT node AS doc_id FROM l3 WHERE label = node""",
+    + """,
+    short AS (SELECT doc_id, md5(array_to_string(t, ' ')) AS norm
+              FROM tok WHERE len(t) < 3),
+    skeep AS (SELECT norm, MIN(doc_id) AS keep_id FROM short GROUP BY norm),
+    sdrop AS (SELECT s.doc_id FROM short s JOIN skeep k USING (norm)
+              WHERE s.doc_id <> k.keep_id)
+    SELECT node AS doc_id FROM l3
+    WHERE label = node AND node NOT IN (SELECT doc_id FROM sdrop)""",
 )
 def dedup_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The document ids a training pipeline RETAINS after exact +
     near-dup removal: min-id survivor per near-dup component (exact dups
-    always share every LSH band, so the component minimum subsumes the
-    exact-dedup survivor rule)."""
+    with >= 3 tokens always share every LSH band, so the component
+    minimum subsumes the exact-dedup survivor rule; sub-shingle-width
+    docs get an explicit normalized-fingerprint exact pass)."""
     from ug_dwh_etl_spark.operators.dedup import dedup_survivors
 
     return dedup_survivors(table(spark, sf_dir, "documents"), "doc_id", "text")

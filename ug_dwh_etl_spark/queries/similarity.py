@@ -299,8 +299,8 @@ def _quantize_recall_sql(k: int = 3) -> str:
     dims AS (SELECT dim, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY dim),
     dqflat AS (
       SELECT f.vec_id, f.dim,
-             d.mn + COALESCE(ROUND((f.v - d.mn) / ((d.mx - d.mn) / 255.0))
-                             * ((d.mx - d.mn) / 255.0), 0.0) AS dv
+             d.mn + COALESCE(ROUND((f.v - d.mn) / (NULLIF(d.mx - d.mn, 0.0) / 255.0))
+                             * (NULLIF(d.mx - d.mn, 0.0) / 255.0), 0.0) AS dv
       FROM flat f JOIN dims d USING (dim)),
     dq AS (SELECT vec_id, list(dv ORDER BY dim) AS e FROM dqflat GROUP BY vec_id),
     c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
