@@ -117,3 +117,94 @@ def test_fill_cast_never_null_and_numeric(spark, vals):
             assert row.d == expected or abs(row.d - expected) < 1e-9 or row.d == 0.0
         except (ValueError, OverflowError):
             assert row.d == 0.0, (row.v, row.d)
+
+
+# --- tokenizer cross-engine equivalence ---------------------------------------
+# The tokenizer is the foundation every dedup/text oracle rests on: a
+# unicode edge where Spark (Java regex + locale lower) and DuckDB (RE2 +
+# utf8proc lower) disagree would silently bias ALL of them. Property:
+# for arbitrary unicode input, Spark `hashing.tokens` == DuckDB
+# `hashing.sql_tokens`, and likewise for the 3-gram shingles built on top.
+
+_any_text = st.lists(
+    st.text(min_size=0, max_size=24),  # full unicode, no alphabet cap
+    min_size=1,
+    max_size=30,
+)
+
+
+def _duck_eval(values, sql_expr: str):
+    import duckdb
+    import pandas as pd
+
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"v": values}))
+    out = con.execute(f"SELECT {sql_expr} AS r FROM t").fetchdf()["r"]
+    con.close()
+    return [list(x) for x in out]
+
+
+@SETTINGS
+@given(vals=_any_text)
+def test_tokens_match_duckdb_oracle(spark, vals):
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    srows = _frame(spark, vals).select(H.tokens("v").alias("t")).collect()
+    duck = _duck_eval(vals, H.sql_tokens("v"))
+    for (row, d, v) in zip(srows, duck, vals):
+        assert list(row.t) == d, repr(v)
+
+
+def _duck_eval_shingles(values, n: int = 3):
+    import duckdb
+    import pandas as pd
+
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    con = duckdb.connect()
+    con.register("raw", pd.DataFrame({"v": values}))
+    out = con.execute(
+        f"WITH tok AS (SELECT {H.sql_tokens('v')} AS t FROM raw) "
+        f"SELECT {H.sql_shingles('t', n)} AS r FROM tok"
+    ).fetchdf()["r"]
+    con.close()
+    return [list(x) for x in out]
+
+
+@SETTINGS
+@given(vals=_any_text)
+def test_shingles_match_duckdb_oracle(spark, vals):
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    srows = (
+        _frame(spark, vals)
+        .select(H.tokens("v").alias("t"))
+        .select(H.shingles(F.col("t"), 3).alias("s"))
+        .collect()
+    )
+    duck = _duck_eval_shingles(vals, 3)
+    for (row, d, v) in zip(srows, duck, vals):
+        assert list(row.s) == d, repr(v)
+
+
+def test_tokens_match_duckdb_on_known_unicode_edges(spark):
+    """Deterministic nasty-unicode cases the random strategy rarely hits:
+    locale-sensitive lowercasing (Turkish İ, German ẞ), combining marks,
+    full-width digits, emoji, NBSP. The tokenizer must agree cross-engine
+    on ALL of them — any divergence silently biases every dedup oracle."""
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    vals = [
+        "İstanbul I ı",            # U+0130 lowers to i+combining-dot in Java
+        "STRAẞE Straße",           # U+1E9E capital sharp s
+        "café café",         # combining acute vs precomposed
+        "１２ 12",         # full-width digits
+        "a b",                # NBSP separator
+        "🚀 rocket 🚀x",
+        "ΣΊΣΥΦΟΣ σίσυφος",
+        "ＡＢＣ abc",               # full-width latin
+    ]
+    srows = _frame(spark, vals).select(H.tokens("v").alias("t")).collect()
+    duck = _duck_eval(vals, H.sql_tokens("v"))
+    for (row, d, v) in zip(srows, duck, vals):
+        assert list(row.t) == d, repr(v)

@@ -103,7 +103,7 @@ def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     """(id, sh) distinct — shingle sets as 60-bit hashes. The distinct
     shuffles (id, long) pairs instead of full shingle strings."""
     ex = _exploded_shingles(df, id_col, text_col, n)
-    return ex.select(F.col(id_col), H.md5_long("shingle", 15).alias("sh")).distinct()
+    return ex.select(F.col(id_col), H.content_hash_long("shingle", 15).alias("sh")).distinct()
 
 
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -115,7 +115,7 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     map-side, so the shuffle payload is 16 longs per doc per partition.
     """
     ex = _exploded_shingles(spread(df), id_col, text_col)
-    hashed = ex.select(F.col(id_col), H.md5_long("shingle", 15).alias("h"))
+    hashed = ex.select(F.col(id_col), H.content_hash_long("shingle", 15).alias("h"))
     return hashed.groupBy(id_col).agg(
         *[F.min(H.minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_MINHASH)]
     )
@@ -175,7 +175,7 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = (
         spread(df)
         .select(F.col(id_col), F.explode(H.tokens(text_col)).alias("tok"))
-        .select(F.col(id_col), H.md5_long("tok", 8).alias("h"))
+        .select(F.col(id_col), H.content_hash_long("tok", 8).alias("h"))
         .distinct()
     )
     bit_sums = [

@@ -12,8 +12,11 @@ MinHash permutations are (a*h + b) mod P with P = 4294967311 (prime >
 2^32) and a < 2^20, so a*h < 2^52 never overflows int64 — Spark 4 ANSI
 mode makes silent overflow an error, and DuckDB would too.
 
-Tokenization is normalized identically on both engines: lowercase, every
-non-alphanumeric run → single space, trim, split on single space.
+Tokenization is normalized identically on both engines: every
+non-ASCII-alphanumeric run → single space, trim, lowercase, split on
+single space. The separator pass runs BEFORE lowercasing so unicode
+lowercasing differences between engines (Java vs utf8proc, e.g. Turkish
+İ) can never reach a token — see tokens().
 """
 
 from __future__ import annotations
@@ -38,6 +41,27 @@ def _c(col: Column | str) -> Column:
 
 # --- Spark side -------------------------------------------------------------
 
+# Content-hash seam. "oracle" (default) keeps md5-truncation so Spark and
+# the DuckDB oracle produce IDENTICAL hash values (the correctness gate
+# depends on it). "fast" switches to Spark's native xxhash64 — ~2-4× less
+# CPU per hash, the right choice for a real 100 TB corpus pass where no
+# cross-engine oracle is being run (shingle hashing is the dominant CPU
+# cost of dedup at that scale). Same downstream semantics either way: a
+# well-mixed 60-bit non-negative BIGINT key.
+HASH_MODE = "oracle"
+
+
+def content_hash_long(col: Column | str, hex_digits: int = 15) -> Column:
+    """Non-negative BIGINT content hash of a string column — md5-truncated
+    under HASH_MODE='oracle' (cross-engine parity), xxhash64 under
+    HASH_MODE='fast' (production throughput). `hex_digits` bounds the
+    width: 15 → 60 bits, 8 → 32 bits."""
+    if HASH_MODE == "fast":
+        bits = 4 * hex_digits
+        return F.pmod(F.xxhash64(_c(col)), F.lit(1 << bits)).cast("long")
+    return md5_long(col, hex_digits)
+
+
 def md5_long(col: Column | str, hex_digits: int = 15) -> Column:
     """First `hex_digits` hex chars of md5 as a non-negative BIGINT
     (15 digits = 60 bits; 8 digits = 32 bits)."""
@@ -50,8 +74,14 @@ def minhash_perm(hash_col: Column, i: int) -> Column:
 
 
 def tokens(col: Column | str) -> Column:
-    """Normalized word tokens as array<string>."""
-    norm = F.trim(F.regexp_replace(F.lower(_c(col)), "[^a-z0-9]+", " "))
+    """Normalized word tokens as array<string>: ASCII-alphanumeric runs,
+    lowercased. The separator regex runs BEFORE lower() deliberately —
+    engines disagree on unicode lowercasing at locale edges (Java maps
+    Turkish İ to "i"+combining-dot, splitting the token; utf8proc maps it
+    to plain "i"), so any non-ASCII character is a separator on both
+    engines and lower() only ever sees ASCII. Property-tested cross-engine
+    in tests/test_properties.py."""
+    norm = F.lower(F.trim(F.regexp_replace(_c(col), "[^a-zA-Z0-9]+", " ")))
     return F.when(norm == "", F.array().cast("array<string>")).otherwise(F.split(norm, " "))
 
 
@@ -82,13 +112,15 @@ def sql_minhash_perm(hash_expr: str, i: int) -> str:
 
 
 def sql_tokens(expr: str) -> str:
+    # separator regex BEFORE lower(), mirroring tokens() above — see its
+    # docstring for the unicode-lowercasing rationale
     return (
-        "CASE WHEN trim(regexp_replace(lower("
+        "CASE WHEN lower(trim(regexp_replace("
         + expr
-        + "), '[^a-z0-9]+', ' ', 'g')) = '' THEN []::VARCHAR[] "
-        "ELSE string_split(trim(regexp_replace(lower("
+        + ", '[^a-zA-Z0-9]+', ' ', 'g'))) = '' THEN []::VARCHAR[] "
+        "ELSE string_split(lower(trim(regexp_replace("
         + expr
-        + "), '[^a-z0-9]+', ' ', 'g')), ' ') END"
+        + ", '[^a-zA-Z0-9]+', ' ', 'g'))), ' ') END"
     )
 
 
