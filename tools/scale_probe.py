@@ -45,6 +45,15 @@ PROBES = (
     "text_token_stats",
     "window_top3_orders_per_customer",
 )
+# Streaming probes additionally report state-store rows (from the final
+# StreamingQueryProgress): state must grow at most linearly in the keys
+# within the watermark horizon — superlinear state is the streaming
+# analogue of a quadratic join.
+STREAM_PROBES = (
+    "stream_corpus_ingest",
+    "stream_stream_join",
+    "stream_stateful_user_totals",
+)
 SHIFT = 1_000_000_000
 
 
@@ -75,29 +84,55 @@ def build(spark, factor: int) -> str:
     return out
 
 
+def _state_rows() -> int:
+    from ug_dwh_etl_spark.streaming import jobs
+
+    p = jobs.LAST_PROGRESS
+    if not p:
+        return -1
+    return sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
+
+
 def main() -> None:
-    probes = sys.argv[1:] or list(PROBES)
+    probes = sys.argv[1:] or list(PROBES) + list(STREAM_PROBES)
     spark = get_spark("scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1000).selectExpr("sum(id)").write.format("noop").mode("overwrite").save()
 
     dirs = {f: build(spark, f) for f in FACTORS}
-    print(f"{'query':40s} " + " ".join(f"{f:>7d}x" for f in FACTORS) + "   growth(16x)")
+    print(
+        f"{'query':40s} " + " ".join(f"{f:>7d}x" for f in FACTORS)
+        + "   growth(16x)   state rows (1x/4x/16x)"
+    )
     for name in probes:
         fn = QUERIES[name].fn
+        streaming = name.startswith("stream_")
         # untimed 1x run first: absorbs the query's codegen compilation so
         # the 1x timing doesn't carry one-time costs the 16x run won't pay
-        fn(spark, dirs[FACTORS[0]]).write.format("noop").mode("overwrite").save()
-        times = []
+        if streaming:
+            fn(spark, dirs[FACTORS[0]]).count()
+        else:
+            fn(spark, dirs[FACTORS[0]]).write.format("noop").mode("overwrite").save()
+        times, states = [], []
         for f in FACTORS:
             t0 = time.perf_counter()
-            fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
+            if streaming:
+                # a streaming query materializes inside fn (AvailableNow →
+                # memory sink); count() forces nothing extra but keeps the
+                # timing comparable to the batch noop write
+                fn(spark, dirs[f]).count()
+                states.append(_state_rows())
+            else:
+                fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)
         growth = times[-1] / times[0] if times[0] > 0 else float("nan")
         flag = "" if growth <= FACTORS[-1] * 1.5 else "  <-- SUPERLINEAR"
+        state_col = (
+            "   " + "/".join(str(s) for s in states) if streaming else ""
+        )
         print(
             f"{name:40s} " + " ".join(f"{t:7.2f}s" for t in times)
-            + f"   {growth:5.1f}x{flag}"
+            + f"   {growth:5.1f}x{flag}{state_col}"
         )
 
 

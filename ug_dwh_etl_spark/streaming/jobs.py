@@ -34,6 +34,12 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.sql.types import LongType, StructType
 
+# Final StreamingQueryProgress of the most recent run_stream_to_memory
+# run (dict, or None before any run) — state-store row counts for
+# observability and the scale probe.
+LAST_PROGRESS: dict | None = None
+
+
 def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
     """Schema for the streaming events source, probed from the parquet
     footer (metadata-only read — no data scan).
@@ -132,6 +138,11 @@ def run_stream_to_memory(
                 .start()
             )
             q.awaitTermination()
+            # expose the final progress for observability/scale probes
+            # (state-store row counts per stateful operator); module-level
+            # because callers only see the returned batch DataFrame
+            global LAST_PROGRESS
+            LAST_PROGRESS = q.lastProgress
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
