@@ -51,6 +51,13 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHEAPEST_FIRST = (
     "text_token_positions",
     "graph_components",
+    "corpus_mixture_weights",
+    "winsorize_order_totals",
+    "customer_rfm_segments",
+    "embed_dim_zscore",
+    "events_user_ewma",
+    "text_pmi_bigrams",
+    "graph_triangle_count",
     "sample_stratified",
     "sim_label_stats",
     "fuzzy_match_parts",

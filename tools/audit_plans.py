@@ -51,6 +51,14 @@ EXPECTED_NESTED_LOOP = {
     "text_vocab_coverage",
     # 1-row average broadcast onto the per-key counts
     "diag_custkey_skew",
+    # 1-row unigram-total agg broadcast onto the top-50 bigrams
+    "text_pmi_bigrams",
+    # two 1-row scalars (corpus total, normalizer) on the 5-row lang table
+    "corpus_mixture_weights",
+    # 9-quantile 1-row cutpoint frame broadcast onto per-customer RFM
+    "customer_rfm_segments",
+    # three 1-row counts (edges, nodes, triangles) cross-joined to one row
+    "graph_triangle_count",
     # trailing-week range join against the broadcast ~30-row day spine
     "events_dau_wau",
 }

@@ -662,3 +662,54 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# --- exponentially-weighted moving average per user ---------------------------
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "events_user_ewma",
+    f"""
+    WITH seq AS (
+      SELECT user_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id) AS n
+      FROM events)
+    SELECT user_id,
+           CAST(MAX(n) AS BIGINT) AS n_events,
+           ROUND(SUM(CASE WHEN rn = 1
+                          THEN power({1 - _EWMA_ALPHA}, n - 1) * value
+                          ELSE {_EWMA_ALPHA}
+                               * power({1 - _EWMA_ALPHA}, n - rn) * value
+                     END), 4) AS ewma
+    FROM seq GROUP BY user_id
+    """,
+)
+def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final exponentially-weighted moving average of `value` per user
+    (alpha=0.3, event-time order, event_id tiebreak).
+
+    The recursion e_j = a*x_j + (1-a)*e_(j-1) is replaced by its closed
+    form — each row's weight a*(1-a)^(n-rn) (and (1-a)^(n-1) for the
+    seed) depends only on the row's position, so the whole thing is one
+    window pass plus one groupBy: no iterative loop, no UDF, and the
+    per-user sort is bounded by the user's own event count at any scale.
+    """
+    a = _EWMA_ALPHA
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("user_id")).alias("n"),
+    )
+    weight = F.when(
+        F.col("rn") == 1, F.pow(F.lit(1 - a), F.col("n") - 1)
+    ).otherwise(F.lit(a) * F.pow(F.lit(1 - a), F.col("n") - F.col("rn")))
+    return seq.groupBy("user_id").agg(
+        F.max("n").alias("n_events"),
+        F.round(F.sum(weight * F.col("value")), 4).alias("ewma"),
+    )

@@ -141,3 +141,86 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .filter(F.col("n_nodes") > 1)
     )
+
+
+# --- triangle count over the co-purchase projection ---------------------------
+_COPURCHASE_CTES = """
+    op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e0 AS (SELECT a.p AS a, b.p AS b
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+           GROUP BY a.p, b.p)"""
+
+
+@register(
+    "graph_triangle_count",
+    f"""
+    WITH {_COPURCHASE_CTES},
+    deg AS (SELECT node, COUNT(*) AS d
+            FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+            GROUP BY node),
+    ori AS (SELECT CASE WHEN (da.d, a) < (db.d, b) THEN a ELSE b END AS u,
+                   CASE WHEN (da.d, a) < (db.d, b) THEN b ELSE a END AS v
+            FROM e0 JOIN deg da ON da.node = a JOIN deg db ON db.node = b)
+    SELECT CAST((SELECT COUNT(*) FROM e0) AS BIGINT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM ori w1
+      JOIN ori w2 ON w1.u = w2.u AND w1.v < w2.v
+      JOIN e0 e ON e.a = w1.v AND e.b = w2.v
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the part co-purchase graph (parts sharing an
+    order), via degree-ordered orientation (compact-forward): each edge
+    points from its lower-(degree, id) endpoint, wedges are enumerated
+    only from each triangle's unique out-degree-2 apex, and the closing
+    edge joins back as an ordered pair.
+
+    Scale shape: the bipartite→unipartite projection is bounded by
+    order width (≤ ~7 parts/order → ≤ 21 pairs), and orientation caps
+    wedge fan-out at O(sqrt(|E|)) per node instead of max-degree² — the
+    difference between 32M and ~1M wedges already at sf0.01. All joins
+    are equi-joins on node ids; no node ever sees its full undirected
+    neighborhood."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    a, b = op.alias("x"), op.alias("y")
+    e0 = (
+        a.join(b, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .distinct()
+        # five consumers (degree ×2, orientation, closing join, edge
+        # count): cut the lineage so the projection+distinct runs once,
+        # not per consumer (same rationale as dedup.minhash_lsh_pairs)
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    flip = (F.col("da") > F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") > F.col("b"))
+    )
+    ori = (
+        e0.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(flip, F.col("b")).otherwise(F.col("a")).alias("u"),
+            F.when(flip, F.col("a")).otherwise(F.col("b")).alias("v"),
+        )
+        .localCheckpoint(eager=False)  # both wedge sides read it
+    )
+    w1, w2 = ori.alias("w1"), ori.alias("w2")
+    wedges = w1.join(
+        w2,
+        (F.col("w1.u") == F.col("w2.u")) & (F.col("w1.v") < F.col("w2.v")),
+    ).select(F.col("w1.v").alias("a"), F.col("w2.v").alias("b"))
+    tri = wedges.join(e0, ["a", "b"]).agg(F.count(F.lit(1)).alias("n_triangles"))
+    sides = e0.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    )
+    return sides.crossJoin(tri).select("n_edges", "n_nodes", "n_triangles")

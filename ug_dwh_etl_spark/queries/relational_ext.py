@@ -799,3 +799,150 @@ def window_cume_dist_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+# --- winsorized (outlier-clipped) aggregate -----------------------------------
+@register(
+    "winsorize_order_totals",
+    """
+    WITH cuts AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.05) AS p05,
+             quantile_cont(o_totalprice, 0.95) AS p95
+      FROM orders GROUP BY o_orderpriority)
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MAX(c.p05), 4) AS p05,
+           ROUND(MAX(c.p95), 4) AS p95,
+           ROUND(AVG(o.o_totalprice), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, c.p05), c.p95)), 4)
+             AS winsorized_mean
+    FROM orders o JOIN cuts c USING (o_orderpriority)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def winsorize_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust mean via winsorization: clip each order's total to
+    its priority group's [p05, p95] before averaging — the standard
+    data-cleaning step before loss-weighting or price modeling.
+
+    Two passes over orders, both shuffling on the 5-value priority key;
+    the per-group cutpoints (5 rows) broadcast back onto the scan, so at
+    100 TB the clip is a free map stage after one small agg. Exact
+    interpolated percentiles (Spark `percentile` == DuckDB
+    `quantile_cont`)."""
+    orders = table(spark, sf_dir, "orders")
+    cuts = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+    return (
+        orders.join(F.broadcast(cuts), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("p05"), 4).alias("p05"),
+            F.round(F.max("p95"), 4).alias("p95"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.round(F.avg(clipped), 4).alias("winsorized_mean"),
+        )
+    )
+
+
+# --- RFM segmentation ---------------------------------------------------------
+@register(
+    "customer_rfm_segments",
+    """
+    WITH ref AS (SELECT MAX(o_orderdate) AS ref_date FROM orders),
+    rfm AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT ref_date FROM ref)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS monetary
+      FROM orders GROUP BY o_custkey),
+    cuts AS (
+      SELECT quantile_cont(recency_days, 0.25) AS r1,
+             quantile_cont(recency_days, 0.50) AS r2,
+             quantile_cont(recency_days, 0.75) AS r3,
+             quantile_cont(frequency, 0.25) AS f1,
+             quantile_cont(frequency, 0.50) AS f2,
+             quantile_cont(frequency, 0.75) AS f3,
+             quantile_cont(monetary, 0.25) AS m1,
+             quantile_cont(monetary, 0.50) AS m2,
+             quantile_cont(monetary, 0.75) AS m3
+      FROM rfm)
+    SELECT CASE WHEN recency_days <= r1 THEN 4 WHEN recency_days <= r2 THEN 3
+                WHEN recency_days <= r3 THEN 2 ELSE 1 END AS r_score,
+           CASE WHEN frequency <= f1 THEN 1 WHEN frequency <= f2 THEN 2
+                WHEN frequency <= f3 THEN 3 ELSE 4 END AS f_score,
+           CASE WHEN monetary <= m1 THEN 1 WHEN monetary <= m2 THEN 2
+                WHEN monetary <= m3 THEN 3 ELSE 4 END AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(monetary), 2) AS avg_monetary
+    FROM rfm, cuts
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation: per-customer RFM vector,
+    quartile-scored against GLOBAL percentile cutpoints, rolled up to
+    segment counts.
+
+    Deliberately NOT ntile(): a global ntile is a single-partition sort
+    (the classic scale killer). Quartile boundaries come from one
+    percentile aggregate (9 scalars, broadcast), so scoring is a map
+    stage and the only shuffles are groupBy(custkey) and the final tiny
+    segment rollup — the same plan at 1000x the customers. Ties share a
+    bucket (principled for RFM; ntile would split them arbitrarily)."""
+    orders = table(spark, sf_dir, "orders")
+    ref = orders.agg(F.max("o_orderdate").alias("ref_date"))
+    rfm = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .join(F.broadcast(ref))
+        .select(
+            F.datediff("ref_date", "last_order").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    cuts = rfm.agg(
+        *[
+            F.expr(f"percentile({c}, {q})").alias(f"{c[0]}{i}")
+            for c in ("recency_days", "frequency", "monetary")
+            for i, q in ((1, 0.25), (2, 0.50), (3, 0.75))
+        ]
+    )
+
+    def score(col: str, prefix: str, ascending: bool):
+        c1, c2, c3 = (F.col(f"{prefix}{i}") for i in (1, 2, 3))
+        v = F.col(col)
+        if ascending:
+            return (
+                F.when(v <= c1, 1).when(v <= c2, 2).when(v <= c3, 3).otherwise(4)
+            )
+        return F.when(v <= c1, 4).when(v <= c2, 3).when(v <= c3, 2).otherwise(1)
+
+    return (
+        rfm.join(F.broadcast(cuts))
+        .select(
+            score("recency_days", "r", ascending=False).alias("r_score"),
+            score("frequency", "f", ascending=True).alias("f_score"),
+            score("monetary", "m", ascending=True).alias("m_score"),
+            "monetary",
+        )
+        .groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+        )
+    )

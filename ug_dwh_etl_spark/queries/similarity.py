@@ -338,3 +338,58 @@ def sim_quantize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.similarity import quantized_knn_recall
 
     return quantized_knn_recall(table(spark, sf_dir, "embeddings"), query_mod=97, k=3)
+
+
+# --- per-dimension distribution audit (feature normalization stats) -----------
+@register(
+    "embed_dim_zscore",
+    """
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    stats AS (
+      SELECT dim, AVG(v) AS mu, stddev_pop(v) AS sigma
+      FROM flat GROUP BY dim)
+    SELECT f.dim,
+           ROUND(s.mu, 6) AS mean,
+           ROUND(s.sigma, 6) AS std,
+           CAST(SUM(CASE WHEN s.sigma > 0
+                          AND ABS((f.v - s.mu) / s.sigma) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM flat f JOIN stats s USING (dim)
+    GROUP BY f.dim, s.mu, s.sigma
+    """,
+)
+def embed_dim_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std of the embedding matrix plus |z| > 3
+    outlier counts — the stats feeding feature normalization (and the
+    sanity check that catches a broken encoder dimension).
+
+    posexplode → one groupBy(dim) for the 64-row stats table, broadcast
+    back onto the exploded scan for the outlier count: at 100 TB the
+    stats stay dim-sized and the second pass is a map + re-agg on the
+    same 64 keys."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), F.col("col").alias("v"))
+    stats = flat.groupBy("dim").agg(
+        F.avg("v").alias("mu"), F.stddev_pop("v").alias("sigma")
+    )
+    outlier = (
+        (F.col("sigma") > 0)
+        & (F.abs((F.col("v") - F.col("mu")) / F.col("sigma")) > 3.0)
+    ).cast("long")
+    return (
+        flat.join(F.broadcast(stats), "dim")
+        .groupBy("dim", "mu", "sigma")
+        .agg(F.sum(outlier).alias("n_outliers"))
+        .select(
+            "dim",
+            F.round("mu", 6).alias("mean"),
+            F.round("sigma", 6).alias("std"),
+            "n_outliers",
+        )
+    )

@@ -526,3 +526,114 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("cum") / F.col("tot"), 6).alias("coverage"),
     )
+
+
+# --- PMI collocations ---------------------------------------------------------
+@register(
+    "text_pmi_bigrams",
+    f"""
+    WITH {_TOK_CTE},
+    uni AS (
+      SELECT tk AS w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS tk FROM tok) GROUP BY tk),
+    n_uni AS (SELECT SUM(c) AS n FROM uni),
+    big AS (
+      SELECT bg, COUNT(*) AS c
+      FROM (SELECT unnest({H.sql_shingles('t', 2)}) AS bg FROM tok)
+      GROUP BY bg),
+    top AS (
+      SELECT bg, c FROM big WHERE c >= 5
+      ORDER BY c DESC, bg LIMIT 50)
+    SELECT t.bg AS bigram,
+           CAST(t.c AS BIGINT) AS n_pairs,
+           ROUND(LN((t.c::DOUBLE * n.n * n.n)
+                    / (n.n::DOUBLE * a.c * b.c)), 4) AS pmi
+    FROM top t
+      JOIN uni a ON a.w = string_split(t.bg, ' ')[1]
+      JOIN uni b ON b.w = string_split(t.bg, ' ')[2]
+      CROSS JOIN n_uni n
+    """,
+)
+def text_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by count with their pointwise mutual
+    information: pmi = ln(p(ab) / (p(a) p(b))) with both distributions
+    over the unigram total (the collocation-extraction staple feeding
+    tokenizer-vocab and boilerplate decisions).
+
+    Selection ranks on the INTEGER pair count (deterministic
+    cross-engine; float pmi is reported, never ranked on). The top-50 is
+    a TakeOrdered (per-partition heap, k rows to the driver), and the
+    two unigram lookups join against that 50-row side, broadcast — at
+    100 TB the only full-corpus work is the two token/bigram counts."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(H.tokens("text").alias("t"))
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").alias("n"))
+    big = (
+        toks.select(F.explode(H.shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = big.filter(F.col("c") >= 5).orderBy(F.desc("c"), "bg").limit(50)
+    a = uni.select(F.col("w").alias("wa"), F.col("c").alias("ca"))
+    b = uni.select(F.col("w").alias("wb"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("c").cast("double") * F.col("n") * F.col("n"))
+            / (F.col("n").cast("double") * F.col("ca") * F.col("cb"))
+        ),
+        4,
+    )
+    return (
+        top.withColumn("wa", F.split("bg", " ").getItem(0))
+        .withColumn("wb", F.split("bg", " ").getItem(1))
+        .join(a, "wa")
+        .join(b, "wb")
+        .crossJoin(F.broadcast(n_uni))
+        .select(F.col("bg").alias("bigram"), F.col("c").alias("n_pairs"), pmi.alias("pmi"))
+    )
+
+
+# --- language-mixture sampling weights ----------------------------------------
+_MIX_ALPHA = 0.3
+
+
+@register(
+    "corpus_mixture_weights",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts),
+    powed AS (
+      SELECT lang, n_docs,
+             power(n_docs::DOUBLE / t.total, {_MIX_ALPHA}) AS p_alpha
+      FROM counts, tot t),
+    z AS (SELECT SUM(p_alpha) AS z FROM powed)
+    SELECT p.lang,
+           CAST(p.n_docs AS BIGINT) AS n_docs,
+           ROUND(p.n_docs::DOUBLE / t.total, 6) AS raw_share,
+           ROUND(p.p_alpha / z.z, 6) AS sample_weight
+    FROM powed p, tot t, z
+    """,
+)
+def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language-mixture sampling weights
+    (w_l ∝ p_l^alpha, alpha=0.3) — the multilingual data-mixing formula
+    that upsamples low-resource languages. One tiny groupBy(lang) plus
+    two scalar broadcasts; corpus-size-linear with a 5-row tail."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_alpha", F.pow(F.col("n_docs").cast("double") / F.col("total"), _MIX_ALPHA)
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("raw_share"),
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
+    )
