@@ -58,6 +58,9 @@ _CHEAPEST_FIRST = (
     "events_user_ewma",
     "text_pmi_bigrams",
     "graph_triangle_count",
+    "agg_equidepth_histogram",
+    "events_value_mad",
+    "doc_length_deciles",
     "sample_stratified",
     "sim_label_stats",
     "fuzzy_match_parts",

@@ -59,6 +59,8 @@ EXPECTED_NESTED_LOOP = {
     "customer_rfm_segments",
     # three 1-row counts (edges, nodes, triangles) cross-joined to one row
     "graph_triangle_count",
+    # 1-row 7-percentile cutpoint frame broadcast onto the scan
+    "agg_equidepth_histogram",
     # trailing-week range join against the broadcast ~30-row day spine
     "events_dau_wau",
 }

@@ -713,3 +713,61 @@ def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n").alias("n_events"),
         F.round(F.sum(weight * F.col("value")), 4).alias("ewma"),
     )
+
+
+# --- MAD-based robust outlier audit -------------------------------------------
+@register(
+    "events_value_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type),
+    mad AS (
+      SELECT e.event_type, MAX(m.med) AS med,
+             quantile_cont(ABS(e.value - m.med), 0.5) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY e.event_type)
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MAX(d.med), 6) AS median_value,
+           ROUND(MAX(d.mad), 6) AS mad,
+           CAST(SUM(CASE WHEN d.mad > 0
+                          AND ABS(e.value - d.med) / (1.4826 * d.mad) > 3.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM events e JOIN mad d USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier audit per event type — the
+    robust sibling of z-score flagging (a handful of giant values can't
+    inflate the threshold the way they inflate a stddev).
+
+    Three passes, all shuffling on the 5-value event_type key, with the
+    per-type medians (5 rows) broadcast between them; MAD is scaled by
+    the normal-consistency constant 1.4826 so the >3 threshold reads as
+    'beyond ~3 sigma under normality'."""
+    ev = table(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    mad = (
+        ev.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.expr("percentile(abs(value - med), 0.5)").alias("mad"),
+        )
+    )
+    is_out = (
+        (F.col("mad") > 0)
+        & (F.abs(F.col("value") - F.col("med")) / (1.4826 * F.col("mad")) > 3.0)
+    ).cast("long")
+    return (
+        ev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("med"), 6).alias("median_value"),
+            F.round(F.max("mad"), 6).alias("mad"),
+            F.sum(is_out).alias("n_outliers"),
+        )
+    )

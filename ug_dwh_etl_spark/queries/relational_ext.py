@@ -946,3 +946,55 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("monetary"), 2).alias("avg_monetary"),
         )
     )
+
+
+# --- equi-depth histogram (quantile buckets) ------------------------------------
+@register(
+    "agg_equidepth_histogram",
+    """
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, 0.125) AS c1,
+             quantile_cont(o_totalprice, 0.250) AS c2,
+             quantile_cont(o_totalprice, 0.375) AS c3,
+             quantile_cont(o_totalprice, 0.500) AS c4,
+             quantile_cont(o_totalprice, 0.625) AS c5,
+             quantile_cont(o_totalprice, 0.750) AS c6,
+             quantile_cont(o_totalprice, 0.875) AS c7
+      FROM orders)
+    SELECT CASE WHEN o_totalprice <= c1 THEN 1 WHEN o_totalprice <= c2 THEN 2
+                WHEN o_totalprice <= c3 THEN 3 WHEN o_totalprice <= c4 THEN 4
+                WHEN o_totalprice <= c5 THEN 5 WHEN o_totalprice <= c6 THEN 6
+                WHEN o_totalprice <= c7 THEN 7 ELSE 8 END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders, cuts
+    GROUP BY bucket
+    """,
+)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile-bucket) histogram — the distribution summary
+    optimizers and data-skipping statistics actually store. Boundaries
+    come from one exact-percentile aggregate (7 scalars, broadcast back);
+    the bucketing pass is a map stage — no single-partition ntile sort,
+    same plan at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    qs = [0.125, 0.250, 0.375, 0.500, 0.625, 0.750, 0.875]
+    cuts = orders.agg(
+        *[F.expr(f"percentile(o_totalprice, {q})").alias(f"c{i+1}") for i, q in enumerate(qs)]
+    )
+    v = F.col("o_totalprice")
+    bucket = F.when(v <= F.col("c1"), 1)
+    for i in range(2, 8):
+        bucket = bucket.when(v <= F.col(f"c{i}"), i)
+    bucket = bucket.otherwise(8)
+    return (
+        orders.join(F.broadcast(cuts))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

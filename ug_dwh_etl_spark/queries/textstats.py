@@ -637,3 +637,37 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("raw_share"),
         F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
     )
+
+
+# --- per-language token-length deciles ----------------------------------------
+@register(
+    "doc_length_deciles",
+    f"""
+    WITH {_TOK_CTE},
+    lens AS (
+      SELECT d.lang, len(t.t) AS n_tokens
+      FROM tok t JOIN documents d USING (doc_id))
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_tokens, 0.10), 4) AS p10,
+           ROUND(quantile_cont(n_tokens, 0.50), 4) AS p50,
+           ROUND(quantile_cont(n_tokens, 0.90), 4) AS p90,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM lens GROUP BY lang
+    """,
+)
+def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length distribution per language (p10/p50/p90/max) — the
+    stats that drive chunk-size, packing-length, and curriculum
+    decisions. One tokenize+length map, one groupBy(lang) with exact
+    interpolated percentiles; at 100 TB the length column is computed at
+    scan time and the agg state is a handful of rows per language."""
+    docs = table(spark, sf_dir, "documents")
+    lens = docs.select("lang", F.size(H.tokens("text")).alias("n_tokens"))
+    return lens.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.expr("percentile(n_tokens, 0.10)"), 4).alias("p10"),
+        F.round(F.expr("percentile(n_tokens, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(n_tokens, 0.90)"), 4).alias("p90"),
+        F.max("n_tokens").alias("max_tokens"),
+    )
