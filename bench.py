@@ -86,6 +86,14 @@ HEADLINE = [
     "sim_quantize_int8",
     "corpus_pipeline_funnel",
     "sim_quantize_recall",
+    # added round 4: triangle counting (compact-forward), percentile-based
+    # RFM segmentation, closed-form EWMA, PMI collocations, and the
+    # per-dimension embedding stats audit
+    "graph_triangle_count",
+    "customer_rfm_segments",
+    "events_user_ewma",
+    "text_pmi_bigrams",
+    "embed_dim_zscore",
 ]
 
 
