@@ -61,6 +61,7 @@ _CHEAPEST_FIRST = (
     "agg_equidepth_histogram",
     "events_value_mad",
     "doc_length_deciles",
+    "stream_user_ewma",
     "sample_stratified",
     "sim_label_stats",
     "fuzzy_match_parts",

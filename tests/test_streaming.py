@@ -165,3 +165,68 @@ def test_stream_source_handles_directory_layout(spark, tmp_path):
     dir_rows = stream_corpus_ingest(spark, str(tmp_path)).count()
     file_rows = stream_corpus_ingest(spark, "/root/testdata/sf0.001").count()
     assert dir_rows == file_rows > 0
+
+
+def test_stream_ewma_multi_batch_matches_closed_form(spark, tmp_path):
+    """The EWMA fold does NOT commute, so this is the real test of the
+    stateful operator: two micro-batches split at the median timestamp
+    (file mtimes force arrival order), folded through the state store,
+    must equal the batch closed-form window computation exactly."""
+    import os
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ug_dwh_etl_spark.queries.events import events_user_ewma
+    from ug_dwh_etl_spark.queries.registry import table
+    from ug_dwh_etl_spark.streaming import stateful as S
+    from ug_dwh_etl_spark.streaming.jobs import run_stream_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events").select("user_id", "ts", "event_id", "value")
+    med = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)")).first()[0]
+    split = F.unix_micros("ts") <= F.lit(int(med))
+
+    d = str(tmp_path / "events.parquet")
+    os.makedirs(d)
+    for i, half in enumerate((ev.filter(split), ev.filter(~split))):
+        tmp = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{d}/half{i}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        # FileStreamSource orders by modification time: make half0 older
+        os.utime(dst, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    updated = src.groupBy("user_id").applyInPandasWithState(
+        S._update_user_ewma,
+        outputStructType=S.EWMA_OUTPUT_SCHEMA,
+        stateStructType=S.EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update").cache()
+    n_users = ev.select("user_id").distinct().count()
+    # users active in both halves emit one row per micro-batch — if this
+    # fails the run collapsed into a single batch and tested nothing
+    assert out.count() > n_users
+
+    got = {
+        r.user_id: (r.n_events, round(r.ewma, 4))
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.round(F.max_by("ewma", "n_events"), 4).alias("ewma"),
+        )
+        .collect()
+    }
+    expected = {
+        r.user_id: (r.n_events, r.ewma)
+        for r in events_user_ewma(spark, sf).collect()
+    }
+    assert got == expected

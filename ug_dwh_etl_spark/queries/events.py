@@ -667,10 +667,10 @@ def events_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- exponentially-weighted moving average per user ---------------------------
 _EWMA_ALPHA = 0.3
 
-
-@register(
-    "events_user_ewma",
-    f"""
+# shared with the streaming twin (stream_user_ewma): the closed-form SQL
+# is the oracle for BOTH the batch window pass and the stateful
+# streaming recursion
+EWMA_ORACLE = f"""
     WITH seq AS (
       SELECT user_id, value,
              ROW_NUMBER() OVER (PARTITION BY user_id
@@ -685,8 +685,10 @@ _EWMA_ALPHA = 0.3
                                * power({1 - _EWMA_ALPHA}, n - rn) * value
                      END), 4) AS ewma
     FROM seq GROUP BY user_id
-    """,
-)
+    """
+
+
+@register("events_user_ewma", EWMA_ORACLE)
 def events_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Final exponentially-weighted moving average of `value` per user
     (alpha=0.3, event-time order, event_id tiebreak).

@@ -181,3 +181,18 @@ def q_stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_hourly_anomaly
 
     return stream_hourly_anomaly(spark, sf_dir)
+
+
+def _ewma_oracle() -> str:
+    from ug_dwh_etl_spark.queries.events import EWMA_ORACLE
+
+    return EWMA_ORACLE
+
+
+@register("stream_user_ewma", _ewma_oracle())
+def q_stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-sensitive applyInPandasWithState recursion; checked against
+    # the SAME closed-form oracle as the batch twin events_user_ewma
+    from ug_dwh_etl_spark.streaming.stateful import stream_user_ewma
+
+    return stream_user_ewma(spark, sf_dir)

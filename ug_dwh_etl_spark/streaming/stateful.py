@@ -133,3 +133,65 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_events_cum").alias("n_events"),
         F.round(F.max("total_value_cum"), 2).alias("total_value"),
     )
+
+
+# --- stateful EWMA (order-sensitive state, the recursion the batch twin
+# --- replaces with its closed form) -------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_STATE_SCHEMA = StructType(
+    [StructField("n", LongType()), StructField("ewma", DoubleType())]
+)
+EWMA_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+
+def _update_user_ewma(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    n, e = state.get if state.exists else (0, 0.0)
+    for batch in batches:
+        # fold in event-time order WITHIN the batch; across batches the
+        # file source must deliver event-time-ordered splits (the
+        # production contract for any order-sensitive stream state —
+        # daily partitions ingested in date order satisfy it)
+        for v in batch.sort_values(["ts", "event_id"])["value"]:
+            e = v if n == 0 else EWMA_ALPHA * v + (1 - EWMA_ALPHA) * e
+            n += 1
+    state.update((n, float(e)))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ewma": [float(e)]})
+
+
+def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running EWMA via ``applyInPandasWithState`` — the
+    genuinely ORDER-SENSITIVE state shape (unlike running totals, the
+    fold does not commute), which is exactly what the custom-state
+    escape hatch exists for: no built-in streaming aggregate expresses
+    the recursion e_j = a*x_j + (1-a)*e_{j-1}.
+
+    The final per-user row (max n_events) must equal the batch twin's
+    closed-form window computation (``events_user_ewma``) — same DuckDB
+    oracle, so the streaming recursion and the algebraic re-expression
+    check each other."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_user_ewma,
+        outputStructType=EWMA_OUTPUT_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    w_last = out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("ewma", "n_events").alias("ewma_raw"),
+    )
+    return w_last.select(
+        "user_id", "n_events", F.round("ewma_raw", 4).alias("ewma")
+    )
