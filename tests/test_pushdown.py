@@ -124,3 +124,29 @@ def test_append_schema_evolution_merges(spark, tmp_path):
     assert set(df.columns) == {"id", "new_metric", "crawl_date"}
     old = df.filter(F.col("crawl_date") == "2026-01-01")
     assert old.filter(F.col("new_metric").isNull()).count() == 5
+
+
+def test_dynamic_partition_pruning_via_dim_join(spark, tmp_path):
+    """DPP: when the partition filter is only knowable through a joined
+    dimension (the star-schema dashboard shape), Spark must inject a
+    runtime subquery filter on the partition column instead of scanning
+    every crawl_date partition. At 100 TB this is the difference between
+    reading one day and reading years."""
+    from ug_dwh_etl_spark.sinks.writers import append_history
+
+    hist = str(tmp_path / "hist")
+    for day in ("2026-01-01", "2026-01-02", "2026-01-03"):
+        append_history(
+            spark.range(200).select(
+                F.col("id"), F.lit(day).alias("crawl_date")
+            ),
+            hist,
+        )
+    dim = spark.createDataFrame(
+        [("2026-01-02", "latest")], "crawl_date string, tag string"
+    )
+    fact = spark.read.parquet(hist)
+    joined = fact.join(dim.filter(F.col("tag") == "latest"), "crawl_date")
+    plan = _executed_plan(joined)
+    assert "dynamicpruning" in plan.lower() or "SubqueryBroadcast" in plan, plan[:2000]
+    assert joined.count() == 200

@@ -250,3 +250,37 @@ def test_webhook_alert_datasource_writer(spark, tmp_path):
     assert len(lines) == 25
     assert {r["id"] for r in lines} == set(range(25))
     assert all(r["title"] == f"violation-{r['id']}" and r["kind"] == "dq" for r in lines)
+
+
+def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
+    import glob
+
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.sinks.writers import append_history, compact_partitions
+
+    hist = str(tmp_path / "hist")
+    # simulate many micro-batch appends: 8 tiny files per day
+    for day in ("2026-01-01", "2026-01-02"):
+        for _ in range(8):
+            append_history(
+                spark.range(50).select(F.col("id"), F.lit(day).alias("crawl_date")),
+                hist,
+            )
+    before = len(glob.glob(f"{hist}/**/*.parquet", recursive=True))
+    assert before >= 16
+    total_before = spark.read.parquet(hist).count()
+
+    # compact only day 1 (the nightly "compact yesterday" mode)
+    compact_partitions(spark, hist, partitions=["2026-01-01"])
+    day1 = glob.glob(f"{hist}/crawl_date=2026-01-01/*.parquet")
+    assert len(day1) == 1
+    # untouched day keeps its files
+    day2 = glob.glob(f"{hist}/crawl_date=2026-01-02/*.parquet")
+    assert len(day2) >= 8
+    assert spark.read.parquet(hist).count() == total_before
+
+    # whole-table compaction
+    after = compact_partitions(spark, hist)
+    assert after <= 2
+    assert spark.read.parquet(hist).count() == total_before
