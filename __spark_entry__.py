@@ -62,6 +62,8 @@ _CHEAPEST_FIRST = (
     "events_value_mad",
     "doc_length_deciles",
     "stream_user_ewma",
+    "text_type_token_ratio",
+    "text_char_entropy",
     "sample_stratified",
     "sim_label_stats",
     "fuzzy_match_parts",

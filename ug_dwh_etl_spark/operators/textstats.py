@@ -267,3 +267,56 @@ def sentence_udtf():
                     yield i, s
 
     return SplitSentences
+
+
+def char_entropy(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_chars, entropy) — per-document Shannon entropy (bits) of
+    the character distribution, the cheap perplexity proxy that flags
+    low-entropy boilerplate/garbage (aaaaa..., base64 blobs score high,
+    prose sits ~4-4.5 bits).
+
+    Arrow-batched Pandas UDF ON PURPOSE: a per-row character histogram
+    expressed relationally is an explode → |corpus chars| shuffle — at
+    100 TB that's shuffling every character of the corpus. Per-row
+    numpy in a map-only stage shuffles NOTHING; this is the documented
+    pattern for per-row compute no builtin expresses."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _entropy_batch(texts):
+        out = np.zeros(len(texts))
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            _, counts = np.unique(list(t), return_counts=True)
+            p = counts / counts.sum()
+            out[i] = float(-(p * np.log2(p)).sum())
+        return pd.Series(out)
+
+    # legacy (no-type-hint) form: `from __future__ import annotations`
+    # stringifies hints, which the hinted pandas_udf path can't resolve
+    _entropy = pandas_udf(_entropy_batch, "double")
+
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.round(_entropy(F.col(text_col)), 4).alias("entropy"),
+    )
+
+
+def type_token_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, n_tokens, n_types, ttr) — lexical diversity: distinct tokens
+    over total tokens. Degenerate repetition (spam, keyword stuffing)
+    scores near 0. Pure codegen map stage: array_distinct on the row's
+    own token array, no shuffle anywhere."""
+    t = H.tokens(text_col)
+    toks = df.select(F.col(id_col), t.alias("t"))
+    return toks.select(
+        id_col,
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_types"),
+        F.when(F.size("t") > 0, F.round(F.size(F.array_distinct("t")) / F.size("t"), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("ttr"),
+    )

@@ -671,3 +671,52 @@ def doc_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_tokens, 0.90)"), 4).alias("p90"),
         F.max("n_tokens").alias("max_tokens"),
     )
+
+
+# --- character entropy (perplexity proxy) -------------------------------------
+@register(
+    "text_char_entropy",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+    SELECT d.doc_id,
+           CAST(length(d.text) AS INTEGER) AS n_chars,
+           ROUND(COALESCE(e.ent, 0.0), 4) AS entropy
+    FROM documents d
+      LEFT JOIN (SELECT doc_id, entropy(ch) AS ent FROM chars GROUP BY doc_id) e
+        USING (doc_id)
+    """,
+)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (bits) — the cheap
+    perplexity proxy for boilerplate/garbage flagging. Arrow-batched
+    Pandas UDF: per-row numpy histogram in a map-only stage, because the
+    relational formulation explodes every character of the corpus into a
+    shuffle. The oracle DOES pay that explode (DuckDB entropy() over
+    unnested chars) — both arrive at the same number, only one of them
+    scales."""
+    from ug_dwh_etl_spark.operators.textstats import char_entropy
+
+    return char_entropy(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- type-token ratio (lexical diversity) -------------------------------------
+@register(
+    "text_type_token_ratio",
+    f"""
+    WITH {_TOK_CTE}
+    SELECT doc_id,
+           CAST(len(t) AS INTEGER) AS n_tokens,
+           CAST(len(list_distinct(t)) AS INTEGER) AS n_types,
+           CASE WHEN len(t) > 0
+                THEN ROUND(len(list_distinct(t)) / len(t)::DOUBLE, 6) END AS ttr
+    FROM tok
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity gate: distinct-token share per document (spam
+    and keyword stuffing score near 0). Pure codegen map stage —
+    array_distinct runs on each row's own token array, no shuffle."""
+    from ug_dwh_etl_spark.operators.textstats import type_token_ratio
+
+    return type_token_ratio(table(spark, sf_dir, "documents"), "doc_id", "text")
