@@ -63,6 +63,7 @@ _CHEAPEST_FIRST = (
     "doc_length_deciles",
     "stream_user_ewma",
     "text_type_token_ratio",
+    "corpus_weighted_sample",
     "text_char_entropy",
     "sample_stratified",
     "sim_label_stats",

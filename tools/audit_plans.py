@@ -55,6 +55,8 @@ EXPECTED_NESTED_LOOP = {
     "text_pmi_bigrams",
     # two 1-row scalars (corpus total, normalizer) on the 5-row lang table
     "corpus_mixture_weights",
+    # same scalar chain feeding the 5-row broadcast rate table
+    "corpus_weighted_sample",
     # 9-quantile 1-row cutpoint frame broadcast onto per-customer RFM
     "customer_rfm_segments",
     # three 1-row counts (edges, nodes, triangles) cross-joined to one row

@@ -720,3 +720,69 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.textstats import type_token_ratio
 
     return type_token_ratio(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- deterministic weighted corpus sample -------------------------------------
+@register(
+    "corpus_weighted_sample",
+    f"""
+    WITH counts AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_docs) AS total FROM counts),
+    powed AS (
+      SELECT lang, n_docs,
+             power(n_docs::DOUBLE / t.total, {_MIX_ALPHA}) AS p_alpha
+      FROM counts, tot t),
+    z AS (SELECT SUM(p_alpha) AS z FROM powed),
+    rates AS (
+      SELECT p.lang, p.n_docs,
+             LEAST(1.0, 2.0 * (p.p_alpha / z.z) * t.total / p.n_docs) AS rate
+      FROM powed p, tot t, z),
+    u AS (
+      SELECT d.lang,
+             ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+               / 4294967296.0 AS unif
+      FROM documents d)
+    SELECT r.lang,
+           CAST(r.n_docs AS BIGINT) AS n_docs,
+           ROUND(r.rate, 6) AS rate,
+           CAST(SUM(CASE WHEN u.unif < r.rate THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled
+    FROM u JOIN rates r USING (lang)
+    GROUP BY r.lang, r.n_docs, r.rate
+    """,
+)
+def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the temperature-scaled language mixture as an actual
+    corpus sample: per-language acceptance rate = target share / raw
+    share (scaled to draw ~2x the balanced size, capped at 1), applied
+    by deterministic hash thresholding — md5(doc_id) as a uniform [0,1)
+    — so the 'random' sample is reproducible run-to-run, auditable, and
+    engine-exact. The whole thing is a map-side filter against a 5-row
+    broadcast rate table: the standard shape for mixing a 100 TB corpus
+    without a shuffle."""
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("total"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_alpha", F.pow(F.col("n_docs").cast("double") / F.col("total"), _MIX_ALPHA)
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    rates = powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            2.0 * (F.col("p_alpha") / F.col("z")) * F.col("total") / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        / F.lit(4294967296.0)
+    )
+    return (
+        docs.select("lang", unif.alias("unif"))
+        .join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", F.round("rate", 6).alias("rate"))
+        .agg(F.sum((F.col("unif") < F.col("rate")).cast("long")).alias("n_sampled"))
+    )
