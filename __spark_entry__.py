@@ -49,187 +49,187 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    "text_token_positions",
-    "graph_components",
-    "corpus_mixture_weights",
-    "winsorize_order_totals",
-    "customer_rfm_segments",
-    "embed_dim_zscore",
-    "events_user_ewma",
-    "text_pmi_bigrams",
-    "graph_triangle_count",
-    "agg_equidepth_histogram",
-    "events_value_mad",
-    "doc_length_deciles",
-    "stream_user_ewma",
-    "text_type_token_ratio",
-    "corpus_weighted_sample",
-    "text_char_entropy",
-    "sample_stratified",
-    "sim_label_stats",
-    "fuzzy_match_parts",
-    "agg_collect_sorted",
     "agg_histogram",
-    "sim_cosine_topk",
-    "window_ntile_quartiles",
-    "pipeline_e8_hreflang",
+    "graph_components",
+    "agg_collect_sorted",
     "agg_stats_moments",
-    "sim_srp_buckets",
-    "multimodal_features",
-    "window_dense_rank_days",
-    "q14_promo_revenue_share",
-    "text_chunk_docs",
+    "pipeline_e8_hreflang",
+    "window_ntile_quartiles",
+    "sim_label_stats",
+    "text_type_token_ratio",
+    "fuzzy_match_parts",
     "scalar_subquery_above_avg",
-    "unpivot_lineitem_metrics",
-    "history_scd2",
-    "join_null_safe",
-    "q4_priority_with_late_lines",
-    "q12_priority_class_by_status",
-    "text_langid",
-    "text_pack_sequences",
-    "q13_customer_order_distribution",
-    "window_moving_avg_spend",
-    "events_hourly_anomaly",
-    "window_cume_dist_nth",
+    "doc_length_deciles",
+    "sample_stratified",
     "text_tfidf_terms",
-    "join_full_outer_coverage",
-    "q19_disjunctive_bracket",
+    "sim_cosine_topk_pandas",
+    "q14_promo_revenue_share",
     "text_ngram_counts",
     "q22_idle_customers",
-    "join_range_followups",
-    "profile_orders_columns",
-    "text_vocab_coverage",
-    "q15_top_supplier",
-    "q17_small_qty_revenue",
-    "dedup_hot_shingles",
-    "setop_nation_bag_overlap",
-    "history_url_churn",
-    "text_repetition",
-    "q16_supplier_variety",
-    "setop_nation_bag_excess",
-    "sim_knn_join",
-    "pipeline_e3_bookings",
-    "diag_custkey_skew",
+    "q19_disjunctive_bracket",
+    "sim_cosine_topk",
+    "unpivot_lineitem_metrics",
+    "text_pack_sequences",
+    "text_chunk_docs",
+    "q13_customer_order_distribution",
     "sim_ann_topk",
+    "q12_priority_class_by_status",
+    "window_moving_avg_spend",
+    "sim_srp_buckets",
+    "setop_nation_bag_excess",
+    "diag_custkey_skew",
+    "sim_knn_join",
+    "text_vocab_coverage",
+    "join_null_safe",
+    "history_url_churn",
+    "window_dense_rank_days",
+    "join_range_followups",
+    "text_char_entropy",
+    "q4_priority_with_late_lines",
+    "history_scd2",
     "q18_large_quantity_orders",
+    "window_cume_dist_nth",
+    "multimodal_features",
+    "q15_top_supplier",
+    "events_user_ewma",
+    "join_full_outer_coverage",
+    "setop_nation_bag_overlap",
+    "q17_small_qty_revenue",
+    "text_repetition",
+    "profile_orders_columns",
+    "pipeline_e3_bookings",
     "q10_returned_item_revenue",
-    "q9_product_profit",
-    "window_revenue_share",
-    "history_gap_fill",
+    "q16_supplier_variety",
     "graph_degree_stats",
-    "pipeline_e7_backlinks",
-    "q20_excess_share_shippers",
-    "q11_important_parts",
+    "events_hourly_anomaly",
     "q21_sole_late_shippers",
-    "window_trailing_7d_spend",
-    "sql_adhoc_directory_rollup",
-    "sim_quantize_int8",
-    "q7_nation_trade_volume",
-    "q2_min_cost_supplier",
-    "sql_adhoc_latest_snapshot",
+    "history_gap_fill",
+    "dedup_hot_shingles",
+    "pipeline_e7_backlinks",
+    "window_revenue_share",
+    "text_langid",
+    "agg_equidepth_histogram",
+    "corpus_mixture_weights",
+    "q9_product_profit",
     "pipeline_e2_ranks",
-    "sql_adhoc_daily_orders",
+    "embed_dim_zscore",
+    "q7_nation_trade_volume",
+    "events_value_mad",
+    "window_trailing_7d_spend",
+    "sim_quantize_int8",
+    "corpus_weighted_sample",
+    "sql_adhoc_directory_rollup",
+    "q11_important_parts",
+    "sql_adhoc_latest_snapshot",
+    "q2_min_cost_supplier",
+    "q20_excess_share_shippers",
     "sql_macro_rollup",
-    "stream_sliding_2h",
+    "sql_adhoc_daily_orders",
+    "stream_hourly_tumbling",
     "q8_market_share",
-    "sql_recursive_hierarchy",
-    "stream_corpus_ingest",
     "text_duplicate_spans",
-    "stream_stateful_user_totals",
+    "winsorize_order_totals",
+    "sim_ivf_topk",
+    "customer_rfm_segments",
+    "sql_recursive_hierarchy",
     "stream_dedup_events",
-    "stream_hourly_anomaly",
-    "sim_quantize_recall",
+    "stream_stateful_user_totals",
     "stream_sessionize",
-    "corpus_pipeline_funnel",
+    "stream_corpus_ingest",
+    "graph_pagerank",
+    "stream_sliding_2h",
+    "sim_quantize_recall",
+    "text_pmi_bigrams",
+    "stream_hourly_anomaly",
     "pipeline_e6_inlinks",
+    "corpus_pipeline_funnel",
     "graph_cheirank",
     "split_leakage_check",
-    "sim_cosine_topk_pandas",
-    "graph_pagerank",
-    "sim_ivf_topk",
-    "stream_hourly_tumbling",
     "dedup_ngram_jaccard_capped",
     "dedup_verified_pairs",
     "bucketed_join_order_lineitems",
     "stream_stream_join",
     "dedup_corpus_survivors",
     "dedup_minhash_accuracy",
-    "topk_orders_by_price",
-    "macro_doctype_label",
+    "graph_triangle_count",
+    "stream_user_ewma",
+    "text_token_positions",
     "macro_concat_ws_skipnull",
-    "text_redact_pii",
-    "lateral_explode_type_words",
-    "agg_cube_flag_status",
-    "window_percent_rank_top",
-    "events_dedup_count",
-    "pipeline_e1_crawl",
-    "sim_label_centroids",
-    "window_order_gap_days",
-    "events_rollup_hour_day",
-    "events_time_weighted_value",
-    "pivot_status_by_priority",
-    "macro_regex_projection",
-    "macro_website_type",
-    "split_train_test",
-    "join_anti_unshipped",
-    "multimodal_dedup_payloads",
-    "macro_locale_decimal",
-    "text_token_stats",
-    "events_props_map_explode",
-    "q6_forecast_revenue",
-    "pipeline_e5_orphans",
-    "macro_days_between",
-    "events_sessionize",
-    "events_new_vs_returning",
-    "events_json_extract",
-    "events_sliding_2h",
-    "minmax_priciest_part_per_brand",
-    "text_quality_scores",
-    "union_mismatched_entities",
-    "skew_salted_event_counts",
-    "macro_fill_cast",
-    "join_left_customer_orders",
-    "pipeline_e4_images",
-    "multimodal_frame_plan",
-    "macro_lenient_int",
-    "events_variant_parse",
-    "setop_nations_cust_only",
-    "broadcast_nation_region",
-    "window_running_spend",
-    "multimodal_meta_stats",
-    "window_top3_orders_per_customer",
     "macro_url_levels",
+    "macro_dates_truncate",
+    "contamination_scan",
+    "lateral_explode_type_words",
+    "macro_website_type",
+    "topk_orders_by_price",
+    "window_percent_rank_top",
+    "text_fingerprints",
+    "join_semi_shipped",
+    "events_dedup_count",
+    "agg_rollup_status_priority",
+    "events_top_users",
+    "macro_doctype_label",
+    "text_redact_pii",
+    "corpus_quality_filter",
+    "multimodal_frame_plan",
+    "agg_grouping_sets",
+    "pipeline_e1_crawl",
+    "union_mismatched_entities",
+    "macro_fill_cast",
+    "sim_label_centroids",
+    "multimodal_meta_stats",
+    "minmax_priciest_part_per_brand",
+    "window_order_gap_days",
+    "events_hourly_tumbling",
+    "asof_latest_order_per_customer",
+    "agg_cube_flag_status",
+    "q6_forecast_revenue",
+    "pivot_status_by_priority",
+    "text_token_stats",
+    "agg_price_percentiles",
+    "window_top3_orders_per_customer",
+    "events_sessionize",
     "setop_nations_cust_and_supp",
+    "text_quality_scores",
+    "sim_ivf_clusters",
+    "agg_distinct_suppliers",
+    "events_json_extract",
+    "join_anti_unshipped",
+    "macro_locale_decimal",
+    "broadcast_nation_region",
+    "events_variant_parse",
+    "pipeline_e4_images",
+    "events_value_outliers",
+    "events_time_weighted_value",
+    "events_rollup_hour_day",
+    "q1_pricing_summary",
+    "pipeline_e5_orphans",
+    "macro_regex_projection",
+    "dedup_embedding_cosine",
+    "setop_nations_cust_only",
+    "split_train_test",
+    "multimodal_dedup_payloads",
+    "events_sliding_2h",
+    "dedup_exact_groups",
+    "window_running_spend",
+    "macro_days_between",
+    "skew_salted_event_counts",
+    "join_left_customer_orders",
+    "events_funnel",
+    "events_cohort_retention",
+    "events_props_map_explode",
+    "history_metric_delta",
+    "q5_local_supplier_volume",
+    "events_value_outliers_mad",
+    "dedup_incremental",
+    "macro_lenient_int",
+    "events_new_vs_returning",
+    "dedup_minhash_signatures",
     "events_dau_wau",
     "q3_shipping_priority",
-    "events_value_outliers_mad",
-    "agg_grouping_sets",
-    "dedup_exact_groups",
-    "agg_price_percentiles",
-    "history_metric_delta",
-    "events_value_outliers",
-    "events_cohort_retention",
-    "agg_distinct_suppliers",
-    "sim_ivf_clusters",
-    "dedup_incremental",
-    "corpus_quality_filter",
-    "events_hourly_tumbling",
-    "q5_local_supplier_volume",
-    "macro_dates_truncate",
-    "dedup_embedding_cosine",
-    "events_funnel",
-    "events_top_users",
-    "contamination_scan",
-    "join_semi_shipped",
-    "agg_rollup_status_priority",
-    "dedup_minhash_signatures",
-    "asof_latest_order_per_customer",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
-    "text_fingerprints",
     "dedup_simhash",
     "dedup_clusters",
-    "q1_pricing_summary",
 )
 
 
