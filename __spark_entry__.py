@@ -51,6 +51,8 @@ def entry(spark: SparkSession) -> DataFrame:
 _CHEAPEST_FIRST = (
     "agg_histogram",
     "graph_components",
+    "agg_regression_price_qty",
+    "asof_event_latest_order",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

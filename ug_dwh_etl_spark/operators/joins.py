@@ -46,3 +46,73 @@ def asof_latest(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def merge_asof(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_vals: Sequence[str],
+    right_vals: Sequence[str],
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Per-row as-of join (pandas ``merge_asof`` semantics): each left
+    row picks the latest right row with ``right_time <= left_time`` on
+    the same key, optionally only counting matches within
+    ``tolerance_days``. Returns (key, left_time as _t, left_vals...,
+    asof_<right_vals>..., asof_t).
+
+    Implemented as the UNION-TAG window form, not a range join: tag both
+    inputs, sort each key\'s rows by (time, tag) with right rows first on
+    ties, and carry the last non-null right values forward in one window
+    pass. One shuffle on the key, zero join blow-up — a range join would
+    explode every left row against its whole lookback window; this shape
+    touches each row exactly once regardless of tolerance. Ties among
+    right rows resolve to the one sorting last (deterministic via the
+    trailing right_vals ordering)."""
+    tagged_r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_vals],
+        *[F.col(c) for c in right_vals],
+    )
+    tagged_l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.col(c) for c in left_vals],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_vals],
+    )
+    u = tagged_r.unionByName(tagged_l.select(tagged_r.columns))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag", *right_vals)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = [
+        F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_vals
+    ]
+    carried_t = F.last(
+        F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True
+    ).over(w)
+    out = u.select(
+        "_k", "_t", "_tag", *left_vals, *carried, carried_t.alias("asof_t")
+    ).filter(F.col("_tag") == 1)
+    if tolerance_days is not None:
+        within = F.datediff(F.to_date("_t"), F.to_date("asof_t")) <= tolerance_days
+        out = out.select(
+            "_k",
+            "_t",
+            *left_vals,
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in right_vals
+            ],
+            F.when(within, F.col("asof_t")).alias("asof_t"),
+        )
+    else:
+        out = out.drop("_tag")
+    return out

@@ -773,3 +773,61 @@ def events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(is_out).alias("n_outliers"),
         )
     )
+
+
+# --- per-row as-of join with tolerance (pandas merge_asof semantics) ----------
+@register(
+    "asof_event_latest_order",
+    """
+    WITH u AS (
+      SELECT o_custkey AS k, o_orderdate AS t, 0 AS tag,
+             NULL::BIGINT AS event_id, o_orderkey
+      FROM orders
+      UNION ALL
+      SELECT user_id, ts, 1, event_id, NULL::BIGINT FROM events),
+    carried AS (
+      SELECT k, t, tag, event_id,
+             last_value(o_orderkey IGNORE NULLS) OVER w AS asof_orderkey,
+             last_value(CASE WHEN tag = 0 THEN t END IGNORE NULLS)
+               OVER w AS asof_t
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY t, tag, o_orderkey
+                   ROWS UNBOUNDED PRECEDING))
+    SELECT event_id,
+           k AS user_id,
+           CASE WHEN date_diff('day', asof_t::DATE, t::DATE) <= 90
+                THEN asof_orderkey END AS asof_orderkey,
+           CASE WHEN date_diff('day', asof_t::DATE, t::DATE) <= 90
+                THEN CAST(date_diff('day', asof_t::DATE, t::DATE) AS BIGINT)
+           END AS gap_days
+    FROM carried WHERE tag = 1
+    """,
+)
+def asof_event_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT as-of join: each event picks the user's latest order on
+    or before the event timestamp, counted only within a 90-day
+    tolerance (pandas merge_asof semantics, SURVEY.md §2.5 as-of). The
+    union-tag window form — one shuffle on the key, each row touched
+    once, no lookback-window row explosion."""
+    from ug_dwh_etl_spark.operators.joins import merge_asof
+
+    ev = table(spark, sf_dir, "events")
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey"
+    )
+    out = merge_asof(
+        ev,
+        orders,
+        key="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        left_vals=["event_id"],
+        right_vals=["o_orderkey"],
+        tolerance_days=90,
+    )
+    return out.select(
+        "event_id",
+        F.col("_k").alias("user_id"),
+        F.col("asof_o_orderkey").alias("asof_orderkey"),
+        F.datediff(F.to_date("_t"), F.to_date("asof_t")).cast("long").alias("gap_days"),
+    )

@@ -998,3 +998,36 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# --- correlation / regression aggregate family ----------------------------------
+@register(
+    "agg_regression_price_qty",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4) AS covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corr/covar/regr_* aggregate family — price-vs-quantity linear
+    fit per return flag, the profiling step behind any pricing or
+    anomaly model. All five are single-pass mergeable aggregates
+    (partial Welford-style moments map-side), so the plan is the same
+    one-shuffle shape as a SUM at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    q, p = F.col("l_quantity"), F.col("l_extendedprice")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr(q, p), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp(q, p), 4).alias("covar"),
+        F.round(F.regr_slope(p, q), 4).alias("slope"),
+        F.round(F.regr_intercept(p, q), 4).alias("intercept"),
+        F.round(F.regr_r2(p, q), 6).alias("r2"),
+    )
