@@ -53,6 +53,7 @@ _CHEAPEST_FIRST = (
     "graph_components",
     "agg_regression_price_qty",
     "asof_event_latest_order",
+    "stream_language_mix",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

@@ -229,3 +229,38 @@ def test_sentence_udtf_lateral(spark):
         (1, 1, "Two fish"),
         (2, 0, "Red fish"),
     ]
+
+
+def test_merge_asof_tolerance_edges(spark):
+    """merge_asof edge cases the oracle fixture may not cover: no prior
+    right row (NULL), exact same-day tie (right wins the <= comparison),
+    tolerance boundary (inclusive), and staleness beyond tolerance."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.joins import merge_asof
+
+    left = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 1, 10), 100),  # before any right row
+            (1, dt.datetime(2026, 2, 1), 101),   # same day as r1: matches
+            (1, dt.datetime(2026, 5, 2), 102),   # 90 days after r1: inside
+            (1, dt.datetime(2026, 5, 3), 103),   # 91 days: outside
+            (2, dt.datetime(2026, 3, 1), 200),   # key with no right rows
+        ],
+        "k long, t timestamp, eid long",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2026, 2, 1), 7), (1, dt.datetime(2026, 2, 1), 9)],
+        "k long, rt timestamp, oid long",
+    )
+    out = {
+        r.eid: r.asof_oid
+        for r in merge_asof(
+            left, right, key="k", left_time="t", right_time="rt",
+            left_vals=["eid"], right_vals=["oid"], tolerance_days=90,
+        ).collect()
+    }
+    # tie on rt resolves to the larger oid (trailing right_vals ordering)
+    assert out == {100: None, 101: 9, 102: 9, 103: None, 200: None}

@@ -196,3 +196,18 @@ def q_stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.stateful import stream_user_ewma
 
     return stream_user_ewma(spark, sf_dir)
+
+
+def _mixture_oracle() -> str:
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    return QUERIES["corpus_mixture_weights"].oracle
+
+
+@register("stream_language_mix", _mixture_oracle())
+def q_stream_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental complete-mode lang counts + batch-side temperature
+    # weighting on the 5-row result; same oracle as the batch twin
+    from ug_dwh_etl_spark.streaming.jobs import stream_language_mix
+
+    return stream_language_mix(spark, sf_dir)

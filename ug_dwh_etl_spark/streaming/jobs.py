@@ -450,3 +450,30 @@ def stream_hourly_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+def stream_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the language-mixture monitor: per-language doc
+    counts maintained incrementally (complete-mode streaming aggregate —
+    5 rows of state, watermark-free by design: the mix is a
+    whole-corpus-to-date number), with the temperature weighting applied
+    to the final 5-row result batch-side. The dashboard a data-mixing
+    team watches during a multi-day ingest."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = stream_table_source(spark, sf_dir, "documents", schema)
+    counts = raw.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    out = run_stream_to_memory(counts, "complete")
+    alpha = 0.3
+    tot = out.agg(F.sum("n_docs").alias("total"))
+    powed = out.crossJoin(F.broadcast(tot)).withColumn(
+        "p_alpha", F.pow(F.col("n_docs").cast("double") / F.col("total"), alpha)
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    return powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("raw_share"),
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
+    )
