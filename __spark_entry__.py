@@ -54,6 +54,7 @@ _CHEAPEST_FIRST = (
     "agg_regression_price_qty",
     "asof_event_latest_order",
     "stream_language_mix",
+    "history_interpolate",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

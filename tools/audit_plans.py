@@ -41,6 +41,8 @@ EXPECTED_NESTED_LOOP = {
     "q11_important_parts",
     # 5-row key dim × date spine grid
     "history_gap_fill",
+    # same 5-row-keys × date-spine grid, interpolation variant
+    "history_interpolate",
     # three 1-row stage counts cross-joined into the funnel summary row
     "events_funnel",
     # four 1-row stage counts cross-joined into the corpus funnel row

@@ -223,3 +223,111 @@ def history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("valid_to", F.lit("9999-12-31")).alias("valid_to"),
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+@register(
+    "history_interpolate",
+    """
+    WITH bounds AS (
+      SELECT MIN(CAST(o_orderdate AS DATE)) AS d0, MAX(CAST(o_orderdate AS DATE)) AS d1
+      FROM orders),
+    spine AS (
+      SELECT UNNEST(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+    keys AS (SELECT DISTINCT o_orderpriority FROM orders),
+    obs AS (
+      -- decimal-sum parity: SUM(DECIMAL) is exact and order-independent
+      -- on both engines; one double division then yields bit-identical
+      -- day averages (AVG(DOUBLE) would not — partial-agg order differs)
+      SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(*) AS day_avg
+      FROM orders GROUP BY 1, 2),
+    grid AS (
+      SELECT k.o_orderpriority, s.day, o.day_avg
+      FROM keys k CROSS JOIN spine s
+        LEFT JOIN obs o ON o.o_orderpriority = k.o_orderpriority AND o.day = s.day),
+    ext AS (
+      SELECT o_orderpriority, day, day_avg,
+             LAST_VALUE(day_avg IGNORE NULLS) OVER wb AS pv,
+             LAST_VALUE(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wb AS pd,
+             FIRST_VALUE(day_avg IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN day_avg IS NOT NULL THEN day END IGNORE NULLS)
+               OVER wf AS nd
+      FROM grid
+      WINDOW wb AS (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT o_orderpriority, strftime(day, '%Y-%m-%d') AS day,
+           day_avg IS NOT NULL AS observed,
+           -- quantize through DECIMAL(28,10) before the 4-dp round:
+           -- ROUND(DOUBLE, 4) itself differs between engines at
+           -- .xxxX4999.. boundaries (float-multiply vs exact-decimal
+           -- rounding); the decimal hop makes both rounds exact
+           CAST(ROUND(CAST(CASE
+             WHEN day_avg IS NOT NULL THEN day_avg
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv) * date_diff('day', pd, day)
+                    / date_diff('day', pd, nd)
+             ELSE COALESCE(pv, nv) END AS DECIMAL(28,10)), 4) AS DOUBLE) AS value
+    FROM ext
+    """,
+)
+def history_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine LINEAR interpolation — the resample mode gap-fill's
+    forward-fill can't give: missing days take the straight line between
+    the surrounding observations (flat extrapolation at the edges).
+
+    Same scale shape as history_gap_fill (tiny spine x keys grid, one
+    observation agg shuffle) plus one extra window pass in the opposite
+    frame direction; both windows share the (key, day) partitioning so
+    the sort is paid once."""
+    orders = table(spark, sf_dir, "orders").withColumn("day", F.to_date("o_orderdate"))
+    obs = orders.groupBy("o_orderpriority", "day").agg(
+        (
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("day_avg")
+    )
+    bounds = orders.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day")
+    ).select(F.col("day").cast("date").alias("day"))
+    keys = orders.select("o_orderpriority").distinct()
+    grid = keys.crossJoin(spine).join(obs, ["o_orderpriority", "day"], "left")
+    wb = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("day_avg").isNotNull(), F.col("day"))
+    ext = grid.select(
+        "o_orderpriority",
+        "day",
+        "day_avg",
+        F.last("day_avg", ignorenulls=True).over(wb).alias("pv"),
+        F.last(obs_day, ignorenulls=True).over(wb).alias("pd"),
+        F.first("day_avg", ignorenulls=True).over(wf).alias("nv"),
+        F.first(obs_day, ignorenulls=True).over(wf).alias("nd"),
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * F.datediff(
+        "day", "pd"
+    ) / F.datediff("nd", "pd")
+    value = (
+        F.when(F.col("day_avg").isNotNull(), F.col("day_avg"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return ext.select(
+        "o_orderpriority",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("day_avg").isNotNull().alias("observed"),
+        # decimal hop before the round — see the oracle's comment
+        F.round(value.cast("decimal(28,10)"), 4).cast("double").alias("value"),
+    )
