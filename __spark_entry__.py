@@ -55,6 +55,8 @@ _CHEAPEST_FIRST = (
     "asof_event_latest_order",
     "stream_language_mix",
     "history_interpolate",
+    "sim_pq_codes",
+    "sim_pq_topk",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

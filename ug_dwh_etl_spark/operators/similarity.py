@@ -440,3 +440,117 @@ def quantized_knn_recall(
         .agg(F.count("mn_id").alias("n_match"))
         .select("q_id", "n_match", F.round(F.col("n_match") / float(k), 6).alias(f"recall_at_{k}"))
     )
+
+
+# --- product quantization (PQ) -------------------------------------------------
+#
+# The standard ANN compression: split the 64-dim vector into
+# N_SUBSPACES=8 subvectors of 8 dims; per subspace, a 16-entry codebook;
+# a vector stores one 4-bit code per subspace (8 bytes total vs 256).
+# Codebook here is the "sampled codebook" variant — the subvectors of 16
+# deterministically-chosen data vectors (lowest vec_ids) — so both
+# engines derive identical codebooks FROM THE DATA with no k-means
+# iteration to replicate (the production path would run a few Lloyd
+# rounds per subspace over a sample; the dataflow below is unchanged).
+
+N_SUBSPACES = 8
+SUB_DIM = EMBED_DIM // N_SUBSPACES
+N_CODES = 16
+
+
+def _pq_flat(embeddings: DataFrame, id_alias: str = "vec_id") -> DataFrame:
+    """(id, s, dim, v): vectors exploded to components tagged with their
+    subspace s = (pos) // SUB_DIM."""
+    return embeddings.select(
+        F.col("vec_id").alias(id_alias),
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).select(
+        id_alias,
+        (F.col("pos") / SUB_DIM).cast("int").alias("s"),
+        F.col("pos").alias("dim"),
+        F.col("col").alias("v"),
+    )
+
+
+def pq_codebook(embeddings: DataFrame) -> DataFrame:
+    """(c, s, dim, w) — subvector components of the N_CODES seed
+    vectors. Tiny (N_CODES × EMBED_DIM rows): broadcast everywhere."""
+    seeds = embeddings.filter(F.col("vec_id") < N_CODES)
+    return _pq_flat(seeds, "c").select("c", "s", "dim", F.col("v").alias("w"))
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, s, code): per subspace, the codebook entry with minimum
+    L2 distance to the vector's subvector (tie → lowest code id).
+
+    One broadcast join of the exploded vectors against the codebook
+    components (16× row blowup bounded by the codebook, never by the
+    corpus), partial-aggregated per (vec_id, s, c), then a min_by per
+    (vec_id, s). At 100 TB codes are computed at ingest and stored as
+    8 bytes/vector — the scan side of every PQ query reads codes, not
+    vectors."""
+    flat = _pq_flat(embeddings)
+    cb = pq_codebook(embeddings)
+    d = (
+        flat.join(F.broadcast(cb), ["s", "dim"])
+        .groupBy("vec_id", "s", "c")
+        .agg(F.sum((F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))).alias("d2"))
+    )
+    # deterministic argmin: min (rounded d2, c) struct — rounding the
+    # distance at 9 dp makes the comparison engine-exact
+    pick = F.min(
+        F.struct(F.round("d2", 9).alias("d2"), F.col("c").alias("c"))
+    ).alias("m")
+    return (
+        d.groupBy("vec_id", "s").agg(pick).select("vec_id", "s", F.col("m.c").alias("code"))
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, query_id: int = 0, k: int = 10) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays exact, every corpus
+    vector is its 8 PQ codes; approx distance = Σ_s lut[s][code_s] where
+    lut holds the query-subvector-to-codebook distances (N_SUBSPACES ×
+    N_CODES = 128 numbers, broadcast). The corpus-side work is a code
+    lookup + 8-term sum — no vector arithmetic at all, which is why PQ
+    scans beat raw-vector scans ~30× at memory-bandwidth-bound scale."""
+    codes = pq_encode(embeddings)
+    qflat = _pq_flat(embeddings.filter(F.col("vec_id") == query_id))
+    cb = pq_codebook(embeddings)
+    lut = (
+        qflat.join(F.broadcast(cb), ["s", "dim"])
+        .groupBy("s", "c")
+        .agg(F.sum((F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))).alias("qd2"))
+    )
+    approx = (
+        codes.filter(F.col("vec_id") != query_id)
+        .join(F.broadcast(lut), (codes.s == lut.s) & (codes.code == lut.c))
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("approx_d2"))
+    )
+    return approx.orderBy(F.asc("approx_d2"), F.asc("vec_id")).limit(k)
+
+
+def sql_pq_ctes() -> str:
+    """Shared oracle CTE chain: flat → codebook → per-(vec,s,c) distances
+    → codes. Mirrors pq_encode exactly (same rounding, same tie rule)."""
+    return f"""
+    flat AS (
+      -- integer // division: DuckDB's / is float division and its
+      -- double->int cast ROUNDS (Spark's truncates) — s must floor
+      SELECT vec_id,
+             CAST((unnest(range(1, len(embedding) + 1)) - 1) // {SUB_DIM} AS INTEGER) AS s,
+             unnest(range(1, len(embedding) + 1)) - 1 AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    cb AS (
+      SELECT vec_id AS c, s, dim, v AS w FROM flat WHERE vec_id < {N_CODES}),
+    d AS (
+      SELECT f.vec_id, f.s, cb.c, SUM((f.v - cb.w) * (f.v - cb.w)) AS d2
+      FROM flat f JOIN cb ON cb.s = f.s AND cb.dim = f.dim
+      GROUP BY f.vec_id, f.s, cb.c),
+    codes AS (
+      SELECT vec_id, s, c AS code FROM (
+        SELECT vec_id, s, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY ROUND(d2, 9), c) AS rn
+        FROM d) WHERE rn = 1)"""

@@ -393,3 +393,56 @@ def embed_dim_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+# --- product quantization ------------------------------------------------------
+def _pq_codes_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import sql_pq_ctes
+
+    return f"""
+    WITH {sql_pq_ctes()}
+    SELECT vec_id, CAST(s AS INTEGER) AS s, CAST(code AS BIGINT) AS code
+    FROM codes
+    """
+
+
+@register("sim_pq_codes", _pq_codes_sql())
+def sim_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encoding of the corpus: 8 subspaces × 16-entry sampled
+    codebook → one 4-bit code per subspace (8 bytes/vector vs 256). The
+    ingest-time compression step of a PQ/IVF-PQ ANN index."""
+    from ug_dwh_etl_spark.operators.similarity import pq_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    return pq_encode(emb).select(
+        "vec_id", F.col("s").cast("int").alias("s"), F.col("code").cast("long").alias("code")
+    )
+
+
+def _pq_topk_sql(query_id: int = 0, k: int = 10) -> str:
+    from ug_dwh_etl_spark.operators.similarity import sql_pq_ctes
+
+    return f"""
+    WITH {sql_pq_ctes()},
+    lut AS (
+      SELECT f.s, cb.c, SUM((f.v - cb.w) * (f.v - cb.w)) AS qd2
+      FROM flat f JOIN cb ON cb.s = f.s AND cb.dim = f.dim
+      WHERE f.vec_id = {query_id}
+      GROUP BY f.s, cb.c)
+    SELECT vec_id, ROUND(SUM(qd2), 6) AS approx_d2
+    FROM codes JOIN lut ON lut.s = codes.s AND lut.c = codes.code
+    WHERE vec_id != {query_id}
+    GROUP BY vec_id
+    ORDER BY ROUND(SUM(qd2), 6), vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_pq_topk", _pq_topk_sql())
+def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric-distance PQ top-k: exact query subvectors against the
+    128-entry distance lookup table; corpus-side cost is a code lookup
+    plus an 8-term sum — no vector arithmetic on the scan side at all."""
+    from ug_dwh_etl_spark.operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10)
