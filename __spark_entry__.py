@@ -57,6 +57,7 @@ _CHEAPEST_FIRST = (
     "history_interpolate",
     "sim_pq_codes",
     "sim_pq_topk",
+    "dedup_prefix_filter_pairs",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

@@ -23,7 +23,7 @@ from ug_dwh_etl_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash,
 )
-from ug_dwh_etl_spark.queries.registry import register, table
+from ug_dwh_etl_spark.queries.registry import QUERIES, register, table
 
 _TOK_CTE = f"tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents)"
 _SHINGLE_CTES = (
@@ -733,3 +733,25 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_final"))
     )
     return n_total.crossJoin(n_quality).crossJoin(n_exact).crossJoin(n_final)
+
+
+# --- prefix-filtering exact set-similarity join (PPJoin family) -----------------
+def _prefix_filter_oracle() -> str:
+    # the algorithm is exact (no false negatives), so its oracle IS the
+    # all-pairs exact-Jaccard result — shared with dedup_ngram_jaccard:
+    # two different algorithms, one truth
+    return QUERIES["dedup_ngram_jaccard"].oracle
+
+
+@register("dedup_prefix_filter_pairs", _prefix_filter_oracle())
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.5 pairs via PREFIX FILTERING: join only on
+    each doc's rarest |d| - ceil(t|d|) + 1 shingles (any qualifying pair
+    must share one — pigeonhole), then verify candidates. Same answer as
+    the all-pairs self-join (shared oracle proves it), wildly smaller
+    join: hot boilerplate shingles sort to the end of every prefix
+    ordering and never drive the candidate explosion the df-capped
+    variant bounds by dropping them."""
+    from ug_dwh_etl_spark.operators.dedup import prefix_filter_pairs
+
+    return prefix_filter_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
