@@ -58,6 +58,8 @@ _CHEAPEST_FIRST = (
     "sim_pq_codes",
     "sim_pq_topk",
     "dedup_prefix_filter_pairs",
+    "fit_price_trend_pandas",
+    "sim_ivfpq_topk",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

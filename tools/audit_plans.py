@@ -30,6 +30,8 @@ EXPECTED_NESTED_LOOP = {
     "scalar_subquery_above_avg",
     "q22_idle_customers",
     "sim_ivf_topk",
+    # same 1-row query-distance frame cross-joined onto the 8 centroids
+    "sim_ivfpq_topk",
     "sim_cosine_topk",
     "sim_cosine_topk_pandas",
     "sim_ann_topk",

@@ -554,3 +554,57 @@ def sql_pq_ctes() -> str:
                ROW_NUMBER() OVER (PARTITION BY vec_id, s
                                   ORDER BY ROUND(d2, 9), c) AS rn
         FROM d) WHERE rn = 1)"""
+
+
+def ivfpq_topk(
+    embeddings: DataFrame, query_id: int = 0, k: int = 10, n_probe: int = 2
+) -> DataFrame:
+    """IVF-PQ — the production ANN index shape: IVF narrows the scan to
+    the query's n_probe nearest cells (at scale: partition pruning on
+    the cluster column), PQ ranks the survivors in the compressed
+    domain (code lookup + 8-term sum against the broadcast LUT). The
+    full-precision vector is never touched after ingest; a real
+    deployment re-ranks the top ~4k exactly, which is ivf_topk on the
+    shortlist."""
+    assigned = ivf_assign(embeddings).select("vec_id", "cluster")
+    codes = pq_encode(embeddings)
+    query = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q")
+    )
+    qd = query.select(
+        F.expr(
+            "array(" + ", ".join(centroid_dist_sql("q", j) for j in range(N_CENTROIDS)) + ")"
+        ).alias("qdists")
+    )
+    probe = (
+        centroids_df(embeddings.sparkSession)
+        .crossJoin(F.broadcast(qd))
+        .select(
+            "cluster",
+            F.element_at(F.col("qdists"), (F.col("cluster") + 1).cast("int")).alias("qdist"),
+        )
+        .orderBy("qdist", "cluster")
+        .limit(n_probe)
+        .select("cluster")
+    )
+    qflat = _pq_flat(embeddings.filter(F.col("vec_id") == query_id))
+    cb = pq_codebook(embeddings)
+    lut = (
+        qflat.join(F.broadcast(cb), ["s", "dim"])
+        .groupBy("s", "c")
+        .agg(F.sum((F.col("v") - F.col("w")) * (F.col("v") - F.col("w"))).alias("qd2"))
+    )
+    cand_codes = (
+        assigned.join(F.broadcast(probe), "cluster")
+        .filter(F.col("vec_id") != query_id)
+        .join(codes, "vec_id")
+    )
+    return (
+        cand_codes.join(
+            F.broadcast(lut), (cand_codes.s == lut.s) & (cand_codes.code == lut.c)
+        )
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("qd2"), 6).alias("approx_d2"))
+        .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
+        .limit(k)
+    )

@@ -1031,3 +1031,64 @@ def agg_regression_price_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(p, q), 4).alias("intercept"),
         F.round(F.regr_r2(p, q), 6).alias("r2"),
     )
+
+
+# --- grouped-map Pandas UDF: per-group OLS fit ---------------------------------
+@register(
+    "fit_price_trend_pandas",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(o_totalprice,
+                            date_diff('day', DATE '1995-01-01',
+                                      CAST(o_orderdate AS DATE))), 6) AS slope,
+           ROUND(regr_intercept(o_totalprice,
+                                date_diff('day', DATE '1995-01-01',
+                                          CAST(o_orderdate AS DATE))), 4)
+             AS intercept
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def fit_price_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group model fit via ``applyInPandas`` (grouped-map Pandas
+    UDF): each priority's order-price-over-time OLS line fitted with a
+    numpy kernel — the canonical 'fit a small model per key' shape
+    (per-entity forecasts, per-segment calibration) where the model
+    library only speaks numpy/pandas.
+
+    The kernel computes the same covariance-ratio closed form as SQL's
+    regr_slope, so the oracle is the BUILT-IN aggregate — the escape
+    hatch is proven against the relational algebra it escapes from. One
+    shuffle on the group key; each group's frame must fit one executor
+    (5 groups here; at scale the key is chosen so groups are bounded —
+    else you fall back to the built-in aggregates)."""
+    import numpy as np
+    import pandas as pd
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1995-01-01").cast("date"))
+        .cast("double")
+        .alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["x"].to_numpy()
+        y = pdf["y"].to_numpy()
+        mx, my = x.mean(), y.mean()
+        # covariance-ratio closed form == SQL regr_slope
+        slope = float(((x - mx) * (y - my)).sum() / ((x - mx) ** 2).sum())
+        return pd.DataFrame(
+            {
+                "o_orderpriority": [pdf["o_orderpriority"].iloc[0]],
+                "n": [len(pdf)],
+                "slope": [round(slope, 6)],
+                "intercept": [round(my - slope * mx, 4)],
+            }
+        )
+
+    return orders.groupBy("o_orderpriority").applyInPandas(
+        fit, "o_orderpriority string, n long, slope double, intercept double"
+    )

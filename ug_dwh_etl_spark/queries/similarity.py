@@ -446,3 +446,52 @@ def sim_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.similarity import pq_adc_topk
 
     return pq_adc_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10)
+
+
+def _ivfpq_sql(query_id: int = 0, k: int = 10, n_probe: int = 2) -> str:
+    from ug_dwh_etl_spark.operators.similarity import sql_pq_ctes
+
+    dists = ", ".join(f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS))
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    qdist_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT {j} AS cluster, {sql_centroid_dist('qe', j)} AS qdist FROM q"
+        for j in range(N_CENTROIDS)
+    )
+    return f"""
+    WITH {sql_pq_ctes()},
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dd AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM dd),
+    assigned AS (SELECT vec_id, CASE {case} END AS cluster FROM m),
+    q AS (SELECT e AS qe FROM base WHERE vec_id = {query_id}),
+    qd AS (
+      {qdist_rows}
+    ),
+    probe AS (SELECT cluster FROM qd ORDER BY qdist, cluster LIMIT {n_probe}),
+    lut AS (
+      SELECT f.s, cb.c, SUM((f.v - cb.w) * (f.v - cb.w)) AS qd2
+      FROM flat f JOIN cb ON cb.s = f.s AND cb.dim = f.dim
+      WHERE f.vec_id = {query_id}
+      GROUP BY f.s, cb.c)
+    SELECT c.vec_id, ROUND(SUM(l.qd2), 6) AS approx_d2
+    FROM assigned a
+      JOIN probe USING (cluster)
+      JOIN codes c ON c.vec_id = a.vec_id
+      JOIN lut l ON l.s = c.s AND l.c = c.code
+    WHERE a.vec_id != {query_id}
+    GROUP BY c.vec_id
+    ORDER BY ROUND(SUM(l.qd2), 6), c.vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_ivfpq_topk", _ivfpq_sql())
+def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: cluster-pruned candidate set ranked in the compressed
+    domain — the composition a real 100 TB ANN index runs (IVF =
+    partition pruning, PQ = 8-byte codes + broadcast LUT, exact re-rank
+    of a shortlist as the optional final stage)."""
+    from ug_dwh_etl_spark.operators.similarity import ivfpq_topk
+
+    return ivfpq_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_probe=2)
