@@ -60,6 +60,7 @@ _CHEAPEST_FIRST = (
     "dedup_prefix_filter_pairs",
     "fit_price_trend_pandas",
     "sim_ivfpq_topk",
+    "events_transition_matrix",
     "agg_collect_sorted",
     "agg_stats_moments",
     "pipeline_e8_hreflang",

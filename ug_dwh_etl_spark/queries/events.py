@@ -831,3 +831,43 @@ def asof_event_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_o_orderkey").alias("asof_orderkey"),
         F.datediff(F.to_date("_t"), F.to_date("asof_t")).cast("long").alias("gap_days"),
     )
+
+
+# --- event-type transition matrix ---------------------------------------------
+@register(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+             AS prob
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next_type | type), the behavioral fingerprint behind
+    next-action prediction and bot detection. One window shuffle on
+    user_id, one 25-cell aggregate; the row-normalizing window runs on
+    the 25-row result — free at any corpus scale."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    counts = seq.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("prob"),
+    )
