@@ -49,193 +49,193 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    "agg_histogram",
-    "graph_components",
-    "agg_regression_price_qty",
-    "asof_event_latest_order",
-    "stream_language_mix",
-    "history_interpolate",
-    "sim_pq_codes",
-    "sim_pq_topk",
-    "dedup_prefix_filter_pairs",
-    "fit_price_trend_pandas",
-    "sim_ivfpq_topk",
-    "events_transition_matrix",
-    "agg_collect_sorted",
-    "agg_stats_moments",
-    "pipeline_e8_hreflang",
-    "window_ntile_quartiles",
-    "sim_label_stats",
-    "text_type_token_ratio",
-    "fuzzy_match_parts",
-    "scalar_subquery_above_avg",
-    "doc_length_deciles",
-    "sample_stratified",
-    "text_tfidf_terms",
-    "sim_cosine_topk_pandas",
-    "q14_promo_revenue_share",
-    "text_ngram_counts",
-    "q22_idle_customers",
-    "q19_disjunctive_bracket",
-    "sim_cosine_topk",
-    "unpivot_lineitem_metrics",
-    "text_pack_sequences",
-    "text_chunk_docs",
-    "q13_customer_order_distribution",
-    "sim_ann_topk",
-    "q12_priority_class_by_status",
-    "window_moving_avg_spend",
     "sim_srp_buckets",
-    "setop_nation_bag_excess",
-    "diag_custkey_skew",
-    "sim_knn_join",
-    "text_vocab_coverage",
-    "join_null_safe",
-    "history_url_churn",
+    "graph_components",
+    "text_token_positions",
+    "sample_stratified",
+    "text_type_token_ratio",
+    "agg_collect_sorted",
+    "window_ntile_quartiles",
+    "pipeline_e8_hreflang",
     "window_dense_rank_days",
-    "join_range_followups",
+    "doc_length_deciles",
+    "scalar_subquery_above_avg",
+    "history_url_churn",
+    "fuzzy_match_parts",
+    "text_chunk_docs",
+    "sim_label_stats",
+    "agg_stats_moments",
+    "join_null_safe",
     "text_char_entropy",
-    "q4_priority_with_late_lines",
+    "sim_cosine_topk",
     "history_scd2",
-    "q18_large_quantity_orders",
-    "window_cume_dist_nth",
-    "multimodal_features",
+    "text_tfidf_terms",
     "q15_top_supplier",
-    "events_user_ewma",
-    "join_full_outer_coverage",
-    "setop_nation_bag_overlap",
-    "q17_small_qty_revenue",
-    "text_repetition",
-    "profile_orders_columns",
-    "pipeline_e3_bookings",
-    "q10_returned_item_revenue",
-    "q16_supplier_variety",
-    "graph_degree_stats",
-    "events_hourly_anomaly",
-    "q21_sole_late_shippers",
-    "history_gap_fill",
-    "dedup_hot_shingles",
-    "pipeline_e7_backlinks",
-    "window_revenue_share",
-    "text_langid",
-    "agg_equidepth_histogram",
-    "corpus_mixture_weights",
-    "q9_product_profit",
-    "pipeline_e2_ranks",
+    "text_vocab_coverage",
+    "events_transition_matrix",
     "embed_dim_zscore",
-    "q7_nation_trade_volume",
-    "events_value_mad",
-    "window_trailing_7d_spend",
-    "sim_quantize_int8",
-    "corpus_weighted_sample",
-    "sql_adhoc_directory_rollup",
-    "q11_important_parts",
-    "sql_adhoc_latest_snapshot",
-    "q2_min_cost_supplier",
-    "q20_excess_share_shippers",
-    "sql_macro_rollup",
-    "sql_adhoc_daily_orders",
-    "stream_hourly_tumbling",
-    "q8_market_share",
-    "text_duplicate_spans",
+    "window_moving_avg_spend",
+    "sim_cosine_topk_pandas",
+    "window_cume_dist_nth",
+    "join_range_followups",
+    "q13_customer_order_distribution",
+    "q19_disjunctive_bracket",
+    "multimodal_features",
+    "corpus_mixture_weights",
+    "q4_priority_with_late_lines",
+    "unpivot_lineitem_metrics",
+    "events_user_ewma",
+    "setop_nation_bag_excess",
+    "q22_idle_customers",
+    "q12_priority_class_by_status",
+    "q14_promo_revenue_share",
+    "setop_nation_bag_overlap",
     "winsorize_order_totals",
-    "sim_ivf_topk",
+    "text_pack_sequences",
+    "diag_custkey_skew",
+    "text_ngram_counts",
+    "sim_ann_topk",
+    "sim_knn_join",
+    "text_langid",
+    "profile_orders_columns",
+    "events_value_mad",
+    "history_gap_fill",
+    "join_full_outer_coverage",
+    "q18_large_quantity_orders",
+    "dedup_hot_shingles",
+    "events_hourly_anomaly",
+    "q17_small_qty_revenue",
+    "graph_degree_stats",
+    "corpus_weighted_sample",
+    "agg_regression_price_qty",
+    "q21_sole_late_shippers",
+    "pipeline_e7_backlinks",
+    "text_repetition",
+    "window_revenue_share",
     "customer_rfm_segments",
-    "sql_recursive_hierarchy",
-    "stream_dedup_events",
-    "stream_stateful_user_totals",
-    "stream_sessionize",
-    "stream_corpus_ingest",
-    "graph_pagerank",
-    "stream_sliding_2h",
-    "sim_quantize_recall",
+    "pipeline_e2_ranks",
+    "window_trailing_7d_spend",
+    "pipeline_e3_bookings",
+    "agg_equidepth_histogram",
+    "q16_supplier_variety",
+    "q10_returned_item_revenue",
+    "q9_product_profit",
     "text_pmi_bigrams",
+    "sim_quantize_int8",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q7_nation_trade_volume",
+    "sql_adhoc_latest_snapshot",
+    "q20_excess_share_shippers",
+    "sql_adhoc_directory_rollup",
+    "sql_macro_rollup",
+    "text_duplicate_spans",
+    "q8_market_share",
+    "sql_adhoc_daily_orders",
+    "sql_recursive_hierarchy",
+    "asof_event_latest_order",
+    "sim_ivf_topk",
+    "stream_user_ewma",
+    "stream_hourly_tumbling",
+    "stream_dedup_events",
     "stream_hourly_anomaly",
-    "pipeline_e6_inlinks",
+    "stream_sliding_2h",
+    "stream_sessionize",
+    "stream_stateful_user_totals",
+    "sim_pq_codes",
+    "stream_corpus_ingest",
+    "sim_pq_topk",
+    "sim_quantize_recall",
     "corpus_pipeline_funnel",
     "graph_cheirank",
+    "fit_price_trend_pandas",
+    "pipeline_e6_inlinks",
     "split_leakage_check",
+    "history_interpolate",
+    "stream_language_mix",
+    "bucketed_join_order_lineitems",
+    "graph_pagerank",
     "dedup_ngram_jaccard_capped",
     "dedup_verified_pairs",
-    "bucketed_join_order_lineitems",
     "stream_stream_join",
+    "sim_ivfpq_topk",
     "dedup_corpus_survivors",
     "dedup_minhash_accuracy",
     "graph_triangle_count",
-    "stream_user_ewma",
-    "text_token_positions",
-    "macro_concat_ws_skipnull",
+    "dedup_prefix_filter_pairs",
+    "agg_histogram",
     "macro_url_levels",
-    "macro_dates_truncate",
-    "contamination_scan",
-    "lateral_explode_type_words",
-    "macro_website_type",
-    "topk_orders_by_price",
-    "window_percent_rank_top",
-    "text_fingerprints",
-    "join_semi_shipped",
-    "events_dedup_count",
-    "agg_rollup_status_priority",
-    "events_top_users",
     "macro_doctype_label",
+    "macro_concat_ws_skipnull",
+    "topk_orders_by_price",
+    "macro_website_type",
+    "join_semi_shipped",
+    "text_token_stats",
+    "events_top_users",
     "text_redact_pii",
-    "corpus_quality_filter",
     "multimodal_frame_plan",
-    "agg_grouping_sets",
-    "pipeline_e1_crawl",
-    "union_mismatched_entities",
+    "text_fingerprints",
     "macro_fill_cast",
     "sim_label_centroids",
+    "events_dedup_count",
+    "pivot_status_by_priority",
+    "macro_dates_truncate",
+    "agg_price_percentiles",
+    "window_percent_rank_top",
+    "lateral_explode_type_words",
     "multimodal_meta_stats",
+    "q6_forecast_revenue",
+    "contamination_scan",
+    "pipeline_e1_crawl",
+    "agg_cube_flag_status",
     "minmax_priciest_part_per_brand",
     "window_order_gap_days",
-    "events_hourly_tumbling",
-    "asof_latest_order_per_customer",
-    "agg_cube_flag_status",
-    "q6_forecast_revenue",
-    "pivot_status_by_priority",
-    "text_token_stats",
-    "agg_price_percentiles",
-    "window_top3_orders_per_customer",
-    "events_sessionize",
-    "setop_nations_cust_and_supp",
-    "text_quality_scores",
     "sim_ivf_clusters",
     "agg_distinct_suppliers",
-    "events_json_extract",
-    "join_anti_unshipped",
-    "macro_locale_decimal",
-    "broadcast_nation_region",
-    "events_variant_parse",
-    "pipeline_e4_images",
-    "events_value_outliers",
-    "events_time_weighted_value",
-    "events_rollup_hour_day",
-    "q1_pricing_summary",
-    "pipeline_e5_orphans",
-    "macro_regex_projection",
-    "dedup_embedding_cosine",
-    "setop_nations_cust_only",
-    "split_train_test",
-    "multimodal_dedup_payloads",
-    "events_sliding_2h",
-    "dedup_exact_groups",
-    "window_running_spend",
-    "macro_days_between",
-    "skew_salted_event_counts",
     "join_left_customer_orders",
-    "events_funnel",
-    "events_cohort_retention",
-    "events_props_map_explode",
     "history_metric_delta",
-    "q5_local_supplier_volume",
-    "events_value_outliers_mad",
+    "pipeline_e5_orphans",
+    "events_time_weighted_value",
+    "events_sessionize",
+    "events_json_extract",
+    "multimodal_dedup_payloads",
+    "skew_salted_event_counts",
+    "broadcast_nation_region",
+    "events_cohort_retention",
+    "macro_locale_decimal",
+    "window_top3_orders_per_customer",
+    "split_train_test",
+    "setop_nations_cust_only",
+    "events_hourly_tumbling",
+    "events_variant_parse",
+    "corpus_quality_filter",
+    "asof_latest_order_per_customer",
+    "agg_grouping_sets",
+    "union_mismatched_entities",
+    "join_anti_unshipped",
+    "agg_rollup_status_priority",
+    "events_rollup_hour_day",
+    "setop_nations_cust_and_supp",
+    "events_props_map_explode",
+    "events_value_outliers",
+    "macro_regex_projection",
+    "pipeline_e4_images",
+    "q1_pricing_summary",
     "dedup_incremental",
     "macro_lenient_int",
+    "events_sliding_2h",
+    "events_value_outliers_mad",
+    "dedup_embedding_cosine",
     "events_new_vs_returning",
-    "dedup_minhash_signatures",
+    "window_running_spend",
+    "macro_days_between",
+    "dedup_exact_groups",
+    "text_quality_scores",
+    "events_funnel",
     "events_dau_wau",
     "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
     "dedup_ngram_jaccard",
     "dedup_simhash",
