@@ -264,3 +264,29 @@ def test_merge_asof_tolerance_edges(spark):
     }
     # tie on rt resolves to the larger oid (trailing right_vals ordering)
     assert out == {100: None, 101: 9, 102: 9, 103: None, 200: None}
+
+
+def test_fast_hash_mode_runs_and_differs(spark):
+    """HASH_MODE='fast' (xxhash64) must produce a working dedup pipeline
+    — same shapes, different hash values — so the production switch
+    can't rot. Oracle parity is only claimed for the default mode."""
+    from ug_dwh_etl_spark.operators import hashing as H
+    from ug_dwh_etl_spark.operators.dedup import doc_shingle_hashes, minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "completely different text with other words entirely")],
+        "doc_id long, text string",
+    )
+    base = {r.doc_id: r.sh for r in doc_shingle_hashes(df, "doc_id", "text").collect()}
+    H.HASH_MODE = "fast"
+    try:
+        fast = doc_shingle_hashes(df, "doc_id", "text").collect()
+        sigs = minhash_signatures(df, "doc_id", "text").collect()
+    finally:
+        H.HASH_MODE = "oracle"
+    assert all(r.sh >= 0 for r in fast)  # bounded non-negative keys
+    assert {r.sh for r in fast} != set(base.values())  # actually different fn
+    by_id = {r.doc_id: tuple(r)[1:] for r in sigs}
+    assert by_id[1] == by_id[2] != by_id[3]  # dup docs still collide
