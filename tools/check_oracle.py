@@ -5,6 +5,11 @@ scale factor, compares row count, column names, and an order-insensitive
 value hash (values normalized to strings, rows sorted). Usage:
 
     python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py --times /tmp/times.json [sf_dir] [...]
+
+``--times FILE`` additionally writes {name: seconds} for every query
+run — the input the driver-ordering re-splice wants, without log
+scraping.
 """
 
 from __future__ import annotations
@@ -39,8 +44,14 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    times_path = None
+    if "--times" in argv:
+        i = argv.index("--times")
+        times_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from ug_dwh_etl_spark.session import get_spark
@@ -53,6 +64,7 @@ def main() -> int:
     qs = E.queries()
     oracles = E.oracle_sql()
     failures = []
+    times: dict[str, float] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -94,10 +106,16 @@ def main() -> int:
                 f"cols {sorted(sdf.columns)} vs {sorted(odf.columns)}"
             )
         if ok_rows and ok_cols and ok_vals:
+            times[name] = round(time.time() - t0, 2)
             print(f"OK    {name}: {len(sdf)} rows  ({time.time() - t0:.1f}s)")
         else:
             failures.append(name)
 
+    if times_path:
+        import json
+
+        with open(times_path, "w") as fh:
+            json.dump(times, fh, indent=0, sort_keys=True)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
