@@ -164,3 +164,17 @@ def test_duplicate_spans_flags_repeated_ngrams(spark):
         assert got[3].n_dup_spans == 0 and got[3].dup_span_ratio == 0.0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bm25_ranking_invariants(spark):
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    rows = QUERIES["text_bm25_topdocs"].fn(spark, SF).collect()
+    assert rows, "probe terms must hit at least one doc"
+    # ranks are 1..n contiguous and ordered by (score desc, doc_id)
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+    for a, b in zip(rows, rows[1:]):
+        assert (a.bm25, -a.doc_id) >= (b.bm25, -b.doc_id) or a.bm25 > b.bm25
+        assert a.bm25 >= b.bm25
+    # BM25 of a finite probe set is bounded by sum of idf*(k1+1)
+    assert all(r.bm25 >= 0 for r in rows)

@@ -786,3 +786,101 @@ def corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "n_docs", F.round("rate", 6).alias("rate"))
         .agg(F.sum((F.col("unif") < F.col("rate")).cast("long")).alias("n_sampled"))
     )
+
+
+_BM25_PROBE = ("hash", "join", "vector", "stream", "scan")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@register(
+    "text_bm25_topdocs",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents)
+      WHERE term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN {_BM25_PROBE!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+      WHERE term IN {_BM25_PROBE!r}
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+               AS s
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, bm25, rnk FROM (
+      SELECT doc_id, ROUND(s, 4) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id) AS rnk
+      FROM scored)
+    WHERE rnk <= 20
+    """,
+)
+def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval (k1=1.2, b=0.75) for a fixed probe query over the
+    corpus, top 20 docs with a deterministic (rounded-score, doc_id)
+    tiebreak. Scale shape: the probe-term filter lands BEFORE both
+    groupBys, so the tf and df relations are proportional to the probe
+    terms' postings, not the corpus; df (|probe| rows) and the 1-row
+    N/avgdl aggregate join in as broadcasts; the only full-corpus passes
+    are the tokenize + per-doc length count, which is the same single
+    narrow aggregation every BM25 index build pays. No Python, no UDFs —
+    the scoring expression is whole-stage-codegen arithmetic. The global
+    top-20 goes through orderBy+limit (TakeOrderedAndProject — per-
+    partition partial top-k, no all-rows single-partition window); the
+    rank window then runs over only the 20 survivors."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    stats = n_docs.crossJoin(avgdl)
+    probed = terms.filter(F.col("term").isin(*_BM25_PROBE))
+    tf = probed.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = probed.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("s"))
+    )
+    from pyspark.sql import Window
+
+    top = (
+        scored.select("doc_id", F.round("s", 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+    w = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    return top.select("doc_id", "bm25", F.row_number().over(w).alias("rnk"))
