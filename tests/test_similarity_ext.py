@@ -94,3 +94,21 @@ def test_dequantize_roundtrip_bounded_error(spark):
         for i in range(dims):
             step = (hi[i] - lo[i]) / 255.0 or 1.0
             assert abs(dq[vid][i] - vec[i]) <= step / 2 + 1e-9
+
+
+def test_kmeans_step_invariants(spark):
+    from ug_dwh_etl_spark.operators.similarity import kmeans_step
+
+    emb = _emb(spark)
+    n_total = emb.count()
+    rows = kmeans_step(emb).collect()
+    assert rows and len(rows) <= N_CENTROIDS
+    assert sum(r.n_vecs for r in rows) == n_total
+    for r in rows:
+        assert r.inertia >= 0.0
+        assert r.shift2 >= -1e-9, "updated centroid can't be closer than itself"
+        assert r.new_norm2 >= 0.0
+        assert 0 <= r.n_moved <= r.n_vecs
+    # Lloyd monotonicity: an update step must move at least one centroid
+    # (seed centroids are random, data means are not)
+    assert any(r.shift2 > 0 for r in rows)

@@ -608,3 +608,103 @@ def ivfpq_topk(
         .orderBy(F.asc("approx_d2"), F.asc("vec_id"))
         .limit(k)
     )
+
+
+def kmeans_step(embeddings: DataFrame) -> DataFrame:
+    """One full Lloyd iteration of k-means from the fixed seed centroids,
+    entirely in DataFrame ops: assign (argmin over K codegen distance
+    folds, no shuffle) -> recompute centroids (ONE partial-aggregated
+    shuffle producing K rows: count, inertia, and EMBED_DIM per-dim
+    means) -> reassign against the NEW centroids (K-row broadcast cross
+    join + per-vector argmin) and count movers. Returns one row per
+    non-empty cluster: n_vecs, inertia (sum of min sq-dists under the
+    seed assignment), new_norm2 / shift2 of the updated centroid, and
+    n_moved (vectors that would switch cluster next iteration — the
+    Lloyd convergence signal).
+
+    Scale notes: the per-dim means make the centroid update a single
+    map-side-combined groupBy — the K x EMBED_DIM update state is a few
+    KB regardless of corpus size, and the reassignment pass is a
+    broadcast of those K rows, so iterating Lloyd is N scans with zero
+    growth in shuffle width. New centroid coords are rounded to 6
+    decimals BEFORE the reassignment distances so the argmin is
+    bitwise-reproducible cross-engine (same discipline as the seeded
+    IVF assignment); production would persist `assigned` across the two
+    passes the way ivf_index_write persists the cluster layout.
+    """
+    from pyspark.sql import Window
+
+    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
+    with_d = embeddings.select(
+        "vec_id",
+        "embedding",
+        *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)],
+    )
+    best = F.least(*[F.col(c) for c in dcols])
+    cluster = None
+    for j in reversed(range(N_CENTROIDS)):
+        cond = F.col(dcols[j]) == best
+        cluster = (
+            F.when(cond, F.lit(j))
+            if cluster is None
+            else F.when(cond, F.lit(j)).otherwise(cluster)
+        )
+    assigned = with_d.select(
+        "vec_id", "embedding", best.alias("_mind"), cluster.alias("cluster")
+    )
+
+    g = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("_mind"), 3).alias("inertia"),
+        *[
+            F.expr(
+                f"round(avg(double(element_at(embedding, {i + 1}))), 6)"
+            ).alias(f"a{i}")
+            for i in range(EMBED_DIM)
+        ],
+    )
+    carr = "array(" + ", ".join(f"a{i}" for i in range(EMBED_DIM)) + ")"
+    gc = g.selectExpr("cluster", "n_vecs", "inertia", f"{carr} AS c")
+
+    cand = gc.select(F.col("cluster").alias("cand"), F.col("c").alias("cc"))
+    dist = F.expr(
+        f"{dot_sql('embedding', 'embedding')} - 2.0D * {dot_sql('embedding', 'cc')}"
+        f" + {dot_sql('cc', 'cc')}"
+    )
+    w = Window.partitionBy("vec_id").orderBy("_dist", "cand")
+    moved = (
+        assigned.select("vec_id", "embedding", "cluster")
+        .crossJoin(F.broadcast(cand))
+        .select("vec_id", "cluster", "cand", dist.alias("_dist"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.when(F.col("cand") != F.col("cluster"), F.lit(1))).alias(
+                "n_moved"
+            )
+        )
+    )
+
+    seed_case = (
+        "CASE cluster "
+        + " ".join(f"WHEN {j} THEN {_centroid_sql(j)}" for j in range(N_CENTROIDS))
+        + " END"
+    )
+    seednorm_case = (
+        "CASE cluster "
+        + " ".join(
+            f"WHEN {j} THEN {sum(v * v for v in CENTROIDS[j])!r}D"
+            for j in range(N_CENTROIDS)
+        )
+        + " END"
+    )
+    return gc.join(moved, "cluster").selectExpr(
+        "cluster",
+        "n_vecs",
+        "inertia",
+        f"round({dot_sql('c', 'c')}, 4) AS new_norm2",
+        f"round({dot_sql('c', 'c')} - 2.0D * {dot_sql('c', f'({seed_case})')}"
+        f" + ({seednorm_case}), 4) AS shift2",
+        "n_moved",
+    )

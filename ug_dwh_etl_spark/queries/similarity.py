@@ -495,3 +495,69 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.similarity import ivfpq_topk
 
     return ivfpq_topk(table(spark, sf_dir, "embeddings"), query_id=0, k=10, n_probe=2)
+
+
+# --- one Lloyd iteration of k-means (centroid update + movement count) ---------
+def _kmeans_step_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import (
+        CENTROIDS,
+        EMBED_DIM,
+        sql_centroid_literal,
+    )
+
+    dists = ", ".join(f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS))
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = mind THEN {j}" for j in range(N_CENTROIDS))
+    avgs = ", ".join(f"ROUND(AVG(e[{i + 1}]), 6) AS a{i}" for i in range(EMBED_DIM))
+    clist = "list_value(" + ", ".join(f"a{i}" for i in range(EMBED_DIM)) + ")"
+    seed_case = (
+        "CASE cluster "
+        + " ".join(f"WHEN {j} THEN {sql_centroid_literal(j)}" for j in range(N_CENTROIDS))
+        + " END"
+    )
+    seednorm_case = (
+        "CASE cluster "
+        + " ".join(
+            f"WHEN {j} THEN {sum(v * v for v in CENTROIDS[j])!r}"
+            for j in range(N_CENTROIDS)
+        )
+        + " END"
+    )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS mind, * EXCLUDE (vec_id, e) FROM d),
+    a AS (SELECT vec_id, e, mind, CASE {case} END AS cluster FROM m),
+    g AS (SELECT cluster, COUNT(*) AS n_vecs, ROUND(SUM(mind), 3) AS inertia, {avgs}
+          FROM a GROUP BY cluster),
+    gc AS (SELECT cluster, n_vecs, inertia, {clist} AS c FROM g),
+    second AS (
+      SELECT a.vec_id, a.cluster AS old_cluster, gc.cluster AS cand,
+             list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, gc.c)
+               + list_dot_product(gc.c, gc.c) AS dist
+      FROM a CROSS JOIN gc),
+    re AS (SELECT vec_id, old_cluster, cand,
+                  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+           FROM second),
+    mv AS (SELECT old_cluster AS cluster,
+                  COUNT(CASE WHEN cand != old_cluster THEN 1 END) AS n_moved
+           FROM re WHERE rn = 1 GROUP BY old_cluster)
+    SELECT cluster, n_vecs, inertia,
+           ROUND(list_dot_product(c, c), 4) AS new_norm2,
+           ROUND(list_dot_product(c, c) - 2 * list_dot_product(c, {seed_case})
+                 + {seednorm_case}, 4) AS shift2,
+           n_moved
+    FROM gc JOIN mv USING (cluster)
+    """
+
+
+@register("sim_kmeans_step", _kmeans_step_sql())
+def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration from the seeded IVF centroids — see
+    operators.similarity.kmeans_step for the plan shape. The reference
+    keeps no clustering of its own (its ML surface lives in BigQuery
+    per SURVEY.md); this is the Spark-native k-means building block the
+    IVF index's 'production would k-means offline' note points at."""
+    from ug_dwh_etl_spark.operators.similarity import kmeans_step
+
+    return kmeans_step(table(spark, sf_dir, "embeddings"))
