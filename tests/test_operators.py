@@ -290,3 +290,19 @@ def test_fast_hash_mode_runs_and_differs(spark):
     assert {r.sh for r in fast} != set(base.values())  # actually different fn
     by_id = {r.doc_id: tuple(r)[1:] for r in sigs}
     assert by_id[1] == by_id[2] != by_id[3]  # dup docs still collide
+
+
+def test_heavy_hitters_exact_vs_freq_items_sketch(spark):
+    """freqItems (Karp-style approximate frequent items) must return a
+    SUPERSET of the exact phi-heavy-hitters — the sketch's one-sided
+    guarantee; the exact query is the gold standard."""
+    from ug_dwh_etl_spark.queries.registry import QUERIES, table
+
+    sf = "/root/testdata/sf0.001"
+    exact = {r.user_id for r in QUERIES["events_heavy_hitters"].fn(spark, sf).collect()}
+    ev = table(spark, sf, "events")
+    approx = set(ev.stat.freqItems(["user_id"], support=1.0 / 125).collect()[0][0])
+    assert exact, "fixture should have at least one heavy hitter"
+    assert exact <= approx
+    # sketch can overshoot but never by more than the 1/support bound
+    assert len(approx) <= 2 * 125

@@ -871,3 +871,37 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(total), 6).alias("prob"),
     )
+
+
+# --- exact heavy hitters (phi = 1/125 frequent-items threshold) ---------------
+@register(
+    "events_heavy_hitters",
+    """
+    WITH t AS (SELECT COUNT(*) AS total FROM events),
+    g AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id)
+    SELECT user_id, cnt, ROUND(cnt / (total * 1.0), 6) AS share
+    FROM g, t
+    WHERE cnt * 125 > total
+    """,
+)
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy-hitters (phi = 0.8%): users whose event count
+    exceeds total/125. The filter compares integers (cnt*125 > total) so
+    the threshold has no float edge. Plan: one map-side-combined groupBy
+    on user_id plus a broadcast 1-row total — the output is at most
+    1/phi = 125 rows BY DEFINITION regardless of corpus size, which is
+    what makes this the exact gold standard that the sketched
+    alternatives (freqItems / count-min) are tested against in
+    tests/test_operators.py."""
+    ev = table(spark, sf_dir, "events")
+    total = ev.agg(F.count(F.lit(1)).alias("total"))
+    g = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        g.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 125 > F.col("total"))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / (F.col("total") * 1.0), 6).alias("share"),
+        )
+    )
