@@ -153,3 +153,37 @@ def test_percentile_approx_tracks_exact(spark):
     ).collect()[0]
     assert abs(row.apx_p50 - row.exact_p50) / row.exact_p50 < 0.01
     assert abs(row.apx_p95 - row.exact_p95) / row.exact_p95 < 0.01
+
+
+def test_write_zordered_narrows_both_dims(spark, tmp_path):
+    """Per-file min/max rectangles of a z-ordered write must beat a
+    plain write on the WORSE dimension — the footer-stats file-skipping
+    guarantee behind operators.storage.write_zordered."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.storage import write_zordered
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").selectExpr(
+        "o_orderkey", "o_custkey", "datediff(to_date(o_orderdate), date'1992-01-01') AS d"
+    )
+
+    def max_dim_frac(path: str) -> float:
+        df = spark.read.parquet(path)
+        per = df.groupBy(F.input_file_name().alias("f")).agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("cks"),
+            (F.max("d") - F.min("d")).alias("ds"),
+        )
+        g = orders.agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("gx"),
+            (F.max("d") - F.min("d")).alias("gd"),
+        ).collect()[0]
+        row = per.agg(F.avg("cks").alias("ck"), F.avg("ds").alias("dd")).collect()[0]
+        return max(row.ck / g.gx, row.dd / g.gd)
+
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zord")
+    orders.repartition(8).write.parquet(plain)
+    write_zordered(orders, zord, "o_custkey", "d", n_files=8)
+
+    assert len(spark.read.parquet(zord).inputFiles()) >= 4
+    assert max_dim_frac(zord) < 0.7 * max_dim_frac(plain)

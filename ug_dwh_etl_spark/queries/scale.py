@@ -123,3 +123,124 @@ def diag_custkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_hot_keys"),
         )
     )
+
+
+# --- z-order layout quality: per-file rectangles under three layouts ----------
+def _zorder_stats_sql() -> str:
+    from ug_dwh_etl_spark.operators.storage import zorder_interleave_sql
+
+    z = zorder_interleave_sql("xn", "yn", duck=True)
+    return f"""
+    WITH base AS (
+      SELECT o_orderkey AS ok, o_custkey AS x,
+             datediff('day', DATE '1992-01-01', o_orderdate) AS d
+      FROM orders),
+    s AS (SELECT MIN(x) AS xmin, MAX(x) AS xmax, MIN(d) AS dmin, MAX(d) AS dmax,
+                 MAX(ok) AS okmax
+          FROM base),
+    n AS (
+      SELECT ok, x, d,
+             (ok * 16) // (okmax + 1) AS ap_bucket,
+             ((x - xmin) * 16) // (xmax - xmin + 1) AS ck_bucket,
+             ((x - xmin) * 65535) // GREATEST(xmax - xmin, 1) AS xn,
+             ((d - dmin) * 65535) // GREATEST(dmax - dmin, 1) AS yn,
+             xmax - xmin AS gx, dmax - dmin AS gd
+      FROM base, s),
+    zb AS (SELECT *, ({z}) >> 28 AS z_bucket FROM n),
+    per AS (
+      SELECT 'append' AS strategy, ap_bucket AS bucket,
+             MAX(x) - MIN(x) AS cks, MAX(d) - MIN(d) AS ds, ANY_VALUE(gx) AS gx,
+             ANY_VALUE(gd) AS gd
+      FROM zb GROUP BY ap_bucket
+      UNION ALL
+      SELECT 'custkey_range', ck_bucket, MAX(x) - MIN(x), MAX(d) - MIN(d),
+             ANY_VALUE(gx), ANY_VALUE(gd)
+      FROM zb GROUP BY ck_bucket
+      UNION ALL
+      SELECT 'zorder', z_bucket, MAX(x) - MIN(x), MAX(d) - MIN(d),
+             ANY_VALUE(gx), ANY_VALUE(gd)
+      FROM zb GROUP BY z_bucket)
+    SELECT strategy, COUNT(*) AS n_files,
+           ROUND(AVG(cks), 2) AS avg_ck_span,
+           ROUND(AVG(ds), 2) AS avg_day_span,
+           ROUND(AVG((cks * 1.0 * ds) / (gx * 1.0 * gd)), 4) AS avg_area_frac,
+           ROUND(GREATEST(AVG(cks * 1.0 / gx), AVG(ds * 1.0 / gd)), 4) AS max_dim_frac
+    FROM per GROUP BY strategy
+    """
+
+
+@register("storage_zorder_stats", _zorder_stats_sql())
+def storage_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layout diagnostic behind operators.storage.write_zordered: bucket
+    orders 16 ways under three layouts — insertion order (append),
+    single-column range clustering, and the 32-bit Morton key — and
+    measure the min/max rectangle a parquet file would carry under each.
+    Every bucket id is pure integer arithmetic against a 1-row broadcast
+    min/max aggregate (NO global sort/ntile window — at scale bucket
+    assignment must be map-side; the sort only happens when actually
+    writing). Any F-file layout covers ~1/F of the rectangle, so
+    avg_area_frac ties; the z-order win is max_dim_frac — the fraction
+    of files a point filter on the WORSE dimension must read (~1.0 for
+    append and for the unclustered dim of a range layout, ~1/sqrt(F)
+    for z-order on both dims at once)."""
+    orders = table(spark, sf_dir, "orders")
+    from ug_dwh_etl_spark.operators.storage import zorder_interleave_sql
+
+    base = orders.selectExpr(
+        "o_orderkey AS ok",
+        "o_custkey AS x",
+        "datediff(to_date(o_orderdate), date'1992-01-01') AS d",
+    )
+    s = base.agg(
+        F.min("x").alias("xmin"),
+        F.max("x").alias("xmax"),
+        F.min("d").alias("dmin"),
+        F.max("d").alias("dmax"),
+        F.max("ok").alias("okmax"),
+    )
+    n = base.crossJoin(F.broadcast(s)).selectExpr(
+        "ok",
+        "x",
+        "d",
+        "(ok * 16) div (okmax + 1) AS ap_bucket",
+        "((x - xmin) * 16) div (xmax - xmin + 1) AS ck_bucket",
+        "((x - xmin) * 65535) div greatest(xmax - xmin, 1) AS xn",
+        "((d - dmin) * 65535) div greatest(dmax - dmin, 1) AS yn",
+        "xmax - xmin AS gx",
+        "dmax - dmin AS gd",
+    )
+    zb = n.selectExpr(
+        "*", f"shiftright({zorder_interleave_sql('xn', 'yn', duck=False)}, 28) AS z_bucket"
+    )
+
+    def per(strategy: str, bucket: str) -> DataFrame:
+        return (
+            zb.groupBy(F.col(bucket).alias("bucket"))
+            .agg(
+                (F.max("x") - F.min("x")).alias("cks"),
+                (F.max("d") - F.min("d")).alias("ds"),
+                F.first("gx").alias("gx"),
+                F.first("gd").alias("gd"),
+            )
+            .select(F.lit(strategy).alias("strategy"), "bucket", "cks", "ds", "gx", "gd")
+        )
+
+    u = (
+        per("append", "ap_bucket")
+        .unionByName(per("custkey_range", "ck_bucket"))
+        .unionByName(per("zorder", "z_bucket"))
+    )
+    return u.groupBy("strategy").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.round(F.avg("cks"), 2).alias("avg_ck_span"),
+        F.round(F.avg("ds"), 2).alias("avg_day_span"),
+        F.round(F.avg(F.col("cks") * 1.0 * F.col("ds") / (F.col("gx") * 1.0 * F.col("gd"))), 4)
+        .alias("avg_area_frac"),
+        F.round(
+            F.greatest(
+                F.avg(F.col("cks") * 1.0 / F.col("gx")),
+                F.avg(F.col("ds") * 1.0 / F.col("gd")),
+            ),
+            4,
+        ).alias("max_dim_frac"),
+    )
