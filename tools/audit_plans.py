@@ -69,6 +69,14 @@ EXPECTED_NESTED_LOOP = {
     "agg_equidepth_histogram",
     # trailing-week range join against the broadcast ~30-row day spine
     "events_dau_wau",
+    # 1-row N/avgdl stats frame broadcast onto the probe-term postings
+    "text_bm25_topdocs",
+    # 8-row updated-centroid frame broadcast for the Lloyd reassign pass
+    "sim_kmeans_step",
+    # 1-row corpus-total agg broadcast onto the per-user counts
+    "events_heavy_hitters",
+    # 1-row min/max grid-normalization stats broadcast onto the scan
+    "storage_zorder_stats",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

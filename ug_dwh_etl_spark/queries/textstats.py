@@ -859,9 +859,10 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = n_docs.crossJoin(avgdl)
     probed = terms.filter(F.col("term").isin(*_BM25_PROBE))
     tf = probed.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = probed.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # df derives from tf (one row per doc-term already) — the exploded
+    # terms relation is aggregated exactly twice (dl, tf), never a third
+    # time for document frequency
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(
         (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
     )
