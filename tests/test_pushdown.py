@@ -150,3 +150,42 @@ def test_dynamic_partition_pruning_via_dim_join(spark, tmp_path):
     plan = _executed_plan(joined)
     assert "dynamicpruning" in plan.lower() or "SubqueryBroadcast" in plan, plan[:2000]
     assert joined.count() == 200
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering: a selective filter on the dim side of
+    a shuffle join must inject a bloom filter on the fact side (Spark's
+    runtime.bloomFilter rewrite) — at 100 TB this skips most of the fact
+    scan's shuffle write for free. Broadcast is disabled to force the
+    shuffle-join shape where the bloom matters."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        sf = "/root/testdata/sf0.01"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString().lower()
+        assert "bloomfilter" in plan or "bloom_filter" in plan
+        assert j.collect()[0]["count"] > 0
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

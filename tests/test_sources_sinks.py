@@ -284,3 +284,23 @@ def test_compact_partitions_reduces_files_and_preserves_rows(spark, tmp_path):
     after = compact_partitions(spark, hist)
     assert after <= 2
     assert spark.read.parquet(hist).count() == total_before
+
+
+def test_prune_history_drops_only_expired_partitions(spark, tmp_path):
+    from ug_dwh_etl_spark.sinks.writers import append_history, prune_history
+
+    path = str(tmp_path / "hist")
+    df = spark.createDataFrame(
+        [(1, "2026-01-01"), (2, "2026-01-02"), (3, "2026-02-01")],
+        "id long, crawl_date string",
+    )
+    append_history(df, path)
+    dropped = prune_history(path, "crawl_date", keep=lambda d: d >= "2026-01-15")
+    assert dropped == ["2026-01-01", "2026-01-02"]
+    left = spark.read.parquet(path)
+    # partition values come back type-inferred (DATE) — compare as strings
+    assert {
+        str(r.crawl_date) for r in left.select("crawl_date").distinct().collect()
+    } == {"2026-02-01"}
+    # idempotent: second run drops nothing
+    assert prune_history(path, "crawl_date", keep=lambda d: d >= "2026-01-15") == []

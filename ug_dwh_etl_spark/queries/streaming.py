@@ -211,3 +211,18 @@ def q_stream_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_language_mix
 
     return stream_language_mix(spark, sf_dir)
+
+
+def _hh_oracle() -> str:
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    return QUERIES["events_heavy_hitters"].oracle
+
+
+@register("stream_heavy_hitters", _hh_oracle())
+def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental per-user counters + batch-side phi filter; same oracle
+    # as the batch twin events_heavy_hitters
+    from ug_dwh_etl_spark.streaming.jobs import stream_heavy_hitters
+
+    return stream_heavy_hitters(spark, sf_dir)

@@ -183,3 +183,32 @@ def compact_partitions(
         w.parquet(staging)
         swap_dir(staging, root)
     return _nfiles(root)
+
+
+def prune_history(
+    path: str,
+    partition_col: str,
+    keep: Callable[[str], bool],
+) -> list[str]:
+    """Retention for an append-history table: drop whole hive partitions
+    (``{partition_col}={value}/``) whose value fails ``keep``, returning
+    the dropped values. Pure directory-level deletes — no Spark job, no
+    data rewrite, no read of surviving partitions; at 100 TB retention
+    must be O(partitions dropped), never a table scan. The reference's
+    BigQuery tables aged out via table-level expiration
+    (`sf_html_data.py:178` keeps appending forever); a parquet lake has
+    to do this itself. Same single-writer assumption as append_history
+    (see swap_dir note)."""
+    dropped: list[str] = []
+    prefix = f"{partition_col}="
+    if not os.path.isdir(path):
+        return dropped
+    for entry in sorted(os.listdir(path)):
+        full = os.path.join(path, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        value = entry[len(prefix):]
+        if not keep(value):
+            shutil.rmtree(full)
+            dropped.append(value)
+    return dropped

@@ -477,3 +477,28 @@ def stream_language_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("raw_share"),
         F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
     )
+
+
+def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_heavy_hitters``: per-user event counts
+    maintained incrementally (complete-mode aggregate — state is ONE
+    counter per user, bounded by user cardinality, not stream length),
+    with the phi-threshold filter applied batch-side to the materialized
+    counter table. The streaming analogue of a Misra-Gries monitor with
+    exact counters: at 100 TB/day you'd swap the memory sink for a
+    foreachBatch upsert and keep the same filter as a view."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    ev = read_events_stream(spark, sf_dir)
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    out = run_stream_to_memory(counts, "complete")
+    total = out.agg(F.sum("cnt").alias("total"))
+    return (
+        out.crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * 125 > F.col("total"))
+        .select(
+            "user_id",
+            "cnt",
+            F.round(F.col("cnt") / (F.col("total") * 1.0), 6).alias("share"),
+        )
+    )
