@@ -49,6 +49,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
+    # round-4 additions, never driver-recorded — lead so this round's
+    # ~50-query window gives each its first recorded green
+    "events_heavy_hitters",
+    "text_bm25_topdocs",
+    "storage_zorder_stats",
+    "stream_heavy_hitters",
+    "sim_kmeans_step",
     "sim_srp_buckets",
     "graph_components",
     "text_token_positions",
