@@ -52,6 +52,8 @@ _CHEAPEST_FIRST = (
     # round-4 additions, never driver-recorded — lead so this round's
     # ~50-query window gives each its first recorded green
     "events_heavy_hitters",
+    "events_pattern_view_to_purchase",
+    "text_encode_ids",
     "text_bm25_topdocs",
     "storage_zorder_stats",
     "stream_heavy_hitters",

@@ -905,3 +905,66 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / (F.col("total") * 1.0), 6).alias("share"),
         )
     )
+
+
+# --- sequential pattern match: view -> purchase within 30 min -----------------
+@register(
+    "events_pattern_view_to_purchase",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_p
+      FROM events),
+    v AS (
+      SELECT user_id, ts, next_p,
+             next_p IS NOT NULL AND next_p <= ts + INTERVAL 30 MINUTE AS conv
+      FROM flagged WHERE event_type = 'view')
+    SELECT user_id,
+           COUNT(*) AS n_views,
+           COUNT(CASE WHEN conv THEN 1 END) AS n_converted,
+           ROUND(AVG(CASE WHEN conv
+                          THEN epoch_us(next_p) - epoch_us(ts) END) / 1000000.0,
+                 3) AS avg_latency_s
+    FROM v GROUP BY user_id
+    """,
+)
+def events_pattern_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequential pattern (a view followed by a
+    purchase within 30 minutes, same user) WITHOUT a range self-join:
+    one per-user event-time sort carries a forward-looking MIN window
+    ('first purchase strictly after me'), so the whole match is a single
+    user_id shuffle + linear pass — at 100 TB this replaces the
+    per-user-quadratic range join (cf. join_range_followups, which keeps
+    that shape deliberately) with O(events) work. Latency math sticks to
+    integer microseconds (unix_micros/epoch_us) so both engines agree
+    exactly; ties break on event_id, matching the oracle's ORDER BY."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    next_p = F.min(
+        F.when(F.col("event_type") == "purchase", F.col("ts"))
+    ).over(w)
+    v = (
+        ev.withColumn("next_p", next_p)
+        .filter(F.col("event_type") == "view")
+        .withColumn(
+            "conv",
+            F.col("next_p").isNotNull()
+            & (F.col("next_p") <= F.col("ts") + F.expr("INTERVAL 30 MINUTES")),
+        )
+    )
+    lat_us = F.unix_micros("next_p") - F.unix_micros("ts")
+    return v.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_views"),
+        F.count(F.when(F.col("conv"), F.lit(1))).alias("n_converted"),
+        F.round(F.avg(F.when(F.col("conv"), lat_us)) / 1000000.0, 3).alias(
+            "avg_latency_s"
+        ),
+    )

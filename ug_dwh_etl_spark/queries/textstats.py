@@ -885,3 +885,71 @@ def text_bm25_topdocs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.col("bm25").desc(), "doc_id")
     return top.select("doc_id", "bm25", F.row_number().over(w).alias("rnk"))
+
+
+_VOCAB_K = 32
+
+
+@register(
+    "text_encode_ids",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    terms AS (
+      SELECT doc_id, i, t[i] AS term
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok)),
+    vocab AS (
+      SELECT term, id FROM (
+        SELECT term, ROW_NUMBER() OVER (ORDER BY c DESC, term) AS id
+        FROM (SELECT term, COUNT(*) AS c FROM terms GROUP BY term))
+      WHERE id <= {_VOCAB_K}),
+    enc AS (
+      SELECT doc_id, i, COALESCE(v.id, 0) AS tid
+      FROM terms LEFT JOIN vocab v USING (term))
+    SELECT doc_id, COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN tid = 0 THEN 1 END) AS n_oov,
+           md5(array_to_string(list(tid ORDER BY i), ',')) AS ids_md5
+    FROM enc GROUP BY doc_id
+    """,
+)
+def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenize→encode step of a training pipeline: build a top-K
+    frequency vocabulary (rank by count desc, term asc — deterministic),
+    map every token to its id (OOV → 0) and fingerprint the per-doc id
+    sequence. Plan: positional explode is narrow row expansion; the
+    vocab relation is vocabulary-sized (its rank window runs on that
+    tiny frame, not the corpus) and joins back as a BROADCAST, so the
+    only corpus-wide shuffle is the per-doc regroup — same budget as
+    any per-doc aggregate. The id sequence is reassembled
+    deterministically by token position (array_sort on (pos, id)
+    structs) so the md5 fingerprint is engine-exact."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.posexplode(H.tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "term")
+    from pyspark.sql import Window
+
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "id", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+        )
+        .filter(F.col("id") <= _VOCAB_K)
+        .select("term", "id")
+    )
+    enc = terms.join(F.broadcast(vocab), "term", "left").withColumn(
+        "tid", F.coalesce(F.col("id"), F.lit(0))
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("tid") == 0, F.lit(1))).alias("n_oov"),
+            F.collect_list(F.struct("i", "tid")).alias("arr"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            "md5(array_join(transform(array_sort(arr), x -> cast(x.tid AS string)), ',')) AS ids_md5",
+        )
+    )
