@@ -39,6 +39,8 @@ EXPECTED_NESTED_LOOP = {
     "sim_knn_join",
     # same kNN join run twice (exact + dequantized) for the recall audit
     "sim_quantize_recall",
+    # same kNN join run twice (full-dim + prefix) for the Matryoshka audit
+    "sim_matryoshka_recall",
     # scalar-threshold broadcast cross-join (one-row agg)
     "q11_important_parts",
     # 5-row key dim × date spine grid

@@ -708,3 +708,52 @@ def kmeans_step(embeddings: DataFrame) -> DataFrame:
         f" + ({seednorm_case}), 4) AS shift2",
         "n_moved",
     )
+
+
+def matryoshka_knn_recall(
+    embeddings: DataFrame, prefix_dim: int, query_mod: int, k: int = 3
+) -> DataFrame:
+    """Recall@k of PREFIX-truncated (Matryoshka-style) vectors against
+    full-dimension exact cosine. Modern embedding models are trained so
+    a dimension prefix is itself a usable embedding; searching the first
+    ``prefix_dim`` dims cuts index flops/bytes by dim/prefix_dim, and
+    this audit measures what that costs in neighbor fidelity — the same
+    propose-then-measure discipline as quantized_knn_recall (int8) and
+    dedup_minhash_accuracy. Identical kNN-join plan on both
+    representations; deterministic (score, vec_id) tiebreaks."""
+    from pyspark.sql import Window
+
+    def topk(vectors: DataFrame, vec_col: str) -> DataFrame:
+        q = vectors.filter(F.col("vec_id") % query_mod == 0).select(
+            F.col("vec_id").alias("q_id"), F.col(vec_col).alias("qe")
+        )
+        scored = vectors.join(
+            F.broadcast(q), F.col("vec_id") != F.col("q_id")
+        ).select("q_id", "vec_id", cosine(vec_col, "qe").alias("cos_raw"))
+        w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    exact = topk(embeddings, "embedding")
+    trunc = embeddings.select(
+        "vec_id", F.slice("embedding", 1, prefix_dim).alias("te")
+    )
+    approx = topk(trunc, "te")
+    am = approx.select(F.col("q_id").alias("mq"), F.col("neighbor_id").alias("mn_id"))
+    return (
+        exact.join(
+            am,
+            (F.col("q_id") == F.col("mq")) & (F.col("neighbor_id") == F.col("mn_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("mn_id").alias("n_match"))
+        .select(
+            "q_id",
+            "n_match",
+            F.round(F.col("n_match") / float(k), 6).alias(f"recall_at_{k}"),
+        )
+    )

@@ -968,3 +968,42 @@ def events_pattern_view_to_purchase(spark: SparkSession, sf_dir: str) -> DataFra
             "avg_latency_s"
         ),
     )
+
+
+# --- differential-privacy demo: Laplace-noised release of grouped counts -------
+@register(
+    "events_dp_noisy_counts",
+    """
+    WITH g AS (SELECT event_type, COUNT(*) AS n_true FROM events GROUP BY event_type),
+    u AS (
+      SELECT event_type, n_true,
+             (('0x' || substr(md5(event_type || '|dp'), 1, 8))::BIGINT + 0.5)
+               / 4294967296.0 - 0.5 AS up
+      FROM g)
+    SELECT event_type, n_true,
+           ROUND(n_true + (-1.0) * SIGN(up) * LN(1.0 - 2.0 * ABS(up)), 3)
+             AS n_noisy
+    FROM u
+    """,
+)
+def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace mechanism (sensitivity 1, epsilon 1 -> b=1) over grouped
+    counts via inverse-CDF sampling of a DETERMINISTIC hash uniform —
+    'random' noise that is reproducible across runs, engines, and
+    partitionings, the same auditability trick as corpus_weighted_sample.
+    The +0.5 offset keeps u strictly inside (0,1) so ln never sees 0.
+    Plan: pure post-aggregation arithmetic on the group-count rows —
+    the noise costs nothing at any scale. (A production release would
+    key the hash on a secret salt and drop n_true; both columns are kept
+    here so the oracle proves the mechanism end-to-end.)"""
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_true"))
+    u = (
+        F.conv(F.substring(F.md5(F.concat(F.col("event_type"), F.lit("|dp"))), 1, 8), 16, 10)
+        .cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0) - 0.5
+    noise = F.lit(-1.0) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+    return g.select(
+        "event_type", "n_true", F.round(F.col("n_true") + noise, 3).alias("n_noisy")
+    )

@@ -561,3 +561,43 @@ def sim_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.similarity import kmeans_step
 
     return kmeans_step(table(spark, sf_dir, "embeddings"))
+
+
+# --- Matryoshka prefix-truncation recall audit --------------------------------
+def _matryoshka_recall_sql(prefix_dim: int = 16, k: int = 3) -> str:
+    cos = ("list_dot_product(e, qe) / (sqrt(list_dot_product(e, e))"
+           " * sqrt(list_dot_product(qe, qe)))")
+
+    def stage(src: str) -> str:
+        return f"""
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, {src}.vec_id, {cos} AS cos_raw,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, {src}.vec_id) AS rn
+        FROM (SELECT vec_id, e AS qe FROM {src} WHERE vec_id % 97 = 0) q
+          JOIN {src} ON {src}.vec_id <> q.vec_id)
+      WHERE rn <= {k}"""
+
+    return f"""
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    t AS (SELECT vec_id, list_slice(embedding::DOUBLE[], 1, {prefix_dim}) AS e
+          FROM embeddings),
+    exact AS ({stage('c')}),
+    approx AS ({stage('t')})
+    SELECT e.q_id, CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_match,
+           ROUND(COUNT(m.neighbor_id) / {k}.0, 6) AS recall_at_{k}
+    FROM exact e
+      LEFT JOIN approx m ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """
+
+
+@register("sim_matryoshka_recall", _matryoshka_recall_sql())
+def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of 16-dim prefix search vs the full 64 dims — see
+    operators.similarity.matryoshka_knn_recall."""
+    from ug_dwh_etl_spark.operators.similarity import matryoshka_knn_recall
+
+    return matryoshka_knn_recall(
+        table(spark, sf_dir, "embeddings"), prefix_dim=16, query_mod=97, k=3
+    )
