@@ -44,6 +44,13 @@ PROBES = (
     "dedup_exact_groups",
     "text_token_stats",
     "window_top3_orders_per_customer",
+    # round 4: one Lloyd iteration (two passes + K-row broadcast),
+    # BM25 (probe-pruned postings), token-id encoding (vocab broadcast),
+    # and the windowed sequential pattern match (single user_id sort)
+    "sim_kmeans_step",
+    "text_bm25_topdocs",
+    "text_encode_ids",
+    "events_pattern_view_to_purchase",
 )
 # Streaming probes additionally report state-store rows (from the final
 # StreamingQueryProgress): state must grow at most linearly in the keys
