@@ -52,6 +52,8 @@ _CHEAPEST_FIRST = (
     # round-4 additions, never driver-recorded — lead so this round's
     # ~50-query window gives each its first recorded green
     "events_heavy_hitters",
+    "skyline_orders",
+    "copurchase_top_pairs",
     "events_dp_noisy_counts",
     "events_pattern_view_to_purchase",
     "sim_matryoshka_recall",

@@ -1092,3 +1092,144 @@ def fit_price_trend_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").applyInPandas(
         fit, "o_orderpriority string, n long, slope double, intercept double"
     )
+
+
+# --- market-basket co-occurrence: item-item similarity -------------------------
+@register(
+    "copurchase_top_pairs",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    f AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_ab
+      FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+    top AS (SELECT p1, p2, n_ab FROM pairs ORDER BY n_ab DESC, p1, p2 LIMIT 20)
+    SELECT p1, p2, n_ab, fa.n AS n1, fb.n AS n2,
+           ROUND(n_ab / sqrt(fa.n * 1.0 * fb.n), 6) AS cosine,
+           ROUND(n_ab / (fa.n + fb.n - n_ab * 1.0), 6) AS jaccard
+    FROM top JOIN f fa ON fa.p = top.p1 JOIN f fb ON fb.p = top.p2
+    """,
+)
+def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item co-occurrence (market-basket) similarity: parts bought
+    together in one order, scored by cosine and Jaccard over order sets.
+    Scale shape: the pair expansion is the order-key self-join whose
+    fan-out is bounded by lines-per-order squared (~tens, never corpus-
+    quadratic — the same bounded-blocking argument as the LSH bucket
+    join); dedup to DISTINCT (order, part) first so multi-line parts
+    don't inflate counts. The part-frequency relation joins AFTER the
+    top-k, as a 20-row broadcast probe into it — at 100 TB f is
+    parts-sized and must never be the broadcast side."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    f = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    a = op.select(F.col("o"), F.col("p").alias("p1"))
+    b = op.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    top = pairs.orderBy(F.desc("n_ab"), F.asc("p1"), F.asc("p2")).limit(20)
+    fa = f.select(F.col("p").alias("_pa"), F.col("n").alias("n1"))
+    fb = f.select(F.col("p").alias("_pb"), F.col("n").alias("n2"))
+    return (
+        fa.join(F.broadcast(top), F.col("_pa") == F.col("p1"))
+        .join(fb, F.col("_pb") == F.col("p2"))
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n1",
+            "n2",
+            F.round(F.col("n_ab") / F.sqrt(F.col("n1") * 1.0 * F.col("n2")), 6).alias(
+                "cosine"
+            ),
+            F.round(
+                F.col("n_ab") / (F.col("n1") + F.col("n2") - F.col("n_ab") * 1.0), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- 2-D skyline (Pareto frontier): price x recency ----------------------------
+@register(
+    "skyline_orders",
+    """
+    WITH o AS (SELECT o_orderkey, o_totalprice AS price, o_orderdate AS d FROM orders),
+    m AS (SELECT date_trunc('month', d) AS mo, MAX(price) AS mp FROM o GROUP BY mo),
+    suf AS (
+      SELECT mo,
+             MAX(mp) OVER (ORDER BY mo DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS later_max
+      FROM m),
+    cand AS (
+      SELECT o.* FROM o JOIN suf ON date_trunc('month', o.d) = suf.mo
+      WHERE suf.later_max IS NULL OR o.price > suf.later_max),
+    pts AS (SELECT DISTINCT price, d FROM cand),
+    sk AS (
+      SELECT price, d,
+             MAX(d) OVER (ORDER BY price DESC, d DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seen
+      FROM pts)
+    SELECT c.o_orderkey, ROUND(c.price, 2) AS price,
+           strftime(c.d, '%Y-%m-%d') AS order_date
+    FROM cand c JOIN sk ON sk.price = c.price AND sk.d = c.d
+    WHERE sk.seen IS NULL OR sk.d > sk.seen
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of orders on (totalprice max, recency max): an
+    order is kept iff no other order is >= on both axes and > on one.
+    Scale design — skylines decompose, so dominate-prune FIRST with a
+    month-bucket suffix-max: a ~month-count relation (tiny window) maps
+    each row's 'best price in any strictly later month'; rows beaten by
+    it are dominated and die map-side against the broadcast. The exact
+    cummax skyline window then runs over only the survivors (at most
+    the rows that outprice every later month — frontier-sized, not
+    table-sized), and duplicates of a frontier point all surface via the
+    join-back. 100 TB cost: one groupBy(month) + one broadcast filter +
+    a window over a tiny candidate set."""
+    from pyspark.sql import Window
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("d"),
+    )
+    m = (
+        o.groupBy(F.date_trunc("month", "d").alias("mo"))
+        .agg(F.max("price").alias("mp"))
+    )
+    wm = Window.orderBy(F.desc("mo")).rowsBetween(Window.unboundedPreceding, -1)
+    suf = m.select("mo", F.max("mp").over(wm).alias("later_max"))
+    cand = (
+        o.join(F.broadcast(suf), F.date_trunc("month", F.col("d")) == F.col("mo"))
+        .filter(F.col("later_max").isNull() | (F.col("price") > F.col("later_max")))
+        .select("o_orderkey", "price", "d")
+    )
+    pts = cand.select("price", "d").distinct()
+    ws = Window.orderBy(F.desc("price"), F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    sk = (
+        pts.select("price", "d", F.max("d").over(ws).alias("seen"))
+        .filter(F.col("seen").isNull() | (F.col("d") > F.col("seen")))
+        .select(F.col("price").alias("_sp"), F.col("d").alias("_sd"))
+    )
+    return (
+        cand.join(
+            F.broadcast(sk),
+            (F.col("price") == F.col("_sp")) & (F.col("d") == F.col("_sd")),
+        )
+        .select(
+            "o_orderkey",
+            F.round("price", 2).alias("price"),
+            F.date_format("d", "yyyy-MM-dd").alias("order_date"),
+        )
+    )
