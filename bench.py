@@ -94,6 +94,18 @@ HEADLINE = [
     "events_user_ewma",
     "text_pmi_bigrams",
     "embed_dim_zscore",
+    # added round 4: BM25 retrieval, a Lloyd k-means iteration, heavy
+    # hitters, z-order layout stats, windowed pattern matching, token-id
+    # encoding, Matryoshka recall, co-purchase pairs, and the skyline
+    "text_bm25_topdocs",
+    "sim_kmeans_step",
+    "events_heavy_hitters",
+    "storage_zorder_stats",
+    "events_pattern_view_to_purchase",
+    "text_encode_ids",
+    "sim_matryoshka_recall",
+    "copurchase_top_pairs",
+    "skyline_orders",
 ]
 
 
