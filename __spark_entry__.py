@@ -61,6 +61,7 @@ _CHEAPEST_FIRST = (
     "text_bm25_topdocs",
     "storage_zorder_stats",
     "stream_heavy_hitters",
+    "stream_static_enrich",
     "sim_kmeans_step",
     "sim_srp_buckets",
     "graph_components",

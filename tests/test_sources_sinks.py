@@ -304,3 +304,34 @@ def test_prune_history_drops_only_expired_partitions(spark, tmp_path):
     } == {"2026-02-01"}
     # idempotent: second run drops nothing
     assert prune_history(path, "crawl_date", keep=lambda d: d >= "2026-01-15") == []
+
+
+def test_snapshot_diff_classifies_all_change_types(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.storage import snapshot_diff
+
+    old = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # new snapshot: drop key 0, modify key 1's price, add a shifted key
+    new = (
+        old.filter(F.col("o_orderkey") != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 1, F.col("o_totalprice") + 1.0).otherwise(
+                F.col("o_totalprice")
+            ),
+        )
+        .unionByName(old.limit(1).withColumn("o_orderkey", F.lit(10_000_000)))
+    )
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    counts = {r.change_type: r.n for r in d.groupBy("change_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    n_old = old.count()
+    assert counts.get("removed") == 1
+    assert counts.get("added") == 1
+    assert counts.get("changed") == 1
+    assert counts.get("unchanged") == n_old - 2
+    # the CDC feed view: only the non-identical rows
+    feed = {(r.o_orderkey, r.change_type) for r in d.filter(
+        F.col("change_type") != "unchanged").collect()}
+    assert (0, "removed") in feed and (1, "changed") in feed

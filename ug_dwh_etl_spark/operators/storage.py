@@ -143,3 +143,43 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Row-level change-data capture between two table snapshots: keys
+    present only in ``new`` are 'added', only in ``old`` 'removed', in
+    both with differing content 'changed', else 'unchanged'. The
+    BigQuery-side reference overwrote snapshots blindly
+    (`sf_html_data.py:178` if_exists='replace'); a lake that wants
+    incident forensics or incremental downstream feeds diffs them.
+
+    Scale shape: each side is reduced MAP-SIDE to (key, xxhash64 of the
+    compared columns) before the single key-partitioned full outer join
+    — the shuffle carries one long per row, never the row payload, and
+    the same partitioning serves both sides. Returns key columns +
+    ``change_type``; aggregate it for a reconciliation summary or
+    filter out 'unchanged' for a CDC feed."""
+    import pyspark.sql.functions as F
+
+    if compare_cols is None:
+        compare_cols = [c for c in old.columns if c not in key_cols]
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        cols = [F.col(c).cast("string") for c in compare_cols]
+        return df.select(
+            *key_cols, F.xxhash64(*cols).alias(alias)
+        )
+    o = hashed(old, "_h_old")
+    n = hashed(new, "_h_new")
+    j = o.join(n, key_cols, "full_outer")
+    change = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(*key_cols, change.alias("change_type"))

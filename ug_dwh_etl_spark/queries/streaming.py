@@ -226,3 +226,21 @@ def q_stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_heavy_hitters
 
     return stream_heavy_hitters(spark, sf_dir)
+
+
+@register(
+    "stream_static_enrich",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming orders x static broadcast customer dim, per-segment rollup
+    from ug_dwh_etl_spark.streaming.jobs import stream_static_enrich
+
+    return stream_static_enrich(spark, sf_dir)

@@ -502,3 +502,31 @@ def stream_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cnt") / (F.col("total") * 1.0), 6).alias("share"),
         )
     )
+
+
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the orders STREAM enriched against the static
+    customer dimension (broadcast per micro-batch — the standard
+    streaming dimension-lookup pattern; the dim re-resolves every batch,
+    so a slowly-changing dim picks up updates without restarts), then an
+    incremental per-segment rollup. Stateless except the aggregate:
+    state is segment-cardinality, constant in stream length."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    orders = stream_table_source(spark, sf_dir, "orders", schema)
+    customer = F.broadcast(
+        spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey", "c_mktsegment"
+        )
+    )
+    enriched = orders.join(
+        customer, orders.o_custkey == customer.c_custkey
+    )
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
+    return run_stream_to_memory(agg, "complete")
