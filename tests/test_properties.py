@@ -208,3 +208,52 @@ def test_tokens_match_duckdb_on_known_unicode_edges(spark):
     duck = _duck_eval(vals, H.sql_tokens("v"))
     for (row, d, v) in zip(srows, duck, vals):
         assert list(row.t) == d, repr(v)
+
+
+def _py_interleave(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=65535),
+            st.integers(min_value=0, max_value=65535),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_zorder_interleave_matches_python_and_duckdb(spark, pairs):
+    """Both engine spellings of the Morton key must equal the bit-level
+    Python model on arbitrary 16-bit inputs — the cross-engine guarantee
+    storage_zorder_stats' oracle parity rests on."""
+    import duckdb
+
+    from ug_dwh_etl_spark.operators.storage import zorder_interleave_sql
+
+    df = spark.createDataFrame(pairs, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.selectExpr(
+            "x", "y", zorder_interleave_sql("x", "y", duck=False) + " AS z"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (x BIGINT, y BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", pairs)
+    duck = {
+        (x, y): z
+        for x, y, z in con.execute(
+            f"SELECT x, y, {zorder_interleave_sql('x', 'y', duck=True)} FROM t"
+        ).fetchall()
+    }
+    for x, y in pairs:
+        expect = _py_interleave(x, y)
+        assert got[(x, y)] == expect
+        assert duck[(x, y)] == expect
