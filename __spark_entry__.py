@@ -49,210 +49,213 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    # round-4 additions, never driver-recorded — lead so this round's
-    # ~50-query window gives each its first recorded green
-    "events_heavy_hitters",
-    "skyline_orders",
-    "copurchase_top_pairs",
-    "events_dp_noisy_counts",
-    "events_pattern_view_to_purchase",
-    "sim_matryoshka_recall",
-    "text_encode_ids",
-    "text_bm25_topdocs",
-    "storage_zorder_stats",
-    "stream_heavy_hitters",
-    "stream_static_enrich",
-    "sim_kmeans_step",
-    "sim_srp_buckets",
-    "graph_components",
+    # Re-spliced from the round-4 full-surface timing run
+    # (tools/check_oracle.py --times): every query never recorded in
+    # CORRECTNESS_r01-r03 leads (cheapest first within that group) so
+    # the driver's ~50-query window lands on fresh names; the 76
+    # already-recorded queries follow, also cheapest-first.
+    "agg_histogram",
     "text_token_positions",
-    "sample_stratified",
-    "text_type_token_ratio",
-    "agg_collect_sorted",
-    "window_ntile_quartiles",
+    "sim_srp_buckets",
     "pipeline_e8_hreflang",
-    "window_dense_rank_days",
-    "doc_length_deciles",
-    "scalar_subquery_above_avg",
-    "history_url_churn",
-    "fuzzy_match_parts",
-    "text_chunk_docs",
     "sim_label_stats",
-    "agg_stats_moments",
-    "join_null_safe",
-    "text_char_entropy",
+    "sample_stratified",
+    "agg_collect_sorted",
+    "text_type_token_ratio",
     "sim_cosine_topk",
-    "history_scd2",
-    "text_tfidf_terms",
-    "q15_top_supplier",
-    "text_vocab_coverage",
-    "events_transition_matrix",
-    "embed_dim_zscore",
+    "doc_length_deciles",
+    "fuzzy_match_parts",
+    "window_dense_rank_days",
+    "scalar_subquery_above_avg",
+    "text_chunk_docs",
     "window_moving_avg_spend",
     "sim_cosine_topk_pandas",
-    "window_cume_dist_nth",
-    "join_range_followups",
-    "q13_customer_order_distribution",
-    "q19_disjunctive_bracket",
-    "multimodal_features",
-    "corpus_mixture_weights",
-    "q4_priority_with_late_lines",
     "unpivot_lineitem_metrics",
     "events_user_ewma",
-    "setop_nation_bag_excess",
-    "q22_idle_customers",
-    "q12_priority_class_by_status",
     "q14_promo_revenue_share",
-    "setop_nation_bag_overlap",
-    "winsorize_order_totals",
-    "text_pack_sequences",
+    "join_range_followups",
     "diag_custkey_skew",
-    "text_ngram_counts",
-    "sim_ann_topk",
+    "fit_price_trend_pandas",
+    "text_tfidf_terms",
+    "agg_stats_moments",
+    "join_null_safe",
+    "history_scd2",
+    "window_ntile_quartiles",
+    "q13_customer_order_distribution",
+    "corpus_mixture_weights",
+    "multimodal_features",
+    "history_url_churn",
+    "window_cume_dist_nth",
+    "q4_priority_with_late_lines",
+    "q12_priority_class_by_status",
     "sim_knn_join",
-    "text_langid",
-    "profile_orders_columns",
-    "events_value_mad",
-    "history_gap_fill",
-    "join_full_outer_coverage",
-    "q18_large_quantity_orders",
-    "dedup_hot_shingles",
+    "q19_disjunctive_bracket",
+    "setop_nation_bag_overlap",
+    "text_vocab_coverage",
+    "text_pack_sequences",
+    "text_ngram_counts",
+    "events_dp_noisy_counts",
     "events_hourly_anomaly",
-    "q17_small_qty_revenue",
-    "graph_degree_stats",
-    "corpus_weighted_sample",
     "agg_regression_price_qty",
-    "q21_sole_late_shippers",
-    "pipeline_e7_backlinks",
-    "text_repetition",
-    "window_revenue_share",
-    "customer_rfm_segments",
-    "pipeline_e2_ranks",
-    "window_trailing_7d_spend",
-    "pipeline_e3_bookings",
+    "setop_nation_bag_excess",
+    "text_langid",
+    "embed_dim_zscore",
+    "q18_large_quantity_orders",
+    "join_full_outer_coverage",
+    "sim_ann_topk",
+    "events_transition_matrix",
+    "q15_top_supplier",
+    "q22_idle_customers",
+    "q17_small_qty_revenue",
+    "profile_orders_columns",
     "agg_equidepth_histogram",
+    "asof_event_latest_order",
+    "winsorize_order_totals",
+    "events_value_mad",
+    "dedup_hot_shingles",
     "q16_supplier_variety",
-    "q10_returned_item_revenue",
-    "q9_product_profit",
-    "text_pmi_bigrams",
-    "sim_quantize_int8",
-    "q2_min_cost_supplier",
-    "q11_important_parts",
-    "q7_nation_trade_volume",
-    "sql_adhoc_latest_snapshot",
+    "text_repetition",
+    "window_trailing_7d_spend",
+    "history_gap_fill",
     "q20_excess_share_shippers",
     "sql_adhoc_directory_rollup",
+    "text_pmi_bigrams",
+    "window_revenue_share",
+    "q10_returned_item_revenue",
+    "customer_rfm_segments",
+    "pipeline_e3_bookings",
+    "q11_important_parts",
+    "q9_product_profit",
+    "stream_hourly_tumbling",
+    "sim_pq_codes",
+    "stream_language_mix",
+    "stream_sliding_2h",
+    "q7_nation_trade_volume",
+    "sql_adhoc_latest_snapshot",
+    "sql_adhoc_daily_orders",
+    "stream_dedup_events",
+    "stream_corpus_ingest",
+    "corpus_weighted_sample",
+    "stream_sessionize",
+    "sim_pq_topk",
+    "q2_min_cost_supplier",
+    "sim_quantize_int8",
+    "pipeline_e7_backlinks",
     "sql_macro_rollup",
     "text_duplicate_spans",
-    "q8_market_share",
-    "sql_adhoc_daily_orders",
-    "sql_recursive_hierarchy",
-    "asof_event_latest_order",
-    "sim_ivf_topk",
-    "stream_user_ewma",
-    "stream_hourly_tumbling",
-    "stream_dedup_events",
-    "stream_hourly_anomaly",
-    "stream_sliding_2h",
-    "stream_sessionize",
     "stream_stateful_user_totals",
-    "sim_pq_codes",
-    "stream_corpus_ingest",
-    "sim_pq_topk",
+    "q8_market_share",
     "sim_quantize_recall",
+    "graph_degree_stats",
+    "q21_sole_late_shippers",
+    "stream_user_ewma",
+    "stream_hourly_anomaly",
+    "sim_ivf_topk",
+    "events_pattern_view_to_purchase",
+    "sql_recursive_hierarchy",
+    "skyline_orders",
     "corpus_pipeline_funnel",
-    "graph_cheirank",
-    "fit_price_trend_pandas",
-    "pipeline_e6_inlinks",
-    "split_leakage_check",
-    "history_interpolate",
-    "stream_language_mix",
-    "bucketed_join_order_lineitems",
     "graph_pagerank",
-    "dedup_ngram_jaccard_capped",
-    "dedup_verified_pairs",
-    "stream_stream_join",
-    "sim_ivfpq_topk",
-    "dedup_corpus_survivors",
-    "dedup_minhash_accuracy",
-    "graph_triangle_count",
+    "history_interpolate",
+    "pipeline_e6_inlinks",
+    "graph_cheirank",
+    "text_bm25_topdocs",
+    "text_char_entropy",
     "dedup_prefix_filter_pairs",
-    "agg_histogram",
-    "macro_url_levels",
-    "macro_doctype_label",
+    "split_leakage_check",
+    "copurchase_top_pairs",
+    "storage_zorder_stats",
+    "bucketed_join_order_lineitems",
+    "stream_heavy_hitters",
+    "dedup_verified_pairs",
+    "graph_triangle_count",
+    "graph_components",
+    "text_encode_ids",
+    "sim_kmeans_step",
+    "dedup_corpus_survivors",
+    "dedup_ngram_jaccard_capped",
+    "sim_matryoshka_recall",
+    "pipeline_e2_ranks",
+    "sim_ivfpq_topk",
+    "events_heavy_hitters",
+    "dedup_minhash_accuracy",
+    "stream_static_enrich",
+    "stream_stream_join",
     "macro_concat_ws_skipnull",
     "topk_orders_by_price",
+    "macro_doctype_label",
     "macro_website_type",
-    "join_semi_shipped",
-    "text_token_stats",
-    "events_top_users",
+    "text_fingerprints",
+    "macro_url_levels",
     "text_redact_pii",
     "multimodal_frame_plan",
-    "text_fingerprints",
-    "macro_fill_cast",
-    "sim_label_centroids",
+    "window_percent_rank_top",
+    "minmax_priciest_part_per_brand",
+    "text_token_stats",
+    "lateral_explode_type_words",
+    "q6_forecast_revenue",
+    "events_top_users",
     "events_dedup_count",
-    "pivot_status_by_priority",
+    "agg_cube_flag_status",
     "macro_dates_truncate",
     "agg_price_percentiles",
-    "window_percent_rank_top",
-    "lateral_explode_type_words",
-    "multimodal_meta_stats",
-    "q6_forecast_revenue",
+    "agg_grouping_sets",
     "contamination_scan",
+    "split_train_test",
+    "asof_latest_order_per_customer",
+    "broadcast_nation_region",
+    "join_semi_shipped",
+    "multimodal_meta_stats",
     "pipeline_e1_crawl",
-    "agg_cube_flag_status",
-    "minmax_priciest_part_per_brand",
-    "window_order_gap_days",
-    "sim_ivf_clusters",
-    "agg_distinct_suppliers",
-    "join_left_customer_orders",
-    "history_metric_delta",
-    "pipeline_e5_orphans",
+    "multimodal_dedup_payloads",
+    "union_mismatched_entities",
+    "macro_regex_projection",
+    "sim_label_centroids",
+    "pivot_status_by_priority",
+    "agg_rollup_status_priority",
+    "setop_nations_cust_only",
+    "corpus_quality_filter",
+    "macro_fill_cast",
     "events_time_weighted_value",
     "events_sessionize",
-    "events_json_extract",
-    "multimodal_dedup_payloads",
-    "skew_salted_event_counts",
-    "broadcast_nation_region",
-    "events_cohort_retention",
-    "macro_locale_decimal",
-    "window_top3_orders_per_customer",
-    "split_train_test",
-    "setop_nations_cust_only",
     "events_hourly_tumbling",
-    "events_variant_parse",
-    "corpus_quality_filter",
-    "asof_latest_order_per_customer",
-    "agg_grouping_sets",
-    "union_mismatched_entities",
-    "join_anti_unshipped",
-    "agg_rollup_status_priority",
-    "events_rollup_hour_day",
     "setop_nations_cust_and_supp",
-    "events_props_map_explode",
+    "pipeline_e5_orphans",
+    "window_top3_orders_per_customer",
     "events_value_outliers",
-    "macro_regex_projection",
-    "pipeline_e4_images",
-    "q1_pricing_summary",
-    "dedup_incremental",
-    "macro_lenient_int",
-    "events_sliding_2h",
-    "events_value_outliers_mad",
-    "dedup_embedding_cosine",
-    "events_new_vs_returning",
-    "window_running_spend",
-    "macro_days_between",
-    "dedup_exact_groups",
     "text_quality_scores",
-    "events_funnel",
-    "events_dau_wau",
+    "window_order_gap_days",
+    "agg_distinct_suppliers",
+    "events_rollup_hour_day",
+    "history_metric_delta",
+    "events_cohort_retention",
+    "sim_ivf_clusters",
+    "events_json_extract",
+    "join_anti_unshipped",
+    "join_left_customer_orders",
+    "skew_salted_event_counts",
+    "events_props_map_explode",
+    "dedup_exact_groups",
+    "events_variant_parse",
+    "macro_locale_decimal",
+    "pipeline_e4_images",
+    "events_sliding_2h",
+    "dedup_embedding_cosine",
+    "window_running_spend",
+    "macro_lenient_int",
+    "dedup_incremental",
     "q3_shipping_priority",
+    "events_value_outliers_mad",
+    "macro_days_between",
+    "events_dau_wau",
+    "events_funnel",
+    "q1_pricing_summary",
+    "events_new_vs_returning",
     "q5_local_supplier_volume",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_ngram_jaccard",
     "dedup_clusters",
 )
 
