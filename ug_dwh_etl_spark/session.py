@@ -47,13 +47,20 @@ def get_spark(app_name: str = "ug-dwh-etl-spark", master: str | None = None) -> 
         .config("spark.sql.shuffle.partitions", str(2 * cpus))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.ui.enabled", "false")
         # managed-table home for bucketed tables (operators/bucketing);
         # keep the metastore/warehouse out of the repo tree
         .config("spark.sql.warehouse.dir", os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark-warehouse"))
-        .config("spark.driver.extraJavaOptions", "-Dderby.system.home=/tmp/derby")
+        # 512m code cache: a 200-query session compiles thousands of
+        # whole-stage-codegen classes; at the JVM default (240m) the JIT
+        # code cache fills mid-run and compilation stops, inflating every
+        # later query — the classic long-lived-Spark-driver setting
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/derby -XX:ReservedCodeCacheSize=512m",
+        )
     )
     if master is not None:
         builder = builder.master(master)
