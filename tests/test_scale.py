@@ -187,3 +187,30 @@ def test_write_zordered_narrows_both_dims(spark, tmp_path):
 
     assert len(spark.read.parquet(zord).inputFiles()) >= 4
     assert max_dim_frac(zord) < 0.7 * max_dim_frac(plain)
+
+
+def test_optimize_table_composes_retention_and_zorder(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.storage import optimize_table
+    from ug_dwh_etl_spark.sinks.writers import append_history
+
+    path = str(tmp_path / "hist")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").withColumn(
+        "day", F.when(F.col("o_orderkey") % 2 == 0, "2026-01-01").otherwise("2026-06-01")
+    )
+    append_history(orders, path, partition_col="day")
+    n_old = orders.filter(F.col("day") == "2026-06-01").count()
+    stats = optimize_table(
+        spark,
+        path,
+        partition_col="day",
+        keep=lambda d: d >= "2026-03-01",
+        zorder_cols=("o_custkey", "o_orderkey"),
+        target_file_bytes=16 * 1024,
+    )
+    assert stats["dropped_partitions"] == ["2026-01-01"]
+    assert stats["n_rows"] == n_old
+    assert stats["n_files"] >= 2
+    got = spark.read.parquet(path)
+    assert got.count() == n_old

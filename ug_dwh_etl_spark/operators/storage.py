@@ -183,3 +183,43 @@ def snapshot_diff(
         .otherwise(F.lit("unchanged"))
     )
     return j.select(*key_cols, change.alias("change_type"))
+
+
+def optimize_table(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str | None = None,
+    keep: "Callable[[str], bool] | None" = None,
+    zorder_cols: tuple[str, str] | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """The nightly table-maintenance pass, composed from the primitives:
+    (1) retention — drop expired hive partitions (O(dropped), no scan);
+    (2) layout — rewrite to ~target-size files, Z-order-clustered when
+    two filter columns are given, plain compaction otherwise.
+    Returns a small stats dict for the run log. Each step is the
+    documented single-writer swap; on a 100 TB table you run this
+    per-partition on the partitions the append rate actually touched,
+    so maintenance cost tracks ingest, not table size."""
+    import math
+
+    from ug_dwh_etl_spark.sinks.writers import prune_history, swap_dir
+
+    dropped: list[str] = []
+    if partition_col is not None and keep is not None:
+        dropped = prune_history(path, partition_col, keep)
+    if zorder_cols is not None:
+        df = spark.read.parquet(path)
+        n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
+        staging = path.rstrip("/") + ".optimizing"
+        write_zordered(df, staging, zorder_cols[0], zorder_cols[1], n_files=n_files)
+        swap_dir(staging, path)
+    else:
+        compact_table(spark, path, target_file_bytes)
+    out = spark.read.parquet(path)
+    return {
+        "dropped_partitions": dropped,
+        "n_files": len(out.inputFiles()),
+        "n_rows": out.count(),
+    }
