@@ -230,3 +230,62 @@ def test_stream_ewma_multi_batch_matches_closed_form(spark, tmp_path):
         for r in events_user_ewma(spark, sf).collect()
     }
     assert got == expected
+
+
+def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
+    """Late-data contract: rows older than the watermark horizon are
+    DROPPED from the update-mode aggregate across restarts (the
+    watermark persists in the checkpoint), and the drop is observable
+    (numRowsDroppedByWatermark) — the metric a 100 TB ingest pipeline
+    alerts on when upstream lateness exceeds the horizon."""
+    src_dir = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def write(rows):
+        spark.createDataFrame(rows, "id long, ts_s string").selectExpr(
+            "id", "cast(ts_s as timestamp) AS ts"
+        ).coalesce(1).write.mode("append").parquet(src_dir)
+
+    def run_once():
+        schema = spark.read.parquet(src_dir).schema
+        src = spark.readStream.schema(schema).parquet(src_dir)
+        agg = (
+            src.withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("ws"), "n")
+        )
+        q = (
+            agg.writeStream.foreachBatch(
+                lambda df, _bid: df.write.mode("append").parquet(out_dir)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dropped = sum(
+            op.get("numRowsDroppedByWatermark", 0)
+            for p in q.recentProgress
+            for op in p["stateOperators"]
+        )
+        import os
+
+        if not os.path.isdir(out_dir):
+            return {}, dropped
+        return {
+            str(r.ws): r.n for r in spark.read.parquet(out_dir).collect()
+        }, dropped
+
+    # run 1: on-time hours advance the watermark to 10:30
+    write([(1, "2026-01-01 10:00:00"), (2, "2026-01-01 11:30:00")])
+    rows, dropped = run_once()
+    assert dropped == 0 and len(rows) == 2
+
+    # run 2: a 3h-late row arrives — below the checkpointed watermark
+    write([(3, "2026-01-01 08:00:00")])
+    rows, dropped = run_once()
+    assert not any(ws.startswith("2026-01-01 08") for ws in rows)
+    assert dropped >= 1
