@@ -163,7 +163,11 @@ def snapshot_diff(
     — the shuffle carries one long per row, never the row payload, and
     the same partitioning serves both sides. Returns key columns +
     ``change_type``; aggregate it for a reconciliation summary or
-    filter out 'unchanged' for a CDC feed."""
+    filter out 'unchanged' for a CDC feed.
+
+    Contract: key columns must be non-null (a NULL key never equi-joins,
+    so such a row would surface as a spurious added+removed pair — the
+    same key-hygiene requirement as merge_upsert)."""
     import pyspark.sql.functions as F
 
     if compare_cols is None:
