@@ -48,6 +48,17 @@ def main(argv: list[str] | None = None) -> int:
     dp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     dp.add_argument("--out", required=True, help="warehouse output directory")
 
+    mp = sub.add_parser(
+        "maintain", help="nightly table maintenance: retention + compaction/Z-order"
+    )
+    mp.add_argument("path", help="parquet table directory")
+    mp.add_argument("--partition-col", default=None)
+    mp.add_argument("--keep-from", default=None,
+                    help="drop hive partitions with values < this (string compare)")
+    mp.add_argument("--zorder", default=None,
+                    help="two comma-separated integer columns to Morton-cluster")
+    mp.add_argument("--target-file-mb", type=int, default=128)
+
     args = p.parse_args(argv)
 
     from ug_dwh_etl_spark.queries import QUERIES
@@ -69,6 +80,25 @@ def main(argv: list[str] | None = None) -> int:
         if args.explain:
             df.explain("formatted")
         df.show(args.limit, truncate=False)
+        return 0
+
+    if args.cmd == "maintain":
+        from ug_dwh_etl_spark.operators.storage import optimize_table
+
+        keep = None
+        if args.keep_from is not None:
+            lo = args.keep_from
+            keep = lambda v: v >= lo  # noqa: E731
+        zc = tuple(args.zorder.split(",")) if args.zorder else None
+        stats = optimize_table(
+            spark,
+            args.path,
+            partition_col=args.partition_col,
+            keep=keep,
+            zorder_cols=zc,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        print(stats)
         return 0
 
     if args.cmd == "sql":
