@@ -51,6 +51,10 @@ PROBES = (
     "text_bm25_topdocs",
     "text_encode_ids",
     "events_pattern_view_to_purchase",
+    # bounded-fanout self-join (pairs per order <= width^2) and the
+    # domination-pruned skyline — both must stay ~linear
+    "copurchase_top_pairs",
+    "skyline_orders",
 )
 # Streaming probes additionally report state-store rows (from the final
 # StreamingQueryProgress): state must grow at most linearly in the keys
