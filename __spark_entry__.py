@@ -180,6 +180,7 @@ _CHEAPEST_FIRST = (
     "events_heavy_hitters",
     "dedup_minhash_accuracy",
     "stream_static_enrich",
+    "stream_pattern_conversions",
     "stream_stream_join",
     "macro_concat_ws_skipnull",
     "topk_orders_by_price",

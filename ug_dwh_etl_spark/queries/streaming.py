@@ -244,3 +244,18 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_static_enrich
 
     return stream_static_enrich(spark, sf_dir)
+
+
+def _pattern_oracle() -> str:
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    return QUERIES["events_pattern_view_to_purchase"].oracle
+
+
+@register("stream_pattern_conversions", _pattern_oracle())
+def q_stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # applyInPandasWithState CEP matcher; same oracle as the batch
+    # forward-looking-window twin events_pattern_view_to_purchase
+    from ug_dwh_etl_spark.streaming.stateful import stream_pattern_conversions
+
+    return stream_pattern_conversions(spark, sf_dir)

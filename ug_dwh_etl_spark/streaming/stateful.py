@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StructField,
@@ -194,4 +195,104 @@ def stream_user_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w_last.select(
         "user_id", "n_events", F.round("ewma_raw", 4).alias("ewma")
+    )
+
+
+# --- stateful sequential pattern match (CEP): view -> purchase <= 30 min ------
+#
+# The custom-state twin of the batch window rewrite
+# (queries.events.events_pattern_view_to_purchase): per user, keep the
+# PENDING (not yet matched, not yet expired) view timestamps; every
+# purchase either converts each pending view (within the 30-minute
+# horizon -> its first subsequent purchase, by in-order processing) or
+# expires it (first subsequent purchase landed outside the horizon — it
+# can never convert later). State is bounded by views-per-user within
+# one horizon, the CEP analogue of a watermark bound.
+
+_PATTERN_WINDOW_US = 30 * 60 * 1_000_000
+
+PATTERN_STATE_SCHEMA = StructType(
+    [
+        StructField("n_views", LongType()),
+        StructField("n_conv", LongType()),
+        StructField("sum_us", LongType()),
+        StructField("pending", ArrayType(LongType())),
+    ]
+)
+PATTERN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_views", LongType()),
+        StructField("n_converted", LongType()),
+        StructField("sum_us", LongType()),
+    ]
+)
+
+
+def _update_pattern(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        n_v, n_c, s_us, pending = state.get
+        pending = list(pending)
+    else:
+        n_v, n_c, s_us, pending = 0, 0, 0, []
+    for batch in batches:
+        b = batch.sort_values(["ts", "event_id"])
+        for et, us in zip(b["event_type"], b["us"]):
+            if et == "view":
+                n_v += 1
+                pending.append(int(us))
+            elif et == "purchase" and pending:
+                for v in pending:
+                    d = int(us) - v
+                    if d <= _PATTERN_WINDOW_US:
+                        n_c += 1
+                        s_us += d
+                pending = []  # converted or expired — either way resolved
+    state.update((n_v, n_c, s_us, pending))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_views": [n_v],
+            "n_converted": [n_c],
+            "sum_us": [s_us],
+        }
+    )
+
+
+def stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CEP twin of ``events_pattern_view_to_purchase`` — same
+    DuckDB oracle, so the stateful matcher and the batch forward-looking
+    window check each other. Same order contract as stream_user_ewma:
+    event-time order within a batch is enforced by the sort, across
+    batches by ingesting date-partitioned input in order."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_pattern,
+        outputStructType=PATTERN_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    last = out.groupBy("user_id").agg(
+        F.max("n_views").alias("n_views"),
+        F.max_by("n_converted", "n_views").alias("n_converted"),
+        F.max_by("sum_us", "n_views").alias("sum_us"),
+    )
+    return last.filter(F.col("n_views") > 0).select(
+        "user_id",
+        "n_views",
+        "n_converted",
+        F.round(
+            F.when(
+                F.col("n_converted") > 0,
+                (F.col("sum_us") / F.col("n_converted")) / 1000000.0,
+            ),
+            3,
+        ).alias("avg_latency_s"),
     )
