@@ -289,3 +289,62 @@ def test_watermark_drops_late_rows_and_reports_them(spark, tmp_path):
     rows, dropped = run_once()
     assert not any(ws.startswith("2026-01-01 08") for ws in rows)
     assert dropped >= 1
+
+
+def test_stream_pattern_multi_batch_matches_window_twin(spark, tmp_path):
+    """The CEP matcher's pending-view state must survive a micro-batch
+    split: views arriving in batch 1 convert (or expire) against
+    purchases arriving in batch 2, and the result must equal the batch
+    forward-looking-window query exactly."""
+    import os
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from ug_dwh_etl_spark.queries.events import events_pattern_view_to_purchase
+    from ug_dwh_etl_spark.queries.registry import table
+    from ug_dwh_etl_spark.streaming import stateful as S
+    from ug_dwh_etl_spark.streaming.jobs import run_stream_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    med = ev.agg(F.expr("percentile(us, 0.5)")).first()[0]
+    split = F.col("us") <= F.lit(int(med))
+
+    d = str(tmp_path / "events.parquet")
+    os.makedirs(d)
+    for i, half in enumerate((ev.filter(split), ev.filter(~split))):
+        tmp = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{d}/half{i}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+
+    src = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    updated = src.groupBy("user_id").applyInPandasWithState(
+        S._update_pattern,
+        outputStructType=S.PATTERN_OUTPUT_SCHEMA,
+        stateStructType=S.PATTERN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    last = out.groupBy("user_id").agg(
+        F.max("n_views").alias("n_views"),
+        F.max_by("n_converted", "n_views").alias("n_converted"),
+        F.max_by("sum_us", "n_views").alias("sum_us"),
+    ).filter(F.col("n_views") > 0)
+    streamed = {
+        r.user_id: (r.n_views, r.n_converted, r.sum_us) for r in last.collect()
+    }
+    batch = events_pattern_view_to_purchase(spark, sf)
+    expect = {r.user_id: (r.n_views, r.n_converted) for r in batch.collect()}
+    assert set(streamed) == set(expect)
+    for uid, (nv, nc, _su) in streamed.items():
+        assert (nv, nc) == expect[uid], uid
