@@ -54,6 +54,7 @@ _CHEAPEST_FIRST = (
     # CORRECTNESS_r01-r03 leads (cheapest first within that group) so
     # the driver's ~50-query window lands on fresh names; the 76
     # already-recorded queries follow, also cheapest-first.
+    "text_bpe_merges",
     "agg_histogram",
     "text_token_positions",
     "sim_srp_buckets",

@@ -103,3 +103,20 @@ def test_daily_run_lands_all_reference_tables(spark, tmp_path):
         assert counts2[tbl] == 2 * day1[tbl], tbl
     for tbl in ("bq_content", "bq_inlinks", "bq_hreflang_issues"):
         assert counts2[tbl] == day1[tbl], tbl
+
+
+def test_backfill_is_idempotent_per_logical_date(spark, tmp_path):
+    from ug_dwh_etl_spark.plans.daily import backfill_run
+
+    out = str(tmp_path / "wh")
+    sf = "/root/testdata/sf0.001"
+    first = backfill_run(spark, sf, out, ["2026-01-01", "2026-01-02"])
+    assert all(n > 0 for n in first.values())
+    # re-running one date replaces its partition — totals unchanged
+    again = backfill_run(spark, sf, out, ["2026-01-02"])
+    assert again == first
+    days = {
+        str(r.crawl_date)
+        for r in spark.read.parquet(f"{out}/bq_images").select("crawl_date").distinct().collect()
+    }
+    assert days == {"2026-01-01", "2026-01-02"}

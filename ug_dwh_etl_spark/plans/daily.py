@@ -79,3 +79,43 @@ def daily_run(
         except Exception:  # noqa: BLE001 — a gated-off sink may not exist
             counts[tbl] = 0
     return counts
+
+
+def backfill_run(
+    spark: SparkSession,
+    sf_dir: str,
+    warehouse_dir: str,
+    dates: list[str],
+) -> dict[str, int]:
+    """Idempotent backfill of the history (append-mode) pipelines for a
+    list of logical run dates — the operation the reference's cron model
+    cannot express (a missed day is simply absent from BigQuery;
+    `README.md:12`). Each date's output is stamped with the LOGICAL date
+    and written via dynamic partition overwrite, so re-running a date
+    replaces exactly its own ``crawl_date=`` partition and never
+    double-appends — at 100 TB a backfill touches O(dates) partitions,
+    not the table. Returns {table: total rows} after the run."""
+    appends = {
+        "bq_images": e4_images_inventory,
+        "bq_orphan_urls": e5_orphan_urls,
+        "bq_backlinks": e7_backlink_metrics,
+    }
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for d in dates:
+            for tbl, fn in appends.items():
+                df = fn(spark, sf_dir).withColumn(
+                    "crawl_date", F.lit(d).cast("date")
+                )
+                (
+                    df.write.mode("overwrite")
+                    .partitionBy("crawl_date")
+                    .parquet(f"{warehouse_dir}/{tbl}")
+                )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    return {
+        tbl: spark.read.parquet(f"{warehouse_dir}/{tbl}").count()
+        for tbl in appends
+    }

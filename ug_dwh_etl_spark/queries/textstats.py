@@ -953,3 +953,60 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "md5(array_join(transform(array_sort(arr), x -> cast(x.tid AS string)), ',')) AS ids_md5",
         )
     )
+
+
+@register(
+    "text_bpe_merges",
+    """
+    WITH terms AS (
+      SELECT term FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+      WHERE term <> ''),
+    vocab AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term),
+    pairs AS (
+      SELECT substr(term, i, 2) AS pair, SUM(n) AS total
+      FROM (SELECT term, n, unnest(generate_series(1, length(term) - 1)) AS i
+            FROM vocab WHERE length(term) >= 2)
+      GROUP BY pair)
+    SELECT pair, CAST(total AS BIGINT) AS total, rnk FROM (
+      SELECT pair, total,
+             ROW_NUMBER() OVER (ORDER BY total DESC, pair) AS rnk
+      FROM pairs)
+    WHERE rnk <= 20
+    """,
+)
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first iteration of BPE tokenizer TRAINING: the corpus's most
+    frequent adjacent character pairs, weighted by word frequency — the
+    merge-candidate statistic each BPE round greedily takes the top of.
+    Scale shape: the only corpus-wide pass is the word-frequency count
+    (one partial-aggregated shuffle, same budget as tfidf); the pair
+    explode and everything after run on the VOCABULARY relation, which
+    is ~fixed-size no matter how many documents the corpus has — BPE
+    training cost at 100 TB is the vocab build, not the merge loop."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        vocab.filter(F.length("term") >= 2)
+        .select(
+            "n",
+            F.explode(
+                F.sequence(F.lit(1), F.length("term") - 1)
+            ).alias("i"),
+            "term",
+        )
+        .select(F.expr("substring(term, i, 2)").alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("total"))
+    )
+    from pyspark.sql import Window
+
+    top = pairs.orderBy(F.desc("total"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.col("total").desc(), "pair")
+    return top.select(
+        "pair", F.col("total").cast("long").alias("total"), F.row_number().over(w).alias("rnk")
+    )
