@@ -55,6 +55,7 @@ _CHEAPEST_FIRST = (
     # the driver's ~50-query window lands on fresh names; the 76
     # already-recorded queries follow, also cheapest-first.
     "text_bpe_merges",
+    "history_asof_read",
     "agg_histogram",
     "text_token_positions",
     "sim_srp_buckets",

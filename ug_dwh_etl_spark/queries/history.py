@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 import pyspark.sql.functions as F
 
-from ug_dwh_etl_spark.queries.registry import register, table
+from ug_dwh_etl_spark.queries.registry import QUERIES, register, table
 
 _URL_SPARK = "concat('https://www.example.com/', lang, '/', source, '/p', CAST(doc_id AS STRING))"
 _URL_DUCK = "'https://www.example.com/' || lang || '/' || source || '/p' || doc_id::VARCHAR"
@@ -331,3 +331,43 @@ def history_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         # decimal hop before the round — see the oracle's comment
         F.round(value.cast("decimal(28,10)"), 4).cast("double").alias("value"),
     )
+
+
+_ASOF_DATE = "2026-01-01"
+
+
+@register(
+    "history_asof_read",
+    f"""
+    WITH {_HIST_DUCK},
+    hist AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    versioned AS (
+      SELECT address, metric, crawl_date AS valid_from,
+             LEAD(crawl_date) OVER w AS valid_to,
+             LAG(metric) OVER w AS prev_metric
+      FROM hist
+      WINDOW w AS (PARTITION BY address ORDER BY crawl_date)
+    ),
+    scd AS (
+      SELECT address, metric, valid_from,
+             COALESCE(valid_to, '9999-12-31') AS valid_to
+      FROM versioned
+      WHERE prev_metric IS NULL OR metric <> prev_metric
+    )
+    SELECT address, metric
+    FROM scd
+    WHERE valid_from <= '{_ASOF_DATE}' AND valid_to > '{_ASOF_DATE}'
+    """,
+)
+def history_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-travel over the SCD2 dimension: the table AS OF a date —
+    ``valid_from <= d < valid_to`` against the versioned relation
+    history_scd2 builds. The query side of the SCD2 pair: a snapshot of
+    entity state at any past date without storing daily snapshots.
+    String-date interval comparison is exact (ISO dates sort
+    lexicographically); at scale the versioned table is partitioned by
+    valid_from range so the as-of filter prunes partitions."""
+    scd = QUERIES["history_scd2"].fn(spark, sf_dir)
+    return scd.filter(
+        (F.col("valid_from") <= _ASOF_DATE) & (F.col("valid_to") > _ASOF_DATE)
+    ).select("address", "metric")
