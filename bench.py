@@ -106,6 +106,10 @@ HEADLINE = [
     "sim_matryoshka_recall",
     "copurchase_top_pairs",
     "skyline_orders",
+    "text_bpe_merges",
+    "history_asof_read",
+    "stream_pattern_conversions",
+    "stream_static_enrich",
 ]
 
 

@@ -55,6 +55,9 @@ PROBES = (
     # domination-pruned skyline — both must stay ~linear
     "copurchase_top_pairs",
     "skyline_orders",
+    # vocabulary-bound: pair math runs on the vocab relation, so only
+    # the word-count pass should grow with the corpus
+    "text_bpe_merges",
 )
 # Streaming probes additionally report state-store rows (from the final
 # StreamingQueryProgress): state must grow at most linearly in the keys
