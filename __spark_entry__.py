@@ -183,6 +183,7 @@ _CHEAPEST_FIRST = (
     "dedup_minhash_accuracy",
     "stream_static_enrich",
     "stream_pattern_conversions",
+    "stream_stream_left_outer",
     "stream_stream_join",
     "macro_concat_ws_skipnull",
     "topk_orders_by_price",

@@ -259,3 +259,27 @@ def q_stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.stateful import stream_pattern_conversions
 
     return stream_pattern_conversions(spark, sf_dir)
+
+
+@register(
+    "stream_stream_left_outer",
+    """
+    WITH b AS (SELECT (SELECT MAX(ts) FROM events) - INTERVAL 4 HOUR AS c)
+    SELECT v.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(p.ts) AS BIGINT) AS n_attributed,
+           CAST(COUNT(CASE WHEN p.ts IS NULL THEN 1 END) AS BIGINT)
+             AS n_unattributed
+    FROM (SELECT user_id, ts FROM events, b
+          WHERE event_type = 'view' AND ts <= c) v
+    LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 1 HOUR
+    GROUP BY v.user_id
+    """,
+)
+def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # watermark-evicted NULL padding checked against the batch LEFT JOIN
+    from ug_dwh_etl_spark.streaming.jobs import stream_stream_left_outer_join
+
+    return stream_stream_left_outer_join(spark, sf_dir)

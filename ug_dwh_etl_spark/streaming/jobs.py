@@ -530,3 +530,62 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
     )
     return run_stream_to_memory(agg, "complete")
+
+
+def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER watermarked stream-stream join: every view emits —
+    matched rows as purchases arrive, NULL-padded rows once the
+    watermark proves no purchase can still match (state eviction time).
+    The semantics inner joins can't give: 'views that converted AND
+    views that provably didn't', online.
+
+    Outer results near the stream tail are held back until the
+    watermark passes their horizon (the final watermark stops at
+    min-side max event - 2h, so views newer than ~max-3h never get
+    their NULL verdict within this run). For oracle-exact comparison
+    the EMITTED rows are therefore bounded to view_ts <= max(ts) - 4h
+    on both sides — a post-materialization filter, NOT a stream-side
+    one (filtering the stream would shrink the view-side watermark and
+    push the horizon right back). The cutoff is ONE static scalar from
+    the batch fixture, computed before the stream starts."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    cutoff = (
+        read_events(spark, sf_dir)
+        .agg(F.max("ts").alias("m"))
+        .selectExpr("m - INTERVAL 4 HOURS AS c")
+        .first()["c"]
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= views.view_ts)
+        & (purchases.purchase_ts <= views.view_ts + F.expr("INTERVAL 1 HOUR")),
+        "left_outer",
+    )
+    out = run_stream_to_memory(joined, "append")
+    return (
+        out.filter(F.col("view_ts") <= F.lit(cutoff))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count("purchase_ts").alias("n_attributed"),
+            F.count(F.when(F.col("purchase_ts").isNull(), F.lit(1))).alias(
+                "n_unattributed"
+            ),
+        )
+    )
