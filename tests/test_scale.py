@@ -214,3 +214,18 @@ def test_optimize_table_composes_retention_and_zorder(spark, tmp_path):
     assert stats["n_files"] >= 2
     got = spark.read.parquet(path)
     assert got.count() == n_old
+    # the hive layout must survive the rewrite — otherwise every later
+    # retention run silently no-ops
+    import os
+
+    assert os.path.isdir(os.path.join(path, "day=2026-06-01"))
+    stats2 = optimize_table(
+        spark,
+        path,
+        partition_col="day",
+        keep=lambda d: d >= "2026-12-01",
+        zorder_cols=("o_custkey", "o_orderkey"),
+        target_file_bytes=16 * 1024,
+    )
+    assert stats2["dropped_partitions"] == ["2026-06-01"]
+    assert stats2["n_rows"] == 0

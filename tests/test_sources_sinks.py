@@ -335,3 +335,15 @@ def test_snapshot_diff_classifies_all_change_types(spark):
     feed = {(r.o_orderkey, r.change_type) for r in d.filter(
         F.col("change_type") != "unchanged").collect()}
     assert (0, "removed") in feed and (1, "changed") in feed
+
+
+def test_snapshot_diff_sees_null_shift_and_type_changes(spark):
+    """Regression: xxhash64 over raw columns skips NULLs without mixing,
+    which made (x, NULL) vs (NULL, x) collide; the JSON-struct hash must
+    classify both a null-shift and a cross-type change as 'changed'."""
+    from ug_dwh_etl_spark.operators.storage import snapshot_diff
+
+    old = spark.createDataFrame([(1, "x", None), (2, "1", "y")], "k long, a string, b string")
+    new = spark.createDataFrame([(1, None, "x"), (2, "1", "y")], "k long, a string, b string")
+    got = {r.k: r.change_type for r in snapshot_diff(old, new, ["k"]).collect()}
+    assert got == {1: "changed", 2: "unchanged"}

@@ -337,8 +337,8 @@ def test_stream_pattern_multi_batch_matches_window_twin(spark, tmp_path):
     out = run_stream_to_memory(updated, "update")
     last = out.groupBy("user_id").agg(
         F.max("n_views").alias("n_views"),
-        F.max_by("n_converted", "n_views").alias("n_converted"),
-        F.max_by("sum_us", "n_views").alias("sum_us"),
+        F.max("n_converted").alias("n_converted"),
+        F.max("sum_us").alias("sum_us"),
     ).filter(F.col("n_views") > 0)
     streamed = {
         r.user_id: (r.n_views, r.n_converted, r.sum_us) for r in last.collect()

@@ -89,7 +89,14 @@ def main(argv: list[str] | None = None) -> int:
         if args.keep_from is not None:
             lo = args.keep_from
             keep = lambda v: v >= lo  # noqa: E731
-        zc = tuple(args.zorder.split(",")) if args.zorder else None
+        zc = None
+        if args.zorder:
+            zc = tuple(c.strip() for c in args.zorder.split(",") if c.strip())
+            if len(zc) != 2:
+                # validate BEFORE optimize_table runs its destructive
+                # retention step — a bad flag must not half-complete
+                print("--zorder needs exactly two columns: a,b", file=sys.stderr)
+                return 2
         stats = optimize_table(
             spark,
             args.path,

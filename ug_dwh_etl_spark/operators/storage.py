@@ -110,6 +110,7 @@ def write_zordered(
     x_col: str,
     y_col: str,
     n_files: int = 8,
+    partition_col: str | None = None,
 ) -> None:
     """Write ``df`` Morton-clustered on two integer columns: normalize
     each to the 16-bit grid against its observed min/max (a 1-row
@@ -136,13 +137,18 @@ def write_zordered(
     keyed = keyed.selectExpr(
         *df.columns, zorder_interleave_sql("_zx", "_zy", duck=False) + " AS _z"
     )
-    (
-        keyed.repartitionByRange(n_files, "_z")
-        .sortWithinPartitions("_z")
+    range_cols = ([partition_col] if partition_col else []) + ["_z"]
+    writer = (
+        keyed.repartitionByRange(n_files, *range_cols)
+        .sortWithinPartitions(*range_cols)
         .drop("_z")
         .write.mode("overwrite")
-        .parquet(path)
     )
+    if partition_col is not None:
+        # keep the hive layout through the rewrite — retention and
+        # partition pruning both depend on the {col}= directories
+        writer = writer.partitionBy(partition_col)
+    writer.parquet(path)
 
 
 def snapshot_diff(
@@ -173,10 +179,15 @@ def snapshot_diff(
     if compare_cols is None:
         compare_cols = [c for c in old.columns if c not in key_cols]
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        cols = [F.col(c).cast("string") for c in compare_cols]
-        return df.select(
-            *key_cols, F.xxhash64(*cols).alias(alias)
+        # hash the JSON of the compared struct (nulls kept): xxhash64
+        # over raw columns SKIPS null inputs without mixing, so a value
+        # shifting between columns around a NULL would collide, and a
+        # bare string cast hides cross-type changes (1 vs '1')
+        row = F.to_json(
+            F.struct(*[F.col(c) for c in compare_cols]),
+            {"ignoreNullFields": "false"},
         )
+        return df.select(*key_cols, F.xxhash64(row).alias(alias))
     o = hashed(old, "_h_old")
     n = hashed(new, "_h_new")
     j = o.join(n, key_cols, "full_outer")
@@ -213,14 +224,34 @@ def optimize_table(
     dropped: list[str] = []
     if partition_col is not None and keep is not None:
         dropped = prune_history(path, partition_col, keep)
+    if _dir_bytes(path) == 0:
+        # retention emptied the table — nothing to lay out, and a read
+        # of a dataless dir cannot even infer a schema
+        return {"dropped_partitions": dropped, "n_files": 0, "n_rows": 0}
     if zorder_cols is not None:
         df = spark.read.parquet(path)
         n_files = max(1, math.ceil(_dir_bytes(path) / target_file_bytes))
         staging = path.rstrip("/") + ".optimizing"
-        write_zordered(df, staging, zorder_cols[0], zorder_cols[1], n_files=n_files)
+        write_zordered(
+            df,
+            staging,
+            zorder_cols[0],
+            zorder_cols[1],
+            n_files=n_files,
+            partition_col=partition_col,
+        )
         swap_dir(staging, path)
     else:
-        compact_table(spark, path, target_file_bytes)
+        from ug_dwh_etl_spark.sinks.writers import compact_partitions
+
+        if partition_col is not None:
+            # per-partition compaction keeps the hive layout — a flat
+            # rewrite would erase the partition dirs and silently break
+            # every subsequent retention run
+            compact_partitions(spark, path, partition_col=partition_col,
+                               target_file_bytes=target_file_bytes)
+        else:
+            compact_table(spark, path, target_file_bytes)
     out = spark.read.parquet(path)
     return {
         "dropped_partitions": dropped,

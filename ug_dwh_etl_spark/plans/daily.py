@@ -103,16 +103,21 @@ def backfill_run(
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        for d in dates:
-            for tbl, fn in appends.items():
-                df = fn(spark, sf_dir).withColumn(
-                    "crawl_date", F.lit(d).cast("date")
-                )
-                (
-                    df.write.mode("overwrite")
-                    .partitionBy("crawl_date")
-                    .parquet(f"{warehouse_dir}/{tbl}")
-                )
+        for tbl, fn in appends.items():
+            # compute the (date-independent) table ONCE and persist it
+            # across the date loop — per-(date,table) recompute would
+            # multiply the scan+transform cost by len(dates)
+            base = fn(spark, sf_dir).persist()
+            try:
+                for d in dates:
+                    (
+                        base.withColumn("crawl_date", F.lit(d).cast("date"))
+                        .write.mode("overwrite")
+                        .partitionBy("crawl_date")
+                        .parquet(f"{warehouse_dir}/{tbl}")
+                    )
+            finally:
+                base.unpersist()
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     return {

@@ -183,18 +183,21 @@ def history_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_HIST_DUCK},
     hist AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
-    versioned AS (
+    flagged AS (
       SELECT address, metric, crawl_date AS valid_from,
-             LEAD(crawl_date) OVER w AS valid_to,
              LAG(metric) OVER w AS prev_metric
       FROM hist
       WINDOW w AS (PARTITION BY address ORDER BY crawl_date)
+    ),
+    changes AS (
+      SELECT address, metric, valid_from FROM flagged
+      WHERE prev_metric IS NULL OR metric <> prev_metric
     )
     SELECT address, metric, valid_from,
-           COALESCE(valid_to, '9999-12-31') AS valid_to,
-           valid_to IS NULL AS is_current
-    FROM versioned
-    WHERE prev_metric IS NULL OR metric <> prev_metric
+           COALESCE(LEAD(valid_from) OVER w2, '9999-12-31') AS valid_to,
+           LEAD(valid_from) OVER w2 IS NULL AS is_current
+    FROM changes
+    WINDOW w2 AS (PARTITION BY address ORDER BY valid_from)
     """,
 )
 def history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,21 +210,31 @@ def history_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     c1, c2 = _crawls(spark, sf_dir)
     hist = c1.unionByName(c2)
     w = Window.partitionBy("address").orderBy("crawl_date")
-    versioned = hist.select(
-        "address",
-        "metric",
-        F.col("crawl_date").alias("valid_from"),
-        F.lead("crawl_date").over(w).alias("valid_to"),
-        F.lag("metric").over(w).alias("prev_metric"),
+    changes = (
+        hist.select(
+            "address",
+            "metric",
+            F.col("crawl_date").alias("valid_from"),
+            F.lag("metric").over(w).alias("prev_metric"),
+        )
+        .filter(
+            F.col("prev_metric").isNull()
+            | (F.col("metric") != F.col("prev_metric"))
+        )
+        .drop("prev_metric")
     )
-    return versioned.filter(
-        F.col("prev_metric").isNull() | (F.col("metric") != F.col("prev_metric"))
-    ).select(
+    # valid_to comes from the NEXT CHANGE, not the next observation: an
+    # unchanged re-crawl must extend the current version, not end it
+    # with no successor (which would make the entity vanish from any
+    # as-of read at or after that re-crawl)
+    w2 = Window.partitionBy("address").orderBy("valid_from")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
         "address",
         "metric",
         "valid_from",
-        F.coalesce("valid_to", F.lit("9999-12-31")).alias("valid_to"),
-        F.col("valid_to").isNull().alias("is_current"),
+        F.coalesce(nxt, F.lit("9999-12-31")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
     )
 
 
@@ -333,7 +346,7 @@ def history_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_ASOF_DATE = "2026-01-01"
+_ASOF_DATE = "2026-01-02"
 
 
 @register(
@@ -341,18 +354,21 @@ _ASOF_DATE = "2026-01-01"
     f"""
     WITH {_HIST_DUCK},
     hist AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
-    versioned AS (
+    flagged AS (
       SELECT address, metric, crawl_date AS valid_from,
-             LEAD(crawl_date) OVER w AS valid_to,
              LAG(metric) OVER w AS prev_metric
       FROM hist
       WINDOW w AS (PARTITION BY address ORDER BY crawl_date)
     ),
+    changes AS (
+      SELECT address, metric, valid_from FROM flagged
+      WHERE prev_metric IS NULL OR metric <> prev_metric
+    ),
     scd AS (
       SELECT address, metric, valid_from,
-             COALESCE(valid_to, '9999-12-31') AS valid_to
-      FROM versioned
-      WHERE prev_metric IS NULL OR metric <> prev_metric
+             COALESCE(LEAD(valid_from) OVER w2, '9999-12-31') AS valid_to
+      FROM changes
+      WINDOW w2 AS (PARTITION BY address ORDER BY valid_from)
     )
     SELECT address, metric
     FROM scd
@@ -364,6 +380,9 @@ def history_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``valid_from <= d < valid_to`` against the versioned relation
     history_scd2 builds. The query side of the SCD2 pair: a snapshot of
     entity state at any past date without storing daily snapshots.
+    The probe date is the SECOND crawl day, which exercises the
+    unchanged-re-observation case: an address re-crawled with the same
+    metric must still be visible (its version extends), not vanish.
     String-date interval comparison is exact (ISO dates sort
     lexicographically); at scale the versioned table is partitioned by
     valid_from range so the as-of filter prunes partitions."""

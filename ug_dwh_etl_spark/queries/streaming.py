@@ -264,7 +264,11 @@ def q_stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stream_stream_left_outer",
     """
-    WITH b AS (SELECT (SELECT MAX(ts) FROM events) - INTERVAL 4 HOUR AS c)
+    WITH b AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 4 HOUR AS c)
     SELECT v.user_id,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(COUNT(p.ts) AS BIGINT) AS n_attributed,

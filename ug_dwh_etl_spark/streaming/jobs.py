@@ -552,9 +552,18 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from ug_dwh_etl_spark.queries.registry import read_events
 
+    # the final global watermark is the MIN across both sides' maxima
+    # minus the 2h delay; deriving the cutoff from the global max would
+    # silently under-emit NULL verdicts whenever the lagging side trails
+    # by more than the slack
+    ev = read_events(spark, sf_dir)
     cutoff = (
-        read_events(spark, sf_dir)
-        .agg(F.max("ts").alias("m"))
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
         .selectExpr("m - INTERVAL 4 HOURS AS c")
         .first()["c"]
     )

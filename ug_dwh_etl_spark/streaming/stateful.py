@@ -266,8 +266,11 @@ def stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CEP twin of ``events_pattern_view_to_purchase`` — same
     DuckDB oracle, so the stateful matcher and the batch forward-looking
     window check each other. Same order contract as stream_user_ewma:
-    event-time order within a batch is enforced by the sort, across
-    batches by ingesting date-partitioned input in order."""
+    event-time order within a batch is enforced by the sort; across
+    batches the input splits must fall BETWEEN distinct timestamps
+    (date-partitioned ingest satisfies this) — an equal-timestamp
+    view/purchase pair straddling a batch boundary would lose the
+    (ts, event_id) tiebreak the batch twin applies."""
     ev = read_events_stream(spark, sf_dir).select(
         "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
@@ -279,10 +282,14 @@ def stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = run_stream_to_memory(updated, "update")
+    # all three counters are monotone non-decreasing across update
+    # rows, so plain max is the final state — max_by keyed on n_views
+    # would tie (same n_views, different counters) when a batch adds
+    # only purchases, and Spark resolves max_by ties arbitrarily
     last = out.groupBy("user_id").agg(
         F.max("n_views").alias("n_views"),
-        F.max_by("n_converted", "n_views").alias("n_converted"),
-        F.max_by("sum_us", "n_views").alias("sum_us"),
+        F.max("n_converted").alias("n_converted"),
+        F.max("sum_us").alias("sum_us"),
     )
     return last.filter(F.col("n_views") > 0).select(
         "user_id",
