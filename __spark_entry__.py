@@ -56,6 +56,7 @@ _CHEAPEST_FIRST = (
     # already-recorded queries follow, also cheapest-first.
     "text_bpe_merges",
     "history_asof_read",
+    "events_top_paths",
     "agg_histogram",
     "text_token_positions",
     "sim_srp_buckets",

@@ -1007,3 +1007,53 @@ def events_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         "event_type", "n_true", F.round(F.col("n_true") + noise, 3).alias("n_noisy")
     )
+
+
+# --- user-journey mining: most common 3-step event paths ----------------------
+@register(
+    "events_top_paths",
+    """
+    WITH seq AS (
+      SELECT user_id, list(event_type ORDER BY ts, event_id) AS t
+      FROM events GROUP BY user_id),
+    grams AS (
+      SELECT t[i] || '>' || t[i+1] || '>' || t[i+2] AS path
+      FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM seq
+            WHERE len(t) >= 3)),
+    counts AS (SELECT path, COUNT(*) AS n FROM grams GROUP BY path)
+    SELECT path, n, rnk FROM (
+      SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rnk
+      FROM counts)
+    WHERE rnk <= 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Journey mining: the corpus's most frequent ordered 3-step event
+    paths — the multi-step generalization of the 1-step transition
+    matrix (events_transition_matrix). Plan: one user_id shuffle builds
+    each user's time-ordered type sequence (array_sort on (ts, event_id,
+    type) structs — per-user arrays are session-sized, NOT corpus-
+    sized), the 3-gram explode is narrow row expansion, and the path
+    count is a partial-aggregated groupBy over a tiny key space
+    (|types|^3). Top-10 via TakeOrderedAndProject; the rank window runs
+    over 10 rows."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("s")
+        )
+        .select(F.expr("transform(s, x -> x.event_type)").alias("t"))
+        .filter(F.size("t") >= 3)
+    )
+    grams = seq.select(
+        F.explode(F.sequence(F.lit(1), F.size("t") - 2)).alias("i"), "t"
+    ).selectExpr("concat(t[i-1], '>', t[i], '>', t[i+1]) AS path")
+    counts = grams.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc("path")).limit(10)
+    w = Window.orderBy(F.col("n").desc(), "path")
+    return top.select("path", "n", F.row_number().over(w).alias("rnk"))
