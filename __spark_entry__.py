@@ -57,6 +57,7 @@ _CHEAPEST_FIRST = (
     "text_bpe_merges",
     "history_asof_read",
     "events_top_paths",
+    "history_seasonal_decompose",
     "agg_histogram",
     "text_token_positions",
     "sim_srp_buckets",

@@ -79,6 +79,8 @@ EXPECTED_NESTED_LOOP = {
     "events_heavy_hitters",
     # 1-row min/max grid-normalization stats broadcast onto the scan
     "storage_zorder_stats",
+    # 1-row OLS fit broadcast onto the daily series
+    "history_seasonal_decompose",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

@@ -390,3 +390,60 @@ def history_asof_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd.filter(
         (F.col("valid_from") <= _ASOF_DATE) & (F.col("valid_to") > _ASOF_DATE)
     ).select("address", "metric")
+
+
+# --- additive time-series decomposition: trend + monthly seasonality ----------
+@register(
+    "history_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY d),
+    xy AS (SELECT d, y, CAST(datediff('day', DATE '1992-01-01', d) AS DOUBLE) AS x
+           FROM daily),
+    fit AS (SELECT regr_slope(y, x) AS a, regr_intercept(y, x) AS b FROM xy)
+    SELECT EXTRACT(month FROM d) AS month,
+           COUNT(*) AS n_days,
+           ROUND(AVG(y - (a * x + b)), 2) AS seasonal,
+           ROUND(ANY_VALUE(a), 4) AS trend_slope
+    FROM xy, fit
+    GROUP BY month
+    """,
+)
+def history_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of the daily revenue series: OLS trend
+    (regr_slope/intercept — single-pass distributive aggregates) plus
+    month-of-year seasonal indices as the mean detrended value. The
+    decimal daily sum keeps the series itself order-exact; the OLS
+    moments are doubles, so outputs round at 2/4 dp (ulp-level
+    partial-agg order differences, the house float rule). Plan: one
+    groupBy(day) — the series relation — then a 1-row broadcast fit and
+    a 12-row seasonal aggregate; nothing downstream of the daily rollup
+    touches corpus-sized data."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("y")
+    )
+    xy = daily.select(
+        "d", "y", F.datediff("d", F.lit("1992-01-01")).cast("double").alias("x")
+    )
+    fit = xy.agg(
+        F.expr("regr_slope(y, x)").alias("a"),
+        F.expr("regr_intercept(y, x)").alias("b"),
+    )
+    return (
+        xy.crossJoin(F.broadcast(fit))
+        .groupBy(F.month("d").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.avg(F.col("y") - (F.col("a") * F.col("x") + F.col("b"))), 2
+            ).alias("seasonal"),
+            F.round(F.first("a"), 4).alias("trend_slope"),
+        )
+    )
