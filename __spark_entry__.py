@@ -58,6 +58,7 @@ _CHEAPEST_FIRST = (
     "history_asof_read",
     "events_top_paths",
     "history_seasonal_decompose",
+    "sim_pca_power_iteration",
     "agg_histogram",
     "text_token_positions",
     "sim_srp_buckets",

@@ -81,6 +81,8 @@ EXPECTED_NESTED_LOOP = {
     "storage_zorder_stats",
     # 1-row OLS fit broadcast onto the daily series
     "history_seasonal_decompose",
+    # 1-row iterate/norm/Rayleigh frames broadcast per power step
+    "sim_pca_power_iteration",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

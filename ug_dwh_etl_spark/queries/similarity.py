@@ -601,3 +601,104 @@ def sim_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return matryoshka_knn_recall(
         table(spark, sf_dir, "embeddings"), prefix_dim=16, query_mod=97, k=3
     )
+
+
+# --- top principal component via power iteration -------------------------------
+def _pca_power_sql(iters: int = 2) -> str:
+    from ug_dwh_etl_spark.operators.similarity import EMBED_DIM
+
+    seed = "[" + ", ".join("1.0" for _ in range(EMBED_DIM)) + "]::DOUBLE[]"
+    parts = [
+        f"""base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    v0 AS (SELECT {seed} AS v)"""
+    ]
+    prev = "v0"
+    for it in range(1, iters + 1):
+        parts.append(f"""s{it} AS (
+      SELECT vec_id, e, list_dot_product(e, v) AS s FROM base, {prev}),
+    w{it} AS (
+      SELECT dim, ROUND(SUM(ev * s), 6) AS w
+      FROM (SELECT s, unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS ev
+            FROM s{it})
+      GROUP BY dim),
+    n{it} AS (SELECT sqrt(SUM(w * w)) AS nrm FROM w{it}),
+    v{it} AS (SELECT list(w / nrm ORDER BY dim) AS v FROM w{it}, n{it})""")
+        prev = f"v{it}"
+    return f"""
+    WITH {','.join(parts)},
+    ray AS (
+      SELECT SUM(list_dot_product(e, v) * list_dot_product(e, v)) AS num,
+             COUNT(*) AS n
+      FROM base, v{iters})
+    SELECT dim, ROUND(w / nrm, 5) AS loading,
+           ROUND((SELECT num / n FROM ray), 2) AS variance_along
+    FROM w{iters}, n{iters}
+    """
+
+
+@register("sim_pca_power_iteration", _pca_power_sql())
+def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding matrix by POWER
+    ITERATION — distributed linear algebra in DataFrame ops: each step
+    is s = X·v (a per-row fold against the broadcast 64-vector) followed
+    by w = Xᵀs (posexplode + one partial-aggregated groupBy(dim) to 64
+    rows), so an iteration costs one corpus scan and one dim-sized
+    shuffle; the covariance matrix is never materialized. Per-step
+    coordinates round to 6 dp before renormalization (the same
+    cross-engine determinism discipline as kmeans_step), and the output
+    reports loadings plus the Rayleigh quotient (variance along the
+    direction, the eigenvalue estimate)."""
+    from ug_dwh_etl_spark.operators.similarity import EMBED_DIM, dot
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.expr("transform(embedding, x -> double(x))").alias("e"))
+    v = None  # None => all-ones seed handled via literal
+    seed = F.array(*[F.lit(1.0) for _ in range(EMBED_DIM)])
+    vcol = seed
+    for _ in range(2):
+        vdf = (
+            v
+            if v is not None
+            else base.sparkSession.range(1).select(vcol.alias("v"))
+        )
+        s = base.crossJoin(F.broadcast(vdf)).select(
+            "e", dot(F.col("e"), F.col("v")).alias("s")
+        )
+        w = (
+            s.select(
+                F.posexplode("e").alias("dim0", "ev"), "s"
+            )
+            .groupBy((F.col("dim0") + 1).alias("dim"))
+            .agg(F.round(F.sum(F.col("ev") * F.col("s")), 6).alias("w"))
+        )
+        nrm = w.agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+        v = (
+            w.crossJoin(F.broadcast(nrm))
+            .groupBy()
+            .agg(
+                F.expr(
+                    "array_sort(collect_list(struct(dim, w / nrm AS c)))"
+                ).alias("sc")
+            )
+            .select(F.expr("transform(sc, x -> x.c)").alias("v"))
+            # cut the lineage at the 1-row iterate: without this every
+            # later step re-derives ALL previous iterations' corpus
+            # scans inside its own plan (same loop-invariant rule as
+            # graph_pagerank's persisted edges)
+            .localCheckpoint(eager=True)
+        )
+        w_last, nrm_last, v_last = w, nrm, v
+    ray = (
+        base.crossJoin(F.broadcast(v_last))
+        .select(dot(F.col("e"), F.col("v")).alias("sv"))
+        .agg((F.sum(F.col("sv") * F.col("sv")) / F.count(F.lit(1))).alias("rq"))
+    )
+    return (
+        w_last.crossJoin(F.broadcast(nrm_last))
+        .crossJoin(F.broadcast(ray))
+        .select(
+            "dim",
+            F.round(F.col("w") / F.col("nrm"), 5).alias("loading"),
+            F.round("rq", 2).alias("variance_along"),
+        )
+    )
