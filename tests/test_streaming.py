@@ -348,3 +348,34 @@ def test_stream_pattern_multi_batch_matches_window_twin(spark, tmp_path):
     assert set(streamed) == set(expect)
     for uid, (nv, nc, _su) in streamed.items():
         assert (nv, nc) == expect[uid], uid
+
+
+def test_streaming_observe_reports_dq_metrics_inline(spark, tmp_path):
+    """The observation API on a STREAM: per-batch row/null counts ride
+    the existing pass (no second scan), surfaced in progress events —
+    the zero-extra-cost DQ counters a 100 TB ingest keeps per
+    micro-batch (streaming twin of operators.quality.observed)."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+    from ug_dwh_etl_spark.streaming.jobs import read_events_stream
+
+    sf = "/root/testdata/sf0.001"
+    src = read_events_stream(spark, sf).observe(
+        "dq", F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isNull(), F.lit(1))).alias("n_null_value"),
+    )
+    q = (
+        src.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = [
+        p["observedMetrics"]["dq"]
+        for p in q.recentProgress
+        if p.get("observedMetrics", {}).get("dq")
+    ]
+    assert got, "observed metrics must surface in progress events"
+    total = sum(m["n_rows"] for m in got)
+    assert total == read_events(spark, sf).count()
+    assert all(m["n_null_value"] == 0 for m in got)

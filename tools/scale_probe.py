@@ -58,6 +58,8 @@ PROBES = (
     # vocabulary-bound: pair math runs on the vocab relation, so only
     # the word-count pass should grow with the corpus
     "text_bpe_merges",
+    # power iteration: per-step cost is one scan + a dim-sized shuffle
+    "sim_pca_power_iteration",
 )
 # Streaming probes additionally report state-store rows (from the final
 # StreamingQueryProgress): state must grow at most linearly in the keys
