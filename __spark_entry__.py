@@ -53,6 +53,7 @@ _CHEAPEST_FIRST = (
     # 134 queries never recorded in CORRECTNESS_r01-r03 lead (cheapest
     # first) so the driver's ~50-slot window lands on fresh names; the
     # 76 already-recorded follow, also cheapest-first.
+    "sample_weighted_reservoir",
     "events_heavy_hitters",
     "agg_collect_sorted",
     "window_ntile_quartiles",

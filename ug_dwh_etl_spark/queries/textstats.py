@@ -1010,3 +1010,46 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.select(
         "pair", F.col("total").cast("long").alias("total"), F.row_number().over(w).alias("rnk")
     )
+
+
+@register(
+    "sample_weighted_reservoir",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             -LN((('0x' || substr(md5(doc_id::VARCHAR || '|es'), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0) / n_chars AS k
+      FROM documents WHERE n_chars > 0)
+    SELECT doc_id, n_chars, ROUND(k, 10) AS sort_key
+    FROM keyed
+    ORDER BY k, doc_id
+    LIMIT 25
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis): each
+    doc draws key = -ln(u)/w (u a deterministic hash uniform, w =
+    n_chars) and the k smallest keys are the sample — inclusion
+    probability proportional to weight, exactly-k, and single-pass. The
+    distributed-systems classic for 'sample 10k docs by length from
+    100 TB': the key is map-side arithmetic and the top-k is
+    TakeOrderedAndProject (per-partition partial top-k, no global sort,
+    no shuffle of the corpus). Deterministic-hash u makes the 'random'
+    sample reproducible and engine-exact — same discipline as
+    corpus_weighted_sample's Bernoulli thresholding, but exact-size."""
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|es"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / F.lit(4294967296.0)
+    k = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", "n_chars", k.alias("k"))
+        .orderBy("k", "doc_id")
+        .limit(25)
+        .select("doc_id", "n_chars", F.round("k", 10).alias("sort_key"))
+    )
