@@ -54,6 +54,8 @@ _CHEAPEST_FIRST = (
     # first) so the driver's ~50-slot window lands on fresh names; the
     # 76 already-recorded follow, also cheapest-first.
     "sample_weighted_reservoir",
+    "customer_nation_segment_chi2",
+    "events_drift_psi",
     "events_heavy_hitters",
     "agg_collect_sorted",
     "window_ntile_quartiles",

@@ -83,6 +83,10 @@ EXPECTED_NESTED_LOOP = {
     "history_seasonal_decompose",
     # 1-row iterate/norm/Rayleigh frames broadcast per power step
     "sim_pca_power_iteration",
+    # 1-row margins/totals broadcast onto the contingency table
+    "customer_nation_segment_chi2",
+    # 1-row time boundary + totals broadcast onto the scan
+    "events_drift_psi",
 }
 # streaming jobs materialize via a memory sink — no single batch plan
 SKIP = re.compile(r"^stream_")

@@ -1057,3 +1057,75 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.orderBy(F.desc("n"), F.asc("path")).limit(10)
     w = Window.orderBy(F.col("n").desc(), "path")
     return top.select("path", "n", F.row_number().over(w).alias("rnk"))
+
+
+# --- distribution drift: PSI between the stream's two time halves -------------
+@register(
+    "events_drift_psi",
+    """
+    WITH b AS (
+      SELECT epoch_us(MIN(ts)) AS lo,
+             (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid
+      FROM events),
+    bucketed AS (
+      SELECT CASE WHEN epoch_us(ts) <= mid THEN 'ref' ELSE 'cur' END AS half,
+             LEAST(9, GREATEST(0, CAST(FLOOR(value / 100.0) AS INTEGER))) AS bucket
+      FROM events, b),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS nr,
+             SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS nc
+      FROM bucketed GROUP BY bucket),
+    tot AS (SELECT SUM(nr) AS tr, SUM(nc) AS tc FROM counts),
+    frac AS (
+      SELECT bucket,
+             GREATEST(nr * 1.0 / tr, 0.0001) AS p,
+             GREATEST(nc * 1.0 / tc, 0.0001) AS q
+      FROM counts, tot)
+    SELECT bucket, ROUND(p, 6) AS p_ref, ROUND(q, 6) AS p_cur,
+           ROUND((q - p) * LN(q / p), 6) AS psi_term
+    FROM frac
+    """,
+)
+def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second time
+    halves of the value distribution — the standard ML-serving drift
+    monitor (PSI > 0.2 = retrain signal), per fixed bucket so the
+    contributions are auditable. Plan: one scan buckets every event
+    map-side against the broadcast time boundary; the PSI math runs on
+    the 10-row bucket relation. The 1e-4 floor is the standard
+    zero-count guard and keeps LN defined on both engines."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / F.lit(2))
+        .cast("long")
+        .alias("mid"),
+    )
+    bucketed = ev.crossJoin(F.broadcast(b)).select(
+        F.when(F.unix_micros("ts") <= F.col("mid"), F.lit("ref"))
+        .otherwise(F.lit("cur"))
+        .alias("half"),
+        F.least(
+            F.lit(9),
+            F.greatest(F.lit(0), F.floor(F.col("value") / 100.0).cast("int")),
+        ).alias("bucket"),
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("nr"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("nc"),
+    )
+    tot = counts.agg(F.sum("nr").alias("tr"), F.sum("nc").alias("tc"))
+    frac = counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.greatest(F.col("nr") * 1.0 / F.col("tr"), F.lit(0.0001)).alias("p"),
+        F.greatest(F.col("nc") * 1.0 / F.col("tc"), F.lit(0.0001)).alias("q"),
+    )
+    return frac.select(
+        "bucket",
+        F.round("p", 6).alias("p_ref"),
+        F.round("q", 6).alias("p_cur"),
+        F.round((F.col("q") - F.col("p")) * F.log(F.col("q") / F.col("p")), 6).alias(
+            "psi_term"
+        ),
+    )

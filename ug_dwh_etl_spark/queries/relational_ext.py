@@ -1233,3 +1233,73 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("d", "yyyy-MM-dd").alias("order_date"),
         )
     )
+
+
+# --- chi-squared independence: nation x market segment -------------------------
+@register(
+    "customer_nation_segment_chi2",
+    """
+    WITH obs AS (
+      SELECT c_nationkey AS nk, c_mktsegment AS seg, COUNT(*) AS o
+      FROM customer GROUP BY nk, seg),
+    rows_m AS (SELECT nk, SUM(o) AS rn FROM obs GROUP BY nk),
+    cols_m AS (SELECT seg, SUM(o) AS cn FROM obs GROUP BY seg),
+    tot AS (SELECT SUM(o) AS n FROM obs),
+    ex AS (
+      SELECT o.nk, o.seg, o.o, (r.rn * 1.0 * c.cn) / t.n AS e
+      FROM obs o JOIN rows_m r USING (nk) JOIN cols_m c USING (seg), tot t)
+    SELECT ROUND(SUM((o - e) * (o - e) / e), 4) AS chi2,
+           CAST(((SELECT COUNT(*) FROM rows_m) - 1)
+                * ((SELECT COUNT(*) FROM cols_m) - 1) AS BIGINT) AS dof,
+           ROUND(sqrt(SUM((o - e) * (o - e) / e)
+                      / ((SELECT n FROM tot)
+                         * LEAST((SELECT COUNT(*) FROM rows_m) - 1,
+                                 (SELECT COUNT(*) FROM cols_m) - 1))), 6)
+             AS cramers_v
+    FROM ex
+    """,
+)
+def customer_nation_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test between two categoricals (nation x
+    market segment) + Cramer's V effect size — the categorical-drift /
+    feature-association screen of a data-quality suite. Plan: ONE
+    corpus-wide groupBy builds the contingency table (|nations x
+    segments| rows); margins and the total are tiny re-aggregations of
+    it, joined back as broadcasts — the statistic's cost is the single
+    contingency shuffle no matter the table size."""
+    cust = table(spark, sf_dir, "customer")
+    obs = cust.groupBy(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_m = obs.groupBy("nk").agg(F.sum("o").alias("rn"))
+    cols_m = obs.groupBy("seg").agg(F.sum("o").alias("cn"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    nr = rows_m.agg(F.count(F.lit(1)).alias("nr"))
+    nc = cols_m.agg(F.count(F.lit(1)).alias("nc"))
+    ex = (
+        obs.join(F.broadcast(rows_m), "nk")
+        .join(F.broadcast(cols_m), "seg")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.col("rn") * 1.0 * F.col("cn") / F.col("n"))
+    )
+    chi = ex.agg(
+        F.sum((F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")).alias(
+            "chi2_raw"
+        ),
+        F.first("n").alias("n"),
+    )
+    return (
+        chi.crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            F.round("chi2_raw", 4).alias("chi2"),
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+            F.round(
+                F.sqrt(
+                    F.col("chi2_raw")
+                    / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )
