@@ -55,6 +55,7 @@ _CHEAPEST_FIRST = (
     # 76 already-recorded follow, also cheapest-first.
     "sample_weighted_reservoir",
     "customer_nation_segment_chi2",
+    "sim_ivf_recall_curve",
     "events_drift_psi",
     "events_heavy_hitters",
     "agg_collect_sorted",

@@ -85,6 +85,8 @@ EXPECTED_NESTED_LOOP = {
     "sim_pca_power_iteration",
     # 1-row margins/totals broadcast onto the contingency table
     "customer_nation_segment_chi2",
+    # broadcast query-set kNN joins, one per curve point (exact + 3 IVF)
+    "sim_ivf_recall_curve",
     # 1-row time boundary + totals broadcast onto the scan
     "events_drift_psi",
 }

@@ -702,3 +702,146 @@ def sim_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rq", 2).alias("variance_along"),
         )
     )
+
+
+# --- IVF tuning curve: recall@3 as a function of n_probe ------------------------
+def _ivf_recall_curve_sql(probes=(1, 2, 4), k: int = 3) -> str:
+    from ug_dwh_etl_spark.operators.similarity import N_CENTROIDS
+
+    cos = ("list_dot_product(a.e, q.qe) / (sqrt(list_dot_product(a.e, a.e))"
+           " * sqrt(list_dot_product(q.qe, q.qe)))")
+    cos_exact = ("list_dot_product(c.e, q.qe) / (sqrt(list_dot_product(c.e, c.e))"
+                 " * sqrt(list_dot_product(q.qe, q.qe)))")
+    dists = ", ".join(f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS))
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = mind THEN {j}" for j in range(N_CENTROIDS))
+    qd_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT q_id, {j} AS cluster, {sql_centroid_dist('qe', j)} AS qdist FROM q"
+        for j in range(N_CENTROIDS)
+    )
+    appr = []
+    recs = []
+    for np_ in probes:
+        appr.append(f"""appr{np_} AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q.q_id, a.vec_id, {cos} AS cs,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {cos} DESC, a.vec_id) AS rn
+        FROM q
+          JOIN qprobe p ON p.q_id = q.q_id AND p.crnk <= {np_}
+          JOIN a ON a.cluster = p.cluster AND a.vec_id <> q.q_id)
+      WHERE rn <= {k})""")
+        recs.append(
+            f"SELECT {np_} AS nprobe, e.q_id, COUNT(m.vec_id) AS n_match "
+            f"FROM exact e LEFT JOIN appr{np_} m "
+            f"ON m.q_id = e.q_id AND m.vec_id = e.neighbor_id GROUP BY e.q_id"
+        )
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS mind, * EXCLUDE (vec_id, e) FROM d),
+    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
+    q AS (SELECT vec_id AS q_id, e AS qe FROM base WHERE vec_id % 97 = 0),
+    qd AS (
+      {qd_rows}
+    ),
+    qprobe AS (
+      SELECT q_id, cluster,
+             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY qdist, cluster) AS crnk
+      FROM qd),
+    exact AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.q_id, c.vec_id, {cos_exact} AS cs,
+               ROW_NUMBER() OVER (PARTITION BY q.q_id
+                                  ORDER BY {cos_exact} DESC, c.vec_id) AS rn
+        FROM q JOIN base c ON c.vec_id <> q.q_id)
+      WHERE rn <= {k}),
+    {','.join(appr)}
+    SELECT nprobe, COUNT(*) AS n_queries,
+           ROUND(AVG(n_match / {k}.0), 6) AS avg_recall
+    FROM ({' UNION ALL '.join(recs)})
+    GROUP BY nprobe
+    """
+
+
+@register("sim_ivf_recall_curve", _ivf_recall_curve_sql())
+def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF index's TUNING CURVE: recall@3 vs n_probe (1, 2, 4) over
+    the deterministic query set — the measurement that picks the
+    latency/recall operating point before a 100 TB index deployment,
+    completing the audit family (int8: sim_quantize_recall, truncation:
+    sim_matryoshka_recall, LSH: dedup_minhash_accuracy). Plan: the
+    cluster assignment and the 8-row-per-query probe ranking are
+    computed ONCE and shared by all three curve points (probe depth is
+    just `crnk <= n`), so the curve costs one assignment pass plus
+    three cluster-pruned candidate joins — not three index builds."""
+    from pyspark.sql import Window
+
+    from ug_dwh_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        centroid_dist_sql,
+        cosine,
+        ivf_assign,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    a = ivf_assign(emb).select("vec_id", "embedding", "cluster")
+    q = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    qd = q.select(
+        "q_id",
+        F.expr(
+            "array(" + ", ".join(centroid_dist_sql("qe", j) for j in range(N_CENTROIDS)) + ")"
+        ).alias("qdists"),
+    ).select(
+        "q_id", F.posexplode("qdists").alias("cl0", "qdist")
+    ).select("q_id", F.col("cl0").alias("cluster"), "qdist")
+    wq = Window.partitionBy("q_id").orderBy("qdist", "cluster")
+    qprobe = qd.select("q_id", "cluster", F.row_number().over(wq).alias("crnk"))
+
+    def topk(cand, k=3):
+        w = Window.partitionBy("q_id").orderBy(F.desc("cs"), F.asc("vec_id"))
+        return (
+            cand.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("q_id", F.col("vec_id").alias("neighbor_id"))
+        )
+
+    exact = topk(
+        emb.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", cosine("embedding", "qe").alias("cs"))
+    )
+    curves = []
+    for np_ in (1, 2, 4):
+        cand = (
+            a.join(
+                F.broadcast(
+                    qprobe.filter(F.col("crnk") <= np_).join(q, "q_id")
+                ),
+                "cluster",
+            )
+            .filter(F.col("vec_id") != F.col("q_id"))
+            .select("q_id", "vec_id", cosine("embedding", "qe").alias("cs"))
+        )
+        appr = topk(cand).select(
+            F.col("q_id").alias("mq"), F.col("neighbor_id").alias("mn")
+        )
+        rec = (
+            exact.join(
+                appr,
+                (F.col("q_id") == F.col("mq"))
+                & (F.col("neighbor_id") == F.col("mn")),
+                "left",
+            )
+            .groupBy("q_id")
+            .agg(F.count("mn").alias("n_match"))
+            .select(F.lit(np_).alias("nprobe"), "q_id", "n_match")
+        )
+        curves.append(rec)
+    u = curves[0].unionByName(curves[1]).unionByName(curves[2])
+    return u.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        F.round(F.avg(F.col("n_match") / 3.0), 6).alias("avg_recall"),
+    )
