@@ -1,7 +1,15 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Stdout contract (the driver records only a ~2 KB *tail* of stdout, so
+the parseable line must come LAST — round 4's single fat line lost its
+head, including "metric"/"value", to that truncation):
+
+  line 1..n-1: per-query detail (human-readable; also written in full
+               to bench_detail.json next to this file)
+  line n:      ONE compact JSON line
+               {"metric", "value", "unit", "sf", "n_queries", "queries"}
+               where "queries" holds only the 10 slowest timings — the
+               full map lives in bench_detail.json.
 
 Each query is forced to full materialization with the noop sink (no
 driver-side collect overhead, no result truncation) — the timing is the
@@ -168,14 +176,34 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    detail = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Full per-query map: side artifact + an EARLY stdout line (its head
+    # may be truncated by the driver's tail capture; the file is the
+    # durable copy).
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=True)
+    print(json.dumps(detail))
+    sys.stdout.flush()
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    # LAST line: compact, guaranteed to fit in the driver's stdout tail.
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_sec",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "sf": sf_val,
+                "n_queries": len(timings),
+                "detail": "bench_detail.json",
+                "queries": slowest,
             }
         )
     )

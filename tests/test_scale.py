@@ -208,6 +208,7 @@ def test_optimize_table_composes_retention_and_zorder(spark, tmp_path):
         keep=lambda d: d >= "2026-03-01",
         zorder_cols=("o_custkey", "o_orderkey"),
         target_file_bytes=16 * 1024,
+        count_rows=True,
     )
     assert stats["dropped_partitions"] == ["2026-01-01"]
     assert stats["n_rows"] == n_old
@@ -226,6 +227,7 @@ def test_optimize_table_composes_retention_and_zorder(spark, tmp_path):
         keep=lambda d: d >= "2026-12-01",
         zorder_cols=("o_custkey", "o_orderkey"),
         target_file_bytes=16 * 1024,
+        count_rows=True,
     )
     assert stats2["dropped_partitions"] == ["2026-06-01"]
     assert stats2["n_rows"] == 0

@@ -50,10 +50,13 @@ def test_available_now_incremental_append(spark, tmp_path):
 
 
 def test_transform_with_state_twin(spark):
-    pytest.importorskip(
-        "google.protobuf",
-        reason="transformWithStateInPandas driver worker needs protobuf (absent in this container)",
-    )
+    from ug_dwh_etl_spark.compat import ensure_protobuf
+
+    if not ensure_protobuf():
+        pytest.skip(
+            "transformWithStateInPandas needs google.protobuf and neither a pip "
+            "install nor the google-cloud-sdk fallback runtime is present"
+        )
     from ug_dwh_etl_spark.streaming.stateful import stream_user_totals_tws
 
     got = {

@@ -58,6 +58,9 @@ def main(argv: list[str] | None = None) -> int:
     mp.add_argument("--zorder", default=None,
                     help="two comma-separated integer columns to Morton-cluster")
     mp.add_argument("--target-file-mb", type=int, default=128)
+    mp.add_argument("--count-rows", action="store_true",
+                    help="include a post-rewrite row count in the run log "
+                         "(footer-metadata job; skip on very large tables)")
 
     args = p.parse_args(argv)
 
@@ -87,6 +90,12 @@ def main(argv: list[str] | None = None) -> int:
 
         keep = None
         if args.keep_from is not None:
+            if args.partition_col is None:
+                # retention is keyed by partition value; without the
+                # column the prune would silently be a no-op and the
+                # user's expired partitions would survive unannounced
+                print("--keep-from requires --partition-col", file=sys.stderr)
+                return 2
             lo = args.keep_from
             keep = lambda v: v >= lo  # noqa: E731
         zc = None
@@ -104,6 +113,7 @@ def main(argv: list[str] | None = None) -> int:
             keep=keep,
             zorder_cols=zc,
             target_file_bytes=args.target_file_mb * 1024 * 1024,
+            count_rows=args.count_rows,
         )
         print(stats)
         return 0

@@ -129,10 +129,16 @@ def write_zordered(
         F.max(y_col).alias("_ymax"),
     )
     grid = (1 << ZORDER_BITS) - 1
+    # bigint math: for a 32-bit int column with range > ~32k the
+    # (x - xmin) * 65535 product overflows IntegerType and, in Spark's
+    # non-ANSI mode, silently wraps — garbage Morton keys and silently
+    # degraded clustering at exactly the scale this pass targets
     keyed = df.crossJoin(F.broadcast(stats)).selectExpr(
         *df.columns,
-        f"(({x_col} - _xmin) * {grid}) div greatest(_xmax - _xmin, 1) AS _zx",
-        f"(({y_col} - _ymin) * {grid}) div greatest(_ymax - _ymin, 1) AS _zy",
+        f"((cast({x_col} AS bigint) - _xmin) * {grid})"
+        f" div greatest(cast(_xmax AS bigint) - _xmin, 1) AS _zx",
+        f"((cast({y_col} AS bigint) - _ymin) * {grid})"
+        f" div greatest(cast(_ymax AS bigint) - _ymin, 1) AS _zy",
     )
     keyed = keyed.selectExpr(
         *df.columns, zorder_interleave_sql("_zx", "_zy", duck=False) + " AS _z"
@@ -208,6 +214,7 @@ def optimize_table(
     keep: "Callable[[str], bool] | None" = None,
     zorder_cols: tuple[str, str] | None = None,
     target_file_bytes: int = 128 * 1024 * 1024,
+    count_rows: bool = False,
 ) -> dict:
     """The nightly table-maintenance pass, composed from the primitives:
     (1) retention — drop expired hive partitions (O(dropped), no scan);
@@ -256,5 +263,10 @@ def optimize_table(
     return {
         "dropped_partitions": dropped,
         "n_files": len(out.inputFiles()),
-        "n_rows": out.count(),
+        # the zero-column count is footer-metadata cost, not a data
+        # scan, but on a multi-PB table even listing+footers is a job
+        # the 'maintenance cost tracks ingest' contract shouldn't pay
+        # every run — opt in for the run log when the table is small
+        # or the operator ran per-partition
+        "n_rows": out.count() if count_rows else None,
     }

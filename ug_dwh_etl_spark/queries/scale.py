@@ -202,10 +202,14 @@ def storage_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
         "x",
         "d",
-        "(ok * 16) div (okmax + 1) AS ap_bucket",
-        "((x - xmin) * 16) div (xmax - xmin + 1) AS ck_bucket",
-        "((x - xmin) * 65535) div greatest(xmax - xmin, 1) AS xn",
-        "((d - dmin) * 65535) div greatest(dmax - dmin, 1) AS yn",
+        # bigint casts so int32 inputs can't wrap in the *16/*65535
+        # products under non-ANSI mode (fixtures are int64 already; the
+        # cast makes the expression type-safe for any integer input and
+        # matches DuckDB's int64 arithmetic exactly)
+        "(cast(ok AS bigint) * 16) div (okmax + 1) AS ap_bucket",
+        "((cast(x AS bigint) - xmin) * 16) div (cast(xmax AS bigint) - xmin + 1) AS ck_bucket",
+        "((cast(x AS bigint) - xmin) * 65535) div greatest(cast(xmax AS bigint) - xmin, 1) AS xn",
+        "((cast(d AS bigint) - dmin) * 65535) div greatest(cast(dmax AS bigint) - dmin, 1) AS yn",
         "xmax - xmin AS gx",
         "dmax - dmin AS gd",
     )

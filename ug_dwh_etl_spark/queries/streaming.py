@@ -77,6 +77,24 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
+    "stream_user_totals_tws",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithStateInPandas (Spark 4 typed-state API) twin of
+    # stream_stateful_user_totals — same state model, same oracle; runs
+    # on the RocksDB state store with the protobuf fallback from
+    # ug_dwh_etl_spark.compat when no pip protobuf exists
+    from ug_dwh_etl_spark.streaming.stateful import stream_user_totals_tws
+
+    return stream_user_totals_tws(spark, sf_dir)
+
+
+@register(
     "stream_sliding_2h",
     """
     WITH expanded AS (

@@ -34,6 +34,12 @@ def get_spark(app_name: str = "ug-dwh-etl-spark", master: str | None = None) -> 
       deterministic and match the DuckDB oracle.
     """
     cpus = cpu_count()
+    # before the JVM exists: export the protobuf fallback onto PYTHONPATH
+    # so executor Python workers inherit it (transformWithStateInPandas'
+    # state-server protocol needs google.protobuf in the worker)
+    from ug_dwh_etl_spark.compat import ensure_protobuf
+
+    ensure_protobuf()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")

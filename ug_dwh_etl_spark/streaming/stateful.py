@@ -87,11 +87,14 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # state), timers, and TTL support — the applyInPandasWithState skeleton
 # above carries over operator-for-operator.
 #
-# RUNTIME GATE: Spark's TWS driver worker needs google.protobuf, which
-# this container does not ship (no installs allowed), so the operator is
-# implemented + unit-gated (tests skip without protobuf) but NOT in the
-# driver registry; the applyInPandasWithState twin above carries the
-# oracle check. On a normal Spark 4 deployment this path runs as-is.
+# RUNTIME: Spark's TWS driver worker and executor workers need
+# google.protobuf. With no pip install in this container,
+# ug_dwh_etl_spark.compat.ensure_protobuf (called by get_spark before
+# the JVM starts) exposes the google-cloud-sdk's bundled pure-python
+# protobuf runtime on PYTHONPATH, and _pbshim/sitecustomize.py applies
+# the same shim inside every worker interpreter — so this path runs and
+# is oracle-checked (query key: stream_user_totals_tws). On a normal
+# Spark 4 deployment with pip protobuf the shim is a no-op.
 
 from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
@@ -129,7 +132,23 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
-    out = run_stream_to_memory(updated, "update")
+    # transformWithState is only supported on the RocksDB state store
+    # (the JNI lib ships inside Spark's own jars); scope the provider
+    # switch to this query — the HDFS-backed default stays in place for
+    # every other stateful op
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_memory(updated, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
     return out.groupBy("user_id").agg(
         F.max("n_events_cum").alias("n_events"),
         F.round(F.max("total_value_cum"), 2).alias("total_value"),
@@ -217,6 +236,13 @@ PATTERN_STATE_SCHEMA = StructType(
         StructField("n_conv", LongType()),
         StructField("sum_us", LongType()),
         StructField("pending", ArrayType(LongType())),
+        # per-key (ts, event_id) high-watermark: the order contract —
+        # arrival order must follow the batch twin's (ts, event_id)
+        # sort across micro-batches — is ENFORCED, not assumed; a
+        # violating split fails the query with a diagnostic instead of
+        # silently diverging from the batch oracle
+        StructField("hwm_us", LongType()),
+        StructField("hwm_eid", LongType()),
     ]
 )
 PATTERN_OUTPUT_SCHEMA = StructType(
@@ -234,24 +260,34 @@ def _update_pattern(
 ) -> Iterator[pd.DataFrame]:
     (user_id,) = key
     if state.exists:
-        n_v, n_c, s_us, pending = state.get
+        n_v, n_c, s_us, pending, hwm_us, hwm_eid = state.get
         pending = list(pending)
     else:
-        n_v, n_c, s_us, pending = 0, 0, 0, []
+        n_v, n_c, s_us, pending, hwm_us, hwm_eid = 0, 0, 0, [], -1, -1
     for batch in batches:
         b = batch.sort_values(["ts", "event_id"])
-        for et, us in zip(b["event_type"], b["us"]):
+        for et, us, eid in zip(b["event_type"], b["us"], b["event_id"]):
+            us, eid = int(us), int(eid)
+            if (us, eid) <= (hwm_us, hwm_eid):
+                raise ValueError(
+                    f"stream_pattern_conversions order contract violated for "
+                    f"user {user_id}: event (ts_us={us}, event_id={eid}) arrived "
+                    f"after (ts_us={hwm_us}, event_id={hwm_eid}) was already "
+                    f"processed — micro-batch splits must respect (ts, event_id) "
+                    f"order (date-partitioned ingest does)"
+                )
+            hwm_us, hwm_eid = us, eid
             if et == "view":
                 n_v += 1
-                pending.append(int(us))
+                pending.append(us)
             elif et == "purchase" and pending:
                 for v in pending:
-                    d = int(us) - v
+                    d = us - v
                     if d <= _PATTERN_WINDOW_US:
                         n_c += 1
                         s_us += d
                 pending = []  # converted or expired — either way resolved
-    state.update((n_v, n_c, s_us, pending))
+    state.update((n_v, n_c, s_us, pending, hwm_us, hwm_eid))
     yield pd.DataFrame(
         {
             "user_id": [user_id],
@@ -267,10 +303,11 @@ def stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle, so the stateful matcher and the batch forward-looking
     window check each other. Same order contract as stream_user_ewma:
     event-time order within a batch is enforced by the sort; across
-    batches the input splits must fall BETWEEN distinct timestamps
-    (date-partitioned ingest satisfies this) — an equal-timestamp
-    view/purchase pair straddling a batch boundary would lose the
-    (ts, event_id) tiebreak the batch twin applies."""
+    batches the splits must respect (ts, event_id) order
+    (date-partitioned ingest satisfies this). The contract is ENFORCED:
+    state carries a per-key (ts, event_id) high-watermark and a
+    violating split raises with a diagnostic rather than silently
+    diverging from the batch twin's tiebreak."""
     ev = read_events_stream(spark, sf_dir).select(
         "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
     )
