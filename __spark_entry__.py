@@ -49,224 +49,226 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    # Re-spliced from the END-of-round-4 full-surface timing run: all
-    # 134 queries never recorded in CORRECTNESS_r01-r03 lead (cheapest
-    # first) so the driver's ~50-slot window lands on fresh names; the
-    # 76 already-recorded follow, also cheapest-first.
-    "sample_weighted_reservoir",
-    "customer_nation_segment_chi2",
-    "sim_ivf_recall_curve",
-    "events_drift_psi",
-    "events_heavy_hitters",
-    "agg_collect_sorted",
-    "window_ntile_quartiles",
-    "events_dp_noisy_counts",
-    "text_type_token_ratio",
-    "text_char_entropy",
-    "text_token_positions",
-    "sample_stratified",
-    "sim_cosine_topk",
-    "join_null_safe",
-    "pipeline_e8_hreflang",
-    "agg_stats_moments",
-    "sim_label_stats",
-    "doc_length_deciles",
-    "text_chunk_docs",
-    "q12_priority_class_by_status",
-    "text_pack_sequences",
-    "scalar_subquery_above_avg",
-    "sim_knn_join",
-    "q13_customer_order_distribution",
-    "multimodal_features",
-    "q4_priority_with_late_lines",
-    "setop_nation_bag_excess",
-    "fuzzy_match_parts",
-    "q22_idle_customers",
-    "window_dense_rank_days",
-    "unpivot_lineitem_metrics",
-    "q14_promo_revenue_share",
-    "diag_custkey_skew",
-    "corpus_mixture_weights",
-    "window_cume_dist_nth",
-    "agg_regression_price_qty",
-    "events_transition_matrix",
-    "setop_nation_bag_overlap",
-    "text_ngram_counts",
-    "sim_srp_buckets",
-    "events_user_ewma",
-    "fit_price_trend_pandas",
-    "history_url_churn",
-    "winsorize_order_totals",
-    "join_range_followups",
-    "sim_ann_topk",
-    "text_vocab_coverage",
-    "text_tfidf_terms",
-    "history_scd2",
-    "events_hourly_anomaly",
-    "q17_small_qty_revenue",
-    "text_repetition",
+    # Re-spliced from the round-5 full-surface timing run
+    # (tools/check_oracle.py --times): the 89 queries never recorded
+    # in CORRECTNESS_r01-r04 lead, cheapest first, so the driver's
+    # ~50-slot window lands on fresh names; the 126 already-recorded
+    # follow, also cheapest first.
+    "text_bpe_merges",
     "agg_histogram",
-    "window_moving_avg_spend",
-    "text_langid",
-    "embed_dim_zscore",
+    "sim_cosine_topk_pandas",
     "join_full_outer_coverage",
+    "history_asof_read",
     "q15_top_supplier",
+    "events_pattern_view_to_purchase",
+    "history_seasonal_decompose",
+    "window_moving_avg_spend",
     "pipeline_e3_bookings",
-    "history_gap_fill",
-    "profile_orders_columns",
-    "q10_returned_item_revenue",
+    "embed_dim_zscore",
+    "q17_small_qty_revenue",
     "q18_large_quantity_orders",
-    "pipeline_e2_ranks",
-    "q19_disjunctive_bracket",
-    "q16_supplier_variety",
-    "window_revenue_share",
-    "customer_rfm_segments",
-    "asof_event_latest_order",
-    "sim_matryoshka_recall",
-    "text_pmi_bigrams",
     "dedup_hot_shingles",
-    "window_trailing_7d_spend",
-    "events_value_mad",
-    "text_bm25_topdocs",
-    "stream_static_enrich",
-    "agg_equidepth_histogram",
-    "q11_important_parts",
-    "q9_product_profit",
-    "sim_quantize_int8",
-    "q20_excess_share_shippers",
-    "pipeline_e7_backlinks",
-    "skyline_orders",
-    "storage_zorder_stats",
+    "events_top_paths",
+    "text_pmi_bigrams",
+    "q19_disjunctive_bracket",
+    "text_repetition",
+    "q7_nation_trade_volume",
     "corpus_weighted_sample",
+    "stream_hourly_tumbling",
+    "text_langid",
+    "q16_supplier_variety",
+    "events_value_mad",
+    "q8_market_share",
+    "window_trailing_7d_spend",
+    "graph_degree_stats",
+    "q10_returned_item_revenue",
+    "stream_stateful_user_totals",
+    "pipeline_e7_backlinks",
+    "agg_equidepth_histogram",
+    "sim_quantize_recall",
+    "skyline_orders",
+    "sql_recursive_hierarchy",
     "q21_sole_late_shippers",
+    "profile_orders_columns",
+    "q9_product_profit",
+    "window_revenue_share",
+    "asof_event_latest_order",
+    "text_bm25_topdocs",
+    "customer_rfm_segments",
+    "history_gap_fill",
+    "storage_zorder_stats",
+    "sim_matryoshka_recall",
+    "stream_dedup_events",
+    "q11_important_parts",
+    "q20_excess_share_shippers",
+    "graph_components",
     "q2_min_cost_supplier",
+    "copurchase_top_pairs",
+    "sql_adhoc_daily_orders",
+    "stream_sliding_2h",
     "sql_adhoc_latest_snapshot",
+    "stream_user_ewma",
+    "text_encode_ids",
+    "corpus_pipeline_funnel",
+    "stream_language_mix",
+    "graph_pagerank",
+    "text_duplicate_spans",
+    "sim_pq_codes",
+    "stream_corpus_ingest",
+    "pipeline_e6_inlinks",
+    "sim_pq_topk",
+    "stream_hourly_anomaly",
+    "sim_quantize_int8",
+    "dedup_prefix_filter_pairs",
+    "sim_kmeans_step",
+    "history_interpolate",
+    "stream_sessionize",
+    "sim_pca_power_iteration",
+    "sim_ivf_topk",
+    "stream_stream_join",
+    "graph_triangle_count",
+    "stream_pattern_conversions",
+    "split_leakage_check",
+    "stream_heavy_hitters",
+    "stream_static_enrich",
+    "dedup_ngram_jaccard_capped",
+    "graph_cheirank",
+    "bucketed_join_order_lineitems",
+    "pipeline_e2_ranks",
+    "stream_user_totals_tws",
+    "dedup_verified_pairs",
+    "stream_stream_left_outer",
+    "dedup_minhash_accuracy",
     "sql_macro_rollup",
     "sql_adhoc_directory_rollup",
-    "stream_heavy_hitters",
-    "sim_pq_codes",
-    "stream_pattern_conversions",
-    "stream_language_mix",
-    "copurchase_top_pairs",
-    "graph_degree_stats",
-    "stream_sliding_2h",
-    "text_duplicate_spans",
-    "sql_adhoc_daily_orders",
-    "stream_sessionize",
-    "events_top_paths",
-    "stream_corpus_ingest",
-    "events_pattern_view_to_purchase",
-    "stream_hourly_anomaly",
-    "sim_pq_topk",
-    "graph_cheirank",
-    "history_interpolate",
-    "history_asof_read",
-    "history_seasonal_decompose",
-    "stream_user_ewma",
-    "stream_dedup_events",
-    "split_leakage_check",
-    "sql_recursive_hierarchy",
-    "sim_cosine_topk_pandas",
-    "corpus_pipeline_funnel",
-    "pipeline_e6_inlinks",
-    "q8_market_share",
-    "text_encode_ids",
     "sim_ivfpq_topk",
-    "dedup_ngram_jaccard_capped",
-    "q7_nation_trade_volume",
-    "stream_hourly_tumbling",
-    "sim_quantize_recall",
-    "graph_pagerank",
-    "dedup_prefix_filter_pairs",
-    "stream_stream_left_outer",
-    "bucketed_join_order_lineitems",
-    "dedup_verified_pairs",
-    "sim_ivf_topk",
     "dedup_corpus_survivors",
-    "sim_pca_power_iteration",
-    "dedup_minhash_accuracy",
-    "sim_kmeans_step",
-    "stream_stream_join",
-    "graph_components",
-    "stream_stateful_user_totals",
-    "text_bpe_merges",
-    "graph_triangle_count",
-    "macro_fill_cast",
-    "agg_rollup_status_priority",
-    "pipeline_e1_crawl",
-    "sim_label_centroids",
-    "events_variant_parse",
-    "pipeline_e4_images",
-    "union_mismatched_entities",
-    "events_json_extract",
-    "join_anti_unshipped",
-    "q6_forecast_revenue",
-    "macro_regex_projection",
-    "broadcast_nation_region",
-    "pivot_status_by_priority",
-    "corpus_quality_filter",
-    "events_top_users",
-    "events_dedup_count",
-    "asof_latest_order_per_customer",
-    "multimodal_dedup_payloads",
-    "setop_nations_cust_and_supp",
-    "window_top3_orders_per_customer",
-    "events_rollup_hour_day",
-    "sim_ivf_clusters",
-    "agg_distinct_suppliers",
+    "macro_concat_ws_skipnull",
     "topk_orders_by_price",
+    "macro_doctype_label",
+    "macro_url_levels",
+    "lateral_explode_type_words",
+    "macro_website_type",
+    "events_dedup_count",
+    "events_top_users",
+    "text_fingerprints",
+    "text_redact_pii",
+    "agg_cube_flag_status",
+    "macro_fill_cast",
+    "text_token_stats",
+    "multimodal_frame_plan",
+    "minmax_priciest_part_per_brand",
+    "window_percent_rank_top",
+    "macro_dates_truncate",
+    "contamination_scan",
+    "agg_price_percentiles",
+    "union_mismatched_entities",
+    "q6_forecast_revenue",
+    "agg_rollup_status_priority",
+    "multimodal_dedup_payloads",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "window_top3_orders_per_customer",
+    "macro_regex_projection",
+    "split_train_test",
+    "multimodal_meta_stats",
+    "asof_latest_order_per_customer",
+    "broadcast_nation_region",
+    "pipeline_e1_crawl",
+    "pipeline_e5_orphans",
+    "join_semi_shipped",
+    "events_hourly_tumbling",
+    "text_token_positions",
+    "join_anti_unshipped",
+    "events_json_extract",
+    "sim_label_centroids",
+    "setop_nations_cust_and_supp",
+    "pipeline_e4_images",
     "events_sessionize",
-    "text_quality_scores",
+    "events_value_outliers",
+    "sim_ivf_clusters",
+    "sample_stratified",
+    "events_sliding_2h",
+    "corpus_quality_filter",
+    "window_order_gap_days",
+    "events_variant_parse",
+    "events_time_weighted_value",
+    "sim_srp_buckets",
+    "events_cohort_retention",
+    "dedup_exact_groups",
+    "join_left_customer_orders",
+    "agg_distinct_suppliers",
+    "macro_locale_decimal",
+    "events_rollup_hour_day",
+    "sim_label_stats",
+    "setop_nations_cust_only",
+    "fuzzy_match_parts",
+    "skew_salted_event_counts",
     "history_metric_delta",
     "events_props_map_explode",
-    "setop_nations_cust_only",
-    "events_time_weighted_value",
-    "pipeline_e5_orphans",
-    "window_order_gap_days",
-    "join_left_customer_orders",
-    "skew_salted_event_counts",
-    "macro_locale_decimal",
-    "macro_days_between",
-    "events_cohort_retention",
-    "events_sliding_2h",
-    "macro_concat_ws_skipnull",
-    "events_hourly_tumbling",
-    "window_running_spend",
-    "agg_grouping_sets",
-    "dedup_embedding_cosine",
-    "events_value_outliers",
-    "macro_dates_truncate",
-    "macro_lenient_int",
-    "q1_pricing_summary",
-    "split_train_test",
     "dedup_incremental",
-    "agg_cube_flag_status",
-    "agg_price_percentiles",
-    "dedup_exact_groups",
-    "events_new_vs_returning",
+    "window_running_spend",
+    "macro_days_between",
+    "text_quality_scores",
+    "scalar_subquery_above_avg",
+    "events_dp_noisy_counts",
+    "sim_cosine_topk",
     "events_value_outliers_mad",
-    "contamination_scan",
-    "join_semi_shipped",
-    "lateral_explode_type_words",
+    "dedup_embedding_cosine",
+    "events_new_vs_returning",
+    "q1_pricing_summary",
+    "events_heavy_hitters",
+    "doc_length_deciles",
+    "text_chunk_docs",
+    "macro_lenient_int",
     "events_dau_wau",
-    "events_funnel",
+    "join_null_safe",
     "q3_shipping_priority",
-    "macro_doctype_label",
+    "q12_priority_class_by_status",
+    "agg_collect_sorted",
+    "text_pack_sequences",
+    "events_funnel",
+    "events_user_ewma",
+    "q14_promo_revenue_share",
+    "agg_regression_price_qty",
     "q5_local_supplier_volume",
-    "multimodal_meta_stats",
+    "text_ngram_counts",
+    "join_range_followups",
+    "history_url_churn",
+    "window_ntile_quartiles",
+    "sim_ann_topk",
+    "text_tfidf_terms",
+    "window_cume_dist_nth",
+    "window_dense_rank_days",
+    "diag_custkey_skew",
+    "setop_nation_bag_excess",
+    "unpivot_lineitem_metrics",
+    "setop_nation_bag_overlap",
+    "pipeline_e8_hreflang",
     "dedup_minhash_signatures",
+    "sim_knn_join",
+    "text_vocab_coverage",
+    "agg_stats_moments",
+    "winsorize_order_totals",
+    "q22_idle_customers",
+    "fit_price_trend_pandas",
+    "history_scd2",
+    "corpus_mixture_weights",
+    "events_hourly_anomaly",
+    "q13_customer_order_distribution",
+    "events_drift_psi",
+    "q4_priority_with_late_lines",
+    "multimodal_features",
     "dedup_minhash_lsh_pairs",
-    "macro_website_type",
-    "dedup_ngram_jaccard",
+    "events_transition_matrix",
+    "text_type_token_ratio",
     "dedup_simhash",
-    "text_redact_pii",
+    "text_char_entropy",
+    "dedup_ngram_jaccard",
     "dedup_clusters",
-    "macro_url_levels",
-    "text_fingerprints",
-    "multimodal_frame_plan",
-    "window_percent_rank_top",
-    "minmax_priciest_part_per_brand",
-    "text_token_stats",
+    "customer_nation_segment_chi2",
+    "sample_weighted_reservoir",
+    "sim_ivf_recall_curve",
 )
 
 
