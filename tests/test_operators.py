@@ -306,3 +306,30 @@ def test_heavy_hitters_exact_vs_freq_items_sketch(spark):
     assert exact <= approx
     # sketch can overshoot but never by more than the 1/support bound
     assert len(approx) <= 2 * 125
+
+
+def test_connected_components_converged_beats_bounded_horizon(spark):
+    from ug_dwh_etl_spark.operators.graph import (
+        connected_components,
+        connected_components_converged,
+    )
+
+    # path graph 0-1-2-...-40: diameter 40, so 3 bounded rounds CANNOT
+    # finish labeling it — the star-contraction fixpoint must
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "src int, dst int"
+    )
+    got = {r.node: r.component for r in connected_components_converged(chain).collect()}
+    assert got == {i: 0 for i in range(41)}
+    bounded = {
+        r.node: r.component for r in connected_components(chain, iterations=3).collect()
+    }
+    assert bounded != got  # the horizon twin genuinely can't
+
+    # disjoint components + duplicate/reversed edges resolve to per-
+    # component minimum ids
+    e2 = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 2), (10, 11), (12, 11), (12, 11)], "src int, dst int"
+    )
+    got2 = {r.node: r.component for r in connected_components_converged(e2).collect()}
+    assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}

@@ -103,6 +103,42 @@ _COMMUNITY_EDGES_SQL = """
 """
 
 
+@register(
+    "graph_components_converged",
+    f"""
+    WITH RECURSIVE e0 AS ({_COMMUNITY_EDGES_SQL}),
+    und AS (SELECT DISTINCT a, b FROM (
+      SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    reach(node, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT und.a, reach.r FROM und JOIN reach ON reach.node = und.b
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM comp GROUP BY component HAVING COUNT(*) > 1
+    """,
+)
+def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE connected components via large-star/small-star contraction
+    to a verified fixpoint (operators.graph.connected_components_converged)
+    — the unbounded-diameter production path next to the bounded
+    ``graph_components`` twin. The oracle is the genuine fixpoint too:
+    a DuckDB recursive CTE closing reachability, so the two engines
+    agree on the exact component structure, not just on a shared
+    iteration count."""
+    from ug_dwh_etl_spark.operators.graph import connected_components_converged
+
+    comp = connected_components_converged(
+        _community_edges(spark, sf_dir), loop_partitions=16
+    )
+    return (
+        comp.groupBy(F.col("component"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .filter(F.col("n_nodes") > 1)
+    )
+
+
 def _community_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
