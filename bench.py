@@ -118,6 +118,11 @@ HEADLINE = [
     "history_asof_read",
     "stream_pattern_conversions",
     "stream_static_enrich",
+    # added round 5: min-support co-purchase, convergent components, and
+    # the Spark 4 transformWithState stateful twin
+    "copurchase_capped",
+    "graph_components_converged",
+    "stream_user_totals_tws",
 ]
 
 

@@ -54,6 +54,8 @@ PROBES = (
     # bounded-fanout self-join (pairs per order <= width^2) and the
     # domination-pruned skyline — both must stay ~linear
     "copurchase_top_pairs",
+    # round 5: min-support pre-filtered twin — must grow strictly slower
+    "copurchase_capped",
     "skyline_orders",
     # vocabulary-bound: pair math runs on the vocab relation, so only
     # the word-count pass should grow with the corpus

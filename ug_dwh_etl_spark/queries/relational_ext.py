@@ -1155,6 +1155,79 @@ def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# min orders a part must appear in before it can enter the pair join —
+# shared by the Spark plan and the oracle so the capped twin is exact
+_COP_MIN_SUP = 30
+
+
+@register(
+    "copurchase_capped",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    f AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+    qual AS (SELECT p, n FROM f WHERE n >= {_COP_MIN_SUP}),
+    opq AS (SELECT op.o, op.p FROM op JOIN qual ON qual.p = op.p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_ab
+      FROM opq a JOIN opq b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+    top AS (SELECT p1, p2, n_ab FROM pairs ORDER BY n_ab DESC, p1, p2 LIMIT 20)
+    SELECT p1, p2, n_ab, fa.n AS n1, fb.n AS n2,
+           ROUND(n_ab / sqrt(fa.n * 1.0 * fb.n), 6) AS cosine,
+           ROUND(n_ab / (fa.n + fb.n - n_ab * 1.0), 6) AS jaccard
+    FROM top JOIN qual fa ON fa.p = top.p1 JOIN qual fb ON fb.p = top.p2
+    """,
+)
+def copurchase_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-support-capped twin of ``copurchase_top_pairs``: parts in
+    fewer than {_COP_MIN_SUP} orders are dropped BEFORE the pair
+    self-join (broadcast semi-join of the qualifying-part ids — same
+    cut as the df-cap in dedup_ngram_jaccard_capped). The long tail of
+    rare parts is most of the pair volume but can never reach the
+    top-k, so the cap cuts the dominant cost term while the uncapped
+    baseline keeps the exact statistic; the oracle applies the
+    identical support filter, so this twin is exact too. At sf0.01 the
+    median part support is 30 — the filter genuinely removes ~half the
+    parts (SCALE.md measures the growth cut at 16x)."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    f = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    qual = f.filter(F.col("n") >= _COP_MIN_SUP)
+    # parts-sized (never orders-sized) and support-filtered: broadcast
+    # the qualifying ids into the semi-join so the (order, part) table
+    # is pruned map-side with no extra shuffle of op
+    opq = op.join(F.broadcast(qual.select("p")), "p", "semi")
+    a = opq.select(F.col("o"), F.col("p").alias("p1"))
+    b = opq.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    top = pairs.orderBy(F.desc("n_ab"), F.asc("p1"), F.asc("p2")).limit(20)
+    fa = qual.select(F.col("p").alias("_pa"), F.col("n").alias("n1"))
+    fb = qual.select(F.col("p").alias("_pb"), F.col("n").alias("n2"))
+    return (
+        fa.join(F.broadcast(top), F.col("_pa") == F.col("p1"))
+        .join(fb, F.col("_pb") == F.col("p2"))
+        .select(
+            "p1",
+            "p2",
+            "n_ab",
+            "n1",
+            "n2",
+            F.round(F.col("n_ab") / F.sqrt(F.col("n1") * 1.0 * F.col("n2")), 6).alias(
+                "cosine"
+            ),
+            F.round(
+                F.col("n_ab") / (F.col("n1") + F.col("n2") - F.col("n_ab") * 1.0), 6
+            ).alias("jaccard"),
+        )
+    )
+
+
 # --- 2-D skyline (Pareto frontier): price x recency ----------------------------
 @register(
     "skyline_orders",
