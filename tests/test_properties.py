@@ -257,3 +257,92 @@ def test_zorder_interleave_matches_python_and_duckdb(spark, pairs):
         expect = _py_interleave(x, y)
         assert got[(x, y)] == expect
         assert duck[(x, y)] == expect
+
+
+# --- tokenizer-training parity: vocab rank ties are the risk surface ----------
+
+import hashlib
+import re as _re
+
+
+def _model_tokens(text: str) -> list[str]:
+    # pure-Python model of hashing.tokens(): ASCII-alnum runs, separator
+    # pass BEFORE lower, single-space split
+    norm = _re.sub(r"[^0-9A-Za-z]+", " ", text).strip().lower()
+    return norm.split(" ") if norm else []
+
+
+def _model_encode(texts: list[str], vocab_k: int):
+    from collections import Counter
+
+    toks = {i: _model_tokens(t) for i, t in enumerate(texts)}
+    counts = Counter(t for ts in toks.values() for t in ts)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    vocab = {term: rank + 1 for rank, (term, _) in enumerate(ranked[:vocab_k])}
+    out = {}
+    for i, ts in toks.items():
+        ids = [vocab.get(t, 0) for t in ts]
+        if not ids:
+            continue  # posexplode drops token-less docs
+        out[i] = (
+            len(ids),
+            sum(1 for x in ids if x == 0),
+            hashlib.md5(",".join(map(str, ids)).encode()).hexdigest(),
+        )
+    return out
+
+
+_tie_text = st.lists(
+    st.text(alphabet="ab c.A0", min_size=0, max_size=12), min_size=1, max_size=25
+)
+
+
+@SETTINGS
+@given(texts=_tie_text)
+def test_encode_token_ids_matches_python_model(spark, texts):
+    # tiny alphabet → massive count ties → the (count desc, term asc)
+    # vocabulary tiebreak is exercised on every example; a K smaller
+    # than the vocab forces real OOV hits
+    from ug_dwh_etl_spark.operators.textstats import encode_token_ids
+
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    df = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], schema
+    )
+    got = {
+        int(r.doc_id): (r.n_tokens, r.n_oov, r.ids_md5)
+        for r in encode_token_ids(df, "doc_id", "text", vocab_k=3).collect()
+    }
+    assert got == _model_encode(texts, 3)
+
+
+def _model_bpe(texts: list[str], top_k: int):
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in _re.split(r"[^a-z]+", t.lower()):
+            if w:
+                words[w] += 1
+    pairs = Counter()
+    for w, n in words.items():
+        for i in range(len(w) - 1):
+            pairs[w[i : i + 2]] += n
+    ranked = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+    return [(p, n, i + 1) for i, (p, n) in enumerate(ranked)]
+
+
+@SETTINGS
+@given(texts=_tie_text)
+def test_bpe_pair_stats_matches_python_model(spark, texts):
+    from ug_dwh_etl_spark.operators.textstats import bpe_pair_stats
+
+    schema = StructType([StructField("text", StringType())])
+    df = spark.createDataFrame([(t,) for t in texts], schema)
+    got = [
+        (r.pair, r.total, r.rnk)
+        for r in bpe_pair_stats(df, "text", top_k=5).orderBy("rnk").collect()
+    ]
+    assert got == _model_bpe(texts, 5)

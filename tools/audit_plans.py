@@ -13,6 +13,13 @@ signals and flags the anti-patterns that matter at 100 TB:
 - exchange count  — shuffles in the plan (compare against the shape's
                     expected minimum, e.g. scan→agg = 1).
 
+Streaming queries (stream_*) are audited too: running one materializes
+it (AvailableNow → memory sink), after which
+``streaming.jobs.LAST_BATCH_PLAN`` holds the last micro-batch's
+EXECUTED physical plan — the same flags are applied to that text, plus
+a ``state=`` column with the stateful-operator row counts from the
+final StreamingQueryProgress.
+
 Usage:
     python tools/audit_plans.py [sf_dir] [query ...]
 """
@@ -90,12 +97,10 @@ EXPECTED_NESTED_LOOP = {
     # 1-row time boundary + totals broadcast onto the scan
     "events_drift_psi",
 }
-# streaming jobs materialize via a memory sink — no single batch plan
-SKIP = re.compile(r"^stream_")
+STREAM = re.compile(r"^stream_")
 
 
-def audit(name: str, df) -> tuple[str, list[str]]:
-    plan = df._jdf.queryExecution().executedPlan().toString()
+def _flags_for(name: str, plan: str) -> tuple[str, list[str]]:
     n_exchange = plan.count("Exchange ")
     n_bhj = plan.count("BroadcastHashJoin")
     n_smj = plan.count("SortMergeJoin")
@@ -114,6 +119,35 @@ def audit(name: str, df) -> tuple[str, list[str]]:
     return summary, flags
 
 
+def audit(name: str, df) -> tuple[str, list[str]]:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return _flags_for(name, plan)
+
+
+def audit_stream(name: str, fn, spark, sf_dir: str) -> tuple[str, list[str]]:
+    """Materialize the streaming query, then audit the micro-batch
+    physical plan it actually executed (not the batch wrapper around
+    the memory sink)."""
+    from ug_dwh_etl_spark.streaming import jobs
+
+    jobs.LAST_BATCH_PLAN = None
+    jobs.LAST_PROGRESS = None
+    df = fn(spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()  # force the wrapper too
+    plan = jobs.LAST_BATCH_PLAN
+    if plan is None:
+        return "no micro-batch plan captured", ["noplan"]
+    # explainInternal(extended) prints logical plans first; flag only on
+    # the physical section so logical-plan node names can't false-match
+    phys = plan.split("== Physical Plan ==")[-1]
+    summary, flags = _flags_for(name, phys)
+    state = (jobs.LAST_PROGRESS or {}).get("stateOperators") or []
+    rows = sum(op.get("numRowsTotal", 0) for op in state)
+    if state:
+        summary += f" state={rows}"
+    return summary, flags
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2:])
@@ -128,10 +162,11 @@ def main() -> int:
     for name, entry in QUERIES.items():
         if only and name not in only:
             continue
-        if not only and SKIP.match(name):
-            continue
         try:
-            summary, flags = audit(name, entry.fn(spark, sf_dir))
+            if STREAM.match(name):
+                summary, flags = audit_stream(name, entry.fn, spark, sf_dir)
+            else:
+                summary, flags = audit(name, entry.fn(spark, sf_dir))
         except Exception as e:  # noqa: BLE001
             print(f"ERROR {name}: {e}")
             bad += 1

@@ -320,3 +320,78 @@ def type_token_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("ttr"),
     )
+
+
+def encode_token_ids(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", vocab_k: int = 32
+) -> DataFrame:
+    """Tokenize → top-K frequency vocabulary → token-id encoding; shared
+    by the text_encode_ids query and the hypothesis property tests so
+    both exercise the identical plan. Vocabulary ranking is
+    deterministic (count desc, term asc — ASCII-only tokens, so both
+    engines and the pure-Python model agree on the tiebreak); OOV → 0;
+    the per-doc id sequence is fingerprinted position-ordered. Columns:
+    (id_col, n_tokens, n_oov, ids_md5)."""
+    from pyspark.sql import Window
+
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    terms = docs.select(
+        id_col, F.posexplode(H.tokens(F.col(text_col))).alias("pos0", "term")
+    ).select(id_col, (F.col("pos0") + 1).alias("i"), "term")
+    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        counts.withColumn(
+            "id", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
+        )
+        .filter(F.col("id") <= vocab_k)
+        .select("term", "id")
+    )
+    enc = terms.join(F.broadcast(vocab), "term", "left").withColumn(
+        "tid", F.coalesce(F.col("id"), F.lit(0))
+    )
+    return (
+        enc.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.count(F.when(F.col("tid") == 0, F.lit(1))).alias("n_oov"),
+            F.collect_list(F.struct("i", "tid")).alias("arr"),
+        )
+        .selectExpr(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            "md5(array_join(transform(array_sort(arr), x -> cast(x.tid AS string)), ',')) AS ids_md5",
+        )
+    )
+
+
+def bpe_pair_stats(docs: DataFrame, text_col: str = "text", top_k: int = 20) -> DataFrame:
+    """First BPE-training iteration: adjacent character-pair frequencies
+    weighted by word frequency, top-k with the deterministic
+    (total desc, pair asc) rank. Shared by the text_bpe_merges query and
+    the property tests. Columns: (pair, total, rnk)."""
+    from pyspark.sql import Window
+
+    terms = docs.select(
+        F.explode(F.split(F.lower(text_col), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        vocab.filter(F.length("term") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+            "term",
+        )
+        .select(F.expr("substring(term, i, 2)").alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("total"))
+    )
+    top = pairs.orderBy(F.desc("total"), F.asc("pair")).limit(top_k)
+    w = Window.orderBy(F.col("total").desc(), "pair")
+    return top.select(
+        "pair",
+        F.col("total").cast("long").alias("total"),
+        F.row_number().over(w).alias("rnk"),
+    )

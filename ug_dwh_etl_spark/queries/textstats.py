@@ -922,36 +922,10 @@ def text_encode_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     any per-doc aggregate. The id sequence is reassembled
     deterministically by token position (array_sort on (pos, id)
     structs) so the md5 fingerprint is engine-exact."""
-    docs = table(spark, sf_dir, "documents")
-    terms = docs.select(
-        "doc_id", F.posexplode(H.tokens(F.col("text"))).alias("pos0", "term")
-    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "term")
-    from pyspark.sql import Window
+    from ug_dwh_etl_spark.operators.textstats import encode_token_ids
 
-    counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    vocab = (
-        counts.withColumn(
-            "id", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
-        )
-        .filter(F.col("id") <= _VOCAB_K)
-        .select("term", "id")
-    )
-    enc = terms.join(F.broadcast(vocab), "term", "left").withColumn(
-        "tid", F.coalesce(F.col("id"), F.lit(0))
-    )
-    return (
-        enc.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.count(F.when(F.col("tid") == 0, F.lit(1))).alias("n_oov"),
-            F.collect_list(F.struct("i", "tid")).alias("arr"),
-        )
-        .selectExpr(
-            "doc_id",
-            "n_tokens",
-            "n_oov",
-            "md5(array_join(transform(array_sort(arr), x -> cast(x.tid AS string)), ',')) AS ids_md5",
-        )
+    return encode_token_ids(
+        table(spark, sf_dir, "documents"), "doc_id", "text", _VOCAB_K
     )
 
 
@@ -985,31 +959,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode and everything after run on the VOCABULARY relation, which
     is ~fixed-size no matter how many documents the corpus has — BPE
     training cost at 100 TB is the vocab build, not the merge loop."""
-    docs = table(spark, sf_dir, "documents")
-    terms = docs.select(
-        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
-    ).filter(F.col("term") != "")
-    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
-    pairs = (
-        vocab.filter(F.length("term") >= 2)
-        .select(
-            "n",
-            F.explode(
-                F.sequence(F.lit(1), F.length("term") - 1)
-            ).alias("i"),
-            "term",
-        )
-        .select(F.expr("substring(term, i, 2)").alias("pair"), "n")
-        .groupBy("pair")
-        .agg(F.sum("n").alias("total"))
-    )
-    from pyspark.sql import Window
+    from ug_dwh_etl_spark.operators.textstats import bpe_pair_stats
 
-    top = pairs.orderBy(F.desc("total"), F.asc("pair")).limit(20)
-    w = Window.orderBy(F.col("total").desc(), "pair")
-    return top.select(
-        "pair", F.col("total").cast("long").alias("total"), F.row_number().over(w).alias("rnk")
-    )
+    return bpe_pair_stats(table(spark, sf_dir, "documents"), "text", 20)
 
 
 @register(

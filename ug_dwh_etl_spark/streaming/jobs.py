@@ -38,6 +38,7 @@ from pyspark.sql.types import LongType, StructType
 # run (dict, or None before any run) — state-store row counts for
 # observability and the scale probe.
 LAST_PROGRESS: dict | None = None
+LAST_BATCH_PLAN: str | None = None
 
 
 def events_raw_schema(spark: SparkSession, sf_dir: str) -> StructType:
@@ -141,8 +142,17 @@ def run_stream_to_memory(
             # expose the final progress for observability/scale probes
             # (state-store row counts per stateful operator); module-level
             # because callers only see the returned batch DataFrame
-            global LAST_PROGRESS
+            global LAST_PROGRESS, LAST_BATCH_PLAN
             LAST_PROGRESS = q.lastProgress
+            # last micro-batch's EXECUTED physical plan, for the same
+            # anti-pattern audit the batch queries get (tools/
+            # audit_plans.py) — must be read before stop() drops the
+            # execution; explainInternal(True) is the py4j spelling of
+            # StreamingQuery.explain(extended=True)
+            try:
+                LAST_BATCH_PLAN = q._jsq.explainInternal(True)
+            except Exception:
+                LAST_BATCH_PLAN = None
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
