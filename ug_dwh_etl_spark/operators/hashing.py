@@ -43,9 +43,10 @@ def _c(col: Column | str) -> Column:
 
 # Content-hash seam. "oracle" (default) keeps md5-truncation so Spark and
 # the DuckDB oracle produce IDENTICAL hash values (the correctness gate
-# depends on it). "fast" switches to Spark's native xxhash64 — ~2-4× less
-# CPU per hash, the right choice for a real 100 TB corpus pass where no
-# cross-engine oracle is being run (shingle hashing is the dominant CPU
+# depends on it). "fast" switches to Spark's native xxhash64 — measured
+# 2.0× less CPU per hash (SCALE.md round-5 probe: 0.49s vs 0.24s over a
+# 4.17M-shingle projection), the right choice for a real 100 TB corpus
+# pass where no cross-engine oracle is being run (shingle hashing is the dominant CPU
 # cost of dedup at that scale). Same downstream semantics either way: a
 # well-mixed 60-bit non-negative BIGINT key.
 HASH_MODE = "oracle"
