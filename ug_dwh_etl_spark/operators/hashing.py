@@ -46,8 +46,9 @@ def _c(col: Column | str) -> Column:
 # depends on it). "fast" switches to Spark's native xxhash64 — measured
 # 2.0× less CPU per hash (SCALE.md round-5 probe: 0.49s vs 0.24s over a
 # 4.17M-shingle projection), the right choice for a real 100 TB corpus
-# pass where no cross-engine oracle is being run (shingle hashing is the dominant CPU
-# cost of dedup at that scale). Same downstream semantics either way: a
+# pass where no cross-engine oracle is being run — the win shows where
+# hashing is the whole pass (signature-only scans), not in shuffle-bound
+# queries. Same downstream semantics either way: a
 # well-mixed 60-bit non-negative BIGINT key.
 HASH_MODE = "oracle"
 
