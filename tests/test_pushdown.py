@@ -189,3 +189,32 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_join_bloom_pruned_query_injects_runtime_filter(spark):
+    # the registered query's own conf scope must produce the injected
+    # might_contain on the lineitem side, and restore every conf after
+    from ug_dwh_etl_spark.queries.relational_ext import (
+        _BLOOM_CONFS,
+        bloom_pruned_join_frame,
+    )
+
+    before = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    saved = dict(before)
+    try:
+        for k, v in _BLOOM_CONFS.items():
+            spark.conf.set(k, v)
+        df = bloom_pruned_join_frame(spark, "/root/testdata/sf0.01")
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    from ug_dwh_etl_spark.queries import QUERIES
+
+    QUERIES["join_bloom_pruned"].fn(spark, "/root/testdata/sf0.001").collect()
+    after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    assert after == before

@@ -755,3 +755,60 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.dedup import prefix_filter_pairs
 
     return prefix_filter_pairs(table(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+# --- near-dup CLUSTERS over the embedding modality (compose: SRP pairs →
+# --- convergent components) ----------------------------------------------------
+def _emb_cluster_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import N_HYPERPLANES, sql_plane_literal
+
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(e, {sql_plane_literal(j)}) > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(N_HYPERPLANES)
+    )
+    return f"""
+    WITH RECURSIVE
+    b AS (SELECT vec_id, embedding::DOUBLE[] AS e, {terms} AS bucket FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM b a JOIN b bb ON a.bucket = bb.bucket AND a.vec_id < bb.vec_id
+      WHERE ROUND(list_dot_product(a.e, bb.e)
+                  / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(bb.e, bb.e))),
+                  6) >= 0.3),
+    und AS (SELECT id_a AS a, id_b AS bb FROM pairs
+            UNION SELECT id_b, id_a FROM pairs),
+    reach(node, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT und.a, reach.r FROM und JOIN reach ON reach.node = und.bb
+    ),
+    comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+    SELECT component AS cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM comp GROUP BY component HAVING COUNT(*) > 1
+    """
+
+
+@register("embed_dup_clusters", _emb_cluster_sql())
+def embed_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS on the embedding modality, end to end:
+    SRP-bucketed cosine pairs (dedup_embedding_cosine's candidate+verify
+    shape) become an edge list, and the large-star/small-star fixpoint
+    (operators.graph.connected_components_converged) contracts it into
+    true clusters — no iteration-count guess, any diameter. This is the
+    production embedding-dedup decision table: keep min-id per cluster,
+    drop the rest. The oracle closes reachability with a recursive CTE
+    over the identical pair set, so cluster membership is engine-exact."""
+    from ug_dwh_etl_spark.operators.dedup import embedding_cosine_pairs
+    from ug_dwh_etl_spark.operators.graph import connected_components_converged
+
+    pairs = embedding_cosine_pairs(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", 0.3
+    ).select("id_a", "id_b")
+    comp = connected_components_converged(
+        pairs, src="id_a", dst="id_b", loop_partitions=16
+    )
+    return (
+        comp.groupBy(F.col("component").alias("cluster_id"))
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+        .filter(F.col("n_vecs") > 1)
+    )

@@ -1376,3 +1376,81 @@ def customer_nation_segment_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+# --- runtime Bloom-filter join pruning -----------------------------------------
+def bloom_pruned_join_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lazy plan for join_bloom_pruned, factored out so the plan
+    test can assert on it while the bloom confs are active."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    return (
+        j.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,4)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+_BLOOM_CONFS = {
+    # the injection needs a shuffle join — locally every dim fits the
+    # 64MB broadcast threshold, so disable broadcast for this plan the
+    # way a 100 TB orders-side never would broadcast at all
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # local fixture scans sit far under the 10GB application-side
+    # default; at production scale the defaults fire on their own
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+}
+
+
+@register(
+    "join_bloom_pruned",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_lines,
+           CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2)
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+    GROUP BY month
+    """,
+)
+def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning (Spark 3.3+'s row-level runtime
+    filter): the selective predicate on orders builds a bloom filter of
+    surviving o_orderkeys, and Catalyst injects
+    might_contain(xxhash64(l_orderkey)) into the LINEITEM SCAN — the big
+    side is pruned before the join shuffle, the same idea as a
+    broadcast semi-join but without needing the dim collected. At 100 TB
+    this fires on default thresholds; locally the thresholds are scoped
+    down (and broadcast disabled) for the duration of this query only —
+    the plan executes eagerly under those confs via localCheckpoint, so
+    the session's broadcast behavior is untouched for everyone else.
+    Bloom false positives only let extra rows REACH the join, which
+    drops them — the result is exact, hence the plain-join oracle.
+    The injected filter is plan-asserted in tests/test_pushdown.py."""
+    prev = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
+    for k, v in _BLOOM_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        return bloom_pruned_join_frame(spark, sf_dir).localCheckpoint(eager=True)
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
