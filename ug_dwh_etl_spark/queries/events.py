@@ -1129,3 +1129,78 @@ def events_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_term"
         ),
     )
+
+
+@register(
+    "events_attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                     AND touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_type ELSE 'direct' END AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent preceding NON-purchase event within a 7-day lookback
+    ('direct' if none) — the marketing-analytics workhorse the events
+    table exists for. One window pass per user (last(...) ignoreNulls
+    over an unbounded-to-1-preceding frame carries the latest touch
+    forward), then a 5-ish-key rollup: the only corpus shuffle is the
+    user_id sort the window needs, same budget as sessionization. The
+    touch timestamp and type are carried as TWO ignore-null last()
+    columns computed in the same frame, so the plan stays one Window
+    operator — no self-join against the touch relation."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("ts")), ignorenulls=True
+        )
+        .over(w)
+        .alias("touch_ts"),
+        F.last(
+            F.when(F.col("event_type") != "purchase", F.col("event_type")),
+            ignorenulls=True,
+        )
+        .over(w)
+        .alias("touch_type"),
+    )
+    channel = F.when(
+        F.col("touch_ts").isNotNull()
+        & (F.col("touch_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+        F.col("touch_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        seq.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+    )

@@ -129,3 +129,76 @@ def multimodal_dedup_payloads(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("media_id").alias("survivor_id"),
         F.count(F.lit(1)).alias("n_copies"),
     )
+
+
+_SHARD_CAP = 32 * 1024  # bytes per training shard (local fixture scale)
+_SHARD_BLOCK = 100  # doc_ids per prefix-sum block
+
+
+@register(
+    "multimodal_shard_manifest",
+    f"""
+    WITH items AS (
+      SELECT doc_id, strlen(text) AS byte_len FROM documents),
+    cum AS (
+      SELECT doc_id, byte_len,
+             SUM(byte_len) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_bytes
+      FROM items)
+    SELECT CAST((cum_bytes - byte_len) // {_SHARD_CAP} AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(byte_len) AS BIGINT) AS shard_bytes,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM cum GROUP BY shard_id
+    """,
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style training-shard manifest: blobs are laid out in
+    doc_id order and each blob lands in the shard holding its START
+    byte offset (shard = start_offset div capacity) — the packing a
+    sequential tar writer produces, so the manifest IS the shard layout
+    a dataloader will stream.
+
+    The global running byte offset is computed as a DISTRIBUTED prefix
+    sum, not a single-partition window: (1) per-block subtotals over
+    block = doc_id div {_SHARD_BLOCK} (one map-side-combined shuffle on
+    the tiny block relation), (2) running block offsets via a window
+    over that block-count-sized frame (single partition is fine THERE —
+    it holds one row per block, not per item), (3) broadcast the block
+    bases back and add the within-block running sum (window partitioned
+    BY BLOCK — parallel across blocks). A bare
+    `SUM() OVER (ORDER BY doc_id)` would move the whole corpus into one
+    window partition, the classic prefix-sum scale killer; block size
+    tunes parallelism at 100 TB. The oracle uses the naive global
+    window — identical values, which is the point."""
+    items = table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "UTF-8")).alias("byte_len")
+    )
+    from pyspark.sql import Window
+
+    blocked = items.withColumn("block", (F.col("doc_id") / _SHARD_BLOCK).cast("long"))
+    block_totals = blocked.groupBy("block").agg(F.sum("byte_len").alias("bt"))
+    w_blocks = Window.orderBy("block").rowsBetween(Window.unboundedPreceding, -1)
+    bases = block_totals.select(
+        "block", F.coalesce(F.sum("bt").over(w_blocks), F.lit(0)).alias("base")
+    )
+    w_in = (
+        Window.partitionBy("block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = (
+        blocked.join(F.broadcast(bases), "block")
+        .withColumn("cum_bytes", F.col("base") + F.sum("byte_len").over(w_in))
+        .withColumn(
+            "shard_id",
+            ((F.col("cum_bytes") - F.col("byte_len")) / _SHARD_CAP).cast("long"),
+        )
+    )
+    return cum.groupBy("shard_id").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("byte_len").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -1454,3 +1454,76 @@ def join_bloom_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --- gaps-and-islands: merge overlapping per-customer order windows ------------
+@register(
+    "orders_coverage_islands",
+    """
+    WITH iv AS (
+      SELECT o_custkey, o_orderdate AS s, o_orderdate + INTERVAL 30 DAY AS e
+      FROM orders),
+    marked AS (
+      SELECT o_custkey, s, e,
+             CASE WHEN s > MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  THEN 1 ELSE 0 END AS new_island
+      FROM iv),
+    grp AS (
+      SELECT o_custkey, s, e,
+             SUM(new_island) OVER (PARTITION BY o_custkey ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM marked),
+    islands AS (
+      SELECT o_custkey, island, MIN(s) AS island_start, MAX(e) AS island_end
+      FROM grp GROUP BY o_custkey, island)
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(SUM(date_diff('day', island_start, island_end)) AS BIGINT)
+             AS covered_days
+    FROM islands GROUP BY o_custkey
+    """,
+)
+def orders_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands interval merging: each order opens a 30-day
+    activity window; overlapping windows per customer merge into
+    maximal covered 'islands' (n_islands + total covered days per
+    customer). The scale-right plan is pure window algebra — an island
+    starts where the start exceeds the running max of all previous ends
+    — so the ONLY corpus shuffle is the per-customer sort; the naive
+    alternative (interval-overlap self-join + transitive closure) is
+    quadratic per key and needs the component machinery for what a
+    running max gives for free. Same pattern merges IP-block ranges,
+    sensor uptime windows, and validity intervals in SCD tables."""
+    iv = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.to_date("o_orderdate").alias("s"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    marked = iv.withColumn("prev_max_e", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        ).otherwise(0),
+    )
+    grp = marked.withColumn("island", F.sum("new_island").over(w_run))
+    islands = grp.groupBy("o_custkey", "island").agg(
+        F.min("s").alias("island_start"), F.max("e").alias("island_end")
+    )
+    return islands.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.sum(F.datediff("island_end", "island_start")).cast("long").alias("covered_days"),
+    )
