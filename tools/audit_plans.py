@@ -96,6 +96,8 @@ EXPECTED_NESTED_LOOP = {
     "sim_ivf_recall_curve",
     # 1-row time boundary + totals broadcast onto the scan
     "events_drift_psi",
+    # five 1-row estimate/count frames cross-joined into the audit row
+    "sketch_kmv_overlap",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -1204,3 +1204,101 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("total_value"),
         )
     )
+
+
+_KMV_K = 64
+_KMV_DOM = float(1 << 60)
+
+
+@register(
+    "sketch_kmv_overlap",
+    f"""
+    WITH va AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || '|kmv'), 1, 15))::BIGINT AS h
+                FROM events WHERE event_type = 'view'),
+    vb AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || '|kmv'), 1, 15))::BIGINT AS h
+                FROM events WHERE event_type = 'purchase'),
+    ska AS (SELECT h FROM va ORDER BY h LIMIT {_KMV_K}),
+    skb AS (SELECT h FROM vb ORDER BY h LIMIT {_KMV_K}),
+    sku AS (SELECT h FROM (SELECT h FROM va UNION SELECT h FROM vb) ORDER BY h LIMIT {_KMV_K}),
+    est AS (
+      SELECT ({_KMV_K} - 1) * {_KMV_DOM} / (SELECT MAX(h) FROM ska) AS est_a,
+             ({_KMV_K} - 1) * {_KMV_DOM} / (SELECT MAX(h) FROM skb) AS est_b,
+             ({_KMV_K} - 1) * {_KMV_DOM} / (SELECT MAX(h) FROM sku) AS est_u,
+             (SELECT COUNT(*) FROM sku
+              WHERE h IN (SELECT h FROM ska) AND h IN (SELECT h FROM skb))
+               * 1.0 / {_KMV_K} AS j_est,
+             (SELECT COUNT(*) FROM va WHERE h IN (SELECT h FROM vb)) AS exact_overlap
+    )
+    SELECT CAST(ROUND(est_a) AS BIGINT) AS est_viewers,
+           CAST(ROUND(est_b) AS BIGINT) AS est_purchasers,
+           ROUND(j_est, 6) AS est_jaccard,
+           CAST(ROUND(j_est * est_u) AS BIGINT) AS est_overlap,
+           CAST(exact_overlap AS BIGINT) AS exact_overlap,
+           ROUND(ABS(j_est * est_u - exact_overlap) / exact_overlap, 4) AS rel_err
+    FROM est
+    """,
+)
+def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation with K-MINIMUM-VALUES sketches (the
+    theta-sketch family): the k smallest deterministic 60-bit hashes of
+    each cohort's distinct user ids ARE the sketch; cardinality is
+    (k-1)/kth-min (normalized), and the intersection comes from how
+    many of the union-sketch's members sit in both cohort sketches
+    (J_est = that count / k, |A∩B| ≈ J_est · |A∪B|_est).
+
+    The 100 TB story: each sketch is a per-partition partial top-k
+    (TakeOrderedAndProject — no shuffle of the cohort, k·8 bytes over
+    the wire per partition) and sketches MERGE by taking the k smallest
+    of a union — audience overlap across 50 cohorts costs 50 sketch
+    scans, not 50² distinct-joins. Everything downstream of the top-ks
+    runs on 64-row broadcast frames. Hashes are the same md5-truncation
+    both engines compute, so estimates AND the audited exact overlap
+    match the oracle bit-for-bit."""
+    ev = table(spark, sf_dir, "events")
+
+    def hashes(etype: str) -> DataFrame:
+        from ug_dwh_etl_spark.operators.hashing import md5_long
+
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .select(
+                md5_long(
+                    F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))
+                ).alias("h")
+            )
+            .distinct()
+        )
+
+    va, vb = hashes("view"), hashes("purchase")
+    ska = va.orderBy("h").limit(_KMV_K)
+    skb = vb.orderBy("h").limit(_KMV_K)
+    sku = va.union(vb).distinct().orderBy("h").limit(_KMV_K)
+    est_a = ska.agg((F.lit((_KMV_K - 1) * _KMV_DOM) / F.max("h")).alias("est_a"))
+    est_b = skb.agg((F.lit((_KMV_K - 1) * _KMV_DOM) / F.max("h")).alias("est_b"))
+    est_u = sku.agg((F.lit((_KMV_K - 1) * _KMV_DOM) / F.max("h")).alias("est_u"))
+    j_est = (
+        sku.join(F.broadcast(ska), "h", "semi")
+        .join(F.broadcast(skb), "h", "semi")
+        .agg((F.count(F.lit(1)) / F.lit(float(_KMV_K))).alias("j_est"))
+    )
+    exact = va.join(vb, "h", "semi").agg(
+        F.count(F.lit(1)).alias("exact_overlap")
+    )
+    row = (
+        est_a.crossJoin(F.broadcast(est_b))
+        .crossJoin(F.broadcast(est_u))
+        .crossJoin(F.broadcast(j_est))
+        .crossJoin(F.broadcast(exact))
+    )
+    return row.select(
+        F.round("est_a").cast("long").alias("est_viewers"),
+        F.round("est_b").cast("long").alias("est_purchasers"),
+        F.round("j_est", 6).alias("est_jaccard"),
+        F.round(F.col("j_est") * F.col("est_u")).cast("long").alias("est_overlap"),
+        F.col("exact_overlap").cast("long").alias("exact_overlap"),
+        F.round(
+            F.abs(F.col("j_est") * F.col("est_u") - F.col("exact_overlap"))
+            / F.col("exact_overlap"),
+            4,
+        ).alias("rel_err"),
+    )

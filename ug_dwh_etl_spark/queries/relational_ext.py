@@ -1527,3 +1527,43 @@ def orders_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_islands"),
         F.sum(F.datediff("island_end", "island_start")).cast("long").alias("covered_days"),
     )
+
+
+# --- running MEDIAN in a window (order-statistic frame agg) --------------------
+@register(
+    "window_running_median_price",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(median(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5)
+             AS BIGINT) AS running_median_cents
+    FROM orders WHERE o_custkey % 10 = 0
+    """,
+)
+def window_running_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running MEDIAN of each customer's order prices — the
+    order-statistic window the sum/avg family can't express (robust
+    'typical spend so far', insensitive to one huge order). Spark's
+    exact `percentile(x, 0.5)` runs as a window aggregate with
+    continuous interpolation, the same semantics as DuckDB's `median`;
+    the result is emitted as explicit floor(x*100 + 0.5) CENTS because
+    engine round() rules diverge on exact .xx5 doubles (observed at
+    295969.915) while the floor arithmetic is bit-identical.
+    Cost model: per-frame O(n log n) buffering inside each partition —
+    fine because frames are per-customer (bounded); a running median
+    over an UNPARTITIONED window would buffer the table and is the
+    shape to refuse at scale. The residue filter keeps the oracle
+    comparison set small while every customer's math is complete."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    med = F.expr("percentile(o_totalprice, 0.5)").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.floor(med * 100 + 0.5).cast("long").alias("running_median_cents"),
+    )
