@@ -333,3 +333,26 @@ def test_connected_components_converged_beats_bounded_horizon(spark):
     )
     got2 = {r.node: r.component for r in connected_components_converged(e2).collect()}
     assert got2 == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_join_view_delta_equals_view_diff(spark):
+    # the delta term must be EXACTLY the new-view minus old-view rows
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.ivm import join_view_delta, refresh_join_view
+
+    a = spark.createDataFrame(
+        [(1, "a1"), (2, "a2"), (3, "a3"), (2, "a4")], "k int, av string"
+    )
+    b = spark.createDataFrame([(1, "b1"), (2, "b2"), (4, "b4")], "k int, bv string")
+    a_old, a_delta = a.filter("av < 'a3'"), a.filter("av >= 'a3'")
+    b_old, b_delta = b.filter("k != 2"), b.filter("k = 2")
+
+    full = a.join(b, "k")
+    old = a_old.join(b_old, "k")
+    delta = join_view_delta(a_old, a_delta, b_old, b_delta, "k")
+    assert sorted(map(tuple, delta.collect())) == sorted(
+        map(tuple, full.exceptAll(old).collect())
+    )
+    refreshed = refresh_join_view(a_old, a_delta, b_old, b_delta, "k")
+    assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, full.collect()))

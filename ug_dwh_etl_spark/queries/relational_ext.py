@@ -1567,3 +1567,47 @@ def window_running_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         F.floor(med * 100 + 0.5).cast("long").alias("running_median_cents"),
     )
+
+
+# --- incremental JOIN-view maintenance (bilinear delta rule) --------------------
+@register(
+    "ivm_join_view",
+    """
+    SELECT c_nationkey AS nationkey,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view, proven against the direct
+    join: orders and customer are each split into a materialized 'old'
+    half and a newly-arrived delta (orders by date, customers by key
+    parity — both sides change, so all three delta terms are
+    exercised), the view refreshes via Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪
+    ΔA⋈ΔB (operators/ivm.py), and the refreshed view's per-nation
+    rollup must equal the oracle's full re-join. Refresh cost at scale
+    is the point: every delta term has a |Δ|-sized side, so maintaining
+    a 100 TB join view tracks arrival rate, not view size — the join
+    analogue of merge_rollup_delta's monoid merge."""
+    from ug_dwh_etl_spark.operators.ivm import refresh_join_view
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    a_old = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    a_delta = orders.filter(F.col("o_orderdate") >= "1995-01-01")
+    b_old = cust.filter(F.col("o_custkey") % 2 == 0)
+    b_delta = cust.filter(F.col("o_custkey") % 2 == 1)
+    view = refresh_join_view(a_old, a_delta, b_old, b_delta, "o_custkey")
+    return view.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )

@@ -305,3 +305,36 @@ def q_stream_stream_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_stream_left_outer_join
 
     return stream_stream_left_outer_join(spark, sf_dir)
+
+
+@register(
+    "stream_attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ts END IGNORE NULLS)
+               OVER w AS touch_ts,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS touch_type
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT CASE WHEN touch_ts IS NOT NULL
+                     AND touch_ts >= ts - INTERVAL 7 DAY
+                THEN touch_type ELSE 'direct' END AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM seq WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+)
+def q_stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stateful streaming twin of events_attribution_last_touch — SAME
+    # oracle; state per user is one (ts, type) touch + the enforced
+    # order high-watermark, each purchase emits its credit exactly once
+    from ug_dwh_etl_spark.streaming.stateful import stream_attribution_last_touch
+
+    return stream_attribution_last_touch(spark, sf_dir)

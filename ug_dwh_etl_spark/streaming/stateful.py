@@ -25,6 +25,7 @@ from pyspark.sql.types import (
     ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -339,4 +340,92 @@ def stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             3,
         ).alias("avg_latency_s"),
+    )
+
+
+# --- stateful last-touch attribution (streaming twin of
+# --- events_attribution_last_touch) -------------------------------------------
+
+_ATTR_WINDOW_US = 7 * 24 * 3600 * 1_000_000
+
+ATTR_STATE_SCHEMA = StructType(
+    [
+        StructField("touch_us", LongType()),
+        StructField("touch_type", StringType()),
+        StructField("hwm_us", LongType()),
+        StructField("hwm_eid", LongType()),
+    ]
+)
+ATTR_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _update_attribution(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        touch_us, touch_type, hwm_us, hwm_eid = state.get
+    else:
+        touch_us, touch_type, hwm_us, hwm_eid = -1, None, -1, -1
+    out = []
+    for batch in batches:
+        b = batch.sort_values(["ts", "event_id"])
+        for et, us, eid, val in zip(b["event_type"], b["us"], b["event_id"], b["value"]):
+            us, eid = int(us), int(eid)
+            if (us, eid) <= (hwm_us, hwm_eid):
+                raise ValueError(
+                    f"stream_attribution_last_touch order contract violated for "
+                    f"user {user_id}: (ts_us={us}, event_id={eid}) after "
+                    f"(ts_us={hwm_us}, event_id={hwm_eid})"
+                )
+            hwm_us, hwm_eid = us, eid
+            if et == "purchase":
+                if touch_type is not None and touch_us >= us - _ATTR_WINDOW_US:
+                    out.append((user_id, eid, touch_type, float(val)))
+                else:
+                    out.append((user_id, eid, "direct", float(val)))
+            else:
+                touch_us, touch_type = us, et
+    state.update((touch_us, touch_type, hwm_us, hwm_eid))
+    yield pd.DataFrame(out, columns=["user_id", "event_id", "channel", "value"])
+
+
+def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming last-touch attribution — the stateful twin of the batch
+    window query (SAME oracle): state per user is just the latest
+    non-purchase (ts, type) plus the enforced (ts, event_id) order
+    high-watermark; each purchase emits exactly one attribution row in
+    the micro-batch that processes it, so the memory sink accumulates
+    every purchase exactly once and the per-channel rollup equals the
+    batch result. Constant state per user — the O(1)-state end of the
+    custom-operator spectrum (pattern matching keeps a pending list,
+    EWMA a float; this keeps one touch)."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_micros("ts").alias("us"),
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_attribution,
+        outputStructType=ATTR_OUTPUT_SCHEMA,
+        stateStructType=ATTR_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "append")
+    return out.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
