@@ -1302,3 +1302,168 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("rel_err"),
     )
+
+
+@register(
+    "events_cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day),
+    stats AS (SELECT AVG(n) AS mu FROM daily),
+    cusum AS (
+      SELECT day, n,
+             SUM(n - mu) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS c
+      FROM daily, stats)
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, ROUND(c, 6) AS cusum,
+           COALESCE(ABS(c) = (SELECT MAX(ABS(c)) FROM cusum), FALSE)
+             AS is_changepoint
+    FROM cusum
+    """,
+)
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection over the daily event-count series:
+    the running sum of deviations from the global mean peaks (in
+    absolute value) at the most likely level-shift day — the standard
+    first-pass answer to 'when did traffic change?'. Plan: a daily
+    rollup (one shuffle), a 1-row mean broadcast, and a running sum
+    over the DAYS series — the window is date-cardinality-sized, so
+    the single-partition frame holds years of days, not events; the
+    peak is a second 1-row broadcast back onto the series."""
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mu = daily.agg(F.avg("n").alias("mu"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    cusum = daily.crossJoin(F.broadcast(mu)).withColumn(
+        "c", F.sum(F.col("n") - F.col("mu")).over(w)
+    )
+    peak = cusum.agg(F.max(F.abs(F.col("c"))).alias("peak"))
+    return cusum.crossJoin(F.broadcast(peak)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        F.round("c", 6).alias("cusum"),
+        F.coalesce(F.abs(F.col("c")) == F.col("peak"), F.lit(False)).alias(
+            "is_changepoint"
+        ),
+    )
+
+
+@register(
+    "events_survival_km",
+    """
+    WITH signup AS (
+      SELECT user_id, MIN(ts) AS s FROM events WHERE event_type = 'signup'
+      GROUP BY user_id),
+    conv AS (
+      SELECT su.user_id,
+             MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > su.s
+                      THEN date_diff('day', su.s, e.ts) END) AS t_event
+      FROM signup su LEFT JOIN events e ON e.user_id = su.user_id
+      GROUP BY su.user_id, su.s),
+    horizon AS (SELECT MAX(CAST(ts AS DATE)) AS maxd FROM events),
+    obs AS (
+      SELECT user_id,
+             COALESCE(t_event,
+                      date_diff('day', s, (SELECT maxd FROM horizon))) AS t,
+             t_event IS NOT NULL AS converted
+      FROM conv JOIN signup USING (user_id)),
+    risk AS (
+      SELECT t AS t_days,
+             CAST(SUM(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS leaving
+      FROM obs GROUP BY t),
+    riskx AS (
+      SELECT t_days, d,
+             (SELECT COUNT(*) FROM obs)
+               - COALESCE(SUM(leaving) OVER (ORDER BY t_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS n_risk
+      FROM risk),
+    km AS (
+      SELECT t_days, d, n_risk,
+             SUM(LN(CASE WHEN 1.0 - d * 1.0 / n_risk > 0
+                         THEN 1.0 - d * 1.0 / n_risk ELSE 1.0 END))
+               OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS logS,
+             MIN(1.0 - d * 1.0 / n_risk)
+               OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS minf
+      FROM riskx WHERE d > 0)
+    SELECT t_days, CAST(n_risk AS BIGINT) AS n_risk, d,
+           CASE WHEN minf = 0 THEN 0.0 ELSE ROUND(EXP(logS), 6) END AS survival
+    FROM km
+    """,
+)
+def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival over time-to-first-purchase after signup
+    (right-censored at the observation horizon): S(t) = Π(1 - d_i/n_i)
+    over event days, computed as exp of a running sum of logs — the
+    product-over-ordered-groups trick that turns the KM product into
+    pure window algebra. The risk table is day-cardinality-sized, so
+    the ordered windows run on a tiny series (same argument as CUSUM);
+    the only corpus-scale work is the per-user first-signup /
+    first-purchase rollup. The canonical churn/retention statistic done
+    engine-exact (shared LN/EXP, rounded at 6)."""
+    ev = table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("s"))
+    )
+    conv = (
+        signup.join(ev, "user_id", "left")
+        .groupBy("user_id", "s")
+        .agg(
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase") & (F.col("ts") > F.col("s")),
+                    F.datediff(F.to_date("ts"), F.to_date("s")),
+                )
+            ).alias("t_event")
+        )
+    )
+    horizon = ev.agg(F.max(F.to_date("ts")).alias("maxd"))
+    obs = conv.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        F.coalesce(
+            F.col("t_event"), F.datediff(F.col("maxd"), F.to_date("s"))
+        ).alias("t"),
+        F.col("t_event").isNotNull().alias("converted"),
+    )
+    n_total = obs.agg(F.count(F.lit(1)).alias("n_total"))
+    risk = obs.groupBy(F.col("t").alias("t_days")).agg(
+        F.sum(F.when(F.col("converted"), 1).otherwise(0)).alias("d"),
+        F.count(F.lit(1)).alias("leaving"),
+    )
+    w_prev = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, -1)
+    w_run = Window.orderBy("t_days").rowsBetween(Window.unboundedPreceding, 0)
+    km = (
+        risk.crossJoin(F.broadcast(n_total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total") - F.coalesce(F.sum("leaving").over(w_prev), F.lit(0)),
+        )
+        .filter(F.col("d") > 0)
+    )
+    # recompute the running log-product on the d>0 rows only, matching
+    # the oracle's WHERE d > 0 placement before its window
+    # last-event-day edge: d == n_risk makes the factor 0 — ln(0) is an
+    # error in DuckDB and a silent NULL in Spark, so both engines log a
+    # guarded factor and pin survival to 0 once the running min hits it
+    factor = 1.0 - F.col("d") / F.col("n_risk")
+    km = km.withColumn(
+        "logS",
+        F.sum(F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))).over(w_run),
+    ).withColumn("minf", F.min(factor).over(w_run))
+    return km.select(
+        "t_days",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.when(F.col("minf") == 0, F.lit(0.0))
+        .otherwise(F.round(F.exp("logS"), 6))
+        .alias("survival"),
+    )

@@ -1611,3 +1611,84 @@ def ivm_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- Poisson bootstrap: distributed confidence intervals ------------------------
+_BOOT_B = 32
+# Poisson(1) CDF thresholds (identical literals in both engines) — a
+# uniform u maps to the resample multiplicity k = #thresholds below u
+_POIS_CDF = (
+    "0.367879441171",
+    "0.735758882343",
+    "0.919698602929",
+    "0.981011843124",
+    "0.996340153173",
+    "0.999405815182",
+)
+
+
+def _boot_weight_sql(u: str) -> str:
+    return " + ".join(f"CASE WHEN {u} >= {c} THEN 1 ELSE 0 END" for c in _POIS_CDF)
+
+
+@register(
+    "sample_bootstrap_ci",
+    f"""
+    WITH reps AS (
+      SELECT o_totalprice, r,
+             ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || r::VARCHAR || '|boot'),
+                             1, 15))::BIGINT / 1152921504606846976.0 AS u
+      FROM orders, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r)),
+    weighted AS (
+      SELECT r, o_totalprice, {_boot_weight_sql('u')} AS w FROM reps),
+    means AS (
+      SELECT r, SUM(w * o_totalprice) / SUM(w) AS m
+      FROM weighted GROUP BY r HAVING SUM(w) > 0)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_replicates,
+           ROUND(AVG(m), 4) AS boot_mean,
+           ROUND(quantile_cont(m, 0.025), 4) AS ci_lo,
+           ROUND(quantile_cont(m, 0.975), 4) AS ci_hi
+    FROM means
+    """,
+)
+def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap: the distributed-systems way to bootstrap a
+    statistic over data too big to resample — instead of drawing n rows
+    with replacement (a shuffle per replicate), every row draws its own
+    Poisson(1) multiplicity per replicate from a DETERMINISTIC hash
+    uniform, which converges to the multinomial bootstrap for large n.
+    All {_BOOT_B} replicates compute in ONE scan (explode × B is
+    map-side) and one partial-aggregated groupBy(r); the CI is an exact
+    percentile over B driver-sized rows. Deterministic hashing makes
+    the 'random' replicates engine-exact, so the whole CI matches the
+    oracle to the rounding digit."""
+    orders = table(spark, sf_dir, "orders")
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    reps = orders.select(
+        "o_orderkey", "o_totalprice", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
+    )
+    u = (
+        md5_long(
+            F.concat(
+                F.col("o_orderkey").cast("string"),
+                F.lit("|"),
+                F.col("r").cast("string"),
+                F.lit("|boot"),
+            )
+        )
+        / F.lit(1152921504606846976.0)
+    )
+    w = sum(
+        (F.when(u >= float(c), 1).otherwise(0) for c in _POIS_CDF), F.lit(0)
+    )
+    means = reps.withColumn("w", w).groupBy("r").agg(
+        F.sum("w").alias("sw"),
+        F.sum(F.col("w") * F.col("o_totalprice")).alias("swx"),
+    ).filter(F.col("sw") > 0).select("r", (F.col("swx") / F.col("sw")).alias("m"))
+    return means.agg(
+        F.count(F.lit(1)).alias("n_replicates"),
+        F.round(F.avg("m"), 4).alias("boot_mean"),
+        F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
+        F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
+    )
