@@ -1317,7 +1317,8 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS c
       FROM daily, stats)
-    SELECT strftime(day, '%Y-%m-%d') AS day, n, ROUND(c, 6) AS cusum,
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           ROUND(c, 6) + 0.0 AS cusum,  -- +0.0 normalizes IEEE -0.0
            COALESCE(ABS(c) = (SELECT MAX(ABS(c)) FROM cusum), FALSE)
              AS is_changepoint
     FROM cusum
@@ -1345,7 +1346,7 @@ def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cusum.crossJoin(F.broadcast(peak)).select(
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "n",
-        F.round("c", 6).alias("cusum"),
+        (F.round("c", 6) + F.lit(0.0)).alias("cusum"),
         F.coalesce(F.abs(F.col("c")) == F.col("peak"), F.lit(False)).alias(
             "is_changepoint"
         ),
