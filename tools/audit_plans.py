@@ -98,6 +98,15 @@ EXPECTED_NESTED_LOOP = {
     "events_drift_psi",
     # five 1-row estimate/count frames cross-joined into the audit row
     "sketch_kmv_overlap",
+    # pairwise-slope join over the bounded DAY series (the designed
+    # O(days^2) Theil-Sen shape, never corpus-sized)
+    "history_theil_sen",
+    # 1-row mean + peak broadcasts onto the day series
+    "events_cusum_changepoint",
+    # 1-row horizon / n_total broadcasts onto the risk table
+    "events_survival_km",
+    # 1-row winning-pair broadcast onto the vocab recode
+    "text_bpe_apply_merge",
 }
 STREAM = re.compile(r"^stream_")
 

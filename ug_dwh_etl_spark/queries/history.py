@@ -447,3 +447,60 @@ def history_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first("a"), 4).alias("trend_slope"),
         )
     )
+
+
+@register(
+    "history_theil_sen",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM orders GROUP BY d),
+    xy AS (SELECT CAST(datediff('day', DATE '1992-01-01', d) AS DOUBLE) AS x, y
+           FROM daily),
+    slopes AS (
+      SELECT (b.y - a.y) / (b.x - a.x) AS s
+      FROM xy a JOIN xy b ON b.x > a.x),
+    fit AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes)
+    SELECT ROUND(slope, 6) AS slope_per_day,
+           ROUND((SELECT quantile_cont(y - slope * x, 0.5) FROM xy, fit), 2)
+             AS intercept,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM slopes) AS n_slopes
+    FROM fit
+    """,
+)
+def history_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue: the MEDIAN of all
+    pairwise slopes (and the median-residual intercept) — immune to the
+    outlier days that drag the OLS fit (history_seasonal_decompose's
+    trend) around. The O(n²) pair join runs on the DAY-cardinality
+    series (a few thousand rows after the one corpus shuffle), so the
+    'quadratic' is ~10M tiny rows of pure arithmetic, partial-aggregated
+    into a single percentile — the same bounded-relation argument as
+    CUSUM/KM. Both engines take continuous medians of identical double
+    sets, rounded at the house 6/2 digits."""
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("y")
+    )
+    xy = daily.select(
+        F.datediff("d", F.lit("1992-01-01").cast("date")).cast("double").alias("x"),
+        "y",
+    )
+    a = xy.select(F.col("x").alias("xa"), F.col("y").alias("ya"))
+    b = xy.select(F.col("x").alias("xb"), F.col("y").alias("yb"))
+    slopes = a.join(b, F.col("xb") > F.col("xa")).select(
+        ((F.col("yb") - F.col("ya")) / (F.col("xb") - F.col("xa"))).alias("s")
+    )
+    fit = slopes.agg(
+        F.expr("percentile(s, 0.5)").alias("slope"),
+        F.count(F.lit(1)).alias("n_slopes"),
+    )
+    resid = xy.crossJoin(F.broadcast(fit)).agg(
+        F.expr("percentile(y - slope * x, 0.5)").alias("intercept")
+    )
+    return fit.crossJoin(F.broadcast(resid)).select(
+        F.round("slope", 6).alias("slope_per_day"),
+        F.round("intercept", 2).alias("intercept"),
+        F.col("n_slopes").cast("long").alias("n_slopes"),
+    )

@@ -1005,3 +1005,93 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(25)
         .select("doc_id", "n_chars", F.round("k", 10).alias("sort_key"))
     )
+
+
+@register(
+    "text_bpe_apply_merge",
+    """
+    WITH terms AS (
+      SELECT term FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+      WHERE term <> ''),
+    vocab AS (SELECT term, COUNT(*) AS n FROM terms GROUP BY term),
+    pairs1 AS (
+      SELECT substr(term, i, 2) AS pair, SUM(n) AS total
+      FROM (SELECT term, n, unnest(generate_series(1, length(term) - 1)) AS i
+            FROM vocab WHERE length(term) >= 2)
+      GROUP BY pair),
+    best AS (
+      SELECT pair FROM pairs1 ORDER BY total DESC, pair LIMIT 1),
+    recoded AS (
+      SELECT replace(term, (SELECT pair FROM best), chr(1)) AS sym, n
+      FROM vocab),
+    pairs2 AS (
+      SELECT substr(sym, i, 2) AS rawpair, SUM(n) AS total
+      FROM (SELECT sym, n, unnest(generate_series(1, length(sym) - 1)) AS i
+            FROM recoded WHERE length(sym) >= 2)
+      GROUP BY rawpair)
+    SELECT replace(rawpair, chr(1), '<' || (SELECT pair FROM best) || '>') AS pair,
+           CAST(total AS BIGINT) AS total, rnk
+    FROM (SELECT rawpair, total,
+                 ROW_NUMBER() OVER (ORDER BY total DESC, rawpair) AS rnk
+          FROM pairs2)
+    WHERE rnk <= 20
+    """,
+)
+def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE training LOOP made concrete: take iteration 1's winning
+    pair (text_bpe_merges rank 1), APPLY the merge — every word re-codes
+    that pair into a single symbol, exactly the greedy left-to-right
+    non-overlapping replace both engines implement — and recount
+    adjacent-symbol pairs for iteration 2 (merged symbol rendered as
+    <xy> in the output). Everything after the word-frequency count runs
+    on the VOCABULARY relation: the winning pair is a 1-row scalar
+    broadcast, the recode a narrow map over vocab, so each BPE round at
+    100 TB costs vocab-sized compute and zero corpus passes — the
+    measured claim behind text_bpe_merges' 0.9x growth row now shown
+    surviving an actual merge step."""
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = terms.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    pairs1 = (
+        vocab.filter(F.length("term") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("term") - 1)).alias("i"),
+            "term",
+        )
+        .select(F.expr("substring(term, i, 2)").alias("pair"), "n")
+        .groupBy("pair")
+        .agg(F.sum("n").alias("total"))
+    )
+    best = pairs1.orderBy(F.desc("total"), F.asc("pair")).limit(1).select("pair")
+    recoded = vocab.crossJoin(F.broadcast(best)).select(
+        F.expr("replace(term, pair, chr(1))").alias("sym"), "n"
+    )
+    pairs2 = (
+        recoded.filter(F.length("sym") >= 2)
+        .select(
+            "n",
+            F.explode(F.sequence(F.lit(1), F.length("sym") - 1)).alias("i"),
+            "sym",
+        )
+        .select(F.expr("substring(sym, i, 2)").alias("rawpair"), "n")
+        .groupBy("rawpair")
+        .agg(F.sum("n").alias("total"))
+    )
+    from pyspark.sql import Window
+
+    top = pairs2.orderBy(F.desc("total"), F.asc("rawpair")).limit(20)
+    w = Window.orderBy(F.col("total").desc(), "rawpair")
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .crossJoin(F.broadcast(best))
+        .select(
+            F.expr("replace(rawpair, chr(1), '<' || pair || '>')").alias("pair"),
+            F.col("total").cast("long").alias("total"),
+            "rnk",
+        )
+    )
