@@ -123,6 +123,24 @@ HEADLINE = [
     "copurchase_capped",
     "graph_components_converged",
     "stream_user_totals_tws",
+    # added round 5 (wave 2): bloom-pruned join, embedding dup clusters,
+    # attribution (batch + stateful stream), interval islands, shard
+    # manifest, KMV sketch overlap, bootstrap CI, CUSUM, Kaplan-Meier,
+    # running median, join-view IVM, BPE merge application, Theil-Sen
+    "join_bloom_pruned",
+    "embed_dup_clusters",
+    "events_attribution_last_touch",
+    "stream_attribution_last_touch",
+    "orders_coverage_islands",
+    "multimodal_shard_manifest",
+    "sketch_kmv_overlap",
+    "sample_bootstrap_ci",
+    "events_cusum_changepoint",
+    "events_survival_km",
+    "window_running_median_price",
+    "ivm_join_view",
+    "text_bpe_apply_merge",
+    "history_theil_sen",
 ]
 
 
