@@ -270,3 +270,28 @@ def optimize_table(
         # or the operator ran per-partition
         "n_rows": out.count() if count_rows else None,
     }
+
+
+def write_with_bloom(
+    df,
+    path: str,
+    bloom_cols: list[str],
+    expected_ndv: int = 100_000,
+    mode: str = "overwrite",
+) -> None:
+    """Parquet write with COLUMN BLOOM FILTERS on the named columns —
+    the storage-side complement of the runtime bloom join
+    (queries/relational_ext.join_bloom_pruned): point-lookup predicates
+    on a non-sort column (needle-in-haystack id probes, CDC key checks)
+    skip entire row groups whose bloom says 'definitely absent', where
+    min/max footer stats are useless because a hash-distributed id
+    spans every file's full range. Costs ~1.2 bytes/NDV per row group
+    at the default FPP; size it with expected_ndv. Readers that predate
+    bloom support ignore the extra bytes — the format stays plain
+    parquet."""
+    writer = df.write.mode(mode)
+    for c in bloom_cols:
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true").option(
+            f"parquet.bloom.filter.expected.ndv#{c}", str(expected_ndv)
+        )
+    writer.parquet(path)
