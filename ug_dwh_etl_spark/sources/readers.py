@@ -126,3 +126,16 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_orc(spark, path: str, schema=None):
+    """ORC scan — the other columnar format a lake migration inherits
+    (Hive-era tables). Same predicate-pushdown/column-pruning behavior
+    as the parquet scans; round-tripped in
+    tests/test_sources_sinks.py::test_orc_round_trip (no DuckDB-side
+    oracle — DuckDB has no ORC reader, so this source is test-proven
+    rather than oracle-proven)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
