@@ -107,6 +107,8 @@ EXPECTED_NESTED_LOOP = {
     "events_survival_km",
     # 1-row winning-pair broadcast onto the vocab recode
     "text_bpe_apply_merge",
+    # 1-row median x exact-F2 frames joined into the audit row
+    "sketch_ams_f2",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -1468,3 +1468,160 @@ def events_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.exp("logS"), 6))
         .alias("survival"),
     )
+
+
+_CMS_W = 256  # buckets per row
+_CMS_D = 4  # independent hash rows
+
+
+@register(
+    "sketch_cms_user_counts",
+    f"""
+    WITH exact AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id),
+    cells AS (
+      SELECT r,
+             ('0x' || substr(md5(user_id::VARCHAR || '|cms' || r::VARCHAR), 1, 8))::BIGINT
+               % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events, (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS r)
+      GROUP BY r, bucket),
+    est AS (
+      SELECT e.user_id, e.n,
+             MIN(cells.c) AS n_est
+      FROM exact e
+        JOIN cells ON cells.bucket =
+          ('0x' || substr(md5(e.user_id::VARCHAR || '|cms' || cells.r::VARCHAR), 1, 8))::BIGINT
+            % {_CMS_W}
+      GROUP BY e.user_id, e.n)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN n_est >= n THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_never_underestimates,
+           CAST(MAX(n_est - n) AS BIGINT) AS max_overestimate,
+           ROUND(AVG(n_est - n), 4) AS avg_overestimate
+    FROM est
+    """,
+)
+def sketch_cms_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT-MIN sketch audit: a {_CMS_D}x{_CMS_W} counter grid
+    (deterministic md5 bucket hashes) estimates every user's event
+    count as the min over its {_CMS_D} cells; the audit row proves the
+    CMS guarantee on real data — NEVER underestimates, bounded
+    overestimate. The sketch build is one grouped count over (row,
+    bucket): {_CMS_D}*{_CMS_W} cells of state no matter how many
+    events or users — the fixed-memory frequency sketch you hold per
+    partition and MERGE by cell-wise addition at 100 TB (the grid is a
+    monoid, so it also drops into merge_rollup_delta's incremental
+    model). Probing joins the tiny grid back by the same hash."""
+    ev = table(spark, sf_dir, "events")
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+
+    def bucket(uid_col, r_col):
+        return (
+            md5_long(
+                F.concat(
+                    uid_col.cast("string"), F.lit("|cms"), r_col.cast("string")
+                ),
+                8,
+            )
+            % _CMS_W
+        )
+
+    rows = ev.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    )
+    cells = (
+        rows.withColumn("bucket", bucket(F.col("user_id"), F.col("r")))
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    probes = exact.select(
+        "user_id", "n", F.explode(F.sequence(F.lit(0), F.lit(_CMS_D - 1))).alias("r")
+    ).withColumn("bucket", bucket(F.col("user_id"), F.col("r")))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "bucket"])
+        .groupBy("user_id", "n")
+        .agg(F.min("c").alias("n_est"))
+    )
+    return est.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(F.col("n_est") >= F.col("n"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_never_underestimates"),
+        F.max(F.col("n_est") - F.col("n")).cast("long").alias("max_overestimate"),
+        F.round(F.avg(F.col("n_est") - F.col("n")), 4).alias("avg_overestimate"),
+    )
+
+
+_AMS_K = 16
+
+
+@register(
+    "sketch_ams_f2",
+    f"""
+    WITH signs AS (
+      SELECT user_id, est,
+             CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|ams'
+                                           || est::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                  THEN 1 ELSE -1 END AS sgn,
+             n
+      FROM (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n
+            FROM events GROUP BY user_id),
+           (SELECT unnest(generate_series(0, {_AMS_K - 1})) AS est)),
+    sketches AS (
+      SELECT est, SUM(sgn * n) AS z FROM signs GROUP BY est),
+    exact AS (
+      SELECT SUM(n * n) AS f2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY user_id))
+    SELECT CAST(ROUND(quantile_cont(z * z, 0.5)) AS BIGINT) AS f2_est,
+           CAST(f2 AS BIGINT) AS f2_exact,
+           ROUND(ABS(quantile_cont(z * z, 0.5) - f2) / f2, 4) AS rel_err
+    FROM sketches, exact
+    GROUP BY f2
+    """,
+)
+def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS (Alon-Matias-Szegedy) second-moment sketch: {_AMS_K}
+    independent ±1 hash signs turn F2 = Σ n_k² — the self-join size /
+    skew indicator — into the median of squared signed sums, each a
+    single distributive aggregate. The sketch is {_AMS_K} longs of
+    state, mergeable by addition, so the self-join-size estimate for a
+    100 TB key column costs one scan and no join; the audit row carries
+    the exact F2 and relative error. Deterministic signs make the
+    estimate itself engine-exact."""
+    ev = table(spark, sf_dir, "events")
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    signs = counts.select(
+        "user_id",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(_AMS_K - 1))).alias("est"),
+    ).withColumn(
+        "sgn",
+        F.when(
+            md5_long(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("|ams"),
+                    F.col("est").cast("string"),
+                ),
+                8,
+            )
+            % 2
+            == 0,
+            1,
+        ).otherwise(-1),
+    )
+    sketches = signs.groupBy("est").agg(F.sum(F.col("sgn") * F.col("n")).alias("z"))
+    exact = counts.agg(F.sum(F.col("n") * F.col("n")).alias("f2"))
+    med = sketches.agg(F.expr("percentile(z * z, 0.5)").alias("f2_med"))
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.round("f2_med").cast("long").alias("f2_est"),
+        F.col("f2").cast("long").alias("f2_exact"),
+        F.round(F.abs(F.col("f2_med") - F.col("f2")) / F.col("f2"), 4).alias(
+            "rel_err"
+        ),
+    )
