@@ -338,3 +338,22 @@ def q_stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
     from ug_dwh_etl_spark.streaming.stateful import stream_attribution_last_touch
 
     return stream_attribution_last_touch(spark, sf_dir)
+
+
+@register(
+    "stream_kmv_viewers",
+    """
+    WITH va AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || '|kmv'), 1, 15))::BIGINT AS h
+                FROM events WHERE event_type = 'view'),
+    ska AS (SELECT h FROM va ORDER BY h LIMIT 64)
+    SELECT CAST(ROUND(63 * 1152921504606846976.0 / (SELECT MAX(h) FROM ska)) AS BIGINT)
+             AS est_viewers
+    """,
+)
+def q_stream_kmv_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable-sketch-as-stream-state: k longs of state, estimate only
+    # tightens across batches, deterministic hashes make the streaming
+    # sketch equal the batch sketch bit-for-bit
+    from ug_dwh_etl_spark.streaming.stateful import stream_kmv_viewers
+
+    return stream_kmv_viewers(spark, sf_dir)

@@ -429,3 +429,66 @@ def stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total_value"),
     )
+
+
+# --- KMV sketch as stream state (mergeable sketch, incremental) ---------------
+
+_KMV_K = 64
+_KMV_DOM = float(1 << 60)
+
+KMV_STATE_SCHEMA = StructType([StructField("mins", ArrayType(LongType()))])
+KMV_OUTPUT_SCHEMA = StructType(
+    [StructField("grp", LongType()), StructField("est", DoubleType())]
+)
+
+
+def _update_kmv(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (grp,) = key
+    (mins,) = state.get if state.exists else ([],)
+    mins = list(mins)
+    for batch in batches:
+        # sketch MERGE: union the incoming hashes, keep the k smallest —
+        # the same operation that merges per-partition or per-day
+        # sketches batch-side, applied per micro-batch here
+        mins = sorted(set(mins) | set(int(h) for h in batch["h"]))[:_KMV_K]
+    state.update((mins,))
+    est = (
+        (_KMV_K - 1) * _KMV_DOM / mins[-1]
+        if len(mins) >= _KMV_K
+        else float(len(mins))
+    )
+    yield pd.DataFrame({"grp": [grp], "est": [est]})
+
+
+def stream_kmv_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming KMV distinct-count sketch: the k smallest hashes of
+    the viewer cohort ARE the state (k longs, constant forever —
+    the streaming form of sketch_kmv_overlap's per-partition top-k),
+    merged per micro-batch; the cardinality estimate is emitted per
+    batch and only tightens, so max-over-updates is the final sketch —
+    and because the hashes are deterministic, the streaming estimate
+    equals the batch estimate EXACTLY (shared oracle arithmetic).
+    This is how you watch 'distinct users today' on an unbounded
+    stream without a COUNT DISTINCT state that grows with users."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "view")
+    hashed = ev.select(
+        F.lit(1).cast("long").alias("grp"),
+        md5_long(
+            F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))
+        ).alias("h"),
+    )
+    updated = hashed.groupBy("grp").applyInPandasWithState(
+        _update_kmv,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    return out.agg(
+        F.round(F.max("est")).cast("long").alias("est_viewers")
+    )
