@@ -248,3 +248,128 @@ def storage_zorder_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("max_dim_frac"),
     )
+
+
+# --- rendezvous (HRW) hashing: minimal-movement shard assignment ---------------
+@register(
+    "storage_rendezvous_shards",
+    """
+    WITH keys AS (SELECT DISTINCT o_custkey AS k FROM orders),
+    s8 AS (
+      SELECT k, arg_max(s, h) AS shard8 FROM (
+        SELECT k, s, ('0x' || substr(md5(k::VARCHAR || '#' || s::VARCHAR), 1, 15))::BIGINT AS h
+        FROM keys, (SELECT unnest(generate_series(0, 7)) AS s))
+      GROUP BY k),
+    s9 AS (
+      SELECT k, arg_max(s, h) AS shard9 FROM (
+        SELECT k, s, ('0x' || substr(md5(k::VARCHAR || '#' || s::VARCHAR), 1, 15))::BIGINT AS h
+        FROM keys, (SELECT unnest(generate_series(0, 8)) AS s))
+      GROUP BY k)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved,
+           ROUND(SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 4)
+             AS moved_frac,
+           CAST(SUM(CASE WHEN shard8 <> shard9 AND shard9 <> 8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_moved_wrongly
+    FROM s8 JOIN s9 USING (k)
+    """,
+)
+def storage_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing: each key lands on the
+    shard whose (key, shard) hash is highest. The query PROVES the
+    property that makes HRW the right assignment for 100 TB shard maps:
+    growing 8 → 9 shards moves only ~1/9 of keys (moved_frac ≈ 0.111),
+    and every move goes TO the new shard (n_moved_wrongly = 0) — unlike
+    `hash(k) % n`, which reshuffles ~8/9 of the corpus. Per key the
+    argmax over shards is map-side (explode × n_shards, one grouped
+    argmax); no shuffle grows with the shard count."""
+    orders = table(spark, sf_dir, "orders")
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    keys = orders.select(F.col("o_custkey").alias("k")).distinct()
+
+    def assign(n: int, out: str) -> DataFrame:
+        exploded = keys.select(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(n - 1))).alias("s")
+        ).withColumn(
+            "h",
+            md5_long(
+                F.concat(F.col("k").cast("string"), F.lit("#"), F.col("s").cast("string"))
+            ),
+        )
+        return exploded.groupBy("k").agg(F.max_by("s", "h").alias(out))
+
+    joined = assign(8, "shard8").join(assign(9, "shard9"), "k")
+    moved = F.when(F.col("shard8") != F.col("shard9"), 1).otherwise(0)
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(moved).cast("long").alias("n_moved"),
+        F.round(F.sum(moved) / F.count(F.lit(1)), 4).alias("moved_frac"),
+        F.sum(
+            F.when((F.col("shard8") != F.col("shard9")) & (F.col("shard9") != 8), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_moved_wrongly"),
+    )
+
+
+# --- consistent pseudonymization with referential integrity --------------------
+@register(
+    "privacy_pseudonymize_join",
+    """
+    WITH oc AS (SELECT md5('pepper|' || o_custkey::VARCHAR) AS tok, o_totalprice
+                FROM orders),
+    cc AS (SELECT md5('pepper|' || c_custkey::VARCHAR) AS tok, c_nationkey
+           FROM customer),
+    tokjoin AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_orders,
+             CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+               AS revenue
+      FROM oc JOIN cc USING (tok) GROUP BY c_nationkey),
+    plain AS (
+      SELECT c_nationkey AS nationkey, COUNT(*) AS n_plain
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey)
+    SELECT nationkey, n_orders, revenue,
+           n_orders = n_plain AS integrity_ok
+    FROM tokjoin JOIN plain USING (nationkey)
+    """,
+)
+def privacy_pseudonymize_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consistent key pseudonymization: customer keys are replaced by a
+    peppered hash token on EVERY table that carries them, so analysts
+    and training pipelines join on tokens with full referential
+    integrity while the raw identifier never leaves ingest — the
+    standard privacy posture for shipping event/order data into a
+    training corpus. integrity_ok compares every nation's tokenized-join
+    count against the plain-key join IN the result, proving the
+    tokenization collision-free and consistent per group. Pure
+    narrow maps: tokenization adds zero shuffles; the join shuffles on
+    the token exactly as it would on the key."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    tok = lambda c: F.md5(F.concat(F.lit("pepper|"), F.col(c).cast("string")))  # noqa: E731
+    oc = orders.select(tok("o_custkey").alias("tok"), "o_totalprice")
+    cc = cust.select(tok("c_custkey").alias("tok"), "c_nationkey")
+    tokjoin = (
+        oc.join(cc, "tok")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    plain = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_plain"))
+    )
+    return tokjoin.join(plain, "nationkey").select(
+        "nationkey",
+        "n_orders",
+        "revenue",
+        (F.col("n_orders") == F.col("n_plain")).alias("integrity_ok"),
+    )
