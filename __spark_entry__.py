@@ -49,234 +49,238 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    # Re-spliced from the round-5 wave-2 full-surface timing run:
-    # the 105 queries never recorded in CORRECTNESS_r01-r04 lead,
-    # cheapest first (~50-slot driver window lands on fresh names);
-    # the 126 already-recorded follow, also cheapest first.
-    "window_running_median_price",
-    "orders_coverage_islands",
-    "events_attribution_last_touch",
-    "events_cusum_changepoint",
-    "ivm_join_view",
-    "multimodal_shard_manifest",
-    "text_repetition",
-    "window_moving_avg_spend",
-    "text_bpe_apply_merge",
-    "q19_disjunctive_bracket",
-    "history_gap_fill",
-    "join_bloom_pruned",
-    "events_survival_km",
-    "agg_equidepth_histogram",
-    "text_langid",
-    "profile_orders_columns",
-    "asof_event_latest_order",
-    "q18_large_quantity_orders",
-    "q17_small_qty_revenue",
-    "events_top_paths",
+    # Re-spliced from the round-5 final full-surface timing run:
+    # the 110 queries never recorded in CORRECTNESS_r01-r04 lead,
+    # cheapest first; the 126 recorded follow, also cheapest first.
     "agg_histogram",
-    "window_revenue_share",
-    "sketch_kmv_overlap",
-    "text_encode_ids",
-    "graph_degree_stats",
-    "q16_supplier_variety",
-    "customer_rfm_segments",
-    "embed_dim_zscore",
-    "sim_matryoshka_recall",
-    "q10_returned_item_revenue",
-    "pipeline_e7_backlinks",
-    "events_value_mad",
-    "dedup_hot_shingles",
-    "window_trailing_7d_spend",
-    "q21_sole_late_shippers",
     "events_pattern_view_to_purchase",
-    "sql_adhoc_directory_rollup",
-    "q20_excess_share_shippers",
-    "text_bm25_topdocs",
+    "history_asof_read",
+    "text_bpe_merges",
+    "privacy_pseudonymize_join",
+    "sketch_ams_f2",
+    "sim_cosine_topk_pandas",
+    "storage_rendezvous_shards",
+    "join_full_outer_coverage",
+    "q17_small_qty_revenue",
+    "q18_large_quantity_orders",
+    "profile_orders_columns",
+    "q19_disjunctive_bracket",
+    "q15_top_supplier",
+    "history_seasonal_decompose",
+    "events_top_paths",
+    "dedup_hot_shingles",
+    "window_moving_avg_spend",
+    "graph_degree_stats",
     "corpus_weighted_sample",
+    "q10_returned_item_revenue",
+    "q16_supplier_variety",
+    "events_value_mad",
+    "embed_dim_zscore",
+    "asof_event_latest_order",
+    "sketch_cms_user_counts",
+    "pipeline_e7_backlinks",
+    "q21_sole_late_shippers",
     "pipeline_e3_bookings",
-    "stream_static_enrich",
-    "sql_macro_rollup",
-    "q11_important_parts",
-    "text_duplicate_spans",
+    "text_langid",
+    "window_revenue_share",
+    "customer_rfm_segments",
+    "text_pmi_bigrams",
+    "q9_product_profit",
+    "text_bm25_topdocs",
+    "window_trailing_7d_spend",
+    "sim_quantize_int8",
+    "text_encode_ids",
+    "agg_equidepth_histogram",
     "skyline_orders",
     "q7_nation_trade_volume",
-    "q9_product_profit",
-    "sql_adhoc_latest_snapshot",
-    "q2_min_cost_supplier",
-    "text_pmi_bigrams",
-    "stream_heavy_hitters",
-    "sim_pq_codes",
-    "copurchase_capped",
-    "stream_language_mix",
-    "history_seasonal_decompose",
-    "stream_corpus_ingest",
-    "copurchase_top_pairs",
-    "q8_market_share",
-    "sim_quantize_int8",
-    "storage_zorder_stats",
-    "sql_adhoc_daily_orders",
-    "stream_dedup_events",
-    "q15_top_supplier",
-    "stream_sliding_2h",
-    "join_full_outer_coverage",
-    "sample_bootstrap_ci",
-    "history_asof_read",
-    "sql_recursive_hierarchy",
-    "sim_ivf_topk",
-    "stream_sessionize",
-    "stream_attribution_last_touch",
+    "history_gap_fill",
+    "sim_matryoshka_recall",
     "pipeline_e2_ranks",
-    "sim_pq_topk",
-    "stream_user_ewma",
-    "stream_hourly_anomaly",
-    "sim_pca_power_iteration",
-    "stream_pattern_conversions",
-    "sim_quantize_recall",
-    "sim_ivfpq_topk",
-    "pipeline_e6_inlinks",
-    "stream_stateful_user_totals",
-    "graph_cheirank",
-    "corpus_pipeline_funnel",
-    "graph_pagerank",
-    "split_leakage_check",
-    "history_interpolate",
-    "embed_dup_clusters",
-    "graph_components",
+    "q11_important_parts",
+    "q2_min_cost_supplier",
+    "events_survival_km",
+    "join_bloom_pruned",
+    "copurchase_top_pairs",
+    "sql_adhoc_directory_rollup",
+    "q20_excess_share_shippers",
+    "sql_adhoc_latest_snapshot",
+    "stream_heavy_hitters",
+    "multimodal_shard_manifest",
     "stream_hourly_tumbling",
-    "dedup_verified_pairs",
+    "stream_language_mix",
+    "sql_macro_rollup",
+    "sketch_kmv_overlap",
+    "text_duplicate_spans",
+    "text_bpe_apply_merge",
+    "stream_sliding_2h",
+    "stream_corpus_ingest",
+    "storage_zorder_stats",
+    "sim_pq_codes",
+    "sql_recursive_hierarchy",
+    "stream_kmv_viewers",
+    "sample_bootstrap_ci",
+    "events_attribution_last_touch",
+    "sim_quantize_recall",
+    "stream_stateful_user_totals",
+    "stream_user_ewma",
+    "sql_adhoc_daily_orders",
+    "stream_hourly_anomaly",
+    "ivm_join_view",
+    "stream_pattern_conversions",
+    "stream_dedup_events",
+    "q8_market_share",
+    "stream_sessionize",
+    "sim_pq_topk",
+    "copurchase_capped",
+    "sim_pca_power_iteration",
+    "events_cusum_changepoint",
+    "sim_ivf_topk",
+    "graph_pagerank",
+    "orders_coverage_islands",
+    "corpus_pipeline_funnel",
+    "history_interpolate",
+    "dedup_prefix_filter_pairs",
+    "graph_components",
+    "stream_static_enrich",
+    "pipeline_e6_inlinks",
+    "split_leakage_check",
+    "graph_cheirank",
     "sim_kmeans_step",
     "dedup_ngram_jaccard_capped",
-    "sim_cosine_topk_pandas",
-    "dedup_prefix_filter_pairs",
-    "bucketed_join_order_lineitems",
-    "dedup_corpus_survivors",
-    "stream_stream_left_outer",
+    "sim_ivfpq_topk",
+    "embed_dup_clusters",
+    "dedup_verified_pairs",
+    "text_repetition",
     "stream_stream_join",
+    "bucketed_join_order_lineitems",
+    "stream_stream_left_outer",
+    "stream_attribution_last_touch",
+    "dedup_corpus_survivors",
     "dedup_minhash_accuracy",
     "graph_components_converged",
-    "stream_user_totals_tws",
-    "graph_triangle_count",
-    "text_bpe_merges",
     "history_theil_sen",
+    "graph_triangle_count",
+    "window_running_median_price",
+    "stream_user_totals_tws",
     "macro_website_type",
-    "topk_orders_by_price",
     "macro_url_levels",
     "macro_doctype_label",
     "macro_concat_ws_skipnull",
+    "topk_orders_by_price",
     "text_token_positions",
-    "sample_weighted_reservoir",
     "lateral_explode_type_words",
     "text_fingerprints",
-    "text_token_stats",
-    "multimodal_frame_plan",
-    "text_redact_pii",
-    "macro_fill_cast",
-    "events_top_users",
-    "sample_stratified",
-    "text_type_token_ratio",
     "agg_collect_sorted",
-    "macro_dates_truncate",
+    "sample_weighted_reservoir",
     "sim_label_stats",
-    "multimodal_meta_stats",
-    "minmax_priciest_part_per_brand",
-    "pipeline_e8_hreflang",
-    "sim_srp_buckets",
-    "pipeline_e1_crawl",
     "window_percent_rank_top",
-    "q6_forecast_revenue",
-    "join_semi_shipped",
-    "macro_regex_projection",
-    "sim_cosine_topk",
-    "window_ntile_quartiles",
-    "agg_price_percentiles",
-    "agg_cube_flag_status",
-    "asof_latest_order_per_customer",
-    "events_json_extract",
-    "events_dedup_count",
+    "macro_fill_cast",
     "events_heavy_hitters",
-    "events_dp_noisy_counts",
+    "sim_cosine_topk",
+    "text_redact_pii",
     "contamination_scan",
-    "union_mismatched_entities",
-    "broadcast_nation_region",
-    "sim_label_centroids",
-    "pivot_status_by_priority",
-    "pipeline_e5_orphans",
-    "agg_rollup_status_priority",
-    "split_train_test",
-    "doc_length_deciles",
-    "fuzzy_match_parts",
-    "pipeline_e4_images",
-    "agg_grouping_sets",
-    "window_top3_orders_per_customer",
-    "corpus_quality_filter",
+    "minmax_priciest_part_per_brand",
+    "q6_forecast_revenue",
+    "macro_dates_truncate",
+    "multimodal_frame_plan",
     "multimodal_dedup_payloads",
-    "agg_stats_moments",
-    "window_dense_rank_days",
-    "events_sessionize",
-    "setop_nations_cust_only",
-    "scalar_subquery_above_avg",
-    "history_metric_delta",
-    "events_value_outliers",
-    "events_user_ewma",
-    "setop_nations_cust_and_supp",
-    "unpivot_lineitem_metrics",
-    "skew_salted_event_counts",
-    "agg_distinct_suppliers",
-    "events_hourly_tumbling",
-    "events_variant_parse",
-    "events_props_map_explode",
-    "join_null_safe",
-    "events_rollup_hour_day",
-    "q4_priority_with_late_lines",
-    "join_anti_unshipped",
-    "window_order_gap_days",
-    "events_sliding_2h",
-    "sim_knn_join",
-    "corpus_mixture_weights",
-    "q12_priority_class_by_status",
-    "q13_customer_order_distribution",
-    "history_url_churn",
-    "events_time_weighted_value",
-    "join_range_followups",
-    "q14_promo_revenue_share",
-    "q22_idle_customers",
-    "events_transition_matrix",
-    "text_ngram_counts",
-    "text_char_entropy",
-    "diag_custkey_skew",
-    "history_scd2",
-    "join_left_customer_orders",
-    "sim_ann_topk",
-    "text_quality_scores",
-    "setop_nation_bag_overlap",
-    "setop_nation_bag_excess",
-    "macro_days_between",
-    "sim_ivf_clusters",
+    "pipeline_e8_hreflang",
+    "union_mismatched_entities",
+    "events_top_users",
+    "events_dp_noisy_counts",
+    "sim_srp_buckets",
+    "sample_stratified",
+    "sim_label_centroids",
+    "text_token_stats",
+    "doc_length_deciles",
+    "pipeline_e1_crawl",
+    "window_ntile_quartiles",
+    "macro_regex_projection",
+    "events_dedup_count",
+    "multimodal_meta_stats",
+    "pivot_status_by_priority",
+    "agg_price_percentiles",
+    "agg_rollup_status_priority",
+    "window_top3_orders_per_customer",
+    "join_semi_shipped",
+    "agg_cube_flag_status",
     "text_chunk_docs",
-    "multimodal_features",
-    "window_running_spend",
-    "macro_lenient_int",
-    "dedup_embedding_cosine",
-    "fit_price_trend_pandas",
-    "events_cohort_retention",
-    "text_tfidf_terms",
-    "events_hourly_anomaly",
-    "text_vocab_coverage",
-    "agg_regression_price_qty",
-    "events_new_vs_returning",
-    "dedup_incremental",
-    "window_cume_dist_nth",
-    "q1_pricing_summary",
+    "text_type_token_ratio",
+    "pipeline_e5_orphans",
+    "broadcast_nation_region",
+    "events_json_extract",
+    "split_train_test",
+    "sim_ivf_clusters",
+    "scalar_subquery_above_avg",
+    "window_dense_rank_days",
+    "asof_latest_order_per_customer",
+    "events_time_weighted_value",
+    "setop_nations_cust_and_supp",
+    "agg_grouping_sets",
+    "join_null_safe",
+    "q14_promo_revenue_share",
+    "events_sessionize",
+    "corpus_quality_filter",
+    "agg_stats_moments",
+    "fuzzy_match_parts",
+    "events_variant_parse",
+    "join_range_followups",
+    "history_url_churn",
     "macro_locale_decimal",
+    "skew_salted_event_counts",
+    "pipeline_e4_images",
+    "events_hourly_tumbling",
+    "join_anti_unshipped",
+    "events_rollup_hour_day",
     "text_pack_sequences",
-    "events_drift_psi",
-    "dedup_exact_groups",
+    "setop_nations_cust_only",
+    "agg_regression_price_qty",
+    "history_metric_delta",
+    "agg_distinct_suppliers",
+    "events_sliding_2h",
+    "events_user_ewma",
+    "join_left_customer_orders",
+    "events_cohort_retention",
+    "events_props_map_explode",
+    "macro_days_between",
+    "dedup_embedding_cosine",
+    "sim_ann_topk",
+    "text_char_entropy",
+    "q4_priority_with_late_lines",
+    "q12_priority_class_by_status",
+    "macro_lenient_int",
+    "sim_knn_join",
+    "text_quality_scores",
+    "text_ngram_counts",
+    "corpus_mixture_weights",
+    "unpivot_lineitem_metrics",
     "winsorize_order_totals",
-    "customer_nation_segment_chi2",
+    "fit_price_trend_pandas",
+    "diag_custkey_skew",
+    "events_value_outliers",
+    "dedup_incremental",
+    "setop_nation_bag_excess",
+    "history_scd2",
+    "window_order_gap_days",
+    "text_vocab_coverage",
+    "setop_nation_bag_overlap",
+    "q22_idle_customers",
     "events_value_outliers_mad",
+    "dedup_exact_groups",
+    "window_cume_dist_nth",
+    "window_running_spend",
+    "events_transition_matrix",
+    "q13_customer_order_distribution",
+    "events_new_vs_returning",
+    "text_tfidf_terms",
+    "q1_pricing_summary",
+    "events_hourly_anomaly",
+    "events_drift_psi",
+    "multimodal_features",
     "events_funnel",
     "q3_shipping_priority",
     "events_dau_wau",
+    "customer_nation_segment_chi2",
     "q5_local_supplier_volume",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

@@ -141,6 +141,13 @@ HEADLINE = [
     "ivm_join_view",
     "text_bpe_apply_merge",
     "history_theil_sen",
+    # added round 5 (wave 3): CMS + AMS sketch audits, streaming KMV,
+    # rendezvous sharding, consistent pseudonymization
+    "sketch_cms_user_counts",
+    "sketch_ams_f2",
+    "stream_kmv_viewers",
+    "storage_rendezvous_shards",
+    "privacy_pseudonymize_join",
 ]
 
 
