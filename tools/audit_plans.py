@@ -109,6 +109,8 @@ EXPECTED_NESTED_LOOP = {
     "text_bpe_apply_merge",
     # 1-row median x exact-F2 frames joined into the audit row
     "sketch_ams_f2",
+    # three 1-row stage counts cross-joined into the ordered-funnel row
+    "events_funnel_ordered",
 }
 STREAM = re.compile(r"^stream_")
 

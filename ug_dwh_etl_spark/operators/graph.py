@@ -351,3 +351,121 @@ def sql_connected_components(edges_sql: str, iterations: int = 3) -> str:
       GROUP BY l.node, l.label)"""
         )
     return "WITH " + ",\n    ".join(parts)
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping: float = DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """Personalized PageRank: teleport mass concentrated on ``seeds``
+    (a (node) frame) instead of spread uniformly — rank_{i+1}(v) =
+    (1-d)·p(v) + d·Σ_in rank_i(u)/outdeg(u) with p = 1/|S| on seeds,
+    0 elsewhere. THE recommendation/similarity primitive on link
+    graphs ('rank everything by proximity to this seed set'). Same
+    loop skeleton and shuffle budget as ``pagerank`` (the teleport
+    table replaces the implicit all-ones rank_0); seeds are typically
+    tiny and broadcast into the node table once."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+    prev_parts = None
+    if loop_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        edges = edges.persist()
+        nodes = (
+            edges.select(F.col(src).alias("node"))
+            .union(edges.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        n_seeds = seeds.select(F.col("node")).distinct().agg(
+            F.count(F.lit(1)).alias("ns")
+        )
+        tp = (
+            nodes.join(
+                seeds.select(F.col("node")).distinct().withColumn("_is_seed", F.lit(1)),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(n_seeds))
+            .select(
+                "node",
+                F.when(F.col("_is_seed") == 1, 1.0 / F.col("ns"))
+                .otherwise(0.0)
+                .alias("p"),
+            )
+            .persist()
+        )
+        deg = out_degrees(edges, src)
+        ce = (
+            edges.join(deg, src)
+            .select(
+                F.col(src).alias("c_src"),
+                F.col(dst).alias("c_dst"),
+                (F.lit(1.0) / F.col("outdeg")).alias("w"),
+            )
+            .repartition("c_src")
+            .persist()
+        )
+        rank = tp.select("node", F.col("p").alias("rank"))
+        for _ in range(iterations):
+            inflow = (
+                ce.join(rank, ce.c_src == rank.node)
+                .select(F.col("c_dst").alias("node"), (F.col("rank") * F.col("w")).alias("flow"))
+                .groupBy("node")
+                .agg(F.sum("flow").alias("inflow"))
+            )
+            rank = tp.join(inflow, "node", "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping) * F.col("p")
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        result = rank.localCheckpoint(eager=True)
+        ce.unpersist()
+        tp.unpersist()
+        edges.unpersist()
+        return result
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def sql_personalized_pagerank(
+    edges_sql: str,
+    seeds_sql: str,
+    iterations: int = 3,
+    damping: float = DAMPING,
+) -> str:
+    """Unrolled ANSI-SQL oracle for ``personalized_pagerank``;
+    ``seeds_sql`` must select a (node) column."""
+    d = damping
+    parts = [
+        f"edges AS ({edges_sql})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges))",
+        f"seeds AS (SELECT DISTINCT node FROM ({seeds_sql}))",
+        "tp AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1.0 / (SELECT COUNT(*) FROM seeds) ELSE 0.0 END AS p FROM nodes n LEFT JOIN seeds s ON n.node = s.node)",
+        "deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src)",
+        "ce AS (SELECT e.src AS c_src, e.dst AS c_dst, 1.0 / deg.outdeg AS w FROM edges e JOIN deg ON e.src = deg.src)",
+        "r0 AS (SELECT node, p AS rank FROM tp)",
+    ]
+    for i in range(iterations):
+        parts.append(
+            f"""f{i + 1} AS (
+              SELECT ce.c_dst AS node, SUM(r{i}.rank * ce.w) AS inflow
+              FROM ce JOIN r{i} ON ce.c_src = r{i}.node GROUP BY ce.c_dst)"""
+        )
+        parts.append(
+            f"""r{i + 1} AS (
+              SELECT tp.node,
+                     {1.0 - d!r} * tp.p + {d!r} * COALESCE(f{i + 1}.inflow, 0.0) AS rank
+              FROM tp LEFT JOIN f{i + 1} ON tp.node = f{i + 1}.node)"""
+        )
+    return "WITH " + ",\n    ".join(parts)

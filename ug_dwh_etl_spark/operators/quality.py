@@ -45,3 +45,25 @@ def observed(df: DataFrame, name: str, *metrics: Column):
 
     obs = Observation(name)
     return df.observe(obs, *metrics), obs
+
+
+def contract_check(df: DataFrame, rules: list[tuple[str, Column]]) -> DataFrame:
+    """Declarative data-contract validation: ``rules`` is a list of
+    (constraint_name, boolean aggregate Column); the result has one row
+    per constraint with its pass flag — the whole contract costs ONE
+    partial-aggregated pass over the table regardless of rule count
+    (every rule is an aggregate expression in the same agg, then the
+    1-row result unpivots). Compose with ``expect``/Gate to make a
+    failing contract block the pipeline, or sink the rows to the run
+    log for drift tracking."""
+    import pyspark.sql.functions as F
+
+    agg = df.agg(*[c.alias(f"_r{i}") for i, (_, c) in enumerate(rules)])
+    pairs = ", ".join(
+        f"'{name}', cast(_r{i} AS string)" for i, (name, _) in enumerate(rules)
+    )
+    return agg.selectExpr(
+        f"stack({len(rules)}, {pairs}) AS (constraint_name, passed)"
+    ).select(
+        "constraint_name", (F.col("passed") == "true").alias("passed")
+    )

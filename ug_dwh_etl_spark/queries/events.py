@@ -1625,3 +1625,81 @@ def sketch_ams_f2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+@register(
+    "events_funnel_ordered",
+    """
+    WITH s AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+               WHERE event_type = 'signup' GROUP BY user_id),
+    v AS (SELECT e.user_id, MIN(e.ts) AS t_view
+          FROM events e JOIN s ON e.user_id = s.user_id
+          WHERE e.event_type = 'view' AND e.ts > s.t_signup
+            AND e.ts <= s.t_signup + INTERVAL 7 DAY
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+            AND e.ts <= v.t_view + INTERVAL 7 DAY
+          GROUP BY e.user_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s) AS n_signup,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased,
+           ROUND((SELECT COUNT(*) FROM v) * 1.0
+                 / (SELECT COUNT(*) FROM s), 6) AS view_rate,
+           ROUND((SELECT COUNT(*) FROM p) * 1.0
+                 / GREATEST((SELECT COUNT(*) FROM v), 1), 6) AS purchase_rate
+    """,
+)
+def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRICTLY ORDERED funnel with per-step horizons: signup → first
+    view within 7 days AFTER it → first purchase within 7 days after
+    THAT view. Unlike the unordered stage-count funnel (events_funnel),
+    each step anchors on the previous step's timestamp, which is the
+    semantics product analytics actually wants. Three per-user MIN
+    rollups chained by key joins — every shuffle is user-keyed and each
+    stage's relation only shrinks; no window over the raw event
+    sequence is needed because each step's anchor is a MIN under a
+    predicate on the prior anchor."""
+    ev = table(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    v = (
+        ev.join(s, "user_id")
+        .filter(
+            (F.col("event_type") == "view")
+            & (F.col("ts") > F.col("t_signup"))
+            & (F.col("ts") <= F.col("t_signup") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.join(v, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t_view"))
+            & (F.col("ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
+        )
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    ns = s.agg(F.count(F.lit(1)).alias("n_signup"))
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewed"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchased"))
+    return (
+        ns.crossJoin(F.broadcast(nv))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_signup",
+            "n_viewed",
+            "n_purchased",
+            F.round(F.col("n_viewed") / F.col("n_signup"), 6).alias("view_rate"),
+            F.round(
+                F.col("n_purchased") / F.greatest(F.col("n_viewed"), F.lit(1)), 6
+            ).alias("purchase_rate"),
+        )
+    )

@@ -267,3 +267,53 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     )
     return sides.crossJoin(tri).select("n_edges", "n_nodes", "n_triangles")
+
+
+_SEEDS_SQL = """
+    SELECT DISTINCT 's' || l_suppkey::VARCHAR AS node
+    FROM lineitem WHERE l_suppkey % 10 = 0
+"""
+
+
+def _ppr_oracle() -> str:
+    from ug_dwh_etl_spark.operators.graph import sql_personalized_pagerank
+
+    return (
+        sql_personalized_pagerank(_EDGES_SQL, _SEEDS_SQL, iterations=3)
+        + """
+    SELECT node, ROUND(rank * 1000, 6) AS rank_permille
+    FROM r3 WHERE rank > 0 ORDER BY rank_permille DESC, node LIMIT 50
+    """
+    )
+
+
+@register("graph_personalized_pagerank", _ppr_oracle())
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the seed suppliers (suppkey % 10 = 0):
+    teleport mass stays near the seeds, so the ranking answers 'which
+    parts/suppliers are closest to THIS portfolio' — the
+    recommendation/related-items primitive the uniform rank can't
+    express. Top-50 by proximity (permille scale, 6-digit round);
+    zero-rank nodes (unreachable within 3 hops) are excluded on both
+    engines. Same per-iteration shuffle budget as graph_pagerank."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.graph import personalized_pagerank
+
+    li = table(spark, sf_dir, "lineitem")
+    seeds = (
+        li.filter(F.col("l_suppkey") % 10 == 0)
+        .select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("node")
+        )
+        .distinct()
+    )
+    ranks = personalized_pagerank(
+        _edges(spark, sf_dir), seeds, iterations=3, loop_partitions=16
+    )
+    return (
+        ranks.filter(F.col("rank") > 0)
+        .select("node", F.round(F.col("rank") * 1000, 6).alias("rank_permille"))
+        .orderBy(F.desc("rank_permille"), F.asc("node"))
+        .limit(50)
+    )

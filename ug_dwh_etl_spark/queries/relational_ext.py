@@ -1692,3 +1692,125 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(m, 0.025)"), 4).alias("ci_lo"),
         F.round(F.expr("percentile(m, 0.975)"), 4).alias("ci_hi"),
     )
+
+
+# --- conditional-restart running sum (segmented windows) ------------------------
+@register(
+    "window_spend_between_bigorders",
+    """
+    WITH seg AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             SUM(CASE WHEN o_totalprice > 400000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS seg_id
+      FROM orders),
+    run AS (
+      SELECT o_custkey, o_orderkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey, COALESCE(seg_id, 0)
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS spend_since_big
+      FROM seg)
+    SELECT o_custkey, o_orderkey,
+           CAST(spend_since_big AS DOUBLE) AS spend_since_big
+    FROM run WHERE o_custkey % 20 = 0
+    """,
+)
+def window_spend_between_bigorders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running spend that RESETS after each big order (>400k): the
+    conditional-restart running total, solved with the segment-id
+    trick — a prior-rows count of reset events becomes the extra
+    partition key for the inner running sum. Two stacked windows over
+    ONE user-keyed sort (both windows share the (custkey, date) order,
+    so Catalyst plans a single exchange+sort); the naive per-row
+    'scan backwards to the last reset' is quadratic per key. Same
+    pattern meters usage between plan upgrades, rainfall between dry
+    spells, balance since last settlement."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 20 == 0)
+    w_prev = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = orders.withColumn(
+        "seg_id",
+        F.coalesce(
+            F.sum(F.when(F.col("o_totalprice") > 400000, 1).otherwise(0)).over(w_prev),
+            F.lit(0),
+        ),
+    )
+    w_run = (
+        Window.partitionBy("o_custkey", "seg_id")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return seg.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w_run)
+        .cast("double")
+        .alias("spend_since_big"),
+    )
+
+
+# --- declarative data contract over orders --------------------------------------
+@register(
+    "dq_contract_orders",
+    """
+    WITH agg AS (
+      SELECT COUNT(*) = COUNT(o_orderkey) AND COUNT(*) = COUNT(DISTINCT o_orderkey)
+               AS pk_unique_not_null,
+             MIN(o_totalprice) > 0 AS price_positive,
+             MAX(o_totalprice) < 1000000 AS price_below_cap,
+             MIN(o_orderdate) >= DATE '1992-01-01'
+               AND MAX(o_orderdate) <= DATE '1998-12-31' AS dates_in_range,
+             COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END) = 0
+               AS status_in_domain,
+             COUNT(CASE WHEN o_custkey IS NULL THEN 1 END) = 0 AS fk_not_null
+      FROM orders)
+    SELECT * FROM (
+      SELECT 'pk_unique_not_null' AS constraint_name,
+             pk_unique_not_null AS passed FROM agg
+      UNION ALL SELECT 'price_positive', price_positive FROM agg
+      UNION ALL SELECT 'price_below_cap', price_below_cap FROM agg
+      UNION ALL SELECT 'dates_in_range', dates_in_range FROM agg
+      UNION ALL SELECT 'status_in_domain', status_in_domain FROM agg
+      UNION ALL SELECT 'fk_not_null', fk_not_null FROM agg)
+    """,
+)
+def dq_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data contract on the orders table — primary-key
+    uniqueness, value bounds, date range, enum domain, FK non-null —
+    validated in ONE aggregate pass (operators.quality.contract_check:
+    every rule is an aggregate expression in the same agg, so adding
+    rules costs expressions, not scans). The schema-contract gate that
+    runs before a 100 TB table is published to consumers; wire the
+    output into plans/pipeline.Gate to make failures block."""
+    from ug_dwh_etl_spark.operators.quality import contract_check
+
+    orders = table(spark, sf_dir, "orders")
+    rules = [
+        (
+            "pk_unique_not_null",
+            (F.count(F.lit(1)) == F.count("o_orderkey"))
+            & (F.count(F.lit(1)) == F.count_distinct(F.col("o_orderkey"))),
+        ),
+        ("price_positive", F.min("o_totalprice") > 0),
+        ("price_below_cap", F.max("o_totalprice") < 1000000),
+        (
+            "dates_in_range",
+            (F.min(F.to_date("o_orderdate")) >= F.lit("1992-01-01").cast("date"))
+            & (F.max(F.to_date("o_orderdate")) <= F.lit("1998-12-31").cast("date")),
+        ),
+        (
+            "status_in_domain",
+            F.count(
+                F.when(~F.col("o_orderstatus").isin("F", "O", "P"), F.lit(1))
+            )
+            == 0,
+        ),
+        ("fk_not_null", F.count(F.when(F.col("o_custkey").isNull(), F.lit(1))) == 0),
+    ]
+    return contract_check(orders, rules)
