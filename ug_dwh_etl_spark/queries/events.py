@@ -1703,3 +1703,98 @@ def events_funnel_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("purchase_rate"),
         )
     )
+
+
+@register(
+    "sketch_ams_join_size",
+    f"""
+    WITH va AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    vb AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n FROM events
+           WHERE event_type = 'purchase' GROUP BY user_id),
+    ests AS (SELECT unnest(generate_series(0, {_AMS_K - 1})) AS est),
+    za AS (
+      SELECT est, SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|ams'
+                                                    || est::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                           THEN n ELSE -n END) AS z
+      FROM va, ests GROUP BY est),
+    zb AS (
+      SELECT est, SUM(CASE WHEN ('0x' || substr(md5(user_id::VARCHAR || '|ams'
+                                                    || est::VARCHAR), 1, 8))::BIGINT % 2 = 0
+                           THEN n ELSE -n END) AS z
+      FROM vb, ests GROUP BY est),
+    exact AS (
+      SELECT SUM(va.n * vb.n) AS jsz FROM va JOIN vb USING (user_id))
+    SELECT CAST(ROUND(quantile_cont(za.z * zb.z, 0.5)) AS BIGINT) AS join_size_est,
+           CAST(jsz AS BIGINT) AS join_size_exact,
+           ROUND(ABS(quantile_cont(za.z * zb.z, 0.5) - jsz) / jsz, 4) AS rel_err
+    FROM za JOIN zb USING (est), exact
+    GROUP BY jsz
+    """,
+)
+def sketch_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE classic AMS application: estimate a join's output size
+    WITHOUT running the join. The view⋈purchase per-user join's
+    cardinality is the inner product Σ_u views(u)·purchases(u), and
+    the median of z_A·z_B over {_AMS_K} shared-sign sketches estimates
+    it from two independent single scans — each side's sketch is
+    {_AMS_K} longs, mergeable, computable side-by-side with ingest.
+    This is the number a planner (or a capacity review) wants BEFORE
+    committing a 100 TB × 100 TB join; the audit row carries the exact
+    size and relative error, and shared deterministic signs make the
+    estimate engine-exact."""
+    ev = table(spark, sf_dir, "events")
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    def sketch(etype: str) -> DataFrame:
+        counts = (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        signed = counts.select(
+            "user_id",
+            "n",
+            F.explode(F.sequence(F.lit(0), F.lit(_AMS_K - 1))).alias("est"),
+        ).withColumn(
+            "zn",
+            F.when(
+                md5_long(
+                    F.concat(
+                        F.col("user_id").cast("string"),
+                        F.lit("|ams"),
+                        F.col("est").cast("string"),
+                    ),
+                    8,
+                )
+                % 2
+                == 0,
+                F.col("n"),
+            ).otherwise(-F.col("n")),
+        )
+        return signed.groupBy("est").agg(F.sum("zn").alias("z"))
+
+    za = sketch("view").withColumnRenamed("z", "za")
+    zb = sketch("purchase").withColumnRenamed("z", "zb")
+    prod = za.join(zb, "est").select((F.col("za") * F.col("zb")).alias("p"))
+    med = prod.agg(F.expr("percentile(p, 0.5)").alias("est_sz"))
+    va = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("na"))
+    )
+    vb = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("nb"))
+    )
+    exact = va.join(vb, "user_id").agg(
+        F.sum(F.col("na") * F.col("nb")).alias("jsz")
+    )
+    return med.crossJoin(F.broadcast(exact)).select(
+        F.round("est_sz").cast("long").alias("join_size_est"),
+        F.col("jsz").cast("long").alias("join_size_exact"),
+        F.round(F.abs(F.col("est_sz") - F.col("jsz")) / F.col("jsz"), 4).alias(
+            "rel_err"
+        ),
+    )

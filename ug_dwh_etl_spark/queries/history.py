@@ -526,3 +526,84 @@ def history_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("intercept", 2).alias("intercept"),
         F.col("n_slopes").cast("long").alias("n_slopes"),
     )
+
+
+@register(
+    "join_temporal_scd2_tiers",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS rn
+      FROM orders),
+    changes AS (
+      SELECT o_custkey,
+             CASE WHEN rn = 10 THEN 'gold'
+                  WHEN rn = 5 THEN 'silver'
+                  ELSE 'bronze' END AS tier,
+             o_orderdate AS valid_from
+      FROM seq WHERE rn IN (1, 5, 10)),
+    dim AS (
+      SELECT o_custkey, tier, valid_from,
+             COALESCE(LEAD(valid_from) OVER (PARTITION BY o_custkey
+                                             ORDER BY valid_from, tier),
+                      DATE '9999-12-31') AS valid_to
+      FROM changes),
+    joined AS (
+      SELECT d.tier, s.o_totalprice
+      FROM seq s JOIN dim d
+        ON s.o_custkey = d.o_custkey
+       AND s.o_orderdate >= d.valid_from AND s.o_orderdate < d.valid_to)
+    SELECT tier, COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM joined GROUP BY tier
+    """,
+)
+def join_temporal_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-SCD2 temporal join — the versioned-dimension lookup every
+    warehouse needs: each order joins the loyalty-tier version VALID AT
+    ITS DATE (tier changes when a customer's 5th/10th order arrives,
+    built as a derived SCD2 dim with valid_from/valid_to), then revenue
+    rolls up by tier-as-of-order-time. Plan shape: the dim is
+    per-customer-tiny, so the temporal predicate rides the custkey
+    equi-join (band filter after the hash match — never a range-only
+    join); both the dim build and the fact sort share one custkey
+    shuffle. Date-grain versioning assigns a threshold-crossing day's
+    orders to the new tier on both engines identically (documented
+    intra-day limit of date-valid dims)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+    )
+    changes = seq.filter(F.col("rn").isin(1, 5, 10)).select(
+        "o_custkey",
+        F.when(F.col("rn") == 10, "gold")
+        .when(F.col("rn") == 5, "silver")
+        .otherwise("bronze")
+        .alias("tier"),
+        F.col("o_orderdate").alias("valid_from"),
+    )
+    w2 = Window.partitionBy("o_custkey").orderBy("valid_from", "tier")
+    dim = changes.select(
+        F.col("o_custkey").alias("d_custkey"),
+        "tier",
+        "valid_from",
+        F.coalesce(
+            F.lead("valid_from").over(w2), F.lit("9999-12-31").cast("date")
+        ).alias("valid_to"),
+    )
+    joined = seq.join(
+        dim,
+        (seq["o_custkey"] == dim["d_custkey"])
+        & (seq["o_orderdate"] >= dim["valid_from"])
+        & (seq["o_orderdate"] < dim["valid_to"]),
+    )
+    return joined.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
