@@ -58,3 +58,52 @@ def url_levels_sql(url_expr: str, dialect: str = "duckdb") -> list[str]:
         f"try_element_at(split({url_expr}, '/'), {i + 3}) AS {name}"
         for i, name in enumerate(URL_LEVEL_NAMES)
     ]
+
+
+def url_canonicalize(url: Column | str) -> Column:
+    """Canonical URL form for dedup/join keys — the normalization an SEO
+    crawl pipeline (the reference's domain) applies before comparing
+    URLs across crawls: lowercase scheme+host (path case is
+    significant, so only the authority prefix lowercases), strip
+    utm_*/gclid/fbclid tracking params (and a then-empty '?'), drop
+    fragments, collapse '//' runs in the path, strip one trailing
+    slash. Pure nested regexp_replace — runs in codegen on both
+    engines; see sql_url_canonicalize for the oracle spelling."""
+    c = F.col(url) if isinstance(url, str) else url
+    # 1. drop fragment
+    c = F.regexp_replace(c, "#.*$", "")
+    # 2. strip tracking params (leading '?' or '&' kept correct below)
+    c = F.regexp_replace(c, "[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&#]*", "")
+    # a surviving '&param' that now FOLLOWS the path (its '?' was
+    # stripped) must be promoted back to '?param'
+    c = F.regexp_replace(c, "^([^?]*)&", "$1?")
+    c = F.regexp_replace(c, "\\?$", "")
+    # 3. lowercase scheme://host prefix only
+    c = F.concat(
+        F.lower(F.regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", 1)),
+        F.regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""),
+    )
+    # 4. collapse duplicate slashes in the path (not the scheme's //)
+    c = F.regexp_replace(c, "(?<!:)//+", "/")
+    # 5. strip one trailing slash (keep a bare authority's root intact)
+    c = F.regexp_replace(c, "(.)/$", "$1")
+    return c
+
+
+def sql_url_canonicalize(expr: str) -> str:
+    """DuckDB spelling of url_canonicalize (RE2 lacks lookbehind, so the
+    duplicate-slash collapse protects '://' by temporarily encoding
+    it)."""
+    e = f"regexp_replace({expr}, '#.*$', '')"
+    e = f"regexp_replace({e}, '[?&](utm_[A-Za-z]+|gclid|fbclid)=[^&#]*', '', 'g')"
+    e = f"regexp_replace({e}, '^([^?]*)&', '\\1?')"
+    e = f"regexp_replace({e}, '\\?$', '')"
+    e = (
+        f"lower(regexp_extract({e}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1)) || "
+        f"regexp_replace({e}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*', '')"
+    )
+    e = f"replace({e}, '://', chr(1))"
+    e = f"regexp_replace({e}, '//+', '/', 'g')"
+    e = f"replace({e}, chr(1), '://')"
+    e = f"regexp_replace({e}, '(.)/$', '\\1')"
+    return e

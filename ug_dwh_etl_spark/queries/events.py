@@ -1798,3 +1798,43 @@ def sketch_ams_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_err"
         ),
     )
+
+
+@register(
+    "events_stickiness",
+    """
+    WITH mau AS (
+      SELECT date_trunc('month', ts) AS mo,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS mau
+      FROM events GROUP BY mo),
+    dau AS (
+      SELECT date_trunc('month', ts) AS mo,
+             CAST(ts AS DATE) AS day,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+      FROM events GROUP BY mo, day),
+    avg_dau AS (SELECT mo, AVG(dau) AS avg_dau FROM dau GROUP BY mo)
+    SELECT strftime(m.mo, '%Y-%m') AS month, m.mau,
+           ROUND(a.avg_dau, 4) AS avg_dau,
+           ROUND(a.avg_dau / m.mau, 6) AS stickiness
+    FROM mau m JOIN avg_dau a USING (mo)
+    """,
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month — the engagement ratio every
+    product dashboard carries next to the DAU/WAU series
+    (events_dau_wau). Two distinct-count rollups (day grain and month
+    grain) joined on the month-cardinality relation; both distincts are
+    user-keyed hash aggregates, nothing window-shaped."""
+    ev = table(spark, sf_dir, "events")
+    mo = F.date_trunc("month", F.col("ts")).alias("mo")
+    mau = ev.groupBy(mo).agg(F.count_distinct("user_id").alias("mau"))
+    dau = ev.groupBy(
+        mo, F.to_date("ts").alias("day")
+    ).agg(F.count_distinct("user_id").alias("dau"))
+    avg_dau = dau.groupBy("mo").agg(F.avg("dau").alias("avg_dau"))
+    return mau.join(avg_dau, "mo").select(
+        F.date_format("mo", "yyyy-MM").alias("month"),
+        "mau",
+        F.round("avg_dau", 4).alias("avg_dau"),
+        F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
+    )

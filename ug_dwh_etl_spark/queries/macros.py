@@ -262,3 +262,78 @@ def macro_regex_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("discount", 2).alias("discount"),
         F.round("tax", 2).alias("tax"),
     )
+
+
+# --- URL canonicalization (crawl-dedup normalizer) -----------------------------
+def _canon_sql() -> str:
+    from ug_dwh_etl_spark.functions.urls import sql_url_canonicalize
+
+    messy = """CASE doc_id % 4
+      WHEN 0 THEN 'HTTPS://WWW.Example.COM/dir/d' || (doc_id // 4)::VARCHAR
+      WHEN 1 THEN 'https://www.example.com/dir/d' || (doc_id // 4)::VARCHAR
+                  || '?utm_source=news&utm_campaign=x&gclid=abc'
+      WHEN 2 THEN 'https://www.example.com/dir/d' || (doc_id // 4)::VARCHAR
+                  || '/#section-2'
+      ELSE 'https://www.example.com//dir//d' || (doc_id // 4)::VARCHAR END"""
+    return f"""
+    WITH c AS (
+      SELECT doc_id // 4 AS grp, {sql_url_canonicalize(messy)} AS canon
+      FROM documents)
+    SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_variants,
+           CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canonical,
+           MIN(canon) AS canonical
+    FROM c GROUP BY grp HAVING COUNT(*) = 4
+    """
+
+
+@register("macro_url_canonicalize", _canon_sql())
+def macro_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (functions/urls.py
+    url_canonicalize): four deterministic messy variants of each
+    logical URL — cased authority, utm/gclid tracking params, trailing
+    slash + fragment, doubled path slashes — must collapse to ONE
+    canonical form per group (n_canonical = 1 for every full group,
+    enforced by the oracle comparison). The normalizer is nested
+    regexp_replace, pure codegen, the pre-join key hygiene an SEO crawl
+    warehouse applies before any cross-crawl URL comparison."""
+    from ug_dwh_etl_spark.functions.urls import url_canonicalize
+
+    docs = table(spark, sf_dir, "documents")
+    base = F.concat(F.lit("/dir/d"), (F.col("doc_id") / 4).cast("long").cast("string"))
+    messy = (
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.lit("HTTPS://WWW.Example.COM"), base),
+        )
+        .when(
+            F.col("doc_id") % 4 == 1,
+            F.concat(
+                F.lit("https://www.example.com"),
+                base,
+                F.lit("?utm_source=news&utm_campaign=x&gclid=abc"),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(F.lit("https://www.example.com"), base, F.lit("/#section-2")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.example.com//dir//d"),
+                (F.col("doc_id") / 4).cast("long").cast("string"),
+            )
+        )
+    )
+    c = docs.select(
+        (F.col("doc_id") / 4).cast("long").alias("grp"),
+        url_canonicalize(messy).alias("canon"),
+    )
+    return (
+        c.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.count_distinct(F.col("canon")).alias("n_canonical"),
+            F.min("canon").alias("canonical"),
+        )
+        .filter(F.col("n_variants") == 4)
+    )

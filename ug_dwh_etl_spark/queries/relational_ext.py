@@ -1814,3 +1814,70 @@ def dq_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("fk_not_null", F.count(F.when(F.col("o_custkey").isNull(), F.lit(1))) == 0),
     ]
     return contract_check(orders, rules)
+
+
+# --- ABC (Pareto) classification of parts by revenue ---------------------------
+@register(
+    "parts_abc_analysis",
+    """
+    WITH rev AS (
+      SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_r,
+             SUM(r) OVER () AS tot_r
+      FROM rev),
+    classed AS (
+      SELECT CASE WHEN cum_r <= 0.5 * tot_r THEN 'A'
+                  WHEN cum_r <= 0.8 * tot_r THEN 'B'
+                  ELSE 'C' END AS abc_class, r
+      FROM ranked)
+    SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+           CAST(ROUND(SUM(r), 2) AS DOUBLE) AS revenue,
+           ROUND(SUM(r) / MAX(CAST((SELECT SUM(r) FROM rev) AS DOUBLE)), 6)
+             AS revenue_share
+    FROM classed GROUP BY abc_class
+    """,
+)
+def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: parts ranked by revenue, class A =
+    the head covering 50% of cumulative revenue, B to 80%, C the tail —
+    the inventory-management 80/20 cut. DECIMAL cumulative sums keep
+    class boundaries order-exact across engines (a double running sum
+    flips boundary rows). The ranked window runs on the PART-cardinality
+    relation after one corpus shuffle; at true scale the global revenue
+    ordering would go through repartitionByRange on r rather than one
+    window partition — the distributed-sort form of the same plan."""
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    w_cum = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = rev.select(
+        "r",
+        F.sum("r").over(w_cum).alias("cum_r"),
+        F.sum("r").over(w_all).alias("tot_r"),
+    )
+    classed = ranked.select(
+        F.when(F.col("cum_r") <= F.col("tot_r") * 0.5, "A")
+        .when(F.col("cum_r") <= F.col("tot_r") * 0.8, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+        "r",
+        "tot_r",
+    )
+    return classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.sum("r"), 2).cast("double").alias("revenue"),
+        F.round(F.sum("r") / F.max(F.col("tot_r").cast("double")), 6).alias(
+            "revenue_share"
+        ),
+    )
