@@ -356,3 +356,31 @@ def test_join_view_delta_equals_view_diff(spark):
     )
     refreshed = refresh_join_view(a_old, a_delta, b_old, b_delta, "k")
     assert sorted(map(tuple, refreshed.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_contract_check_flags_violations(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.quality import contract_check
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (2, 3.0), (None, 1.0)], "id int, v double"
+    )
+    got = {
+        r.constraint_name: r.passed
+        for r in contract_check(
+            df,
+            [
+                ("id_not_null", F.count(F.when(F.col("id").isNull(), 1)) == 0),
+                ("id_unique", F.count("id") == F.count_distinct("id")),
+                ("v_positive", F.min("v") > 0),
+                ("has_rows", F.count(F.lit(1)) > 0),
+            ],
+        ).collect()
+    }
+    assert got == {
+        "id_not_null": False,
+        "id_unique": False,
+        "v_positive": False,
+        "has_rows": True,
+    }

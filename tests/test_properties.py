@@ -346,3 +346,60 @@ def test_bpe_pair_stats_matches_python_model(spark, texts):
         for r in bpe_pair_stats(df, "text", top_k=5).orderBy("rnk").collect()
     ]
     assert got == _model_bpe(texts, 5)
+
+
+# --- URL canonicalization: cross-engine parity + idempotence -------------------
+
+import duckdb as _duckdb
+
+_scheme = st.sampled_from(["http://", "https://", "HTTPS://", "hTtP://"])
+_host = st.sampled_from(["Example.COM", "www.example.com", "A.b.C"])
+_seg = st.text(alphabet="abE9._-", min_size=1, max_size=4)
+_messy_url = st.builds(
+    lambda sch, host, segs, dbl, track, trail, frag: (
+        sch
+        + host
+        + ("//" if dbl else "/")
+        + "/".join(segs)
+        + ("/" if trail else "")
+        + ("?utm_source=x&keep=1&gclid=z" if track else "")
+        + ("#frag" if frag else "")
+    ),
+    _scheme,
+    _host,
+    st.lists(_seg, min_size=0, max_size=3),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+    st.booleans(),
+)
+
+
+@SETTINGS
+@given(urls=st.lists(_messy_url, min_size=1, max_size=25))
+def test_url_canonicalize_cross_engine_and_idempotent(spark, urls):
+    from ug_dwh_etl_spark.functions.urls import sql_url_canonicalize, url_canonicalize
+
+    df = _frame(spark, urls)
+    got = [
+        (r.v, r.c1, r.c2)
+        for r in df.select(
+            "v",
+            url_canonicalize("v").alias("c1"),
+            url_canonicalize(url_canonicalize("v")).alias("c2"),
+        ).collect()
+    ]
+    # idempotence: a canonical URL is its own canonical form
+    for v, c1, c2 in got:
+        assert c1 == c2, (v, c1, c2)
+        assert "utm_" not in c1 and "gclid" not in c1 and "#" not in c1, (v, c1)
+    # cross-engine: DuckDB's spelling produces the identical string
+    con = _duckdb.connect()
+    expr = sql_url_canonicalize("v")
+    duck = dict(
+        con.execute(
+            f"SELECT v, {expr} FROM (SELECT unnest(?) AS v)", [urls]
+        ).fetchall()
+    )
+    for v, c1, _ in got:
+        assert duck[v] == c1, (v, duck[v], c1)
