@@ -49,238 +49,246 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    # Re-spliced from the round-5 final full-surface timing run:
-    # the 110 queries never recorded in CORRECTNESS_r01-r04 lead,
-    # cheapest first; the 126 recorded follow, also cheapest first.
-    "agg_histogram",
-    "events_pattern_view_to_purchase",
-    "history_asof_read",
-    "text_bpe_merges",
-    "privacy_pseudonymize_join",
-    "sketch_ams_f2",
-    "sim_cosine_topk_pandas",
-    "storage_rendezvous_shards",
-    "join_full_outer_coverage",
-    "q17_small_qty_revenue",
-    "q18_large_quantity_orders",
-    "profile_orders_columns",
-    "q19_disjunctive_bracket",
-    "q15_top_supplier",
-    "history_seasonal_decompose",
-    "events_top_paths",
-    "dedup_hot_shingles",
+    # Re-spliced from the round-5 wave-5 timing run: 119 never-
+    # recorded queries lead (cheapest first); the 126 recorded follow.
+    "window_running_median_price",
+    "window_spend_between_bigorders",
+    "dq_contract_orders",
+    "macro_url_canonicalize",
+    "events_stickiness",
+    "join_temporal_scd2_tiers",
     "window_moving_avg_spend",
-    "graph_degree_stats",
-    "corpus_weighted_sample",
-    "q10_returned_item_revenue",
-    "q16_supplier_variety",
-    "events_value_mad",
-    "embed_dim_zscore",
+    "orders_coverage_islands",
+    "parts_abc_analysis",
+    "q19_disjunctive_bracket",
+    "ivm_join_view",
+    "events_attribution_last_touch",
+    "q15_top_supplier",
+    "profile_orders_columns",
+    "events_cusum_changepoint",
+    "join_full_outer_coverage",
+    "q18_large_quantity_orders",
     "asof_event_latest_order",
     "sketch_cms_user_counts",
-    "pipeline_e7_backlinks",
-    "q21_sole_late_shippers",
-    "pipeline_e3_bookings",
+    "history_seasonal_decompose",
+    "events_top_paths",
     "text_langid",
+    "events_funnel_ordered",
+    "q16_supplier_variety",
+    "sketch_ams_join_size",
     "window_revenue_share",
+    "q10_returned_item_revenue",
+    "dedup_hot_shingles",
+    "events_value_mad",
+    "pipeline_e3_bookings",
     "customer_rfm_segments",
-    "text_pmi_bigrams",
-    "q9_product_profit",
-    "text_bm25_topdocs",
-    "window_trailing_7d_spend",
-    "sim_quantize_int8",
-    "text_encode_ids",
-    "agg_equidepth_histogram",
-    "skyline_orders",
-    "q7_nation_trade_volume",
-    "history_gap_fill",
-    "sim_matryoshka_recall",
-    "pipeline_e2_ranks",
-    "q11_important_parts",
-    "q2_min_cost_supplier",
-    "events_survival_km",
-    "join_bloom_pruned",
-    "copurchase_top_pairs",
-    "sql_adhoc_directory_rollup",
-    "q20_excess_share_shippers",
-    "sql_adhoc_latest_snapshot",
-    "stream_heavy_hitters",
     "multimodal_shard_manifest",
-    "stream_hourly_tumbling",
-    "stream_language_mix",
-    "sql_macro_rollup",
-    "sketch_kmv_overlap",
-    "text_duplicate_spans",
+    "agg_equidepth_histogram",
+    "q17_small_qty_revenue",
+    "pipeline_e7_backlinks",
+    "history_gap_fill",
+    "text_pmi_bigrams",
+    "embed_dim_zscore",
     "text_bpe_apply_merge",
-    "stream_sliding_2h",
-    "stream_corpus_ingest",
-    "storage_zorder_stats",
-    "sim_pq_codes",
-    "sql_recursive_hierarchy",
-    "stream_kmv_viewers",
-    "sample_bootstrap_ci",
-    "events_attribution_last_touch",
-    "sim_quantize_recall",
-    "stream_stateful_user_totals",
-    "stream_user_ewma",
-    "sql_adhoc_daily_orders",
-    "stream_hourly_anomaly",
-    "ivm_join_view",
-    "stream_pattern_conversions",
-    "stream_dedup_events",
+    "window_trailing_7d_spend",
+    "q21_sole_late_shippers",
+    "corpus_weighted_sample",
+    "graph_degree_stats",
+    "q9_product_profit",
+    "events_survival_km",
+    "sim_quantize_int8",
+    "storage_rendezvous_shards",
+    "text_bm25_topdocs",
+    "text_encode_ids",
+    "q20_excess_share_shippers",
+    "sketch_ams_f2",
+    "join_bloom_pruned",
     "q8_market_share",
+    "skyline_orders",
+    "sql_adhoc_daily_orders",
+    "sim_matryoshka_recall",
+    "stream_dedup_events",
+    "q11_important_parts",
+    "pipeline_e2_ranks",
+    "q2_min_cost_supplier",
+    "privacy_pseudonymize_join",
+    "sql_adhoc_latest_snapshot",
+    "stream_static_enrich",
+    "q7_nation_trade_volume",
+    "sketch_kmv_overlap",
+    "sql_adhoc_directory_rollup",
+    "stream_language_mix",
     "stream_sessionize",
+    "copurchase_top_pairs",
+    "storage_zorder_stats",
+    "text_duplicate_spans",
+    "sql_macro_rollup",
+    "history_asof_read",
+    "stream_hourly_tumbling",
+    "stream_sliding_2h",
+    "stream_user_ewma",
+    "sim_ivf_topk",
+    "stream_stateful_user_totals",
+    "sim_pq_codes",
+    "stream_pattern_conversions",
+    "stream_corpus_ingest",
+    "stream_kmv_viewers",
     "sim_pq_topk",
+    "stream_hourly_anomaly",
     "copurchase_capped",
     "sim_pca_power_iteration",
-    "events_cusum_changepoint",
-    "sim_ivf_topk",
-    "graph_pagerank",
-    "orders_coverage_islands",
     "corpus_pipeline_funnel",
-    "history_interpolate",
-    "dedup_prefix_filter_pairs",
-    "graph_components",
-    "stream_static_enrich",
-    "pipeline_e6_inlinks",
-    "split_leakage_check",
-    "graph_cheirank",
-    "sim_kmeans_step",
-    "dedup_ngram_jaccard_capped",
-    "sim_ivfpq_topk",
-    "embed_dup_clusters",
-    "dedup_verified_pairs",
-    "text_repetition",
-    "stream_stream_join",
-    "bucketed_join_order_lineitems",
-    "stream_stream_left_outer",
+    "sim_quantize_recall",
+    "events_pattern_view_to_purchase",
+    "sql_recursive_hierarchy",
     "stream_attribution_last_touch",
+    "graph_cheirank",
+    "split_leakage_check",
+    "sample_bootstrap_ci",
+    "pipeline_e6_inlinks",
+    "graph_components",
+    "graph_pagerank",
+    "graph_personalized_pagerank",
+    "history_interpolate",
+    "sim_cosine_topk_pandas",
+    "dedup_prefix_filter_pairs",
+    "stream_heavy_hitters",
+    "text_bpe_merges",
+    "sim_kmeans_step",
+    "text_repetition",
+    "bucketed_join_order_lineitems",
+    "sim_ivfpq_topk",
+    "stream_stream_left_outer",
     "dedup_corpus_survivors",
+    "dedup_ngram_jaccard_capped",
     "dedup_minhash_accuracy",
-    "graph_components_converged",
     "history_theil_sen",
     "graph_triangle_count",
-    "window_running_median_price",
+    "graph_components_converged",
+    "agg_histogram",
+    "stream_stream_join",
     "stream_user_totals_tws",
+    "embed_dup_clusters",
+    "dedup_verified_pairs",
     "macro_website_type",
-    "macro_url_levels",
-    "macro_doctype_label",
     "macro_concat_ws_skipnull",
     "topk_orders_by_price",
-    "text_token_positions",
-    "lateral_explode_type_words",
-    "text_fingerprints",
-    "agg_collect_sorted",
-    "sample_weighted_reservoir",
-    "sim_label_stats",
-    "window_percent_rank_top",
-    "macro_fill_cast",
-    "events_heavy_hitters",
-    "sim_cosine_topk",
-    "text_redact_pii",
-    "contamination_scan",
-    "minmax_priciest_part_per_brand",
-    "q6_forecast_revenue",
-    "macro_dates_truncate",
+    "sim_srp_buckets",
+    "macro_doctype_label",
+    "sample_stratified",
+    "macro_url_levels",
     "multimodal_frame_plan",
-    "multimodal_dedup_payloads",
+    "sample_weighted_reservoir",
+    "minmax_priciest_part_per_brand",
+    "macro_fill_cast",
+    "events_dedup_count",
+    "text_token_stats",
+    "text_token_positions",
+    "doc_length_deciles",
+    "text_type_token_ratio",
+    "lateral_explode_type_words",
+    "window_ntile_quartiles",
+    "agg_price_percentiles",
+    "multimodal_meta_stats",
+    "q6_forecast_revenue",
+    "pipeline_e1_crawl",
+    "agg_grouping_sets",
+    "agg_rollup_status_priority",
+    "agg_cube_flag_status",
+    "macro_regex_projection",
+    "sim_label_stats",
+    "pivot_status_by_priority",
+    "join_semi_shipped",
+    "events_heavy_hitters",
+    "text_redact_pii",
+    "window_percent_rank_top",
+    "pipeline_e5_orphans",
     "pipeline_e8_hreflang",
-    "union_mismatched_entities",
+    "macro_dates_truncate",
+    "sim_cosine_topk",
+    "agg_collect_sorted",
+    "fuzzy_match_parts",
+    "window_top3_orders_per_customer",
+    "events_sessionize",
     "events_top_users",
     "events_dp_noisy_counts",
-    "sim_srp_buckets",
-    "sample_stratified",
+    "contamination_scan",
+    "agg_stats_moments",
     "sim_label_centroids",
-    "text_token_stats",
-    "doc_length_deciles",
-    "pipeline_e1_crawl",
-    "window_ntile_quartiles",
-    "macro_regex_projection",
-    "events_dedup_count",
-    "multimodal_meta_stats",
-    "pivot_status_by_priority",
-    "agg_price_percentiles",
-    "agg_rollup_status_priority",
-    "window_top3_orders_per_customer",
-    "join_semi_shipped",
-    "agg_cube_flag_status",
-    "text_chunk_docs",
-    "text_type_token_ratio",
-    "pipeline_e5_orphans",
+    "multimodal_dedup_payloads",
+    "join_null_safe",
+    "join_anti_unshipped",
     "broadcast_nation_region",
-    "events_json_extract",
+    "events_time_weighted_value",
+    "text_chunk_docs",
+    "corpus_quality_filter",
+    "setop_nations_cust_and_supp",
+    "pipeline_e4_images",
+    "union_mismatched_entities",
     "split_train_test",
     "sim_ivf_clusters",
-    "scalar_subquery_above_avg",
-    "window_dense_rank_days",
-    "asof_latest_order_per_customer",
-    "events_time_weighted_value",
-    "setop_nations_cust_and_supp",
-    "agg_grouping_sets",
-    "join_null_safe",
+    "text_fingerprints",
     "q14_promo_revenue_share",
-    "events_sessionize",
-    "corpus_quality_filter",
-    "agg_stats_moments",
-    "fuzzy_match_parts",
+    "events_hourly_tumbling",
     "events_variant_parse",
+    "scalar_subquery_above_avg",
+    "agg_distinct_suppliers",
+    "window_order_gap_days",
+    "setop_nations_cust_only",
+    "unpivot_lineitem_metrics",
     "join_range_followups",
     "history_url_churn",
+    "window_running_spend",
     "macro_locale_decimal",
-    "skew_salted_event_counts",
-    "pipeline_e4_images",
-    "events_hourly_tumbling",
-    "join_anti_unshipped",
-    "events_rollup_hour_day",
-    "text_pack_sequences",
-    "setop_nations_cust_only",
-    "agg_regression_price_qty",
-    "history_metric_delta",
-    "agg_distinct_suppliers",
     "events_sliding_2h",
+    "events_value_outliers",
     "events_user_ewma",
-    "join_left_customer_orders",
-    "events_cohort_retention",
-    "events_props_map_explode",
+    "text_tfidf_terms",
+    "window_dense_rank_days",
+    "q1_pricing_summary",
+    "asof_latest_order_per_customer",
     "macro_days_between",
-    "dedup_embedding_cosine",
-    "sim_ann_topk",
-    "text_char_entropy",
-    "q4_priority_with_late_lines",
+    "events_json_extract",
+    "text_pack_sequences",
+    "skew_salted_event_counts",
     "q12_priority_class_by_status",
+    "history_scd2",
+    "events_cohort_retention",
+    "events_rollup_hour_day",
+    "text_ngram_counts",
+    "q13_customer_order_distribution",
+    "join_left_customer_orders",
+    "events_transition_matrix",
+    "q4_priority_with_late_lines",
+    "sim_ann_topk",
+    "corpus_mixture_weights",
+    "setop_nation_bag_overlap",
+    "winsorize_order_totals",
+    "diag_custkey_skew",
     "macro_lenient_int",
+    "events_value_outliers_mad",
+    "dedup_embedding_cosine",
+    "dedup_incremental",
+    "events_hourly_anomaly",
     "sim_knn_join",
     "text_quality_scores",
-    "text_ngram_counts",
-    "corpus_mixture_weights",
-    "unpivot_lineitem_metrics",
-    "winsorize_order_totals",
-    "fit_price_trend_pandas",
-    "diag_custkey_skew",
-    "events_value_outliers",
-    "dedup_incremental",
-    "setop_nation_bag_excess",
-    "history_scd2",
-    "window_order_gap_days",
-    "text_vocab_coverage",
-    "setop_nation_bag_overlap",
-    "q22_idle_customers",
-    "events_value_outliers_mad",
-    "dedup_exact_groups",
-    "window_cume_dist_nth",
-    "window_running_spend",
-    "events_transition_matrix",
-    "q13_customer_order_distribution",
-    "events_new_vs_returning",
-    "text_tfidf_terms",
-    "q1_pricing_summary",
-    "events_hourly_anomaly",
-    "events_drift_psi",
-    "multimodal_features",
-    "events_funnel",
-    "q3_shipping_priority",
+    "agg_regression_price_qty",
+    "history_metric_delta",
     "events_dau_wau",
+    "text_vocab_coverage",
+    "multimodal_features",
+    "q22_idle_customers",
+    "window_cume_dist_nth",
+    "setop_nation_bag_excess",
+    "q3_shipping_priority",
+    "events_funnel",
+    "fit_price_trend_pandas",
     "customer_nation_segment_chi2",
+    "dedup_exact_groups",
+    "events_new_vs_returning",
+    "events_props_map_explode",
+    "events_drift_psi",
+    "text_char_entropy",
     "q5_local_supplier_volume",
     "dedup_minhash_signatures",
     "dedup_minhash_lsh_pairs",

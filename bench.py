@@ -148,6 +148,18 @@ HEADLINE = [
     "stream_kmv_viewers",
     "storage_rendezvous_shards",
     "privacy_pseudonymize_join",
+    # added round 5 (wave 4/5): personalized PageRank, ordered funnel,
+    # segmented running sum, data contract, AMS join-size, temporal SCD2
+    # join, URL canonicalization, ABC classes, stickiness
+    "graph_personalized_pagerank",
+    "events_funnel_ordered",
+    "window_spend_between_bigorders",
+    "dq_contract_orders",
+    "sketch_ams_join_size",
+    "join_temporal_scd2_tiers",
+    "macro_url_canonicalize",
+    "parts_abc_analysis",
+    "events_stickiness",
 ]
 
 
