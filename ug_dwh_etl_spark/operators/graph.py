@@ -469,3 +469,79 @@ def sql_personalized_pagerank(
               FROM tp LEFT JOIN f{i + 1} ON tp.node = f{i + 1}.node)"""
         )
     return "WITH " + ",\n    ".join(parts)
+
+
+def kcore_rounds(
+    edges: DataFrame, k: int, rounds: int, loop_partitions: int | None = None
+) -> DataFrame:
+    """Bounded k-core peeling: repeatedly drop nodes of degree < k (and
+    their edges) for a FIXED number of rounds, reporting
+    (round, n_nodes, n_edges) after each peel — the degeneracy-ordering
+    primitive for spam/bot subgraph mining and dense-community
+    extraction on link graphs (the reference's inlink edge table,
+    `sf_inlink_bulk_data.py:66-92`, is the production input shape).
+
+    ``edges`` is canonical undirected: one row per edge, (a, b). Each
+    round costs one degree aggregation (map-side combined, node-sized
+    output) plus two left-semi joins against the surviving node set —
+    the same per-iteration shuffle budget as ``connected_components``.
+    Lineage is cut per round (localCheckpoint) so the plan stays flat at
+    higher round counts; a fixed round count keeps the dataflow exactly
+    unrollable as the DuckDB oracle (``sql_kcore_rounds``). The full
+    peel-to-fixpoint variant would loop until the edge count is stable
+    (same convergence harness as ``connected_components_converged``).
+    """
+    stats: list[DataFrame] = []
+    e = edges.select("a", "b").localCheckpoint(eager=False)
+    for r in range(rounds + 1):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        stats.append(
+            deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+            .select(F.lit(r).alias("round"), "n_nodes", "n_edges")
+        )
+        if r == rounds:
+            break
+        keep = deg.filter(F.col("d") >= k).select("node")
+        e = (
+            e.join(keep.select(F.col("node").alias("a")), "a", "left_semi")
+            .join(keep.select(F.col("node").alias("b")), "b", "left_semi")
+            .select("a", "b")
+        )
+        if loop_partitions:
+            e = e.repartition(loop_partitions, "a")
+        e = e.localCheckpoint(eager=False)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def sql_kcore_rounds(edges_sql: str, k: int, rounds: int) -> str:
+    """The identical bounded peel as unrolled DuckDB SQL.
+    ``edges_sql`` must select canonical undirected (a, b)."""
+    parts = [f"e0 AS ({edges_sql})"]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i} AS (SELECT node, COUNT(*) AS d FROM (
+      SELECT a AS node FROM e{i} UNION ALL SELECT b FROM e{i}) GROUP BY node),
+    k{i} AS (SELECT node FROM d{i} WHERE d >= {k}),
+    e{i + 1} AS (SELECT a, b FROM e{i}
+      WHERE a IN (SELECT node FROM k{i}) AND b IN (SELECT node FROM k{i}))"""
+        )
+    parts.append(
+        f"""d{rounds} AS (SELECT node, COUNT(*) AS d FROM (
+      SELECT a AS node FROM e{rounds} UNION ALL SELECT b FROM e{rounds}) GROUP BY node)"""
+    )
+    selects = [
+        f"""SELECT {r} AS round,
+           CAST((SELECT COUNT(*) FROM d{r}) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e{r}) AS BIGINT) AS n_edges"""
+        for r in range(rounds + 1)
+    ]
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)

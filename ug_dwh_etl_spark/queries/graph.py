@@ -317,3 +317,37 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_permille"), F.asc("node"))
         .limit(50)
     )
+
+
+_KCORE_EDGES_SQL = """
+    SELECT DISTINCT 'p' || l_partkey::VARCHAR AS a,
+                    's' || l_suppkey::VARCHAR AS b
+    FROM lineitem
+"""
+
+
+def _kcore_oracle() -> str:
+    from ug_dwh_etl_spark.operators.graph import sql_kcore_rounds
+
+    return sql_kcore_rounds(_KCORE_EDGES_SQL, k=4, rounds=3)
+
+
+@register("graph_kcore", _kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core peeling on the supplier↔part bipartite graph, 3 bounded
+    rounds (operators.graph.kcore_rounds): each round drops nodes of
+    degree < 4 and reports the shrinking (n_nodes, n_edges) — the
+    degeneracy/dense-subgraph primitive (spam-cluster mining on the
+    reference's inlink graph). Peeling cascades: removing sparse parts
+    lowers supplier degrees, which the next round acts on. The oracle
+    unrolls the identical dataflow, so the per-round counts are exact.
+    Per-round cost is one node-sized degree agg + two semi joins on the
+    surviving set — linear in edges per round at any scale."""
+    li = table(spark, sf_dir, "lineitem")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("a"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
+    ).distinct()
+    from ug_dwh_etl_spark.operators.graph import kcore_rounds
+
+    return kcore_rounds(edges, k=4, rounds=3, loop_partitions=16)

@@ -1881,3 +1881,49 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_share"
         ),
     )
+
+
+# --- Benford first-digit audit (fraud/anomaly DQ screen) ------------------------
+@register(
+    "dq_benford_totalprice",
+    """
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)::INT
+               AS digit
+      FROM orders),
+    obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / t, 6) AS observed_share,
+           ROUND(ln(1 + 1.0 / digit) / ln(10), 6) AS benford_share
+    FROM obs, tot
+    """,
+)
+def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / ingestion-anomaly screen (a pipeline that
+    duplicates, truncates, or synthesizes amounts shifts the leading
+    digit distribution long before aggregates look wrong). First digit
+    is taken from the INTEGER part's decimal string (floor→bigint→
+    substr), not via log10, so engines can't disagree at power-of-ten
+    boundaries; expected shares are ln(1+1/d)/ln(10). One map-side-
+    combined 9-group aggregate + a broadcast scalar total — scan-bound
+    at any scale."""
+    orders = table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.substring(
+            F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    return obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("observed_share"),
+        F.round(
+            F.log(F.lit(1) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_share"),
+    )

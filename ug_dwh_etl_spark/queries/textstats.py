@@ -1095,3 +1095,47 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "text_zipf_slope",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    grams AS (SELECT unnest(t) AS w FROM tok),
+    freq AS (SELECT w, COUNT(*) AS f FROM grams GROUP BY w),
+    ranked AS (SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS r FROM freq)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           ROUND(regr_slope(ln(f), ln(r)), 4) AS zipf_slope,
+           ROUND(regr_r2(ln(f), ln(r)), 4) AS r2
+    FROM ranked WHERE r <= 1000
+    """,
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: slope and R²
+    of ln(freq) ~ ln(rank) on the top-1000 types — the one-number
+    naturalness screen for a training corpus (natural text slopes near
+    -1; template/machine-generated corpora flatten or step). The
+    corpus-sized work is the token explode + frequency aggregate (one
+    map-side-combined shuffle); the global rank window then runs on the
+    VOCABULARY relation (types, not tokens — ~100k rows at 100 TB), so
+    the single-partition ORDER BY is metadata-sized, and regr_* reduce
+    the 1000-row head to one row. Slope/R² rounded to 4: the regr
+    moment sums accumulate float error in engine-specific partial-agg
+    order."""
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(H.tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    from pyspark.sql import Window
+
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
+    ).filter(F.col("r") <= 1000)
+    lf, lr = F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(lf, lr), 4).alias("r2"),
+    )
