@@ -202,3 +202,104 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# --- perceptual-hash (average-hash) near-dup over binary payloads --------------
+_PH_BITS = 48
+_PH_BANDS = 4
+_PH_HAM_MAX = 8
+
+
+@register(
+    "multimodal_phash_neardup",
+    f"""
+    WITH src AS (
+      SELECT doc_id, text, length(text) AS l
+      FROM documents WHERE length(text) >= {_PH_BITS}),
+    codes AS (
+      SELECT doc_id,
+             [ascii(substr(text, 1 + ((d * l) // {_PH_BITS}), 1))
+              FOR d IN range(0, {_PH_BITS})] AS cs
+      FROM src),
+    hashes AS (
+      SELECT doc_id,
+             list_sum([CASE WHEN cs[d + 1] >= list_sum(cs) / {_PH_BITS}.0
+                            THEN (1::BIGINT << d) ELSE 0 END
+                       FOR d IN range(0, {_PH_BITS})]) AS ah
+      FROM codes),
+    bands AS (
+      SELECT doc_id, ah, b,
+             (ah // (1::BIGINT << (12 * b))) % 4096 AS bv
+      FROM hashes, (SELECT unnest(range(0, {_PH_BANDS})) AS b)),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+                      x.ah AS ah_a, y.ah AS ah_b
+      FROM bands x JOIN bands y
+        ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(ah_a, ah_b)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= {_PH_HAM_MAX}
+    """,
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over media payloads:
+    a 48-bit AVERAGE HASH (bit d = is the byte at sampled position d
+    above the sample mean) computed relationally over the payload byte
+    stream — the deterministic stand-in for a DCT pHash over decoded
+    pixels (the decode kernel is the documented codec stub in
+    operators/multimodal.py; the hash-plumbing, banding, and
+    Hamming-join are the real production shape). Candidate pairs come
+    from 4x12-bit LSH BANDS (exact-match bucket join — near hashes share
+    a band, so no all-pairs product ever forms), then the full Hamming
+    distance bit_count(a XOR b) <= {_H} filters candidates. At 100 TB
+    the band join shuffles each hash 4 times (~32 bytes/row) and the
+    quadratic term is confined to per-bucket collision groups — same
+    scale argument as dedup_minhash_lsh_pairs, but for images/audio
+    where shingling doesn't exist.""".replace("{_H}", str(_PH_HAM_MAX))
+    docs = table(spark, sf_dir, "documents").filter(
+        F.length("text") >= _PH_BITS
+    )
+    codes = docs.select(
+        "doc_id",
+        F.expr(
+            f"transform(sequence(0, {_PH_BITS - 1}),"
+            f" d -> ascii(substr(text, 1 + ((d * length(text)) div {_PH_BITS}), 1)))"
+        ).alias("cs"),
+    )
+    hashes = codes.select(
+        "doc_id",
+        F.expr(
+            f"aggregate(sequence(0, {_PH_BITS - 1}), cast(0 as bigint),"
+            f" (acc, d) -> acc + IF(element_at(cs, d + 1) >= "
+            f"aggregate(cs, 0, (a, x) -> a + x) / {_PH_BITS}.0,"
+            f" shiftleft(cast(1 as bigint), d), cast(0 as bigint)))"
+        ).alias("ah"),
+    )
+    bands = hashes.select(
+        "doc_id",
+        "ah",
+        F.explode(F.sequence(F.lit(0), F.lit(_PH_BANDS - 1))).alias("b"),
+    ).withColumn(
+        "bv",
+        F.expr(f"(ah div shiftleft(cast(1 as bigint), 12 * b)) % 4096"),
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.b") == F.col("y.b"))
+            & (F.col("x.bv") == F.col("y.bv"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.col("x.ah").alias("ah_a"),
+            F.col("y.ah").alias("ah_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.expr("ah_a ^ ah_b"))
+    return cand.filter(ham <= _PH_HAM_MAX).select(
+        "id_a", "id_b", ham.cast("int").alias("hamming")
+    )
