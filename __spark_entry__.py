@@ -49,8 +49,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    # Re-spliced from the round-5 wave-5 timing run: 119 never-
-    # recorded queries lead (cheapest first); the 126 recorded follow.
+    # Re-spliced from the round-5 wave-5 timing run: 126 never-
+    # recorded queries lead (cheapest first, wave-6 additions spliced
+    # in by measured cost); the 126 recorded follow.
     "window_running_median_price",
     "window_spend_between_bigorders",
     "dq_contract_orders",
@@ -58,6 +59,9 @@ _CHEAPEST_FIRST = (
     "events_stickiness",
     "join_temporal_scd2_tiers",
     "window_moving_avg_spend",
+    "dq_benford_totalprice",
+    "privacy_k_anonymity",
+    "storage_zonemap_skipping",
     "orders_coverage_islands",
     "parts_abc_analysis",
     "q19_disjunctive_bracket",
@@ -74,6 +78,12 @@ _CHEAPEST_FIRST = (
     "events_top_paths",
     "text_langid",
     "events_funnel_ordered",
+    "customer_mi_segment_nation",
+    "history_backtest_snaive",
+    "history_holt_forecast",
+    "text_zipf_slope",
+    "text_rake_keywords",
+    "dedup_sorted_neighborhood",
     "q16_supplier_variety",
     "sketch_ams_join_size",
     "window_revenue_share",
@@ -102,6 +112,8 @@ _CHEAPEST_FIRST = (
     "text_encode_ids",
     "q20_excess_share_shippers",
     "sketch_ams_f2",
+    "multimodal_phash_neardup",
+    "graph_kcore",
     "join_bloom_pruned",
     "q8_market_share",
     "skyline_orders",

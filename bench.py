@@ -160,6 +160,22 @@ HEADLINE = [
     "macro_url_canonicalize",
     "parts_abc_analysis",
     "events_stickiness",
+    # added round 5 (wave 6): k-core peeling, Benford DQ audit, Zipf
+    # slope, k-anonymity, zone-map skipping, perceptual-hash near-dup,
+    # sorted-neighborhood blocking
+    "graph_kcore",
+    "dq_benford_totalprice",
+    "text_zipf_slope",
+    "privacy_k_anonymity",
+    "storage_zonemap_skipping",
+    "multimodal_phash_neardup",
+    "dedup_sorted_neighborhood",
+    # added round 5 (wave 7): Holt forecast, backtest baselines, mutual
+    # information, RAKE keyword extraction
+    "history_holt_forecast",
+    "history_backtest_snaive",
+    "customer_mi_segment_nation",
+    "text_rake_keywords",
 ]
 
 

@@ -607,3 +607,157 @@ def join_temporal_scd2_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- Holt double-exponential smoothing (level + trend) forecast ----------------
+@register(
+    "history_holt_forecast",
+    """
+    WITH RECURSIVE monthly AS (
+      SELECT c_nationkey AS nk, date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY nk, m),
+    series AS (
+      SELECT nk, x, ROW_NUMBER() OVER (PARTITION BY nk ORDER BY m) AS rn
+      FROM monthly),
+    rec AS (
+      SELECT nk, rn, x AS l, CAST(0.0 AS DOUBLE) AS b FROM series WHERE rn = 1
+      UNION ALL
+      SELECT s.nk, s.rn,
+             0.5 * s.x + 0.5 * (r.l + r.b),
+             0.3 * ((0.5 * s.x + 0.5 * (r.l + r.b)) - r.l) + 0.7 * r.b
+      FROM rec r JOIN series s ON s.nk = r.nk AND s.rn = r.rn + 1),
+    fin AS (SELECT nk, MAX(rn) AS mx FROM rec GROUP BY nk)
+    SELECT r.nk AS nationkey, CAST(f.mx AS BIGINT) AS n_months,
+           ROUND(r.l, 4) AS level, ROUND(r.b, 4) AS trend,
+           ROUND(r.l + r.b, 4) AS forecast_1,
+           ROUND(r.l + 3 * r.b, 4) AS forecast_3
+    FROM rec r JOIN fin f ON f.nk = r.nk AND r.rn = f.mx
+    """,
+)
+def history_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt double-exponential smoothing (alpha=0.5, beta=0.3) over each
+    nation's monthly revenue series, emitting the final (level, trend)
+    state and 1/3-month-ahead forecasts — the coupled recursion
+    (l_t depends on b_{t-1} and vice versa) that no closed-form window
+    rewrite covers, unlike the geometric-weight EWMA in
+    events_user_ewma. The recursion runs as a per-key fold:
+    collect_list the series per nation (bounded: months-per-key, not
+    corpus-sized), array_sort, then one codegen'd `aggregate` lambda
+    carrying a 2-double state — per-series state is CONSTANT and
+    series are independent, so 100 TB of raw orders reduce to a
+    (keys x months) relation in the one real shuffle, and the fold
+    adds nothing. The decimal monthly sum makes the series itself
+    bit-exact, so both engines fold identical IEEE sequences
+    (oracle = genuine recursive CTE); outputs round at 4dp. l1=x1,
+    b1=0 initialization, per Hyndman & Athanasopoulos (fpp3 §8.2)."""
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    monthly = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("month", "o_orderdate").alias("m"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("x")
+        )
+    )
+    ser = monthly.groupBy("nk").agg(
+        F.expr("transform(array_sort(collect_list(struct(m, x))), s -> s.x)").alias(
+            "xs"
+        )
+    )
+    fold = F.expr(
+        "aggregate(slice(xs, 2, size(xs) - 1),"
+        " named_struct('l', element_at(xs, 1), 'b', cast(0.0 as double)),"
+        " (acc, x) -> named_struct("
+        "   'l', 0.5 * x + 0.5 * (acc.l + acc.b),"
+        "   'b', 0.3 * ((0.5 * x + 0.5 * (acc.l + acc.b)) - acc.l) + 0.7 * acc.b))"
+    )
+    return ser.select(
+        F.col("nk").alias("nationkey"),
+        F.size("xs").cast("long").alias("n_months"),
+        fold.alias("st"),
+    ).select(
+        "nationkey",
+        "n_months",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.col("st.l") + F.col("st.b"), 4).alias("forecast_1"),
+        F.round(F.col("st.l") + 3 * F.col("st.b"), 4).alias("forecast_3"),
+    )
+
+
+# --- rolling-origin backtest: naive vs seasonal-naive baselines ----------------
+@register(
+    "history_backtest_snaive",
+    """
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM orders GROUP BY m),
+    lagged AS (
+      SELECT m, x,
+             LAG(x, 1) OVER (ORDER BY m) AS f_naive,
+             LAG(x, 12) OVER (ORDER BY m) AS f_snaive
+      FROM monthly)
+    SELECT 'naive' AS model, CAST(COUNT(f_naive) AS BIGINT) AS n_evaluated,
+           CAST(FLOOR(AVG(ABS(x - f_naive)) * 100 + 0.5) AS BIGINT) AS mae_cents,
+           ROUND(AVG(ABS(x - f_naive) / x) * 100, 4) AS mape_pct,
+           CAST(FLOOR(AVG(x - f_naive) * 100 + 0.5) AS BIGINT) AS bias_cents
+    FROM lagged WHERE f_naive IS NOT NULL
+    UNION ALL
+    SELECT 'snaive', CAST(COUNT(f_snaive) AS BIGINT),
+           CAST(FLOOR(AVG(ABS(x - f_snaive)) * 100 + 0.5) AS BIGINT),
+           ROUND(AVG(ABS(x - f_snaive) / x) * 100, 4),
+           CAST(FLOOR(AVG(x - f_snaive) * 100 + 0.5) AS BIGINT)
+    FROM lagged WHERE f_snaive IS NOT NULL
+    """,
+)
+def history_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-origin backtest of the two standard forecast BASELINES
+    every model must beat — naive (last month) and seasonal-naive
+    (same month last year) — over the monthly revenue series: MAE,
+    MAPE, and signed bias per model (MAE/bias in explicit cents — the
+    floor(x*100+0.5) spelling — because the averages land on exact
+    .xx5 doubles where engine round() rules diverge). This is the evaluation harness
+    for history_holt_forecast/history_seasonal_decompose: a forecast
+    operator without a measured baseline is unfalsifiable. The lag
+    windows run on the MONTH-rollup relation (months, not orders —
+    ~1200 rows for a century), so the unpartitioned ORDER BY is
+    metadata-sized, same justification as history_seasonal_decompose;
+    the corpus-sized work is the one decimal-sum groupBy(month)."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("m")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    w = Window.orderBy("m")
+    lagged = monthly.select(
+        "x",
+        F.lag("x", 1).over(w).alias("f_naive"),
+        F.lag("x", 12).over(w).alias("f_snaive"),
+    )
+
+    def side(fc: str, label: str) -> DataFrame:
+        f = F.col(fc)
+        return lagged.filter(f.isNotNull()).agg(
+            F.lit(label).alias("model"),
+            F.count(f).alias("n_evaluated"),
+            F.floor(F.avg(F.abs(F.col("x") - f)) * 100 + 0.5)
+            .cast("long")
+            .alias("mae_cents"),
+            F.round(F.avg(F.abs(F.col("x") - f) / F.col("x")) * 100, 4).alias(
+                "mape_pct"
+            ),
+            F.floor(F.avg(F.col("x") - f) * 100 + 0.5).cast("long").alias("bias_cents"),
+        )
+
+    return side("f_naive", "naive").unionByName(side("f_snaive", "snaive"))

@@ -1927,3 +1927,76 @@ def dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log(F.lit(1) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
         ).alias("benford_share"),
     )
+
+
+# --- mutual information between two categorical columns -------------------------
+@register(
+    "customer_mi_segment_nation",
+    """
+    WITH j AS (SELECT c_nationkey AS nk, c_mktsegment AS seg FROM customer),
+    tot AS (SELECT COUNT(*) * 1.0 AS t FROM j),
+    px AS (SELECT nk, COUNT(*) AS nx FROM j GROUP BY nk),
+    py AS (SELECT seg, COUNT(*) AS ny FROM j GROUP BY seg),
+    pxy AS (SELECT nk, seg, COUNT(*) AS nxy FROM j GROUP BY nk, seg),
+    mi AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+                  SUM((nxy / t) * ln(nxy * t / (nx * ny))) AS mi
+           FROM pxy JOIN px USING (nk) JOIN py USING (seg), tot),
+    hx AS (SELECT -SUM((nx / t) * ln(nx / t)) AS hx FROM px, tot),
+    hy AS (SELECT -SUM((ny / t) * ln(ny / t)) AS hy FROM py, tot)
+    SELECT n_cells, ROUND(mi, 6) AS mi_nats,
+           ROUND(hx, 6) AS h_nation_nats, ROUND(hy, 6) AS h_segment_nats,
+           ROUND(mi / sqrt(hx * hy), 6) AS nmi
+    FROM mi, hx, hy
+    """,
+)
+def customer_mi_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between nation and market segment,
+    with both marginal entropies and sqrt-normalized NMI — the
+    model-free dependence screen that complements the chi2 test
+    (customer_nation_segment_chi2): chi2 answers "is there ANY
+    association"; MI quantifies HOW MANY bits the pair shares, the
+    quantity feature-selection and leakage audits rank by. Three
+    cell-count aggregates (all map-side combined, category-sized
+    outputs) + broadcast scalar total; the log-ratio sum runs on the
+    125-cell joint relation. All counts are exact; the float log sums
+    round at 6dp (engine partial-agg order, house rule)."""
+    cust = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg")
+    )
+    tot = cust.agg((F.count(F.lit(1)) * 1.0).alias("t"))
+    px = cust.groupBy("nk").agg(F.count(F.lit(1)).alias("nx"))
+    py = cust.groupBy("seg").agg(F.count(F.lit(1)).alias("ny"))
+    pxy = cust.groupBy("nk", "seg").agg(F.count(F.lit(1)).alias("nxy"))
+    mi = (
+        pxy.join(px, "nk")
+        .join(F.broadcast(py), "seg")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(
+                (F.col("nxy") / F.col("t"))
+                * F.log(F.col("nxy") * F.col("t") / (F.col("nx") * F.col("ny")))
+            ).alias("mi"),
+        )
+    )
+    hx = px.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("nx") / F.col("t")) * F.log(F.col("nx") / F.col("t")))).alias(
+            "hx"
+        )
+    )
+    hy = py.crossJoin(F.broadcast(tot)).agg(
+        (-F.sum((F.col("ny") / F.col("t")) * F.log(F.col("ny") / F.col("t")))).alias(
+            "hy"
+        )
+    )
+    return (
+        mi.crossJoin(F.broadcast(hx))
+        .crossJoin(F.broadcast(hy))
+        .select(
+            "n_cells",
+            F.round("mi", 6).alias("mi_nats"),
+            F.round("hx", 6).alias("h_nation_nats"),
+            F.round("hy", 6).alias("h_segment_nats"),
+            F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
+        )
+    )

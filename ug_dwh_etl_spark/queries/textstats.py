@@ -1139,3 +1139,96 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(lf, lr), 4).alias("zipf_slope"),
         F.round(F.regr_r2(lf, lr), 4).alias("r2"),
     )
+
+
+# --- RAKE keyword extraction ----------------------------------------------------
+_RAKE_STOP = (
+    "the", "a", "an", "of", "and", "in", "to", "is", "on", "for", "with",
+    "as", "by", "at", "it", "this", "that", "are", "was", "be", "or", "from",
+)
+_RAKE_TOPK = 30
+
+
+def _rake_oracle() -> str:
+    stop = ", ".join(f"'{w}'" for w in _RAKE_STOP)
+    return f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    pos AS (SELECT doc_id, CAST(i AS BIGINT) AS p, t[i] AS w
+            FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+                  FROM tok)),
+    ns AS (SELECT doc_id, p, w,
+                  p - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY p) AS rid
+           FROM pos WHERE w NOT IN ({stop})),
+    plen AS (SELECT doc_id, rid, COUNT(*) AS pl FROM ns GROUP BY doc_id, rid),
+    phr AS (SELECT doc_id, rid, string_agg(w, ' ' ORDER BY p) AS phrase
+            FROM ns GROUP BY doc_id, rid),
+    ws AS (SELECT w, COUNT(*) AS freq, SUM(pl) AS deg
+           FROM ns JOIN plen USING (doc_id, rid) GROUP BY w),
+    pdist AS (SELECT phrase, COUNT(*) AS n_inst FROM phr GROUP BY phrase),
+    pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS w FROM pdist),
+    scored AS (SELECT phrase, SUM(deg * 1.0 / freq) AS score
+               FROM pw JOIN ws USING (w) GROUP BY phrase)
+    SELECT s.phrase, CAST(len(string_split(s.phrase, ' ')) AS INT) AS n_words,
+           CAST(d.n_inst AS BIGINT) AS n_inst, ROUND(s.score, 4) AS score
+    FROM scored s JOIN pdist d USING (phrase)
+    ORDER BY ROUND(s.score, 4) DESC, s.phrase LIMIT {_RAKE_TOPK}
+    """
+
+
+@register("text_rake_keywords", _rake_oracle())
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction over the corpus (Rose et al. 2010):
+    candidate phrases are maximal stopword-free token runs
+    (gaps-and-islands on token positions: run id = pos - row_number,
+    windows PARTITIONED PER DOC — parallel, bounded frames); each
+    word's degree = Σ length of phrases containing it, freq = its
+    occurrence count; phrase score = Σ degree/freq over its words.
+    Top-{K} phrases corpus-wide, deduplicated by TEXT with scores
+    recomputed from the split phrase (never averaged across instance
+    rows, which would compare float sums in engine-dependent order).
+    Scale: every stage is a hash aggregate on (doc,run)- or word-sized
+    relations; the only global ordering is the final top-{K} over the
+    distinct-phrase relation (vocab-scale, TakeOrdered). The ranking
+    key is the ROUNDED score with a phrase-text tiebreak so both
+    engines cut the same top set.""".replace("{K}", str(_RAKE_TOPK))
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id", F.posexplode(H.tokens("text")).alias("p0", "w")
+    ).select("doc_id", (F.col("p0") + 1).cast("long").alias("p"), "w")
+    ns = pos.filter(~F.col("w").isin(*_RAKE_STOP)).withColumn(
+        "rid",
+        F.col("p")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("p")),
+    )
+    plen = ns.groupBy("doc_id", "rid").agg(F.count(F.lit(1)).alias("pl"))
+    phr = ns.groupBy("doc_id", "rid").agg(
+        F.array_join(
+            F.expr("transform(array_sort(collect_list(struct(p, w))), s -> s.w)"),
+            " ",
+        ).alias("phrase")
+    )
+    ws = (
+        ns.join(plen, ["doc_id", "rid"])
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("pl").alias("deg"))
+    )
+    pdist = phr.groupBy("phrase").agg(F.count(F.lit(1)).alias("n_inst"))
+    pw = pdist.select("phrase", F.explode(F.split("phrase", " ")).alias("w"))
+    scored = (
+        pw.join(ws, "w")
+        .groupBy("phrase")
+        .agg(F.sum(F.col("deg") * 1.0 / F.col("freq")).alias("score"))
+    )
+    return (
+        scored.join(pdist, "phrase")
+        .select(
+            "phrase",
+            F.size(F.split("phrase", " ")).cast("int").alias("n_words"),
+            F.col("n_inst").cast("long").alias("n_inst"),
+            F.round("score", 4).alias("score"),
+        )
+        .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("phrase"))
+        .limit(_RAKE_TOPK)
+    )
