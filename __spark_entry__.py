@@ -79,6 +79,9 @@ _CHEAPEST_FIRST = (
     "text_langid",
     "events_funnel_ordered",
     "customer_mi_segment_nation",
+    "events_autocorrelation",
+    "embed_centroid_drift",
+    "text_postings_compression",
     "history_backtest_snaive",
     "history_holt_forecast",
     "text_zipf_slope",
@@ -130,6 +133,7 @@ _CHEAPEST_FIRST = (
     "sketch_kmv_overlap",
     "sql_adhoc_directory_rollup",
     "stream_language_mix",
+    "stream_dq_benford",
     "stream_sessionize",
     "copurchase_top_pairs",
     "storage_zorder_stats",

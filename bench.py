@@ -176,6 +176,12 @@ HEADLINE = [
     "history_backtest_snaive",
     "customer_mi_segment_nation",
     "text_rake_keywords",
+    # added round 5 (wave 8): ACF, embedding centroid drift, postings
+    # compression sizing, streaming Benford DQ
+    "events_autocorrelation",
+    "embed_centroid_drift",
+    "text_postings_compression",
+    "stream_dq_benford",
 ]
 
 

@@ -1838,3 +1838,68 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("avg_dau", 4).alias("avg_dau"),
         F.round(F.col("avg_dau") / F.col("mau"), 6).alias("stickiness"),
     )
+
+
+# --- autocorrelation function over the hourly series ---------------------------
+_ACF_LAGS = (1, 2, 3, 6, 12, 24)
+
+
+def _acf_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"LAG(x, {l}) OVER w AS l{l}" for l in _ACF_LAGS
+    )
+    pair_selects = "\n      UNION ALL ".join(
+        f"SELECT {l} AS lag, x, l{l} AS xl FROM lagged" for l in _ACF_LAGS
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) * 1.0 AS x
+      FROM events GROUP BY h),
+    lagged AS (
+      SELECT h, x,
+             {lag_cols}
+      FROM hourly WINDOW w AS (ORDER BY h)),
+    pairs AS (
+      {pair_selects})
+    SELECT lag, CAST(COUNT(xl) AS BIGINT) AS n_pairs,
+           ROUND(corr(x, xl), 4) AS acf
+    FROM pairs WHERE xl IS NOT NULL GROUP BY lag
+    """
+
+
+@register("events_autocorrelation", _acf_oracle())
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the hourly event-count series at lags
+    {1,2,3,6,12,24} — the periodicity detector (a daily cycle shows as
+    a spike at lag 24) that decides whether a seasonal model
+    (history_seasonal_decompose, snaive) applies at all. The
+    corpus-sized work is one groupBy(hour) rollup; the lag windows and
+    corr aggregates run on the HOURLY relation (~9k rows/year at any
+    data scale), so the unpartitioned ORDER BY is series-sized —
+    same justification as history_backtest_snaive. corr is a
+    single-pass distributive moment aggregate; 4dp round absorbs
+    partial-agg float order."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("x")
+    )
+    w = Window.orderBy("h")
+    lagged = hourly.select(
+        "x", *[F.lag("x", l).over(w).alias(f"l{l}") for l in _ACF_LAGS]
+    )
+    pairs = None
+    for l in _ACF_LAGS:
+        p = lagged.select(
+            F.lit(l).alias("lag"), "x", F.col(f"l{l}").alias("xl")
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return (
+        pairs.filter(F.col("xl").isNotNull())
+        .groupBy("lag")
+        .agg(
+            F.count("xl").alias("n_pairs"),
+            F.round(F.corr("x", "xl"), 4).alias("acf"),
+        )
+    )

@@ -845,3 +845,57 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_queries"),
         F.round(F.avg(F.col("n_match") / 3.0), 6).alias("avg_recall"),
     )
+
+
+@register(
+    "embed_centroid_drift",
+    """
+    WITH dims AS (
+      SELECT vec_id % 2 AS half, CAST(i AS INT) - 1 AS dim, embedding[i] AS v
+      FROM (SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings)),
+    m AS (SELECT half, dim, AVG(v) AS mu FROM dims GROUP BY half, dim),
+    p AS (SELECT a.dim, a.mu AS ma, b.mu AS mb
+          FROM m a JOIN m b ON a.dim = b.dim AND a.half = 0 AND b.half = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_dims,
+           ROUND(SUM(ma * mb) / (sqrt(SUM(ma * ma)) * sqrt(SUM(mb * mb))), 6)
+             AS centroid_cosine,
+           ROUND(MAX(ABS(ma - mb)), 5) AS max_abs_shift,
+           ROUND(AVG(ABS(ma - mb)), 5) AS mean_abs_shift
+    FROM p
+    """,
+)
+def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift monitor between two corpus halves
+    (old/new split by vec_id parity): per-dimension centroid means,
+    the cosine between the two centroid vectors, and the max/mean
+    per-dimension shift — the cheap always-on guard that catches an
+    encoder version bump or a domain shift in an embedding pipeline
+    before ANN recall silently degrades (the audit embed_dim_zscore
+    runs per-dim z-stats; this runs the CROSS-HALF comparison). One
+    posexplode + groupBy(half, dim) map-side-combined rollup: the
+    corpus reduces to 2 x n_dims rows, then dim-sized math — scan-bound
+    at 100 TB, no pairwise anything."""
+    e = table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("dim", "v"),
+    )
+    m = dims.groupBy("half", "dim").agg(F.avg("v").alias("mu"))
+    a = m.filter(F.col("half") == 0).select("dim", F.col("mu").alias("ma"))
+    b = m.filter(F.col("half") == 1).select("dim", F.col("mu").alias("mb"))
+    p = a.join(b, "dim")
+    return p.agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.round(
+            F.sum(F.col("ma") * F.col("mb"))
+            / (
+                F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+            ),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(F.max(F.abs(F.col("ma") - F.col("mb"))), 5).alias("max_abs_shift"),
+        F.round(F.avg(F.abs(F.col("ma") - F.col("mb"))), 5).alias("mean_abs_shift"),
+    )

@@ -357,3 +357,26 @@ def q_stream_kmv_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.stateful import stream_kmv_viewers
 
     return stream_kmv_viewers(spark, sf_dir)
+
+
+@register(
+    "stream_dq_benford",
+    # same oracle as the batch twin dq_benford_totalprice — streaming
+    # result must equal the batch SQL (SURVEY.md §5 step 2)
+    """
+    WITH digits AS (
+      SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)::INT
+               AS digit
+      FROM orders),
+    obs AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+    tot AS (SELECT SUM(n) AS t FROM obs)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / t, 6) AS observed_share,
+           ROUND(ln(1 + 1.0 / digit) / ln(10), 6) AS benford_share
+    FROM obs, tot
+    """,
+)
+def q_stream_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ug_dwh_etl_spark.streaming.jobs import stream_benford_totalprice
+
+    return stream_benford_totalprice(spark, sf_dir)

@@ -1232,3 +1232,77 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("score"), 4)), F.asc("phrase"))
         .limit(_RAKE_TOPK)
     )
+
+
+# --- inverted-index postings compression estimate -------------------------------
+@register(
+    "text_postings_compression",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    postings AS (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id, unnest(t) AS w FROM tok)),
+    g AS (SELECT w, doc_id,
+                 doc_id - LAG(doc_id) OVER (PARTITION BY w ORDER BY doc_id) AS gap
+          FROM postings),
+    b AS (SELECT w,
+                 CASE WHEN gap IS NULL THEN 8
+                      WHEN gap < 128 THEN 1
+                      WHEN gap < 16384 THEN 2
+                      WHEN gap < 2097152 THEN 3
+                      WHEN gap < 268435456 THEN 4
+                      ELSE 5 END AS nbytes
+          FROM g),
+    st AS (SELECT w, COUNT(*) AS df, SUM(nbytes) AS delta_bytes FROM b GROUP BY w)
+    SELECT w AS term, CAST(df AS BIGINT) AS df,
+           CAST(delta_bytes AS BIGINT) AS delta_bytes,
+           CAST(df * 8 AS BIGINT) AS raw_bytes,
+           ROUND(df * 8.0 / delta_bytes, 4) AS compression_ratio
+    FROM st ORDER BY df DESC, term LIMIT 50
+    """,
+)
+def text_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index sizing: per-term posting lists (distinct sorted
+    doc ids), delta-encoded with varint gap widths (integer CASE
+    ladder at the 2^7k boundaries — no float log2, whose exactness at
+    powers of two is engine-undefined), vs raw 8-byte ids. The
+    index-layout estimate behind BM25/TF-IDF retrieval at corpus
+    scale: delta+varint is why a 100 TB corpus's index fits in a
+    fraction of the corpus. Gap windows are PARTITIONED BY TERM —
+    parallel, posting-list-sized frames; the only global order is the
+    final top-50-by-df over the vocabulary relation."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.explode(H.tokens("text")).alias("w")
+    ).distinct()
+    g = postings.withColumn(
+        "gap",
+        F.col("doc_id")
+        - F.lag("doc_id").over(Window.partitionBy("w").orderBy("doc_id")),
+    )
+    nb = (
+        F.when(F.col("gap").isNull(), 8)
+        .when(F.col("gap") < 128, 1)
+        .when(F.col("gap") < 16384, 2)
+        .when(F.col("gap") < 2097152, 3)
+        .when(F.col("gap") < 268435456, 4)
+        .otherwise(5)
+    )
+    st = g.select("w", nb.alias("nbytes")).groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("nbytes").alias("delta_bytes")
+    )
+    return (
+        st.select(
+            F.col("w").alias("term"),
+            F.col("df").cast("long").alias("df"),
+            F.col("delta_bytes").cast("long").alias("delta_bytes"),
+            (F.col("df") * 8).cast("long").alias("raw_bytes"),
+            F.round(F.col("df") * 8.0 / F.col("delta_bytes"), 4).alias(
+                "compression_ratio"
+            ),
+        )
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(50)
+    )

@@ -608,3 +608,34 @@ def stream_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+def stream_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of dq_benford_totalprice: first-digit counts of
+    order totals maintained incrementally (complete-mode aggregate —
+    state is NINE counters, constant regardless of stream length), the
+    Benford shares computed batch-side on the materialized 9-row
+    result. The always-on ingest-anomaly monitor: a feed that starts
+    duplicating or synthesizing amounts drifts off the Benford curve
+    within a few micro-batches, long before downstream aggregates
+    look wrong."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    raw = stream_table_source(spark, sf_dir, "orders", schema)
+    digits = raw.select(
+        F.substring(F.floor("o_totalprice").cast("long").cast("string"), 1, 1)
+        .cast("int")
+        .alias("digit")
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    out = run_stream_to_memory(obs, "complete")
+    tot = out.agg(F.sum("n").alias("t"))
+    return out.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") / F.col("t"), 6).alias("observed_share"),
+        F.round(
+            F.log(F.lit(1) + F.lit(1.0) / F.col("digit")) / F.log(F.lit(10.0)), 6
+        ).alias("benford_share"),
+    )
