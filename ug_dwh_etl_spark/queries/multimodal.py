@@ -259,21 +259,40 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").filter(
         F.length("text") >= _PH_BITS
     )
+    # Relational spelling of the hash: one row per (doc, bit), then two
+    # doc-keyed aggregates (sample mean, bit sum). The lambda spelling
+    # (aggregate over a transform'd code array) is semantically the same
+    # but catalyst INLINES the 48-term array into every lambda reference
+    # when collapsing projections — the optimized tree grows to ~2300
+    # substr nodes per join side and planning alone took ~2 min at
+    # sf0.1 (measured; execution was seconds). Exploding the bit index
+    # keeps every expression 1 node wide; the two extra doc-keyed
+    # shuffles are AQE-coalesced and linear.
     codes = docs.select(
         "doc_id",
-        F.expr(
-            f"transform(sequence(0, {_PH_BITS - 1}),"
-            f" d -> ascii(substr(text, 1 + ((d * length(text)) div {_PH_BITS}), 1)))"
-        ).alias("cs"),
-    )
-    hashes = codes.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_PH_BITS - 1))).alias("d"),
+        F.col("text"),
+    ).select(
         "doc_id",
+        "d",
         F.expr(
-            f"aggregate(sequence(0, {_PH_BITS - 1}), cast(0 as bigint),"
-            f" (acc, d) -> acc + IF(element_at(cs, d + 1) >= "
-            f"aggregate(cs, 0, (a, x) -> a + x) / {_PH_BITS}.0,"
-            f" shiftleft(cast(1 as bigint), d), cast(0 as bigint)))"
-        ).alias("ah"),
+            f"ascii(substr(text, 1 + ((d * length(text)) div {_PH_BITS}), 1))"
+        ).alias("code"),
+    )
+    means = codes.groupBy("doc_id").agg(
+        (F.sum("code") / float(_PH_BITS)).alias("mc")
+    )
+    hashes = (
+        codes.join(means, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("code") >= F.col("mc"),
+                    F.expr("shiftleft(cast(1 as bigint), d)"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("ah")
+        )
     )
     bands = hashes.select(
         "doc_id",

@@ -899,3 +899,110 @@ def embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max(F.abs(F.col("ma") - F.col("mb"))), 5).alias("max_abs_shift"),
         F.round(F.avg(F.abs(F.col("ma") - F.col("mb"))), 5).alias("mean_abs_shift"),
     )
+
+
+# --- reciprocal-rank fusion of lexical (BM25) and vector (cosine) retrieval ----
+_RRF_K = 60
+_RRF_TOP = 20
+
+
+def _rrf_oracle() -> str:
+    # BM25 CTE chain mirrors text_bm25_topdocs' oracle (same constants),
+    # cosine CTE mirrors sim_cosine_topk's — both ranked on ROUNDED
+    # scores with id tiebreaks so the two engines cut identical lists.
+    probe = ("hash", "join", "vector", "stream", "scan")
+    k1, b = 1.2, 0.75
+    return f"""
+    WITH terms AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents)
+      WHERE term <> ''),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM terms
+           WHERE term IN {probe!r} GROUP BY doc_id, term),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+           WHERE term IN {probe!r} GROUP BY term),
+    bscored AS (
+      SELECT tf.doc_id,
+             SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({k1} + 1.0)
+                 / (tf + {k1} * (1.0 - {b} + {b} * dl / avgdl))) AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    brank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id)
+               AS rnk
+      FROM bscored),
+    btop AS (SELECT doc_id, rnk FROM brank WHERE rnk <= {_RRF_TOP}),
+    q AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 0),
+    cscored AS (
+      SELECT vec_id AS doc_id,
+             ROUND(list_dot_product(embedding::DOUBLE[], q)
+                   / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(q, q))), 6) AS c
+      FROM embeddings, q WHERE vec_id != 0),
+    crank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY c DESC, doc_id) AS rnk
+      FROM cscored),
+    ctop AS (SELECT doc_id, rnk FROM crank WHERE rnk <= {_RRF_TOP}),
+    fused AS (
+      SELECT COALESCE(btop.doc_id, ctop.doc_id) AS doc_id,
+             COALESCE(1.0 / ({_RRF_K} + btop.rnk), 0.0)
+               + COALESCE(1.0 / ({_RRF_K} + ctop.rnk), 0.0) AS rrf,
+             btop.rnk AS bm25_rank, ctop.rnk AS cosine_rank
+      FROM btop FULL OUTER JOIN ctop ON btop.doc_id = ctop.doc_id)
+    SELECT doc_id, ROUND(rrf, 6) AS rrf_score, bm25_rank, cosine_rank
+    FROM fused
+    ORDER BY ROUND(rrf, 6) DESC, doc_id LIMIT {_RRF_TOP}
+    """
+
+
+@register("sim_hybrid_rrf", _rrf_oracle())
+def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al. 2009,
+    k=60): the BM25 lexical top-20 (text_bm25_topdocs' exact scoring)
+    and the embedding-cosine top-20 (sim_cosine_topk's probe) merge on
+    1/(k+rank) — the standard production shape for RAG retrieval,
+    where fusion beats either ranker alone and needs NO score
+    calibration because it consumes only ranks. Each ranker's list is
+    cut on (ROUNDED score, id) so both engines fuse identical lists;
+    the fusion itself is a 20-row full outer join — free. At scale the
+    cost is the two rankers (each already top-k-pruned); fusion adds
+    nothing."""
+    from pyspark.sql import Window
+
+    from ug_dwh_etl_spark.queries.textstats import text_bm25_topdocs
+
+    bm = text_bm25_topdocs(spark, sf_dir).select(
+        "doc_id", F.col("rnk").alias("bm25_rank")
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    cos = cosine_topk(emb, query_id=0, k=_RRF_TOP).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("vec_id")))
+        .alias("cosine_rank"),
+    )
+    fused = bm.join(cos, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("cosine_rank")), F.lit(0.0))
+        ).alias("rrf"),
+        "bm25_rank",
+        "cosine_rank",
+    )
+    return (
+        fused.select(
+            "doc_id",
+            F.round("rrf", 6).alias("rrf_score"),
+            "bm25_rank",
+            "cosine_rank",
+        )
+        .orderBy(F.desc(F.round(F.col("rrf_score"), 6)), F.asc("doc_id"))
+        .limit(_RRF_TOP)
+    )
