@@ -79,6 +79,8 @@ _CHEAPEST_FIRST = (
     "text_langid",
     "events_funnel_ordered",
     "customer_mi_segment_nation",
+    "agg_weighted_median",
+    "copurchase_rules",
     "events_autocorrelation",
     "embed_centroid_drift",
     "text_postings_compression",
@@ -116,6 +118,7 @@ _CHEAPEST_FIRST = (
     "q20_excess_share_shippers",
     "sketch_ams_f2",
     "multimodal_phash_neardup",
+    "sim_hybrid_rrf",
     "graph_kcore",
     "join_bloom_pruned",
     "q8_market_share",

@@ -182,6 +182,10 @@ HEADLINE = [
     "embed_centroid_drift",
     "text_postings_compression",
     "stream_dq_benford",
+    "sim_hybrid_rrf",
+    # added round 5 (wave 9): association rules, weighted median
+    "copurchase_rules",
+    "agg_weighted_median",
 ]
 
 

@@ -2000,3 +2000,153 @@ def customer_mi_segment_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("mi") / F.sqrt(F.col("hx") * F.col("hy")), 6).alias("nmi"),
         )
     )
+
+
+# --- association rules (confidence / lift) over the capped pair set ------------
+@register(
+    "copurchase_rules",
+    f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    nn AS (SELECT COUNT(DISTINCT o) AS n_orders FROM op),
+    f AS (SELECT p, COUNT(*) AS n FROM op GROUP BY p),
+    qual AS (SELECT p, n FROM f WHERE n >= {_COP_MIN_SUP}),
+    opq AS (SELECT op.o, op.p FROM op JOIN qual ON qual.p = op.p),
+    pairs AS (
+      SELECT a.p AS p1, b.p AS p2, COUNT(*) AS n_ab
+      FROM opq a JOIN opq b ON a.o = b.o AND a.p < b.p
+      GROUP BY a.p, b.p),
+    rules AS (
+      SELECT p1 AS antecedent, p2 AS consequent, n_ab FROM pairs
+      UNION ALL
+      SELECT p2, p1, n_ab FROM pairs),
+    scored AS (
+      SELECT antecedent, consequent, n_ab,
+             fa.n AS n_a, fb.n AS n_b,
+             n_ab * 1.0 / fa.n AS conf,
+             n_ab * 1.0 * n_orders / (fa.n * 1.0 * fb.n) AS lift
+      FROM rules
+        JOIN qual fa ON fa.p = antecedent
+        JOIN qual fb ON fb.p = consequent
+        CROSS JOIN nn)
+    SELECT antecedent, consequent, CAST(n_ab AS BIGINT) AS n_ab,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(conf, 6) AS confidence, ROUND(lift, 6) AS lift
+    FROM scored
+    ORDER BY ROUND(lift, 6) DESC, antecedent, consequent LIMIT 20
+    """,
+)
+def copurchase_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules over the min-support co-purchase
+    pairs: confidence P(b|a) = n_ab/n_a and lift
+    P(a,b)/(P(a)P(b)) = n_ab·N/(n_a·n_b), top-20 by lift — the
+    market-basket statistic behind 'frequently bought together'
+    recommendations, built on copurchase_capped's support-pruned pair
+    relation (the min-support cut is exactly the Apriori antimonotone
+    prune: a rule can't beat the threshold its itemsets miss). Each
+    undirected pair fans into the two directed rules batch-side. The
+    ranking key is ROUNDED lift with (antecedent, consequent)
+    tiebreaks; pair-relation cost is the same bounded
+    per-order fan-out as the parent query."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    nn = op.agg(F.countDistinct("o").alias("n_orders"))
+    f = op.groupBy("p").agg(F.count(F.lit(1)).alias("n"))
+    qual = f.filter(F.col("n") >= _COP_MIN_SUP)
+    opq = op.join(F.broadcast(qual.select("p")), "p", "semi")
+    a = opq.select(F.col("o"), F.col("p").alias("p1"))
+    b = opq.select(F.col("o").alias("o2"), F.col("p").alias("p2"))
+    pairs = (
+        a.join(b, (F.col("o") == F.col("o2")) & (F.col("p1") < F.col("p2")))
+        .groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    rules = pairs.select(
+        F.col("p1").alias("antecedent"), F.col("p2").alias("consequent"), "n_ab"
+    ).unionByName(
+        pairs.select(
+            F.col("p2").alias("antecedent"), F.col("p1").alias("consequent"), "n_ab"
+        )
+    )
+    fa = qual.select(F.col("p").alias("antecedent"), F.col("n").alias("n_a"))
+    fb = qual.select(F.col("p").alias("consequent"), F.col("n").alias("n_b"))
+    scored = (
+        rules.join(F.broadcast(fa), "antecedent")
+        .join(F.broadcast(fb), "consequent")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_ab") * 1.0 / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_ab") * 1.0 * F.col("n_orders")
+                / (F.col("n_a") * 1.0 * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.round(F.col("lift"), 6)), F.asc("antecedent"), F.asc("consequent")
+    ).limit(20)
+
+
+# --- exact weighted median per group -------------------------------------------
+@register(
+    "agg_weighted_median",
+    """
+    WITH w AS (
+      SELECT l_suppkey AS s, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_suppkey
+                     ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                     ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(CAST(l_quantity AS DECIMAL(18,2)))
+               OVER (PARTITION BY l_suppkey) AS tw
+      FROM lineitem)
+    SELECT s AS suppkey, MIN(v) AS wmedian_price,
+           CAST(COUNT(*) AS BIGINT) AS n_crossing
+    FROM w WHERE cw >= tw / 2 GROUP BY s
+    """,
+)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per supplier: sort each
+    supplier's lines by price, take the first value whose running
+    weight crosses half the total — the robust 'typical transacted
+    price' that unweighted median misses (a 50-unit line should count
+    50x a 1-unit line). percentile/median aggregates can't take
+    weights, so this is the canonical windowed rewrite. Weights sum in
+    DECIMAL — the running and total sums must be EXACT or the crossing
+    row (and thus the answer) flips at engine float-order whim.
+    Windows are partitioned per supplier (bounded frames, parallel);
+    the group key is deliberately high-cardinality — the same query
+    keyed by a 3-value flag would serialize each third of the table
+    through one reducer, the shape to refuse at 100 TB (bin-histogram
+    quantiles are the rewrite there)."""
+    from pyspark.sql import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    wt = F.col("l_quantity").cast("decimal(18,2)")
+    wo = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("l_suppkey")
+    w = li.select(
+        F.col("l_suppkey").alias("s"),
+        F.col("l_extendedprice").alias("v"),
+        F.sum(wt).over(wo).alias("cw"),
+        F.sum(wt).over(wp).alias("tw"),
+    )
+    return (
+        w.filter(F.col("cw") >= F.col("tw") / 2)
+        .groupBy(F.col("s").alias("suppkey"))
+        .agg(
+            F.min("v").alias("wmedian_price"),
+            F.count(F.lit(1)).alias("n_crossing"),
+        )
+    )
