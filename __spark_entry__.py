@@ -61,6 +61,10 @@ _CHEAPEST_FIRST = (
     "window_moving_avg_spend",
     "dq_benford_totalprice",
     "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "text_fertility_by_lang",
+    "dq_functional_dependency",
+    "corpus_negative_samples",
     "storage_zonemap_skipping",
     "orders_coverage_islands",
     "parts_abc_analysis",
@@ -120,6 +124,7 @@ _CHEAPEST_FIRST = (
     "multimodal_phash_neardup",
     "sim_hybrid_rrf",
     "graph_kcore",
+    "graph_link_prediction",
     "join_bloom_pruned",
     "q8_market_share",
     "skyline_orders",

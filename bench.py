@@ -186,6 +186,13 @@ HEADLINE = [
     # added round 5 (wave 9): association rules, weighted median
     "copurchase_rules",
     "agg_weighted_median",
+    # added round 5 (wave 10): link prediction, negative sampling,
+    # fertility, FD audit, l-diversity
+    "graph_link_prediction",
+    "corpus_negative_samples",
+    "text_fertility_by_lang",
+    "dq_functional_dependency",
+    "privacy_l_diversity",
 ]
 
 

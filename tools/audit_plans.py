@@ -111,6 +111,20 @@ EXPECTED_NESTED_LOOP = {
     "sketch_ams_f2",
     # three 1-row stage counts cross-joined into the ordered-funnel row
     "events_funnel_ordered",
+    # 1-row digit-total broadcast onto the 9-row first-digit table
+    "dq_benford_totalprice",
+    # three 1-row entropy/total frames joined into the one-row MI report
+    "customer_mi_segment_nation",
+    # 1-row distinct-order count broadcast onto the rule table
+    "copurchase_rules",
+    # per-round (1-row nodes x 1-row edges) stat frames, 4 rounds
+    "graph_kcore",
+    # 1-row custkey-max/bounds frames broadcast onto the zone maps
+    "storage_zonemap_skipping",
+    # 1-row BM25 N/avgdl stats frame (inherited from text_bm25_topdocs)
+    "sim_hybrid_rrf",
+    # 3-row neighbor-offset spine broadcast onto the blocked sort
+    "dedup_sorted_neighborhood",
 }
 STREAM = re.compile(r"^stream_")
 

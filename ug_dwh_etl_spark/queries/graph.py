@@ -351,3 +351,88 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.graph import kcore_rounds
 
     return kcore_rounds(edges, k=4, rounds=3, loop_partitions=16)
+
+
+# --- common-neighbor link prediction -------------------------------------------
+_LP_DEG_CAP = 64
+_LP_TOPK = 30
+
+
+@register(
+    "graph_link_prediction",
+    f"""
+    WITH e0 AS ({_COMMUNITY_EDGES_SQL}),
+    und AS (SELECT DISTINCT a, b FROM (
+      SELECT src AS a, dst AS b FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+    hub AS (SELECT node FROM deg WHERE d <= {_LP_DEG_CAP}),
+    wedge AS (
+      SELECT x.b AS w, x.a AS u, y.a AS v
+      FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+      WHERE x.b IN (SELECT node FROM hub)),
+    cn AS (SELECT u, v, COUNT(*) AS common FROM wedge GROUP BY u, v),
+    nonadj AS (
+      SELECT cn.u, cn.v, cn.common FROM cn
+      WHERE NOT EXISTS (SELECT 1 FROM und WHERE und.a = cn.u AND und.b = cn.v)),
+    scored AS (
+      SELECT u, v, common,
+             common * 1.0 / (du.d + dv.d - common) AS jaccard
+      FROM nonadj JOIN deg du ON du.node = u JOIN deg dv ON dv.node = v)
+    SELECT u, v, CAST(common AS BIGINT) AS common_neighbors,
+           ROUND(jaccard, 6) AS jaccard
+    FROM scored ORDER BY ROUND(jaccard, 6) DESC, u, v LIMIT {_LP_TOPK}
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the community graph: for each
+    NON-adjacent node pair sharing >= 1 neighbor, the Jaccard score
+    |N(u) ∩ N(v)| / |N(u) ∪ N(v)| — the classic 'who should be
+    connected' / related-entities primitive. Wedge enumeration is
+    Σ deg(n)^2 over SHARED neighbors, so hub nodes (degree >
+    {_LP_DEG_CAP}) are excluded from the wedge pivot — the same
+    df-cap bound as dedup_ngram_jaccard_capped: a hub's wedges are
+    the quadratic term, and a shared hub carries almost no signal
+    (its Jaccard contribution is tiny by construction). Degrees stay
+    UNcapped, so surviving scores are exact. Existing edges drop via
+    an anti-join; ranking is on the rounded score with (u, v)
+    tiebreaks."""
+    edges = _community_edges(spark, sf_dir).select(
+        F.col("src").alias("a"), F.col("dst").alias("b")
+    )
+    und = (
+        edges.select("a", "b")
+        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # 4 consumers: wedge x2, deg, anti
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    hub = deg.filter(F.col("d") <= _LP_DEG_CAP).select("node")
+    capped = und.join(
+        F.broadcast(hub.select(F.col("node").alias("b"))), "b", "semi"
+    )
+    x, y = capped.alias("x"), capped.alias("y")
+    wedge = x.join(
+        y, (F.col("x.b") == F.col("y.b")) & (F.col("x.a") < F.col("y.a"))
+    ).select(F.col("x.a").alias("u"), F.col("y.a").alias("v"))
+    cn = wedge.groupBy("u", "v").agg(F.count(F.lit(1)).alias("common"))
+    adj = und.select(F.col("a").alias("u"), F.col("b").alias("v"))
+    nonadj = cn.join(adj, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    scored = (
+        nonadj.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            "u",
+            "v",
+            F.col("common").cast("long").alias("common_neighbors"),
+            F.round(
+                F.col("common") * 1.0
+                / (F.col("du") + F.col("dv") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc(F.round(F.col("jaccard"), 6)), F.asc("u"), F.asc("v")
+    ).limit(_LP_TOPK)

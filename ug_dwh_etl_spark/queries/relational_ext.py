@@ -2150,3 +2150,64 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_crossing"),
         )
     )
+
+
+# --- functional-dependency audit ------------------------------------------------
+@register(
+    "dq_functional_dependency",
+    """
+    WITH checks AS (
+      SELECT 'p_name->p_brand' AS fd, p_name AS det, p_brand AS dep FROM part
+      UNION ALL
+      SELECT 'p_name->p_type', p_name, p_type FROM part
+      UNION ALL
+      SELECT 'p_brand->p_type', p_brand, p_type FROM part),
+    per_det AS (
+      SELECT fd, det, COUNT(DISTINCT dep) AS n_dep, COUNT(*) AS n_rows
+      FROM checks GROUP BY fd, det)
+    SELECT fd, CAST(COUNT(*) AS BIGINT) AS n_determinants,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS violating_determinants,
+           CAST(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END) AS BIGINT)
+             AS violating_rows,
+           ROUND(SUM(CASE WHEN n_dep > 1 THEN n_rows ELSE 0 END) * 1.0
+                 / SUM(n_rows), 6) AS violation_rate
+    FROM per_det GROUP BY fd
+    """,
+)
+def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each candidate FD X→Y, how many
+    determinant values map to MORE than one dependent value, and what
+    row fraction they cover — the schema-inference / dirty-dimension
+    screen (a 'brand determines type' rule that holds at 99.9% is a
+    normalization opportunity; one that suddenly degrades is an ingest
+    bug). The three candidates union into one relation so the whole
+    audit is a single two-level aggregation (per-determinant distinct
+    count, then per-FD rollup) — adding candidates adds scan width,
+    not passes. Exact integer counts; rate rounds at 6dp."""
+    part = table(spark, sf_dir, "part")
+
+    def c(fd: str, det: str, dep: str) -> DataFrame:
+        return part.select(
+            F.lit(fd).alias("fd"),
+            F.col(det).alias("det"),
+            F.col(dep).alias("dep"),
+        )
+
+    checks = (
+        c("p_name->p_brand", "p_name", "p_brand")
+        .unionByName(c("p_name->p_type", "p_name", "p_type"))
+        .unionByName(c("p_brand->p_type", "p_brand", "p_type"))
+    )
+    per_det = checks.groupBy("fd", "det").agg(
+        F.countDistinct("dep").alias("n_dep"), F.count(F.lit(1)).alias("n_rows")
+    )
+    viol = F.sum(F.when(F.col("n_dep") > 1, F.col("n_rows")).otherwise(0))
+    return per_det.groupBy("fd").agg(
+        F.count(F.lit(1)).alias("n_determinants"),
+        F.sum(F.when(F.col("n_dep") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("violating_determinants"),
+        viol.cast("long").alias("violating_rows"),
+        F.round(viol * 1.0 / F.sum("n_rows"), 6).alias("violation_rate"),
+    )

@@ -515,3 +515,54 @@ def storage_zonemap_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return layout("f_clustered", "clustered").unionByName(
         layout("f_roworder", "roworder")
     )
+
+
+# --- l-diversity audit ----------------------------------------------------------
+_L_DIV = 3
+
+
+@register(
+    "privacy_l_diversity",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_band,
+             COUNT(*) AS n, COUNT(DISTINCT c_mktsegment) AS n_sensitive
+      FROM customer GROUP BY c_nationkey, bal_band)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN 1 ELSE 0 END) AS BIGINT)
+             AS risky_groups,
+           CAST(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n ELSE 0 END) AS BIGINT)
+             AS risky_rows,
+           CAST(MIN(n_sensitive) AS BIGINT) AS min_diversity,
+           ROUND(SUM(CASE WHEN n_sensitive < {_L_DIV} THEN n ELSE 0 END) * 1.0
+                 / SUM(n), 6) AS exposure_rate
+    FROM g
+    """,
+)
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l={_L}) over quasi-identifier groups
+    (nation x account-balance band) with market segment as the
+    sensitive attribute: a group can be k-anonymous and still leak —
+    if all its members share one segment, membership REVEALS the
+    segment. Counts groups whose sensitive-value diversity falls below
+    l and the row fraction exposed; the homogeneity-attack companion
+    to privacy_k_anonymity. Same two-aggregation shape, group-sized
+    intermediates, scan-bound at any scale.""".replace("{_L}", str(_L_DIV))
+    cust = table(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("c_mktsegment").alias("n_sensitive"),
+    )
+    risky_n = F.sum(F.when(F.col("n_sensitive") < _L_DIV, F.col("n")).otherwise(0))
+    return g.agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(F.when(F.col("n_sensitive") < _L_DIV, 1).otherwise(0))
+        .cast("long")
+        .alias("risky_groups"),
+        risky_n.cast("long").alias("risky_rows"),
+        F.min("n_sensitive").cast("long").alias("min_diversity"),
+        F.round(risky_n / F.sum("n"), 6).alias("exposure_rate"),
+    )

@@ -1306,3 +1306,113 @@ def text_postings_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(50)
     )
+
+
+# --- deterministic negative sampling for contrastive training -------------------
+_NEG_PER_ANCHOR = 4
+
+
+@register(
+    "corpus_negative_samples",
+    f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    fp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    anchors AS (SELECT doc_id AS anchor_id, fp AS afp FROM fp
+                WHERE doc_id % 20 = 0),
+    cand AS (
+      SELECT anchor_id, afp, j,
+             ('0x' || substr(md5(anchor_id::VARCHAR || '|' || j::VARCHAR
+                                 || '|neg'), 1, 15))::BIGINT % n AS neg_id
+      FROM anchors, (SELECT unnest(range(0, {_NEG_PER_ANCHOR})) AS j), nn)
+    SELECT anchor_id, CAST(j AS INT) AS j, neg_id
+    FROM cand JOIN fp ON fp.doc_id = cand.neg_id
+    WHERE neg_id != anchor_id AND fp.fp != afp
+    """,
+)
+def corpus_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive/embedding
+    training: every 20th doc is an anchor; each anchor draws
+    {_N} pseudo-random negatives via md5(anchor|j) mod corpus-size
+    (seeded, reproducible — the property a training pipeline needs for
+    resumable shuffles), then drops self-pairs and EXACT-DUP false
+    negatives by content-fingerprint inequality (the top source of
+    contrastive-label noise: sampling a duplicate of the anchor as its
+    'negative'). The fingerprint join doubles as existence filtering.
+    At 100 TB: anchors and candidates are hash-derived (no global
+    sort/shuffle to pick them), the fingerprint relation is one
+    codegen'd scan, and the join keys on neg_id — one shuffle
+    proportional to anchors x k, not corpus².""".replace(
+        "{_N}", str(_NEG_PER_ANCHOR)
+    )
+    docs = table(spark, sf_dir, "documents")
+    nn = docs.agg(F.count(F.lit(1)).alias("n"))
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    anchors = fp.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("anchor_id"), F.col("fp").alias("afp")
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(_NEG_PER_ANCHOR - 1))).alias("j")
+    cand = (
+        anchors.select("anchor_id", "afp", js)
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "anchor_id",
+            "afp",
+            "j",
+            (
+                H.md5_long(
+                    F.concat_ws(
+                        "|", F.col("anchor_id").cast("string"),
+                        F.col("j").cast("string"), F.lit("neg"),
+                    )
+                )
+                % F.col("n")
+            ).alias("neg_id"),
+        )
+    )
+    return (
+        cand.join(fp, cand.neg_id == fp.doc_id)
+        .filter((F.col("neg_id") != F.col("anchor_id")) & (F.col("fp") != F.col("afp")))
+        .select("anchor_id", F.col("j").cast("int").alias("j"), "neg_id")
+    )
+
+
+# --- tokenizer fertility by language -------------------------------------------
+@register(
+    "text_fertility_by_lang",
+    f"""
+    WITH tok AS (SELECT doc_id, lang, length(text) AS n_chars,
+                        len({H.sql_tokens('text')}) AS n_words
+                 FROM documents)
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(SUM(n_chars) * 1.0 / SUM(n_words), 4) AS chars_per_word,
+           ROUND(SUM(n_words) * 1.0 / COUNT(*), 4) AS words_per_doc
+    FROM tok GROUP BY lang
+    """,
+)
+def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility profile per language: characters per word
+    and words per document — the per-language budget numbers a
+    multilingual tokenizer/mixture design starts from (a language with
+    high chars/word inflates byte-level token counts; a corpus whose
+    words/doc collapses for one language signals a segmentation bug).
+    Integer sums, exact; one map-side-combined aggregate over the
+    tokenize scan — the cheapest always-on per-language monitor."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        F.size(H.tokens("text")).alias("n_words"),
+    )
+    return tok.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.sum("n_chars") * 1.0 / F.sum("n_words"), 4).alias(
+            "chars_per_word"
+        ),
+        F.round(F.sum("n_words") * 1.0 / F.count(F.lit(1)), 4).alias(
+            "words_per_doc"
+        ),
+    )
