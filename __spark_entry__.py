@@ -65,6 +65,7 @@ _CHEAPEST_FIRST = (
     "text_fertility_by_lang",
     "dq_functional_dependency",
     "corpus_negative_samples",
+    "text_lm_quality_score",
     "storage_zonemap_skipping",
     "orders_coverage_islands",
     "parts_abc_analysis",

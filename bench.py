@@ -193,6 +193,8 @@ HEADLINE = [
     "text_fertility_by_lang",
     "dq_functional_dependency",
     "privacy_l_diversity",
+    # added round 5 (wave 11): char-bigram LM quality scoring
+    "text_lm_quality_score",
 ]
 
 

@@ -1416,3 +1416,90 @@ def text_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "words_per_doc"
         ),
     )
+
+
+# --- char-bigram LM quality scoring (perplexity-proxy filter) -------------------
+@register(
+    "text_lm_quality_score",
+    """
+    WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents
+                WHERE length(text) >= 2),
+    a_bg AS (
+      SELECT substr(t, i, 1) AS c1, substr(t, i, 2) AS bg
+      FROM (SELECT t, unnest(generate_series(1, length(t) - 1)) AS i
+            FROM lt WHERE doc_id % 2 = 0)),
+    model AS (SELECT bg, COUNT(*) AS cnt FROM a_bg GROUP BY bg),
+    ctx AS (SELECT c1, COUNT(*) AS tot FROM a_bg GROUP BY c1),
+    vv AS (SELECT COUNT(*) * 1.0 AS v FROM model),
+    b_bg AS (
+      SELECT doc_id, substr(t, i, 1) AS c1, substr(t, i, 2) AS bg
+      FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 1)) AS i
+            FROM lt WHERE doc_id % 2 = 1)),
+    scored AS (
+      SELECT b.doc_id,
+             ln(CASE WHEN ctx.tot IS NULL THEN 1.0 / v
+                     ELSE (COALESCE(model.cnt, 0) + 1.0) / (ctx.tot + v) END)
+               AS lp
+      FROM b_bg b
+        LEFT JOIN model ON model.bg = b.bg
+        LEFT JOIN ctx ON ctx.c1 = b.c1
+        CROSS JOIN vv),
+    per_doc AS (SELECT doc_id, AVG(lp) AS score FROM scored GROUP BY doc_id)
+    SELECT CAST(FLOOR(score * 10) AS INT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(score), 4) AS avg_logprob
+    FROM per_doc GROUP BY bin
+    """,
+)
+def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring — the perplexity-proxy filter
+    every LLM corpus pipeline runs (CCNet/Gopher-style: score each doc
+    under a cheap LM trained on trusted text; drop the tail): a
+    char-bigram add-one model is FIT on the even-doc half (counts →
+    probabilities, vocabulary-sized) and SCORES the odd-doc half as
+    mean ln P(c_i|c_{i-1}), reported as a 0.1-nat-bin histogram.
+    Scale shape: the model is bigram-vocab-sized (≲ alphabet², BROADCAST
+    joins onto the scoring scan), the per-position explode is linear,
+    and the histogram uses FIXED-width bins — an ntile over per-doc
+    scores would funnel the corpus through one window partition, the
+    shape this query exists to avoid. In production the trusted half
+    is Wikipedia-grade text and the model a KenLM; the dataflow —
+    fit on half, broadcast, score, bin — is exactly this."""
+    docs = table(spark, sf_dir, "documents").filter(F.length("text") >= 2)
+    lt = docs.select("doc_id", F.lower("text").alias("t"))
+
+    def bigrams(df: DataFrame, with_doc: bool) -> DataFrame:
+        cols = ["doc_id"] if with_doc else []
+        return df.select(
+            *cols,
+            F.explode(F.sequence(F.lit(1), F.length("t") - 1)).alias("i"),
+            F.col("t"),
+        ).select(
+            *cols,
+            F.expr("substr(t, i, 1)").alias("c1"),
+            F.expr("substr(t, i, 2)").alias("bg"),
+        )
+
+    a_bg = bigrams(lt.filter(F.col("doc_id") % 2 == 0), with_doc=False)
+    model = a_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
+    ctx = a_bg.groupBy("c1").agg(F.count(F.lit(1)).alias("tot"))
+    vv = model.agg((F.count(F.lit(1)) * 1.0).alias("v"))
+    b_bg = bigrams(lt.filter(F.col("doc_id") % 2 == 1), with_doc=True)
+    lp = F.log(
+        F.when(F.col("tot").isNull(), 1.0 / F.col("v")).otherwise(
+            (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0) / (F.col("tot") + F.col("v"))
+        )
+    )
+    per_doc = (
+        b_bg.join(F.broadcast(model), "bg", "left")
+        .join(F.broadcast(ctx), "c1", "left")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(F.avg(lp).alias("score"))
+    )
+    return per_doc.groupBy(
+        F.floor(F.col("score") * 10).cast("int").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("avg_logprob"),
+    )
