@@ -52,7 +52,15 @@ _CHEAPEST_FIRST = (
     # Re-spliced from the round-5 wave-5 timing run: 126 never-
     # recorded queries lead (cheapest first, wave-6 additions spliced
     # in by measured cost); the 126 recorded follow.
+    "multimodal_aspect_buckets",
     "window_running_median_price",
+    "privacy_t_closeness",
+    "text_readability",
+    "corpus_global_shuffle",
+    "events_ljung_box",
+    "graph_hits",
+    "graph_bfs_distance",
+    "dedup_containment_pairs",
     "window_spend_between_bigorders",
     "dq_contract_orders",
     "macro_url_canonicalize",

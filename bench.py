@@ -195,6 +195,17 @@ HEADLINE = [
     "privacy_l_diversity",
     # added round 5 (wave 11): char-bigram LM quality scoring
     "text_lm_quality_score",
+    # added round 5 (wave 12): HITS, bounded BFS, t-closeness,
+    # Ljung-Box, readability, global shuffle, aspect buckets,
+    # shingle containment
+    "graph_hits",
+    "graph_bfs_distance",
+    "privacy_t_closeness",
+    "events_ljung_box",
+    "text_readability",
+    "corpus_global_shuffle",
+    "multimodal_aspect_buckets",
+    "dedup_containment_pairs",
 ]
 
 

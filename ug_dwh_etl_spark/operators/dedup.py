@@ -289,6 +289,46 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pairs whose shingle-set CONTAINMENT |A∩B| / min(|A|,|B|) meets
+    the threshold — the asymmetric companion to ``ngram_jaccard_pairs``
+    that catches SUBSET duplication: a short document wholly embedded in
+    a longer one scores near 1.0 here while its Jaccard (union
+    denominator) can sit far below any dedup cut. Returns both measures
+    so callers see exactly which pairs only containment finds.
+
+    Same shingle-hash-join skeleton (and the same ReuseExchange /
+    df-cap scale arguments) as the Jaccard operator; at 100 TB run it
+    on LSH-banded candidates, not standalone."""
+    sh = doc_shingle_hashes(spread(df), id_col, text_col)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    cont = F.col("inter") / F.least(F.col("sz_a"), F.col("sz_b"))
+    jacc = F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("containment", F.round(cont, 6))
+        .withColumn("jaccard", F.round(jacc, 6))
+        .filter(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment", "jaccard")
+    )
+
+
 def dedup_incremental(
     batch: DataFrame, existing: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:

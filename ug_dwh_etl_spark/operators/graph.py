@@ -545,3 +545,187 @@ def sql_kcore_rounds(edges_sql: str, k: int, rounds: int) -> str:
         for r in range(rounds + 1)
     ]
     return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, side, score) — HITS hub/authority scores after a fixed
+    number of synchronous update rounds (Kleinberg 1999; the reference
+    ingests link-authority metrics from the Audisto API the same way it
+    ingests PageRank — the engine computes both itself).
+
+        auth_i(p) = Σ_{s→p} hub_{i-1}(s)      hub_i(s) = Σ_{s→p} auth_i(p)
+
+    Per-iteration normalization is deferred: both updates are linear, so
+    scale factors commute through the recursion and a single final
+    L1-normalization (scaled to mean 1.0 per side) yields the same
+    direction as the normalize-every-round form — one scalar aggregate
+    total instead of 2·k, and the fixed dataflow stays exactly
+    unrollable as the DuckDB oracle (``sql_hits``).
+
+    Scale shape: the edge relation is persisted TWICE, hash-partitioned
+    on src and on dst respectively — every auth update joins the
+    dst-copy's partitioning, every hub update the src-copy's, so edges
+    shuffle once per cached copy for the whole run and only the
+    |V|-sized score vectors move per iteration (the pagerank pattern,
+    ``pagerank`` above). ``loop_partitions`` sizes those |V| shuffles.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges.sparkSession
+    prev = None
+    if loop_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        e = edges.select(F.col(src).alias("s"), F.col(dst).alias("p"))
+        e_by_s = e.repartition("s").persist()
+        e_by_p = e.repartition("p").persist()
+        # hub_0 ≡ 1.0 → auth_1 = in-degree: no join on round 1
+        auth = e_by_p.groupBy("p").agg(F.sum(F.lit(1.0)).alias("a"))
+        hub = None
+        for i in range(iterations):
+            if i > 0:
+                auth = (
+                    e_by_p.join(hub, "s")
+                    .groupBy("p")
+                    .agg(F.sum("h").alias("a"))
+                )
+            hub = (
+                e_by_s.join(auth, "p")
+                .groupBy("s")
+                .agg(F.sum("a").alias("h"))
+            )
+        a_norm = auth.crossJoin(
+            F.broadcast(auth.agg((F.sum("a") / F.count(F.lit(1))).alias("_m")))
+        ).select(
+            F.col("p").alias("node"),
+            F.lit("auth").alias("side"),
+            (F.col("a") / F.col("_m")).alias("score"),
+        )
+        h_norm = hub.crossJoin(
+            F.broadcast(hub.agg((F.sum("h") / F.count(F.lit(1))).alias("_m")))
+        ).select(
+            F.col("s").alias("node"),
+            F.lit("hub").alias("side"),
+            (F.col("h") / F.col("_m")).alias("score"),
+        )
+        out = a_norm.unionByName(h_norm).localCheckpoint(eager=True)
+        e_by_s.unpersist()
+        e_by_p.unpersist()
+        return out
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def sql_hits(edges_sql: str, iterations: int = 3) -> str:
+    """The same fixed-iteration HITS as unrolled DuckDB SQL.
+    ``edges_sql`` must select columns (src, dst)."""
+    parts = [
+        f"e AS (SELECT src AS s, dst AS p FROM ({edges_sql}))",
+        "a1 AS (SELECT p, SUM(1.0) AS a FROM e GROUP BY p)",
+        "h1 AS (SELECT e.s, SUM(a1.a) AS h FROM e JOIN a1 ON e.p = a1.p GROUP BY e.s)",
+    ]
+    for i in range(2, iterations + 1):
+        parts.append(
+            f"a{i} AS (SELECT e.p, SUM(h{i - 1}.h) AS a FROM e"
+            f" JOIN h{i - 1} ON e.s = h{i - 1}.s GROUP BY e.p)"
+        )
+        parts.append(
+            f"h{i} AS (SELECT e.s, SUM(a{i}.a) AS h FROM e"
+            f" JOIN a{i} ON e.p = a{i}.p GROUP BY e.s)"
+        )
+    k = iterations
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT p AS node, 'auth' AS side,
+           ROUND(a / (SELECT SUM(a) / COUNT(*) FROM a{k}), 4) AS score FROM a{k}
+    UNION ALL
+    SELECT s, 'hub',
+           ROUND(h / (SELECT SUM(h) / COUNT(*) FROM h{k}), 4) FROM h{k}"""
+    )
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, dist) — minimum hop distance from any seed node within
+    ``rounds`` synchronous frontier expansions over the UNDIRECTED view
+    of the edge list; unreached nodes are absent. ``seeds`` must have a
+    single column ``node``.
+
+    This is the distributed-BFS primitive (Pregel's canonical example):
+    each round joins the reached set against the adjacency relation and
+    takes the per-node min distance. The reached relation only grows, so
+    round cost is |frontier ∪ reached|-sized joins against the
+    once-shuffled edge relation — the adjacency list is persisted
+    hash-partitioned on the join key and never moves again. A fixed
+    round count keeps the dataflow exactly unrollable as the DuckDB
+    oracle (``sql_bfs``); run-to-fixpoint needs the same convergence
+    harness as ``connected_components_converged`` (stop when the
+    reached count is stable).
+    """
+    spark = edges.sparkSession
+    prev = None
+    if loop_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        und = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .repartition("a")
+            .persist()
+        )
+        dist = seeds.select("node", F.lit(0).alias("dist"))
+        for _ in range(rounds):
+            relaxed = (
+                und.join(dist, und.a == dist.node)
+                .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
+                .unionByName(dist)
+                .groupBy("node")
+                .agg(F.min("dist").alias("dist"))
+            )
+            dist = relaxed
+        out = dist.localCheckpoint(eager=True)
+        und.unpersist()
+        return out
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def sql_bfs(edges_sql: str, seeds_sql: str, rounds: int = 4) -> str:
+    """The same bounded multi-source BFS as unrolled DuckDB SQL.
+    ``edges_sql`` selects (src, dst); ``seeds_sql`` selects (node)."""
+    parts = [
+        f"ed AS ({edges_sql})",
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM ed"
+        " UNION ALL SELECT dst, src FROM ed))",
+        f"d0 AS (SELECT node, 0 AS dist FROM ({seeds_sql}))",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""d{i + 1} AS (SELECT node, MIN(dist) AS dist FROM (
+      SELECT und.b AS node, d{i}.dist + 1 AS dist FROM und JOIN d{i} ON und.a = d{i}.node
+      UNION ALL SELECT node, dist FROM d{i}) GROUP BY node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, CAST(dist AS INT) AS dist FROM d{rounds}"
+    )

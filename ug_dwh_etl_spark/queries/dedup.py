@@ -886,3 +886,39 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nb_key").alias("key_b"),
         lev.cast("int").alias("lev"),
     )
+
+
+# --- containment (subset-duplication) pairs --------------------------------------
+@register(
+    "dedup_containment_pairs",
+    f"""
+    WITH {_SHINGLE_HASH_CTES},
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM exh a JOIN exh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / LEAST(sa.sz, sb.sz), 6) AS containment,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / LEAST(sa.sz, sb.sz), 6) >= 0.8
+    """,
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-set containment ≥ 0.8 pairs — the subset-duplication
+    detector (a quote, excerpt, or wholesale embedding of one document
+    inside another) that symmetric Jaccard structurally under-scores:
+    |A∩B|/min(|A|,|B|) hits 1.0 for a perfect excerpt whose Jaccard is
+    only |A|/|B|. Emitted next to the Jaccard value so the gap is
+    auditable. Same shingle-hash-join as dedup_ngram_jaccard (one
+    ReuseExchange'd shingle relation, self-joined on the 60-bit hash);
+    at corpus scale it runs over LSH candidates with the df-cap bound
+    (dedup_ngram_jaccard_capped) — the denominators change, the scale
+    shape doesn't."""
+    from ug_dwh_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 0.8)

@@ -1903,3 +1903,96 @@ def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("x", "xl"), 4).alias("acf"),
         )
     )
+
+
+# --- Ljung-Box portmanteau test: is the series white noise? ----------------------
+_LB_LAGS = 6
+_LB_CHI2_95 = 12.5916  # chi-squared 0.95 critical value, df = 6
+
+
+def _ljung_box_oracle() -> str:
+    lag_cols = ",\n             ".join(
+        f"LAG(c, {k}) OVER w AS c{k}" for k in range(1, _LB_LAGS + 1)
+    )
+    r_selects = "\n      UNION ALL ".join(
+        f"SELECT {k} AS k, SUM(c * c{k}) / (SELECT d FROM denom) AS r"
+        f" FROM lagged WHERE c{k} IS NOT NULL"
+        for k in range(1, _LB_LAGS + 1)
+    )
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) * 1.0 AS x
+      FROM events GROUP BY h),
+    stats AS (SELECT COUNT(*) AS n, AVG(x) AS m FROM hourly),
+    cent AS (SELECT h, x - (SELECT m FROM stats) AS c FROM hourly),
+    denom AS (SELECT SUM(c * c) AS d FROM cent),
+    lagged AS (
+      SELECT c,
+             {lag_cols}
+      FROM cent WINDOW w AS (ORDER BY h)),
+    rk AS ({r_selects})
+    SELECT (SELECT CAST(n AS BIGINT) FROM stats) AS n_obs,
+           {_LB_LAGS} AS n_lags,
+           ROUND((SELECT n FROM stats) * ((SELECT n FROM stats) + 2)
+                 * SUM(r * r / ((SELECT n FROM stats) - k)), 4) AS q_stat,
+           CAST((SELECT n FROM stats) * ((SELECT n FROM stats) + 2)
+                 * SUM(r * r / ((SELECT n FROM stats) - k)) > {_LB_CHI2_95}
+                AS BOOLEAN) AS reject_white_noise
+    FROM rk
+    """
+
+
+@register("events_ljung_box", _ljung_box_oracle())
+def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau statistic on the hourly event-count series:
+    Q = n(n+2)·Σ_k r_k²/(n−k) over lags 1..6, against the χ²(6) 95%
+    critical value — the formal "is there ANY autocorrelation" gate that
+    upgrades events_autocorrelation's per-lag eyeballing into a single
+    accept/reject decision (run before fitting the seasonal/Holt models:
+    white noise → don't). The corpus-sized work is one groupBy(hour)
+    rollup; mean/denominator are broadcast scalars and the lag windows
+    run on the hourly relation (~9k rows/year at ANY data scale), so the
+    unpartitioned ORDER BY is series-sized — same justification as
+    events_autocorrelation."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("x")
+    )
+    stats = hourly.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("x").alias("m")
+    )
+    cent = hourly.crossJoin(F.broadcast(stats)).select(
+        "h", "n", (F.col("x") - F.col("m")).alias("c")
+    )
+    denom = cent.agg(F.sum(F.col("c") * F.col("c")).alias("d"))
+    w = Window.orderBy("h")
+    lagged = cent.select(
+        "n", "c", *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _LB_LAGS + 1)]
+    )
+    rk = None
+    for k in range(1, _LB_LAGS + 1):
+        p = (
+            lagged.filter(F.col(f"c{k}").isNotNull())
+            .groupBy()
+            .agg(
+                F.lit(k).alias("k"),
+                F.first("n").alias("n"),
+                F.sum(F.col("c") * F.col(f"c{k}")).alias("num"),
+            )
+        )
+        rk = p if rk is None else rk.unionByName(p)
+    q = F.sum(
+        (F.col("num") / F.col("d")) * (F.col("num") / F.col("d")) / (F.col("n") - F.col("k"))
+    ) * F.first("n") * (F.first("n") + 2)
+    return (
+        rk.crossJoin(F.broadcast(denom))
+        .groupBy()
+        .agg(
+            F.first("n").cast("long").alias("n_obs"),
+            F.lit(_LB_LAGS).alias("n_lags"),
+            F.round(q, 4).alias("q_stat"),
+            (q > _LB_CHI2_95).alias("reject_white_noise"),
+        )
+    )

@@ -10,7 +10,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
-from ug_dwh_etl_spark.operators.graph import pagerank, sql_connected_components, sql_pagerank
+from ug_dwh_etl_spark.operators.graph import (
+    pagerank,
+    sql_bfs,
+    sql_connected_components,
+    sql_hits,
+    sql_pagerank,
+)
 from ug_dwh_etl_spark.queries.registry import register, table
 
 # supplier s<k> links to part p<k>; prefixes keep the two node
@@ -436,3 +442,50 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc(F.round(F.col("jaccard"), 6)), F.asc("u"), F.asc("v")
     ).limit(_LP_TOPK)
+
+
+# --- HITS hubs & authorities -----------------------------------------------------
+@register("graph_hits", sql_hits(_EDGES_SQL, iterations=3))
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores over the supplier→part link graph —
+    the second classic link-authority metric next to PageRank (the
+    reference ingests authority metrics from the Audisto API,
+    sf_inlink_bulk_data.py; the engine computes them). Fixed 3
+    iterations, normalization deferred to one final per-side scalar
+    (linear updates commute with scaling), edge relation persisted
+    hash-partitioned per join side so it shuffles twice TOTAL for the
+    whole run — only |V|-sized score vectors move per iteration. Scores
+    scaled to mean 1.0 per side, rounded 4dp (same float-accumulation
+    grid argument as graph_pagerank)."""
+    from ug_dwh_etl_spark.operators.graph import hits
+
+    scores = hits(_edges(spark, sf_dir), iterations=3, loop_partitions=16)
+    return scores.select("node", "side", F.round("score", 4).alias("score"))
+
+
+# --- multi-source bounded BFS ----------------------------------------------------
+_BFS_SEEDS_SQL = (
+    "SELECT DISTINCT 's' || s_suppkey::VARCHAR AS node FROM supplier WHERE s_suppkey <= 3"
+)
+
+
+@register("graph_bfs_distance", sql_bfs(_EDGES_SQL, _BFS_SEEDS_SQL, rounds=4))
+def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from a 3-supplier seed set within 4
+    frontier-expansion rounds over the undirected link graph — the
+    Pregel-style distributed BFS primitive (crawl-depth / influence
+    radius audits on the reference's link graph). Each round is one
+    join against the once-shuffled adjacency relation plus a per-node
+    min; the reached set only grows, so round cost tracks the frontier,
+    never |V|². Unreached nodes are absent from the result — exactly
+    mirrored by the unrolled oracle."""
+    from ug_dwh_etl_spark.operators.graph import bfs_distances
+
+    supp = table(spark, sf_dir, "supplier")
+    seeds = (
+        supp.filter(F.col("s_suppkey") <= 3)
+        .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
+        .distinct()
+    )
+    d = bfs_distances(_edges(spark, sf_dir), seeds, rounds=4, loop_partitions=16)
+    return d.select("node", F.col("dist").cast("int").alias("dist"))

@@ -322,3 +322,70 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.filter(ham <= _PH_HAM_MAX).select(
         "id_a", "id_b", ham.cast("int").alias("hamming")
     )
+
+
+# --- aspect-ratio bucketing for batch packing ------------------------------------
+# SDXL-style bucket grid: images are grouped into fixed-resolution
+# buckets so a training batch contains one shape only. Snap = nearest
+# bucket in log-aspect space; the CASE boundaries are the geometric
+# midpoints between adjacent bucket ratios (irrational literals — a
+# rational width/height can never land exactly on one, so the
+# float comparison is engine-stable).
+_AR_BOUNDS = ("0.6123724356957945", "0.8660254037844386",
+              "1.1547005383792515", "1.6329931618554521")
+_AR_BATCH = 32
+
+
+def _ar_bucket_sql(ar: str) -> str:
+    b1, b2, b3, b4 = _AR_BOUNDS
+    return f"""CASE WHEN {ar} < {b1} THEN '512x1024'
+             WHEN {ar} < {b2} THEN '768x1024'
+             WHEN {ar} < {b3} THEN '1024x1024'
+             WHEN {ar} < {b4} THEN '1024x768'
+             ELSE '1024x512' END"""
+
+
+@register(
+    "multimodal_aspect_buckets",
+    f"""
+    WITH img AS (
+      SELECT doc_id,
+             (strlen(text) % 640 + 1) * 1.0 / (strlen(text) % 480 + 1) AS ar
+      FROM documents WHERE doc_id % 3 = 0),
+    assigned AS (SELECT doc_id, {_ar_bucket_sql('ar')} AS bucket FROM img)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(CEIL(COUNT(*) / {_AR_BATCH}.0) AS BIGINT) AS n_batches,
+           CAST(CEIL(COUNT(*) / {_AR_BATCH}.0) * {_AR_BATCH} - COUNT(*) AS BIGINT)
+             AS n_padding
+    FROM assigned GROUP BY bucket
+    """,
+)
+def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-ratio bucketing for multimodal batch packing: every image
+    snaps to the nearest fixed-resolution bucket in log-aspect space
+    (CASE over geometric-midpoint boundaries — pure codegen, no argmin
+    join), and the per-bucket batch count + padding waste quantifies the
+    packing plan a variable-resolution trainer needs. At 100 TB this is
+    a single narrow aggregation over decode metadata; the training
+    writer then uses repartitionByRange(bucket, random_key) so each
+    output file is shape-homogeneous (the same layout trick as
+    corpus_global_shuffle's sharding)."""
+    media = media_from_documents(table(spark, sf_dir, "documents")).filter(
+        F.col("media_type") == "image"
+    )
+    ar = F.col("meta.width") * F.lit(1.0) / F.col("meta.height")
+    b1, b2, b3, b4 = (float(b) for b in _AR_BOUNDS)
+    bucket = (
+        F.when(ar < b1, "512x1024")
+        .when(ar < b2, "768x1024")
+        .when(ar < b3, "1024x1024")
+        .when(ar < b4, "1024x768")
+        .otherwise("1024x512")
+    )
+    n = F.count(F.lit(1))
+    batches = F.ceil(n / F.lit(float(_AR_BATCH)))
+    return media.groupBy(bucket.alias("bucket")).agg(
+        n.alias("n_images"),
+        batches.cast("long").alias("n_batches"),
+        (batches * _AR_BATCH - n).cast("long").alias("n_padding"),
+    )

@@ -566,3 +566,74 @@ def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_sensitive").cast("long").alias("min_diversity"),
         F.round(risky_n / F.sum("n"), 6).alias("exposure_rate"),
     )
+
+
+# --- t-closeness: distributional leakage per quasi-identifier group --------------
+_T_CLOSE = 0.2
+
+
+@register(
+    "privacy_t_closeness",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    gdist AS (
+      SELECT c_mktsegment, SUM(n) * 1.0 / (SELECT SUM(n) FROM g) AS p
+      FROM g GROUP BY c_mktsegment),
+    gt AS (SELECT c_nationkey, SUM(n) AS tot FROM g GROUP BY c_nationkey),
+    grid AS (
+      SELECT gt.c_nationkey, gt.tot, gdist.c_mktsegment, gdist.p,
+             COALESCE(g.n, 0) AS n
+      FROM gt CROSS JOIN gdist
+      LEFT JOIN g ON g.c_nationkey = gt.c_nationkey
+                 AND g.c_mktsegment = gdist.c_mktsegment)
+    SELECT c_nationkey AS nationkey,
+           ROUND(SUM(ABS(n * 1.0 / tot - p)) / 2, 6) AS tvd,
+           CAST(ROUND(SUM(ABS(n * 1.0 / tot - p)) / 2, 6) > {_T_CLOSE}
+                AS BOOLEAN) AS t_violation
+    FROM grid GROUP BY c_nationkey
+    """,
+)
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (the third rung after k-anonymity and
+    l-diversity): per quasi-identifier group (nation), the total
+    variation distance between the group's sensitive-attribute
+    (market segment) distribution and the GLOBAL one — groups whose
+    distribution leans far from global leak the sensitive value even
+    when every group is large and diverse. The missing-category terms
+    (a nation with zero rows in some segment still contributes p(s)/2)
+    are covered by densifying onto the nation × segment grid — a
+    |QI-groups| × |sensitive-domain| relation built from two group-sized
+    aggregates and a broadcast cross join, so the fact table is scanned
+    once and everything downstream is group-sized at any scale."""
+    cust = table(spark, sf_dir, "customer")
+    g = (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()  # 3 group-sized consumers: glob, gt, grid probe
+    )
+    glob = (
+        g.groupBy("c_mktsegment")
+        .agg(F.sum("n").alias("gn"))
+        .crossJoin(F.broadcast(g.agg(F.sum("n").alias("_t"))))
+        .select("c_mktsegment", (F.col("gn") * 1.0 / F.col("_t")).alias("p"))
+    )
+    gt = g.groupBy("c_nationkey").agg(F.sum("n").alias("tot"))
+    grid = (
+        gt.crossJoin(F.broadcast(glob))
+        .join(g, ["c_nationkey", "c_mktsegment"], "left")
+        .select(
+            "c_nationkey",
+            "tot",
+            "p",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    tvd = F.round(F.sum(F.abs(F.col("n") * 1.0 / F.col("tot") - F.col("p"))) / 2, 6)
+    out = grid.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        tvd.alias("tvd"), (tvd > _T_CLOSE).alias("t_violation")
+    )
+    out = out.localCheckpoint(eager=True)
+    g.unpersist()
+    return out

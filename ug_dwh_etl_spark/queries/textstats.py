@@ -1503,3 +1503,118 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("score"), 4).alias("avg_logprob"),
     )
+
+
+# --- Flesch readability scoring --------------------------------------------------
+@register(
+    "text_readability",
+    f"""
+    WITH {_TOK_CTE},
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             GREATEST(length(regexp_replace(text, '[^.!?]', '', 'g')), 1) AS n_sents,
+             GREATEST(len(regexp_extract_all(text, '[aeiouyAEIOUY]+')), len(t))
+               AS n_syllables
+      FROM tok WHERE len(t) > 0)
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_syllables AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch,
+           CASE WHEN ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4) >= 60
+                THEN 'easy'
+                WHEN ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sents)
+                         - 84.6 * (n_syllables * 1.0 / n_words), 4) >= 30
+                THEN 'difficult' ELSE 'very_difficult' END AS band
+    FROM m
+    """,
+)
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document — the classic readability prior
+    used as a corpus-quality signal next to the C4/Gopher rules
+    (text_quality_scores): score = 206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/word). Syllables use the standard vowel-group
+    heuristic (runs of [aeiouy], at least one per word) and sentences
+    count terminal punctuation (min 1) — both pure codegen'd regexes,
+    identical in each engine, so the whole thing is one narrow
+    projection over the scan: zero joins, zero shuffles, embarrassingly
+    parallel at 100 TB. Banding compares the ROUNDED score so the label
+    boundary is decided on the same 4dp grid in both engines."""
+    docs = table(spark, sf_dir, "documents")
+    toks = H.tokens(F.col("text"))
+    n_words = F.size(toks)
+    n_sents = F.greatest(
+        F.length(F.regexp_replace(F.col("text"), r"[^.!?]", "")), F.lit(1)
+    )
+    n_syll = F.greatest(
+        F.regexp_count(F.col("text"), F.lit("[aeiouyAEIOUY]+")), n_words
+    )
+    flesch = F.round(
+        F.lit(206.835)
+        - 1.015 * (n_words * F.lit(1.0) / n_sents)
+        - 84.6 * (n_syll * F.lit(1.0) / n_words),
+        4,
+    )
+    return docs.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_syll.cast("long").alias("n_syllables"),
+        flesch.alias("flesch"),
+        F.when(flesch >= 60, "easy")
+        .when(flesch >= 30, "difficult")
+        .otherwise("very_difficult")
+        .alias("band"),
+    )
+
+
+# --- deterministic global shuffle + shard assignment ----------------------------
+_SHUFFLE_SHARDS = 8
+_SHUFFLE_SALT = "|shuffle"
+
+
+@register(
+    "corpus_global_shuffle",
+    f"""
+    WITH keyed AS (
+      SELECT doc_id,
+             {H.sql_md5_long("doc_id::VARCHAR || '" + _SHUFFLE_SALT + "'", 15)} AS skey
+      FROM documents)
+    SELECT doc_id, CAST(skey % {_SHUFFLE_SHARDS} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY skey % {_SHUFFLE_SHARDS}
+                                   ORDER BY skey, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic pseudo-random GLOBAL SHUFFLE for training-data
+    ordering: every document gets a salted 60-bit hash key, a shard
+    (key mod {_S}), and a position within its shard (hash order,
+    doc_id tiebreak) — rerunning yields the identical order, and
+    changing the salt yields an independent permutation (epoch
+    reshuffles). This is how you shuffle a 100 TB corpus without a
+    global single-reducer sort: the window is PARTITIONED by shard, so
+    each shard sorts independently (hash keys are uniform → shards are
+    balanced), and a training reader streams shard files in shard-id
+    order while sampling across shards. One narrow projection + one
+    per-shard sort; at cluster scale write with
+    repartitionByRange(shard, skey) + sortWithinPartitions so the sort
+    folds into the shuffle's spill machinery.""".replace(
+        "{_S}", str(_SHUFFLE_SHARDS)
+    )
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        H.md5_long(
+            F.concat(F.col("doc_id").cast("string"), F.lit(_SHUFFLE_SALT))
+        ).alias("skey"),
+    )
+    shard = (F.col("skey") % _SHUFFLE_SHARDS).cast("int")
+    w = Window.partitionBy(shard).orderBy("skey", "doc_id")
+    return keyed.select(
+        "doc_id",
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
