@@ -206,6 +206,12 @@ HEADLINE = [
     "corpus_global_shuffle",
     "multimodal_aspect_buckets",
     "dedup_containment_pairs",
+    # added round 5 (wave 13): LSH band tuning, langid confusion,
+    # label-propagation communities, U-shaped attribution
+    "dedup_lsh_tuning_curve",
+    "text_langid_confusion",
+    "graph_label_propagation",
+    "events_attribution_position",
 ]
 
 

@@ -1,0 +1,69 @@
+"""Invariant tests for the round-5 wave-13 operators, on top of the
+oracle gate (which proves cross-engine value equality but not the
+semantic bounds asserted here)."""
+
+from __future__ import annotations
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    return QUERIES[name].fn(spark, SF)
+
+
+def test_lsh_tuning_rows_are_consistent(spark):
+    rows = sorted(
+        _run(spark, "dedup_lsh_tuning_curve").collect(), key=lambda r: r.rows_per_band
+    )
+    assert [(r.bands, r.rows_per_band) for r in rows] == [
+        (16, 1),
+        (8, 2),
+        (4, 4),
+        (2, 8),
+    ]
+    n_true = {r.n_true_pairs for r in rows}
+    assert len(n_true) == 1  # the truth set does not depend on the layout
+    for r in rows:
+        assert 0 <= r.true_positives <= r.n_candidates
+        assert r.true_positives <= r.n_true_pairs
+        if r.recall is not None:
+            assert 0.0 <= r.recall <= 1.0
+        if r.precision is not None:
+            assert 0.0 <= r.precision <= 1.0
+    # theoretical S-curve catch probability decreases with rows/band
+    probs = [r.p_catch_at_threshold for r in rows]
+    assert probs == sorted(probs, reverse=True)
+
+
+def test_langid_confusion_shares_sum_to_one(spark):
+    rows = _run(spark, "text_langid_confusion").collect()
+    by_true = {}
+    for r in rows:
+        assert r.n > 0 and 0.0 < r.share_of_true <= 1.0
+        by_true.setdefault(r.true_lang, []).append(r.share_of_true)
+    for lang, shares in by_true.items():
+        assert abs(sum(shares) - 1.0) < 1e-4, lang
+
+
+def test_label_propagation_assigns_every_node_once(spark):
+    rows = _run(spark, "graph_label_propagation").collect()
+    nodes = [r.node for r in rows]
+    assert len(nodes) == len(set(nodes))
+    node_set = set(nodes)
+    # every community label is itself a node id (labels originate as ids)
+    assert {r.community for r in rows} <= node_set
+    # propagation actually merged something: fewer communities than nodes
+    assert len({r.community for r in rows}) < len(nodes)
+
+
+def test_position_attribution_credits_whole_journeys(spark):
+    rows = _run(spark, "events_attribution_position").collect()
+    assert rows
+    total = sum(r.credit for r in rows)
+    # each converted journey hands out exactly 1.0 of credit
+    assert abs(total - round(total)) < 0.01
+    for r in rows:
+        assert r.channel != "purchase"
+        assert r.credit > 0.0 and r.n_touches > 0

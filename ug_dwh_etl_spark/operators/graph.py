@@ -729,3 +729,97 @@ def sql_bfs(edges_sql: str, seeds_sql: str, rounds: int = 4) -> str:
         + ",\n    ".join(parts)
         + f"\n    SELECT node, CAST(dist AS INT) AS dist FROM d{rounds}"
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """(node, community) after ``rounds`` SYNCHRONOUS label-propagation
+    updates over the undirected view (Raghavan et al. 2007): each node
+    adopts the most frequent label among its neighbors, ties broken by
+    the smallest label — the deterministic variant, so the fixed
+    dataflow is exactly unrollable as the DuckDB oracle
+    (``sql_label_propagation``). Nodes keep their own label when a
+    round leaves them without neighbors (cannot happen on a static
+    edge list, but the guard keeps the operator total).
+
+    Scale shape: per round, one join of the |V|-sized label table
+    against the once-shuffled adjacency relation, one (node, label)
+    count, one per-node argmax window PARTITIONED by node — all keyed
+    shuffles sized by ``loop_partitions``. Synchronous LPA on bipartite
+    graphs can oscillate; a bounded round count is the standard remedy
+    (and what makes the result well-defined)."""
+    from pyspark.sql import Window
+
+    spark = edges.sparkSession
+    prev = None
+    if loop_partitions is not None:
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        und = (
+            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+            .distinct()
+            .repartition("b")
+            .persist()
+        )
+        labels = und.select(F.col("a").alias("node")).distinct().select(
+            "node", F.col("node").alias("label")
+        )
+        w = Window.partitionBy("nd").orderBy(F.desc("c"), F.asc("label"))
+        for _ in range(rounds):
+            cnt = (
+                und.join(labels, und.b == labels.node)
+                .groupBy(F.col("a").alias("nd"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            pick = (
+                cnt.withColumn("rn", F.row_number().over(w))
+                .filter(F.col("rn") == 1)
+                .select(F.col("nd").alias("node"), F.col("label").alias("new_label"))
+            )
+            labels = labels.join(pick, "node", "left").select(
+                "node", F.coalesce("new_label", "label").alias("label")
+            )
+        out = labels.select("node", F.col("label").alias("community"))
+        out = out.localCheckpoint(eager=True)
+        und.unpersist()
+        return out
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def sql_label_propagation(edges_sql: str, rounds: int = 3) -> str:
+    """The same bounded deterministic LPA as unrolled DuckDB SQL.
+    ``edges_sql`` must select columns (src, dst)."""
+    parts = [
+        f"ed AS ({edges_sql})",
+        "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM ed"
+        " UNION ALL SELECT dst, src FROM ed))",
+        "l0 AS (SELECT DISTINCT a AS node, a AS label FROM und)",
+    ]
+    for i in range(rounds):
+        parts.append(
+            f"""c{i} AS (
+      SELECT und.a AS nd, l.label, COUNT(*) AS c
+      FROM und JOIN l{i} l ON und.b = l.node GROUP BY und.a, l.label),
+    p{i} AS (
+      SELECT nd AS node, label AS new_label FROM (
+        SELECT nd, label,
+               ROW_NUMBER() OVER (PARTITION BY nd ORDER BY c DESC, label ASC) AS rn
+        FROM c{i}) WHERE rn = 1),
+    l{i + 1} AS (
+      SELECT l.node, COALESCE(p.new_label, l.label) AS label
+      FROM l{i} l LEFT JOIN p{i} p ON p.node = l.node)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"\n    SELECT node, label AS community FROM l{rounds}"
+    )

@@ -922,3 +922,181 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.dedup import containment_pairs
 
     return containment_pairs(table(spark, sf_dir, "documents"), "doc_id", "text", 0.8)
+
+
+# --- LSH band/row tuning curve ---------------------------------------------------
+# (bands, rows_per_band) layouts of the SAME 16-component signature; the
+# S-curve P(candidate | j) = 1 - (1 - j^r)^b steepens with r. Probability
+# literals below are the curve at the dedup threshold j = 0.5.
+_LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+_LSH_T = 0.5
+
+
+def _lsh_tuning_sql() -> str:
+    cfg_parts = []
+    cfg_rows = []
+    for bands, rows in _LSH_CONFIGS:
+        band_selects = []
+        for b in range(bands):
+            key = " || '_' || ".join(
+                f"mh{b * rows + r}::VARCHAR" for r in range(rows)
+            )
+            band_selects.append(
+                f"SELECT doc_id, {b} AS band_id, {key} AS band_key FROM sig"
+            )
+        sel = "\n      UNION ALL\n      ".join(band_selects)
+        tag = f"b{bands}r{rows}"
+        cfg_parts.append(f"""bands_{tag} AS (
+      {sel}
+    ),
+    cand_{tag} AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands_{tag} l JOIN bands_{tag} r
+        ON l.band_id = r.band_id AND l.band_key = r.band_key AND l.doc_id < r.doc_id)""")
+        p_catch = 1.0 - (1.0 - _LSH_T**rows) ** bands
+        cfg_rows.append(f"""SELECT {bands} AS bands, {rows} AS rows_per_band,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag}) AS n_candidates,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM truth) AS n_true_pairs,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM cand_{tag} c
+             JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) AS true_positives,
+           ROUND((SELECT COUNT(*) FROM cand_{tag} c
+             JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM truth), 0), 6) AS recall,
+           ROUND((SELECT COUNT(*) FROM cand_{tag} c
+             JOIN truth t ON t.id_a = c.id_a AND t.id_b = c.id_b) * 1.0
+             / NULLIF((SELECT COUNT(*) FROM cand_{tag}), 0), 6) AS precision,
+           ROUND({p_catch!r}, 6) AS p_catch_at_threshold""")
+    mins = ", ".join(
+        f"MIN({H.sql_minhash_perm('h', i)}) AS mh{i}" for i in range(N_MINHASH)
+    )
+    cfg_ctes = ",\n    ".join(cfg_parts)
+    cfg_union = "\n    UNION ALL ".join(cfg_rows)
+    return f"""
+    WITH {_SHINGLE_CTES},
+    hashed AS (SELECT doc_id, {H.sql_md5_long('shingle', 15)} AS h FROM ex),
+    sig AS (SELECT doc_id, {mins} FROM hashed GROUP BY doc_id),
+    exh AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM exh a JOIN exh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id),
+    truth AS (
+      SELECT id_a, id_b FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {_LSH_T}),
+    {cfg_ctes}
+    {cfg_union}
+    """
+
+
+@register("dedup_lsh_tuning_curve", _lsh_tuning_sql())
+def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH layout tuning: the SAME 16-component MinHash signature cut
+    into (16×1, 8×2, 4×4, 2×8) band layouts, each measured against the
+    exact-Jaccard truth set — candidates, recall, precision, next to
+    the theoretical S-curve catch probability 1-(1-t^r)^b at the dedup
+    threshold. This is the sibling of sim_ivf_recall_curve for the
+    dedup stack: the measurement that picks the banding BEFORE a
+    100 TB run (more bands → recall→1 but candidate volume explodes;
+    more rows/band → precision→1 but borderline dups slip). The
+    signature relation is computed ONCE (doc-sized, persisted) and each
+    layout is a band-key bucket self-join on it; the exact truth set
+    reuses the shingle-hash join — at corpus scale you'd run this audit
+    on a sampled partition, which this plan does unchanged."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        minhash_signatures,
+        spread,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    sig = minhash_signatures(docs, "doc_id", "text").persist()
+    shh = doc_shingle_hashes(spread(docs), "doc_id", "text")
+    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = (
+        a.join(b, (F.col("sha") == F.col("shb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    truth = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6
+            )
+            >= _LSH_T
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+    out = None
+    for bands, rows in _LSH_CONFIGS:
+        bexpr = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bb).alias("band_id"),
+                        F.concat_ws(
+                            "_",
+                            *[F.col(f"mh{bb * rows + r}") for r in range(rows)],
+                        ).alias("band_key"),
+                    )
+                    for bb in range(bands)
+                ]
+            )
+        )
+        banded = sig.select("doc_id", bexpr.alias("bd")).select(
+            "doc_id", "bd.band_id", "bd.band_key"
+        )
+        l = banded.alias("l")
+        r_ = banded.alias("r")
+        cand = (
+            l.join(
+                r_,
+                (F.col("l.band_id") == F.col("r.band_id"))
+                & (F.col("l.band_key") == F.col("r.band_key"))
+                & (F.col("l.doc_id") < F.col("r.doc_id")),
+            )
+            .select(
+                F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+            )
+            .distinct()
+            .persist()
+        )
+        tp = cand.join(truth, ["id_a", "id_b"], "inner")
+        p_catch = 1.0 - (1.0 - _LSH_T**rows) ** bands
+        row = (
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))))
+            .crossJoin(F.broadcast(tp.agg(F.count(F.lit(1)).alias("true_positives"))))
+            .select(
+                F.lit(bands).alias("bands"),
+                F.lit(rows).alias("rows_per_band"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
+                F.col("true_positives").cast("long").alias("true_positives"),
+                F.round(
+                    F.col("true_positives")
+                    / F.nullif(F.col("n_true_pairs") * F.lit(1.0), F.lit(0.0)),
+                    6,
+                ).alias("recall"),
+                F.round(
+                    F.col("true_positives")
+                    / F.nullif(F.col("n_candidates") * F.lit(1.0), F.lit(0.0)),
+                    6,
+                ).alias("precision"),
+                F.round(F.lit(p_catch), 6).alias("p_catch_at_threshold"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    out = out.localCheckpoint(eager=True)
+    sig.unpersist()
+    truth.unpersist()
+    return out

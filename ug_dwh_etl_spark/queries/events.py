@@ -1996,3 +1996,85 @@ def events_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
             (q > _LB_CHI2_95).alias("reject_white_noise"),
         )
     )
+
+
+# --- position-based (U-shaped) attribution ---------------------------------------
+@register(
+    "events_attribution_position",
+    """
+    WITH seq AS (
+      SELECT user_id, ts, event_id, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+      FROM events),
+    touches AS (SELECT * FROM seq WHERE event_type <> 'purchase'),
+    purch AS (SELECT user_id, j FROM seq WHERE event_type = 'purchase'),
+    tj AS (
+      SELECT t.user_id, t.j, t.event_type, t.ts, t.event_id
+      FROM touches t JOIN purch p ON p.user_id = t.user_id AND p.j = t.j),
+    ranked AS (
+      SELECT event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id, j ORDER BY ts, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, j) AS n
+      FROM tj)
+    SELECT event_type AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(CASE WHEN n = 1 THEN 1.0
+                          WHEN n = 2 THEN 0.5
+                          WHEN rn = 1 OR rn = n THEN 0.4
+                          ELSE 0.2 / (n - 2) END), 4) AS credit
+    FROM ranked GROUP BY event_type
+    """,
+)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) multi-touch attribution:
+    every purchase's credit splits across the non-purchase touches of
+    its journey (the touches since the user's previous purchase) —
+    first and last touch 0.4 each, middles share 0.2; degenerate
+    journeys collapse to 1.0 / 0.5+0.5. The journey id is a running
+    purchase count (one window over the user's ordered stream — the
+    same partitioned-sequence shape as events_sessionize), touches
+    join their closing purchase on (user, journey) — an equi-join that
+    only keeps CONVERTED journeys — and the rank/size windows are
+    per-journey. Everything is keyed by user and journey: no
+    self-joins, no driver loops, linear in events at 100 TB. The model
+    complements events_attribution_last_touch (same journey algebra,
+    different credit kernel)."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wj = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(wj)
+        .alias("j"),
+    ).withColumn("j", F.coalesce("j", F.lit(0)))
+    touches = seq.filter(F.col("event_type") != "purchase")
+    purch = seq.filter(F.col("event_type") == "purchase").select("user_id", "j")
+    tj = touches.join(purch, ["user_id", "j"])
+    wp = Window.partitionBy("user_id", "j").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "j")
+    ranked = tj.select(
+        "event_type",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, 1.0)
+        .when(F.col("n") == 2, 0.5)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), 0.4)
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    return ranked.groupBy(F.col("event_type").alias("channel")).agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum(credit), 4).alias("credit"),
+    )

@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from ug_dwh_etl_spark.operators.graph import (
     pagerank,
     sql_bfs,
+    sql_label_propagation,
     sql_connected_components,
     sql_hits,
     sql_pagerank,
@@ -489,3 +490,22 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = bfs_distances(_edges(spark, sf_dir), seeds, rounds=4, loop_partitions=16)
     return d.select("node", F.col("dist").cast("int").alias("dist"))
+
+
+# --- label-propagation communities -----------------------------------------------
+@register("graph_label_propagation", sql_label_propagation(_EDGES_SQL, rounds=3))
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by deterministic synchronous label
+    propagation (3 bounded rounds, most-frequent-neighbor-label rule,
+    min-label tie-break) over the supplier→part link graph — groups of
+    pages/products that densely interlink, the clustering companion to
+    connected components (which only answers reachability). Per round:
+    one join against the once-shuffled adjacency, one (node, label)
+    count, one per-node argmax window — everything |V|- or |E|-sized
+    and keyed, never all-pairs. The bounded round count both defines
+    the (otherwise oscillation-prone) synchronous result and keeps it
+    exactly unrollable as the oracle."""
+    from ug_dwh_etl_spark.operators.graph import label_propagation
+
+    lp = label_propagation(_edges(spark, sf_dir), rounds=3, loop_partitions=16)
+    return lp.select("node", "community")

@@ -1618,3 +1618,55 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         shard.alias("shard"),
         F.row_number().over(w).cast("long").alias("pos"),
     )
+
+
+# --- language-ID confusion matrix ------------------------------------------------
+def _langid_confusion_sql() -> str:
+    h = {lang: sql_stop_filter("t", words) for lang, words in STOPWORDS.items()}
+    return f"""
+    WITH {_TOK_CTE},
+    pred AS (
+      SELECT tok.doc_id, d.lang AS true_lang,
+             CASE WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']}
+                   AND {h['en']} >= {h['es']} AND {h['en']} > 0 THEN 'en'
+                  WHEN {h['de']} >= {h['fr']} AND {h['de']} >= {h['es']}
+                   AND {h['de']} > 0 THEN 'de'
+                  WHEN {h['fr']} >= {h['es']} AND {h['fr']} > 0 THEN 'fr'
+                  WHEN {h['es']} > 0 THEN 'es'
+                  ELSE 'und' END AS predicted_lang
+      FROM tok JOIN documents d ON d.doc_id = tok.doc_id),
+    totals AS (SELECT true_lang, COUNT(*) AS tot FROM pred GROUP BY true_lang)
+    SELECT p.true_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / t.tot, 6) AS share_of_true
+    FROM pred p JOIN totals t ON t.true_lang = p.true_lang
+    GROUP BY p.true_lang, p.predicted_lang, t.tot
+    """
+
+
+@register("text_langid_confusion", _langid_confusion_sql())
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-argmax language classifier
+    against the corpus's labeled lang column — per (true, predicted)
+    cell count and its share of the true language's documents (the
+    per-language recall sits on the diagonal). This is the audit that
+    decides whether the cheap classifier is good enough to GATE a
+    100 TB corpus mix (corpus_mixture_weights consumes its output):
+    one codegen'd projection + two group-sized aggregations, scan-bound
+    at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    pred = langid(docs, "doc_id", "text").join(
+        docs.select("doc_id", F.col("lang").alias("true_lang")), "doc_id"
+    )
+    totals = pred.groupBy("true_lang").agg(F.count(F.lit(1)).alias("tot"))
+    return (
+        pred.groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(totals), "true_lang")
+        .select(
+            "true_lang",
+            "predicted_lang",
+            F.col("n").cast("long").alias("n"),
+            F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("share_of_true"),
+        )
+    )
