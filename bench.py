@@ -212,6 +212,9 @@ HEADLINE = [
     "text_langid_confusion",
     "graph_label_propagation",
     "events_attribution_position",
+    # added round 5 (wave 14): modularity scoring, DiD uplift
+    "graph_modularity",
+    "events_uplift_did",
 ]
 
 

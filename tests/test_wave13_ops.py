@@ -67,3 +67,16 @@ def test_position_attribution_credits_whole_journeys(spark):
     for r in rows:
         assert r.channel != "purchase"
         assert r.credit > 0.0 and r.n_touches > 0
+
+
+def test_modularity_is_bounded(spark):
+    row = _run(spark, "graph_modularity").collect()[0]
+    assert -0.5 <= row.modularity <= 1.0
+    assert row.n_communities >= 1 and row.n_edges > 0
+
+
+def test_did_identity_holds(spark):
+    row = _run(spark, "events_uplift_did").collect()[0]
+    assert row.n_events > 0
+    est = (row.treat_post - row.treat_pre) - (row.control_post - row.control_pre)
+    assert abs(est - row.did_estimate) < 1e-4

@@ -795,9 +795,10 @@ def label_propagation(
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-def sql_label_propagation(edges_sql: str, rounds: int = 3) -> str:
-    """The same bounded deterministic LPA as unrolled DuckDB SQL.
-    ``edges_sql`` must select columns (src, dst)."""
+def sql_label_propagation_ctes(edges_sql: str, rounds: int = 3) -> str:
+    """The bounded deterministic LPA as a WITH-less CTE chain ending in
+    ``l{rounds}`` (node, label) — shared by the standalone oracle and
+    the modularity oracle so the two spellings cannot drift."""
     parts = [
         f"ed AS ({edges_sql})",
         "und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM ed"
@@ -818,8 +819,14 @@ def sql_label_propagation(edges_sql: str, rounds: int = 3) -> str:
       SELECT l.node, COALESCE(p.new_label, l.label) AS label
       FROM l{i} l LEFT JOIN p{i} p ON p.node = l.node)"""
         )
+    return ",\n    ".join(parts)
+
+
+def sql_label_propagation(edges_sql: str, rounds: int = 3) -> str:
+    """The same bounded deterministic LPA as unrolled DuckDB SQL.
+    ``edges_sql`` must select columns (src, dst)."""
     return (
         "WITH "
-        + ",\n    ".join(parts)
+        + sql_label_propagation_ctes(edges_sql, rounds)
         + f"\n    SELECT node, label AS community FROM l{rounds}"
     )

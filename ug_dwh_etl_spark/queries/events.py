@@ -2078,3 +2078,84 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_touches"),
         F.round(F.sum(credit), 4).alias("credit"),
     )
+
+
+# --- difference-in-differences uplift --------------------------------------------
+@register(
+    "events_uplift_did",
+    """
+    WITH b AS (
+      SELECT (epoch_us(MIN(ts)) + epoch_us(MAX(ts))) // 2 AS mid FROM events),
+    cells AS (
+      SELECT CASE WHEN user_id % 2 = 1 THEN 'treat' ELSE 'control' END AS grp,
+             CASE WHEN epoch_us(ts) <= mid THEN 'pre' ELSE 'post' END AS period,
+             SUM(value) AS sv, COUNT(*) AS n
+      FROM events, b GROUP BY grp, period)
+    SELECT
+      CAST(SUM(n) AS BIGINT) AS n_events,
+      ROUND(MAX(CASE WHEN grp = 'treat' AND period = 'pre' THEN sv / n END), 6)
+        AS treat_pre,
+      ROUND(MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN sv / n END), 6)
+        AS treat_post,
+      ROUND(MAX(CASE WHEN grp = 'control' AND period = 'pre' THEN sv / n END), 6)
+        AS control_pre,
+      ROUND(MAX(CASE WHEN grp = 'control' AND period = 'post' THEN sv / n END), 6)
+        AS control_post,
+      ROUND(MAX(CASE WHEN grp = 'treat' AND period = 'post' THEN sv / n END)
+            - MAX(CASE WHEN grp = 'treat' AND period = 'pre' THEN sv / n END)
+            - (MAX(CASE WHEN grp = 'control' AND period = 'post' THEN sv / n END)
+               - MAX(CASE WHEN grp = 'control' AND period = 'pre' THEN sv / n END)),
+            6) AS did_estimate
+    FROM cells
+    """,
+)
+def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences uplift estimate: users split into a
+    deterministic treatment/control pair (id parity — stands in for an
+    experiment assignment column), the timeline into pre/post halves at
+    the observed midpoint (broadcast scalar, the events_drift_psi
+    pattern), and the causal-read effect on mean event value is
+    (ΔT) − (ΔC) — the panel-data estimator that nets out both group
+    level differences and the common time trend. One scan into a
+    4-cell aggregate, then a single-row pivot: scan-bound at 100 TB,
+    no shuffles beyond the 4-row partial-agg merge."""
+    ev = table(spark, sf_dir, "events")
+    b = ev.agg(
+        ((F.unix_micros(F.min("ts")) + F.unix_micros(F.max("ts"))) / 2)
+        .cast("long")
+        .alias("mid")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(b))
+        .select(
+            F.when(F.col("user_id") % 2 == 1, "treat").otherwise("control").alias("grp"),
+            F.when(F.unix_micros("ts") <= F.col("mid"), "pre")
+            .otherwise("post")
+            .alias("period"),
+            "value",
+        )
+        .groupBy("grp", "period")
+        .agg(F.sum("value").alias("sv"), F.count(F.lit(1)).alias("n"))
+    )
+
+    def cell(g: str, p: str):
+        return F.max(
+            F.when(
+                (F.col("grp") == g) & (F.col("period") == p),
+                F.col("sv") / F.col("n"),
+            )
+        )
+
+    return cells.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(cell("treat", "pre"), 6).alias("treat_pre"),
+        F.round(cell("treat", "post"), 6).alias("treat_post"),
+        F.round(cell("control", "pre"), 6).alias("control_pre"),
+        F.round(cell("control", "post"), 6).alias("control_post"),
+        F.round(
+            cell("treat", "post")
+            - cell("treat", "pre")
+            - (cell("control", "post") - cell("control", "pre")),
+            6,
+        ).alias("did_estimate"),
+    )

@@ -509,3 +509,90 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     lp = label_propagation(_edges(spark, sf_dir), rounds=3, loop_partitions=16)
     return lp.select("node", "community")
+
+
+# --- modularity of the LPA partition ---------------------------------------------
+def _modularity_sql() -> str:
+    from ug_dwh_etl_spark.operators.graph import sql_label_propagation_ctes
+
+    return f"""
+    WITH {sql_label_propagation_ctes(_EDGES_SQL, rounds=3)},
+    lab AS (SELECT node, label AS c FROM l3),
+    canon AS (SELECT a, b FROM und WHERE a < b),
+    m AS (SELECT COUNT(*) AS m FROM canon),
+    intra AS (
+      SELECT la.c, COUNT(*) AS ec
+      FROM canon e
+        JOIN lab la ON la.node = e.a
+        JOIN lab lb ON lb.node = e.b AND lb.c = la.c
+      GROUP BY la.c),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a),
+    dc AS (
+      SELECT lab.c, SUM(deg.d) AS dsum
+      FROM deg JOIN lab ON lab.node = deg.node GROUP BY lab.c)
+    SELECT CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_communities,
+           (SELECT CAST(m AS BIGINT) FROM m) AS n_edges,
+           ROUND(SUM(COALESCE(intra.ec, 0) * 1.0 / (SELECT m FROM m)
+                     - (dc.dsum / (2.0 * (SELECT m FROM m)))
+                       * (dc.dsum / (2.0 * (SELECT m FROM m)))), 6) AS modularity
+    FROM dc LEFT JOIN intra ON intra.c = dc.c
+    """
+
+
+@register("graph_modularity", _modularity_sql())
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q = Σ_c [e_c/m − (d_c/2m)²] of the
+    label-propagation partition — the quality score that says whether
+    the communities LPA found are denser than a degree-preserving
+    random graph (Q>0) or noise; the acceptance gate you'd run before
+    shipping a community column at scale. Intra-community edge counts
+    come from one canonical-edge join against the (persisted,
+    checkpointed) label table; degree sums from one group-by — both
+    community-sized relations, with m a broadcast scalar. The partition
+    is recomputed via the SAME bounded-LPA dataflow as
+    graph_label_propagation (shared CTE generator on the oracle side),
+    so the two queries cannot drift."""
+    from ug_dwh_etl_spark.operators.graph import label_propagation
+
+    edges = _edges(spark, sf_dir)
+    lab = label_propagation(edges, rounds=3, loop_partitions=16).select(
+        "node", F.col("community").alias("c")
+    )
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+        .persist()
+    )
+    canon = und.filter(F.col("a") < F.col("b"))
+    m = canon.agg(F.count(F.lit(1)).alias("m"))
+    la = lab.select(F.col("node").alias("a"), F.col("c"))
+    lb = lab.select(F.col("node").alias("b"), F.col("c").alias("cb"))
+    intra = (
+        canon.join(la, "a")
+        .join(lb, "b")
+        .filter(F.col("c") == F.col("cb"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("ec"))
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    dc = deg.join(lab, "node").groupBy("c").agg(F.sum("d").alias("dsum"))
+    out = (
+        dc.join(intra, "c", "left")
+        .crossJoin(F.broadcast(m))
+        .agg(
+            F.count(F.lit(1)).alias("n_communities"),
+            F.first("m").cast("long").alias("n_edges"),
+            F.round(
+                F.sum(
+                    F.coalesce(F.col("ec"), F.lit(0)) * 1.0 / F.col("m")
+                    - (F.col("dsum") / (2.0 * F.col("m")))
+                    * (F.col("dsum") / (2.0 * F.col("m")))
+                ),
+                6,
+            ).alias("modularity"),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    und.unpersist()
+    return out
