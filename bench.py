@@ -215,6 +215,12 @@ HEADLINE = [
     # added round 5 (wave 14): modularity scoring, DiD uplift
     "graph_modularity",
     "events_uplift_did",
+    # added round 5 (wave 15): forward as-of, chunk-boundary overlap,
+    # assortativity, capped containment
+    "asof_event_next_purchase",
+    "dedup_chunk_overlap",
+    "graph_assortativity",
+    "dedup_containment_capped",
 ]
 
 

@@ -4,6 +4,8 @@ semantic bounds asserted here)."""
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
+
 SF = "/root/testdata/sf0.001"
 
 
@@ -80,3 +82,47 @@ def test_did_identity_holds(spark):
     assert row.n_events > 0
     est = (row.treat_post - row.treat_pre) - (row.control_post - row.control_pre)
     assert abs(est - row.did_estimate) < 1e-4
+
+
+def test_forward_asof_picks_future_purchases(spark):
+    rows = _run(spark, "asof_event_next_purchase").collect()
+    assert rows
+    n_matched = sum(1 for r in rows if r.next_purchase_id is not None)
+    assert n_matched > 0
+    for r in rows:
+        assert (r.next_purchase_id is None) == (r.lead_days is None)
+        if r.lead_days is not None:
+            assert 0 <= r.lead_days <= 7  # forward + tolerance
+
+
+def test_forward_asof_covers_every_touch(spark):
+    from ug_dwh_etl_spark.queries.registry import table
+
+    fwd = _run(spark, "asof_event_next_purchase").collect()
+    n_touches = (
+        table(spark, SF, "events").filter(F.col("event_type") != "purchase").count()
+    )
+    assert len(fwd) == n_touches  # one row per non-purchase event
+
+
+def test_chunk_overlap_edges_actually_match(spark):
+    from ug_dwh_etl_spark.queries.registry import table
+    import ug_dwh_etl_spark.operators.hashing as H
+
+    pairs = _run(spark, "dedup_chunk_overlap").collect()
+    docs = {
+        r.doc_id: r.toks
+        for r in table(spark, SF, "documents")
+        .select("doc_id", H.tokens(F.col("text")).alias("toks"))
+        .collect()
+    }
+    for r in pairs:
+        assert r.id_a != r.id_b
+        assert " ".join(docs[r.id_a][-3:]) == r.boundary
+        assert " ".join(docs[r.id_b][:3]) == r.boundary
+
+
+def test_assortativity_is_a_correlation(spark):
+    row = _run(spark, "graph_assortativity").collect()[0]
+    assert row.n_edges > 0
+    assert -1.0 <= row.assortativity <= 1.0

@@ -294,6 +294,7 @@ def containment_pairs(
     id_col: str,
     text_col: str,
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Pairs whose shingle-set CONTAINMENT |A∩B| / min(|A|,|B|) meets
     the threshold — the asymmetric companion to ``ngram_jaccard_pairs``
@@ -304,8 +305,20 @@ def containment_pairs(
 
     Same shingle-hash-join skeleton (and the same ReuseExchange /
     df-cap scale arguments) as the Jaccard operator; at 100 TB run it
-    on LSH-banded candidates, not standalone."""
+    on LSH-banded candidates, not standalone. ``max_shingle_df`` bounds
+    the quadratic exactly as in ``ngram_jaccard_pairs``: shingles in
+    more than that many documents are dropped from the sets BEFORE the
+    self-join (measured on the 16x probe: 44x growth uncapped — the
+    hot-bucket Σdf² term — vs the capped twin's near-linear growth)."""
     sh = doc_shingle_hashes(spread(df), id_col, text_col)
+    if max_shingle_df is not None:
+        keep = (
+            sh.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("sh")
+        )
+        sh = sh.join(keep, "sh", "left_semi")
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -116,3 +116,68 @@ def merge_asof(
     else:
         out = out.drop("_tag")
     return out
+
+
+def merge_asof_forward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_vals: Sequence[str],
+    right_vals: Sequence[str],
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Per-row FORWARD as-of join (pandas ``merge_asof``
+    direction='forward'): each left row picks the EARLIEST right row
+    with ``right_time >= left_time`` on the same key, optionally only
+    within ``tolerance_days``. The mirror of ``merge_asof``: same
+    union-tag single-window shape — one shuffle on the key, each row
+    touched once, no lookahead-window row explosion — but the carry
+    runs over the FOLLOWING frame (first non-null from the current row
+    forward), with right rows sorting after left rows on time ties so
+    an equal-timestamp right row is eligible (>= semantics). Ties among
+    right rows resolve to the one sorting first (deterministic via the
+    trailing right_vals ordering)."""
+    tagged_r = right.select(
+        F.col(key).alias("_k"),
+        F.col(right_time).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_tag"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_vals],
+        *[F.col(c) for c in right_vals],
+    )
+    tagged_l = left.select(
+        F.col(key).alias("_k"),
+        F.col(left_time).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_tag"),
+        *[F.col(c) for c in left_vals],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in right_vals],
+    )
+    u = tagged_r.unionByName(tagged_l.select(tagged_r.columns))
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_t", "_tag", *right_vals)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = [
+        F.first(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_vals
+    ]
+    carried_t = F.first(
+        F.when(F.col("_tag") == 1, F.col("_t")), ignorenulls=True
+    ).over(w)
+    out = u.select(
+        "_k", "_t", "_tag", *left_vals, *carried, carried_t.alias("asof_t")
+    ).filter(F.col("_tag") == 0)
+    if tolerance_days is not None:
+        within = F.datediff(F.to_date("asof_t"), F.to_date("_t")) <= tolerance_days
+        out = out.select(
+            "_k",
+            "_t",
+            *left_vals,
+            *[
+                F.when(within, F.col(f"asof_{c}")).alias(f"asof_{c}")
+                for c in right_vals
+            ],
+            F.when(within, F.col("asof_t")).alias("asof_t"),
+        )
+    return out

@@ -1100,3 +1100,82 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig.unpersist()
     truth.unpersist()
     return out
+
+
+# --- chunk-boundary (suffix→prefix) overlap --------------------------------------
+_EDGE_K = 3
+
+
+@register(
+    "dedup_chunk_overlap",
+    f"""
+    WITH {_TOK_CTE},
+    edges AS (
+      SELECT doc_id,
+             array_to_string(t[1:{_EDGE_K}], ' ') AS head,
+             array_to_string(t[-{_EDGE_K}:], ' ') AS tail
+      FROM tok WHERE len(t) >= {_EDGE_K})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.tail AS boundary
+    FROM edges a JOIN edges b
+      ON a.tail = b.head AND a.doc_id <> b.doc_id
+    """,
+)
+def dedup_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-boundary duplication: pairs where document A's last
+    {_K}-token edge reappears verbatim as document B's FIRST {_K}
+    tokens — the artifact sliding-window chunking leaves behind
+    (text_chunk_docs' overlap windows re-enter the corpus as fresh
+    rows), which symmetric whole-document measures structurally miss.
+    One narrow projection computes each doc's head/tail edge, then a
+    hash equi-join on the edge string — linear scan + a key-bucketed
+    join whose cost tracks edge-value frequency, never all-pairs. In a
+    production pass the edge length runs at the chunk-overlap size;
+    {_K} matches the fixture's shingle width so the fixture corpus
+    actually exhibits collisions to audit.""".replace("{_K}", str(_EDGE_K))
+    docs = table(spark, sf_dir, "documents")
+    toks = H.tokens(F.col("text"))
+    edges = docs.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(toks, 1, _EDGE_K)).alias("head"),
+        F.concat_ws(" ", F.slice(toks, -_EDGE_K, _EDGE_K)).alias("tail"),
+    ).filter(F.size(toks) >= _EDGE_K)
+    a = edges.select(F.col("doc_id").alias("id_a"), F.col("tail").alias("boundary"))
+    b = edges.select(F.col("doc_id").alias("id_b"), F.col("head").alias("boundary"))
+    return a.join(b, "boundary").filter(F.col("id_a") != F.col("id_b")).select(
+        "id_a", "id_b", "boundary"
+    )
+
+
+@register(
+    "dedup_containment_capped",
+    f"""
+    WITH {_SHINGLE_HASH_CTES},
+    capped AS (SELECT doc_id, sh FROM exh
+               QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 5),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM capped GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+      FROM capped a JOIN capped b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(inter / LEAST(sa.sz, sb.sz), 6) AS containment,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / LEAST(sa.sz, sb.sz), 6) >= 0.8
+    """,
+)
+def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The df-capped containment twin (cap 5, matching
+    dedup_ngram_jaccard_capped): boilerplate shingles are dropped from
+    the sets before the self-join, bounding the hot-bucket Σdf² term
+    that made the uncapped probe grow 44x at 16x data. Where no shingle
+    crosses the cap the result is bit-identical to the uncapped run —
+    the scale path for running containment OUTSIDE LSH candidates."""
+    from ug_dwh_etl_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        table(spark, sf_dir, "documents"), "doc_id", "text", 0.8, max_shingle_df=5
+    )

@@ -2159,3 +2159,65 @@ def events_uplift_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("did_estimate"),
     )
+
+
+# --- forward as-of join (merge_asof direction='forward') -------------------------
+@register(
+    "asof_event_next_purchase",
+    """
+    WITH u AS (
+      SELECT user_id AS k, ts AS t, 1 AS tag,
+             NULL::BIGINT AS event_id, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, NULL::BIGINT
+      FROM events WHERE event_type <> 'purchase'),
+    carried AS (
+      SELECT k, t, tag, event_id,
+             first_value(purchase_id IGNORE NULLS) OVER w AS next_purchase_id,
+             first_value(CASE WHEN tag = 1 THEN t END IGNORE NULLS)
+               OVER w AS next_t
+      FROM u
+      WINDOW w AS (PARTITION BY k ORDER BY t, tag, purchase_id
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+    SELECT event_id,
+           k AS user_id,
+           CASE WHEN date_diff('day', t::DATE, next_t::DATE) <= 7
+                THEN next_purchase_id END AS next_purchase_id,
+           CASE WHEN date_diff('day', t::DATE, next_t::DATE) <= 7
+                THEN CAST(date_diff('day', t::DATE, next_t::DATE) AS BIGINT)
+           END AS lead_days
+    FROM carried WHERE tag = 0
+    """,
+)
+def asof_event_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event FORWARD as-of join: each non-purchase event picks the
+    user's earliest purchase ON OR AFTER its timestamp within a 7-day
+    tolerance — the 'did this touch convert, and how fast' lookup
+    (pandas merge_asof direction='forward'), completing the as-of
+    family next to the backward asof_event_latest_order. Same union-tag
+    single-window shape run over the FOLLOWING frame: one shuffle on
+    the key, each row touched once, no lookahead-window explosion."""
+    from ug_dwh_etl_spark.operators.joins import merge_asof_forward
+
+    ev = table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type") != "purchase")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    out = merge_asof_forward(
+        touches,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        left_vals=["event_id"],
+        right_vals=["purchase_id"],
+        tolerance_days=7,
+    )
+    return out.select(
+        "event_id",
+        F.col("_k").alias("user_id"),
+        F.col("asof_purchase_id").alias("next_purchase_id"),
+        F.datediff(F.to_date("asof_t"), F.to_date("_t")).cast("long").alias("lead_days"),
+    )

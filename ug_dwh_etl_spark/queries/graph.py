@@ -596,3 +596,47 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     und.unpersist()
     return out
+
+
+# --- degree assortativity --------------------------------------------------------
+@register(
+    "graph_assortativity",
+    f"""
+    WITH ed AS ({_EDGES_SQL}),
+    und AS (SELECT DISTINCT a, b FROM (SELECT src AS a, dst AS b FROM ed
+      UNION ALL SELECT dst, src FROM ed)),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM und GROUP BY a)
+    SELECT CAST(COUNT(*) / 2 AS BIGINT) AS n_edges,
+           ROUND(corr(da.d, db.d), 6) AS assortativity
+    FROM und
+      JOIN deg da ON da.node = und.a
+      JOIN deg db ON db.node = und.b
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the link graph: the Pearson correlation
+    of endpoint degrees over all (directed-view) edges — positive means
+    hubs link to hubs (social-network shape), negative means hubs link
+    to leaves (typical web/bipartite shape). One degree aggregate +
+    two |E|-sized broadcast-able joins + a single-pass corr moment
+    aggregate: linear in edges at any scale, and the one-row answer
+    calibrates expectations for every other graph metric (a strongly
+    disassortative graph is exactly where PageRank mass concentrates
+    and where skew salting earns its keep)."""
+    edges = _edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        und.join(da, "a")
+        .join(db, "b")
+        .agg(
+            (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+            F.round(F.corr("da", "db"), 6).alias("assortativity"),
+        )
+    )
