@@ -221,6 +221,10 @@ HEADLINE = [
     "dedup_chunk_overlap",
     "graph_assortativity",
     "dedup_containment_capped",
+    # added round 5 (wave 16): KS drift test, Gini, entropy rate
+    "dq_ks_doclength",
+    "customer_gini",
+    "events_entropy_rate",
 ]
 
 

@@ -126,3 +126,23 @@ def test_assortativity_is_a_correlation(spark):
     row = _run(spark, "graph_assortativity").collect()[0]
     assert row.n_edges > 0
     assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_ks_stat_is_a_sup_of_cdf_gaps(spark):
+    row = _run(spark, "dq_ks_doclength").collect()[0]
+    assert 0.0 <= row.ks_stat <= 1.0
+    assert row.critical_05 > 0
+    assert row.reject_same_dist == (row.ks_stat > row.critical_05)
+    assert row.n_a + row.n_b > 0
+
+
+def test_gini_is_bounded(spark):
+    row = _run(spark, "customer_gini").collect()[0]
+    assert 0.0 <= row.gini < 1.0
+    assert row.n_customers > 0
+
+
+def test_entropy_rate_below_ceiling(spark):
+    row = _run(spark, "events_entropy_rate").collect()[0]
+    assert 0.0 <= row.entropy_rate_bits <= row.max_entropy_bits + 1e-9
+    assert row.n_states >= 2

@@ -125,6 +125,20 @@ EXPECTED_NESTED_LOOP = {
     "sim_hybrid_rrf",
     # 3-row neighbor-offset spine broadcast onto the blocked sort
     "dedup_sorted_neighborhood",
+    # 1-row n/mean + denominator frames broadcast onto the hourly series
+    "events_ljung_box",
+    # 1-row timeline-midpoint frame broadcast onto the scan (drift_psi shape)
+    "events_uplift_did",
+    # 1-row AMS estimate/exact frames cross-joined into the audit row
+    "sketch_ams_join_size",
+    # bounded negative-pool frame broadcast onto the anchor set
+    "corpus_negative_samples",
+    # 1-row vocab/normalizer frames broadcast onto the scoring scan
+    "text_lm_quality_score",
+    # 1-row sample-count frame broadcast onto the distinct-value ECDF
+    "dq_ks_doclength",
+    # 1-row grand-total frame broadcast onto the |S|x|S| transition table
+    "events_entropy_rate",
 }
 STREAM = re.compile(r"^stream_")
 

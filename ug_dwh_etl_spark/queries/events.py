@@ -2221,3 +2221,65 @@ def asof_event_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("asof_purchase_id").alias("next_purchase_id"),
         F.datediff(F.to_date("asof_t"), F.to_date("_t")).cast("long").alias("lead_days"),
     )
+
+
+# --- Markov entropy rate of the event stream -------------------------------------
+@register(
+    "events_entropy_rate",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events),
+    trans AS (
+      SELECT event_type AS f, next_type AS t, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY f, t),
+    nf AS (SELECT f, SUM(n) AS nf FROM trans GROUP BY f),
+    tot AS (SELECT SUM(n) AS total FROM trans)
+    SELECT CAST(COUNT(DISTINCT tr.f) AS BIGINT) AS n_states,
+           ROUND(-SUM((tr.n * 1.0 / (SELECT total FROM tot))
+                      * log2(tr.n * 1.0 / nf.nf)), 6) AS entropy_rate_bits,
+           ROUND(log2(COUNT(DISTINCT tr.f) * 1.0), 6) AS max_entropy_bits
+    FROM trans tr JOIN nf ON nf.f = tr.f
+    """,
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event stream modeled as the order-1
+    Markov chain behind events_transition_matrix: H = −Σ_{f,t}
+    (n_{ft}/N)·log₂(n_{ft}/n_f) bits per step, next to the log₂|S|
+    ceiling — how predictable the next action is (the stream-level
+    analogue of text_char_entropy, and the statistic that says whether
+    sequence features carry signal for a recommender/conversion model
+    at all). The corpus-sized work is the per-user LEAD window +
+    transition count; everything downstream is |S|²-sized with the
+    grand total a broadcast scalar."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("next_type"),
+    )
+    trans = (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("f"), F.col("next_type").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    nf = trans.groupBy("f").agg(F.sum("n").alias("nf"))
+    tot = trans.agg(F.sum("n").alias("total"))
+    joined = trans.join(F.broadcast(nf), "f").crossJoin(F.broadcast(tot))
+    n_states = F.countDistinct("f")
+    return joined.agg(
+        n_states.cast("long").alias("n_states"),
+        F.round(
+            -F.sum(
+                (F.col("n") * 1.0 / F.col("total"))
+                * F.log2(F.col("n") * 1.0 / F.col("nf"))
+            ),
+            6,
+        ).alias("entropy_rate_bits"),
+        F.round(F.log2(n_states * 1.0), 6).alias("max_entropy_bits"),
+    )

@@ -2211,3 +2211,49 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
         viol.cast("long").alias("violating_rows"),
         F.round(viol * 1.0 / F.sum("n_rows"), 6).alias("violation_rate"),
     )
+
+
+# --- Gini concentration of customer revenue --------------------------------------
+@register(
+    "customer_gini",
+    """
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS y
+      FROM orders GROUP BY o_custkey),
+    ranked AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY y, o_custkey) AS i FROM rev)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(2.0 * SUM(i * y) / (COUNT(*) * SUM(y))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+)
+def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers —
+    the one-number inequality summary behind parts_abc_analysis'
+    cumulative-share classes (G = 2·Σi·yᵢ/(n·Σy) − (n+1)/n over
+    ascending-sorted revenues). Revenue sums stay DECIMAL end-to-end so
+    the rank weighting is exact (no float partial-agg order); the rank
+    window runs on the per-customer rollup — group-sized, and at
+    cluster scale a range-partitioned rank (the same distributed
+    prefix-sum pattern as multimodal_shard_manifest) replaces the
+    single-reducer window with identical output."""
+    from pyspark.sql import Window
+
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
+    )
+    ranked = rev.select(
+        "y", F.row_number().over(Window.orderBy("y", "o_custkey")).alias("i")
+    )
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.cast("long").alias("n_customers"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("y")) / (n * F.sum("y"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )

@@ -1670,3 +1670,80 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n") * 1.0 / F.col("tot"), 6).alias("share_of_true"),
         )
     )
+
+
+# --- two-sample Kolmogorov-Smirnov drift test ------------------------------------
+@register(
+    "dq_ks_doclength",
+    """
+    WITH s AS (SELECT n_chars AS x, doc_id % 2 AS g FROM documents),
+    n AS (
+      SELECT SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS nb
+      FROM s),
+    pts AS (
+      SELECT x,
+             SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS cb
+      FROM s GROUP BY x),
+    cum AS (
+      SELECT x, SUM(ca) OVER (ORDER BY x) AS cca, SUM(cb) OVER (ORDER BY x) AS ccb
+      FROM pts)
+    SELECT (SELECT CAST(na AS BIGINT) FROM n) AS n_a,
+           (SELECT CAST(nb AS BIGINT) FROM n) AS n_b,
+           ROUND(MAX(ABS(cca * 1.0 / (SELECT na FROM n)
+                         - ccb * 1.0 / (SELECT nb FROM n))), 6) AS ks_stat,
+           ROUND(1.358 * sqrt(((SELECT na FROM n) + (SELECT nb FROM n)) * 1.0
+                              / ((SELECT na FROM n) * (SELECT nb FROM n))), 6)
+             AS critical_05,
+           CAST(MAX(ABS(cca * 1.0 / (SELECT na FROM n)
+                        - ccb * 1.0 / (SELECT nb FROM n)))
+                > 1.358 * sqrt(((SELECT na FROM n) + (SELECT nb FROM n)) * 1.0
+                               / ((SELECT na FROM n) * (SELECT nb FROM n)))
+                AS BOOLEAN) AS reject_same_dist
+    FROM cum
+    """,
+)
+def dq_ks_doclength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test on document length between the
+    even- and odd-id halves of the corpus (stand-in for old-snapshot vs
+    new-batch): D = max |ECDF_a − ECDF_b| against the α=0.05 critical
+    value 1.358·√((n_a+n_b)/(n_a·n_b)) — the DISTRIBUTION-level drift
+    gate that PSI's fixed buckets can miss (KS is bucket-free). The
+    corpus-sized work is one (value, group) count aggregate; the ECDF
+    running sums and the max run on the DISTINCT-VALUE relation, so the
+    unpartitioned window is value-domain-sized (like the histogram
+    family), not corpus-sized. Sample counts are broadcast scalars."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    s = docs.select(F.col("n_chars").alias("x"), (F.col("doc_id") % 2).alias("g"))
+    n = s.agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("nb"),
+    )
+    pts = s.groupBy("x").agg(
+        F.sum(F.when(F.col("g") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = pts.select(
+        F.sum("ca").over(w).alias("cca"), F.sum("cb").over(w).alias("ccb")
+    )
+    d = F.max(
+        F.abs(F.col("cca") * 1.0 / F.col("na") - F.col("ccb") * 1.0 / F.col("nb"))
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("na") + F.col("nb")) * 1.0 / (F.col("na") * F.col("nb"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(n))
+        .groupBy()
+        .agg(
+            F.first("na").cast("long").alias("n_a"),
+            F.first("nb").cast("long").alias("n_b"),
+            F.round(d, 6).alias("ks_stat"),
+            F.round(F.first(crit), 6).alias("critical_05"),
+            (d > F.first(crit)).alias("reject_same_dist"),
+        )
+    )
