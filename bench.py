@@ -225,6 +225,8 @@ HEADLINE = [
     "dq_ks_doclength",
     "customer_gini",
     "events_entropy_rate",
+    # added round 5 (wave 17): raw-Arrow python batch path twin
+    "multimodal_features_arrow",
 ]
 
 

@@ -146,3 +146,15 @@ def test_entropy_rate_below_ceiling(spark):
     row = _run(spark, "events_entropy_rate").collect()[0]
     assert 0.0 <= row.entropy_rate_bits <= row.max_entropy_bits + 1e-9
     assert row.n_states >= 2
+
+
+def test_arrow_and_pandas_feature_paths_agree(spark):
+    pandas_rows = {
+        r.media_id: (r.byte_len, r.content_md5, r.f0)
+        for r in _run(spark, "multimodal_features").collect()
+    }
+    arrow_rows = {
+        r.media_id: (r.byte_len, r.content_md5, r.f0)
+        for r in _run(spark, "multimodal_features_arrow").collect()
+    }
+    assert pandas_rows == arrow_rows

@@ -389,3 +389,35 @@ def multimodal_aspect_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         batches.cast("long").alias("n_batches"),
         (batches * _AR_BATCH - n).cast("long").alias("n_padding"),
     )
+
+
+@register(
+    "multimodal_features_arrow",
+    """
+    SELECT doc_id AS media_id,
+           strlen(text) AS byte_len,
+           md5(text) AS content_md5,
+           ROUND(('0x' || substr(md5(text), 1, 4))::BIGINT / 65536.0, 6) AS f0
+    FROM documents
+    """,
+)
+def multimodal_features_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow twin of multimodal_features: identical features
+    computed through Spark 4's raw-Arrow batch path (no pandas
+    materialization — one copy fewer per batch than mapInPandas, the
+    shape a GPU encoder consuming Arrow buffers wants), proven against
+    the SAME relational oracle so the two Python batch paths are
+    interchangeable byte-for-byte."""
+    from ug_dwh_etl_spark.operators.multimodal import (
+        extract_features_arrow,
+        media_from_documents,
+    )
+
+    media = media_from_documents(table(spark, sf_dir, "documents"))
+    feats = extract_features_arrow(media)
+    return feats.select(
+        "media_id",
+        "byte_len",
+        "content_md5",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+    )
