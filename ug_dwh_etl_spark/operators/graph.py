@@ -591,13 +591,15 @@ def hits(
         hub = None
         for i in range(iterations):
             if i > 0:
+                # join key s == e_by_s's cached partitioning: only the
+                # |V|-sized hub vector shuffles; ditto e_by_p below
                 auth = (
-                    e_by_p.join(hub, "s")
+                    e_by_s.join(hub, "s")
                     .groupBy("p")
                     .agg(F.sum("h").alias("a"))
                 )
             hub = (
-                e_by_s.join(auth, "p")
+                e_by_p.join(auth, "p")
                 .groupBy("s")
                 .agg(F.sum("a").alias("h"))
             )
