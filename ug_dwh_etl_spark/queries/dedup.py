@@ -1037,6 +1037,7 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     out = None
+    cands = []
     for bands, rows in _LSH_CONFIGS:
         bexpr = F.explode(
             F.array(
@@ -1070,6 +1071,7 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .persist()
         )
+        cands.append(cand)
         tp = cand.join(truth, ["id_a", "id_b"], "inner")
         p_catch = 1.0 - (1.0 - _LSH_T**rows) ** bands
         row = (
@@ -1099,6 +1101,8 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     sig.unpersist()
     truth.unpersist()
+    for c in cands:
+        c.unpersist()
     return out
 
 
