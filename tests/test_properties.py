@@ -403,3 +403,71 @@ def test_url_canonicalize_cross_engine_and_idempotent(spark, urls):
     )
     for v, c1, _ in got:
         assert duck[v] == c1, (v, duck[v], c1)
+
+
+# --- merge_asof (backward + forward) vs pandas' own merge_asof -------------------
+_asof_times = st.lists(
+    st.integers(min_value=0, max_value=50), min_size=1, max_size=12
+)
+
+
+@SETTINGS
+@given(lt=_asof_times, rt=_asof_times, tol=st.sampled_from([None, 0, 3, 10]))
+def test_merge_asof_directions_match_pandas(spark, lt, rt, tol):
+    """Both as-of directions must reproduce pandas.merge_asof exactly —
+    including tolerance cut-offs and equal-timestamp ties (backward and
+    forward both include exact matches). Times are day offsets from an
+    epoch so tolerance_days is exercised directly; a single key keeps
+    the pandas model unambiguous."""
+    import pandas as pd
+
+    from ug_dwh_etl_spark.operators.joins import merge_asof, merge_asof_forward
+
+    base = pd.Timestamp("2020-01-01")
+    left = pd.DataFrame(
+        {
+            "k": 1,
+            "lt": [base + pd.Timedelta(days=d) for d in sorted(lt)],
+            "lid": list(range(len(lt))),
+        }
+    )
+    right_days = sorted(set(rt))  # unique right times: tie-break-free model
+    right = pd.DataFrame(
+        {
+            "k": 1,
+            "rt": [base + pd.Timedelta(days=d) for d in right_days],
+            "rv": [d * 100 for d in right_days],
+        }
+    )
+    sl = spark.createDataFrame(left)
+    sr = spark.createDataFrame(right)
+    tol_td = pd.Timedelta(days=tol) if tol is not None else None
+    for direction, fn in (("backward", merge_asof), ("forward", merge_asof_forward)):
+        expected = pd.merge_asof(
+            left.sort_values("lt"),
+            right.sort_values("rt"),
+            left_on="lt",
+            right_on="rt",
+            by="k",
+            direction=direction,
+            tolerance=tol_td,
+        )
+        exp = {
+            int(r.lid): (None if pd.isna(r.rv) else int(r.rv))
+            for r in expected.itertuples()
+        }
+        got_rows = fn(
+            sl,
+            sr,
+            key="k",
+            left_time="lt",
+            right_time="rt",
+            left_vals=["lid"],
+            right_vals=["rv"],
+            tolerance_days=tol,
+        ).collect()
+        got = {
+            int(r.lid): (None if r.asof_rv is None else int(r.asof_rv))
+            for r in got_rows
+        }
+        assert got == exp, direction
