@@ -755,8 +755,6 @@ def label_propagation(
     shuffles sized by ``loop_partitions``. Synchronous LPA on bipartite
     graphs can oscillate; a bounded round count is the standard remedy
     (and what makes the result well-defined)."""
-    from pyspark.sql import Window
-
     spark = edges.sparkSession
     prev = None
     if loop_partitions is not None:
@@ -773,17 +771,24 @@ def label_propagation(
         labels = und.select(F.col("a").alias("node")).distinct().select(
             "node", F.col("node").alias("label")
         )
-        w = Window.partitionBy("nd").orderBy(F.desc("c"), F.asc("label"))
         for _ in range(rounds):
             cnt = (
                 und.join(labels, und.b == labels.node)
                 .groupBy(F.col("a").alias("nd"), "label")
                 .agg(F.count(F.lit(1)).alias("c"))
             )
+            # deterministic argmax (count DESC, label ASC) as a single
+            # min-of-struct aggregate — structs compare field-by-field,
+            # so min(struct(-c, label)) IS the oracle's ROW_NUMBER pick
+            # without the per-round partitioned sort a rank window pays
             pick = (
-                cnt.withColumn("rn", F.row_number().over(w))
-                .filter(F.col("rn") == 1)
-                .select(F.col("nd").alias("node"), F.col("label").alias("new_label"))
+                cnt.groupBy(F.col("nd").alias("node"))
+                .agg(
+                    F.min(
+                        F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                    ).alias("m")
+                )
+                .select("node", F.col("m.label").alias("new_label"))
             )
             labels = labels.join(pick, "node", "left").select(
                 "node", F.coalesce("new_label", "label").alias("label")
