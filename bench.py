@@ -227,6 +227,7 @@ HEADLINE = [
     "events_entropy_rate",
     # added round 5 (wave 17): raw-Arrow python batch path twin
     "multimodal_features_arrow",
+    "join_range_binned",
 ]
 
 

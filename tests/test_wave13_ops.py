@@ -158,3 +158,9 @@ def test_arrow_and_pandas_feature_paths_agree(spark):
         for r in _run(spark, "multimodal_features_arrow").collect()
     }
     assert pandas_rows == arrow_rows
+
+
+def test_binned_range_join_equals_plain(spark):
+    plain = {(r.user_id, r.n_followups) for r in _run(spark, "join_range_followups").collect()}
+    binned = {(r.user_id, r.n_followups) for r in _run(spark, "join_range_binned").collect()}
+    assert plain == binned

@@ -2257,3 +2257,57 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# --- binned interval join: the range-join scale path ------------------------------
+@register(
+    "join_range_binned",
+    """
+    SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_followups
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME 5-minute follow-up count as join_range_followups,
+    computed as a BINNED interval join: each timestamp maps to a
+    5-minute bin, the left side probes (its bin, next bin) via a
+    2-element explode, the join is pure EQUI on (user_id, bin), and the
+    exact range predicate filters after the match. Why it exists: the
+    plain spelling's range predicate can't hash — inside one join key
+    every left row meets every right row (per-key quadratic), which is
+    fine for bounded per-user activity but melts on a hot key. Binning
+    caps each probe at two bins, so cost is Σ per-(key, bin)² — bounded
+    by DENSITY (events per 5 minutes), not by a key's total history.
+    Identical results by construction (both registered against the
+    same oracle text); 2× row duplication on the build side is the
+    entire overhead."""
+    ev = table(spark, sf_dir, "events").select("user_id", "ts")
+    bin_len = 300  # seconds
+    b = ev.select(
+        "user_id",
+        F.col("ts").alias("b_ts"),
+        (F.unix_timestamp("ts") / bin_len).cast("long").alias("bin"),
+    )
+    a = ev.select(
+        "user_id",
+        F.col("ts").alias("a_ts"),
+        F.explode(
+            F.array(
+                (F.unix_timestamp("ts") / bin_len).cast("long"),
+                (F.unix_timestamp("ts") / bin_len).cast("long") + 1,
+            )
+        ).alias("bin"),
+    )
+    return (
+        a.join(b, ["user_id", "bin"])
+        .filter(
+            (F.col("b_ts") > F.col("a_ts"))
+            & (F.col("b_ts") <= F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_followups"))
+    )
