@@ -49,299 +49,302 @@ def entry(spark: SparkSession) -> DataFrame:
 # driver-recorded coverage instead of re-proving the same prefix. Names
 # missing here (added later) fall back to registry order at the end.
 _CHEAPEST_FIRST = (
-    # Re-spliced from the round-5 wave-5 timing run: 126 never-
-    # recorded queries lead (cheapest first, wave-6 additions spliced
-    # in by measured cost); the 126 recorded follow.
-    "multimodal_aspect_buckets",
-    "multimodal_features_arrow",
-    "window_running_median_price",
-    "privacy_t_closeness",
-    "text_readability",
-    "corpus_global_shuffle",
-    "events_ljung_box",
-    "events_attribution_position",
-    "events_uplift_did",
-    "dq_ks_doclength",
-    "customer_gini",
-    "events_entropy_rate",
-    "asof_event_next_purchase",
-    "join_range_binned",
-    "dedup_chunk_overlap",
-    "graph_assortativity",
-    "dedup_containment_capped",
-    "text_langid_confusion",
-    "graph_label_propagation",
-    "dedup_lsh_tuning_curve",
-    "graph_modularity",
-    "graph_hits",
-    "graph_bfs_distance",
-    "dedup_containment_pairs",
+    # Re-spliced from the round-5 final full-gate timing run
+    # (/tmp/oracle_r5_full2.log, Spark+DuckDB wall time per query at
+    # sf0.01): the 166 queries never recorded by ANY driver round
+    # (registry minus CORRECTNESS_r01-r04) lead, cheapest first, so
+    # the r05 ~50-query window lands entirely on fresh names; the 126
+    # already-recorded follow in the same measured order.
+    "agg_histogram",
+    "events_pattern_view_to_purchase",
+    "sketch_ams_f2",
+    "text_bpe_merges",
     "window_spend_between_bigorders",
-    "dq_contract_orders",
-    "macro_url_canonicalize",
-    "events_stickiness",
-    "join_temporal_scd2_tiers",
-    "window_moving_avg_spend",
-    "dq_benford_totalprice",
     "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "text_fertility_by_lang",
-    "dq_functional_dependency",
-    "corpus_negative_samples",
-    "text_lm_quality_score",
-    "storage_zonemap_skipping",
-    "orders_coverage_islands",
-    "parts_abc_analysis",
-    "q19_disjunctive_bracket",
-    "ivm_join_view",
-    "events_attribution_last_touch",
-    "q15_top_supplier",
-    "profile_orders_columns",
-    "events_cusum_changepoint",
-    "join_full_outer_coverage",
-    "q18_large_quantity_orders",
-    "asof_event_latest_order",
-    "sketch_cms_user_counts",
-    "history_seasonal_decompose",
-    "events_top_paths",
-    "text_langid",
-    "events_funnel_ordered",
-    "customer_mi_segment_nation",
-    "agg_weighted_median",
-    "copurchase_rules",
-    "events_autocorrelation",
-    "embed_centroid_drift",
-    "text_postings_compression",
-    "history_backtest_snaive",
-    "history_holt_forecast",
+    "q17_small_qty_revenue",
+    "history_asof_read",
+    "sim_cosine_topk_pandas",
     "text_zipf_slope",
-    "text_rake_keywords",
-    "dedup_sorted_neighborhood",
-    "q16_supplier_variety",
-    "sketch_ams_join_size",
-    "window_revenue_share",
-    "q10_returned_item_revenue",
+    "corpus_global_shuffle",
+    "window_moving_avg_spend",
+    "customer_gini",
+    "privacy_pseudonymize_join",
+    "events_attribution_last_touch",
     "dedup_hot_shingles",
-    "events_value_mad",
+    "dedup_chunk_overlap",
+    "embed_dim_zscore",
+    "sim_matryoshka_recall",
+    "text_repetition",
+    "corpus_negative_samples",
+    "text_fertility_by_lang",
+    "dq_ks_doclength",
     "pipeline_e3_bookings",
-    "customer_rfm_segments",
     "multimodal_shard_manifest",
     "agg_equidepth_histogram",
-    "q17_small_qty_revenue",
-    "pipeline_e7_backlinks",
-    "history_gap_fill",
-    "text_pmi_bigrams",
-    "embed_dim_zscore",
-    "text_bpe_apply_merge",
-    "window_trailing_7d_spend",
-    "q21_sole_late_shippers",
-    "corpus_weighted_sample",
-    "graph_degree_stats",
-    "q9_product_profit",
-    "events_survival_km",
-    "sim_quantize_int8",
-    "storage_rendezvous_shards",
-    "text_bm25_topdocs",
-    "text_encode_ids",
-    "q20_excess_share_shippers",
-    "sketch_ams_f2",
-    "multimodal_phash_neardup",
-    "sim_hybrid_rrf",
-    "graph_kcore",
-    "graph_link_prediction",
     "join_bloom_pruned",
-    "q8_market_share",
+    "dq_contract_orders",
+    "dq_benford_totalprice",
+    "storage_rendezvous_shards",
+    "q16_supplier_variety",
+    "history_gap_fill",
+    "macro_url_canonicalize",
+    "events_value_mad",
+    "events_stickiness",
+    "dedup_sorted_neighborhood",
+    "sim_quantize_int8",
+    "text_langid",
+    "text_pmi_bigrams",
+    "corpus_weighted_sample",
+    "text_encode_ids",
+    "text_bpe_apply_merge",
+    "window_revenue_share",
+    "window_trailing_7d_spend",
+    "customer_rfm_segments",
     "skyline_orders",
-    "sql_adhoc_daily_orders",
-    "sim_matryoshka_recall",
-    "stream_dedup_events",
+    "customer_mi_segment_nation",
+    "privacy_l_diversity",
+    "q10_returned_item_revenue",
+    "q9_product_profit",
+    "q15_top_supplier",
+    "q19_disjunctive_bracket",
+    "pipeline_e7_backlinks",
+    "history_seasonal_decompose",
+    "history_backtest_snaive",
     "q11_important_parts",
-    "pipeline_e2_ranks",
-    "q2_min_cost_supplier",
-    "privacy_pseudonymize_join",
-    "sql_adhoc_latest_snapshot",
-    "stream_static_enrich",
-    "q7_nation_trade_volume",
-    "sketch_kmv_overlap",
-    "sql_adhoc_directory_rollup",
-    "stream_language_mix",
-    "stream_dq_benford",
-    "stream_sessionize",
-    "copurchase_top_pairs",
+    "q21_sole_late_shippers",
+    "events_cusum_changepoint",
+    "events_survival_km",
+    "sketch_ams_join_size",
+    "asof_event_next_purchase",
+    "embed_centroid_drift",
+    "text_bm25_topdocs",
+    "multimodal_phash_neardup",
+    "join_full_outer_coverage",
+    "profile_orders_columns",
+    "orders_coverage_islands",
+    "ivm_join_view",
+    "parts_abc_analysis",
+    "graph_degree_stats",
     "storage_zorder_stats",
+    "q18_large_quantity_orders",
+    "q7_nation_trade_volume",
+    "join_temporal_scd2_tiers",
+    "q2_min_cost_supplier",
+    "asof_event_latest_order",
+    "sketch_kmv_overlap",
+    "sketch_cms_user_counts",
     "text_duplicate_spans",
-    "sql_macro_rollup",
-    "history_asof_read",
-    "stream_hourly_tumbling",
-    "stream_sliding_2h",
-    "stream_user_ewma",
-    "sim_ivf_topk",
-    "stream_stateful_user_totals",
     "sim_pq_codes",
-    "stream_pattern_conversions",
-    "stream_corpus_ingest",
+    "copurchase_top_pairs",
+    "window_running_median_price",
+    "agg_weighted_median",
+    "sql_adhoc_directory_rollup",
+    "sql_adhoc_latest_snapshot",
+    "sql_macro_rollup",
+    "q20_excess_share_shippers",
+    "events_top_paths",
+    "events_funnel_ordered",
+    "events_autocorrelation",
+    "events_uplift_did",
+    "text_postings_compression",
+    "text_langid_confusion",
+    "stream_hourly_tumbling",
+    "stream_stateful_user_totals",
+    "stream_sliding_2h",
+    "stream_static_enrich",
     "stream_kmv_viewers",
-    "sim_pq_topk",
-    "stream_hourly_anomaly",
-    "copurchase_capped",
-    "sim_pca_power_iteration",
-    "corpus_pipeline_funnel",
-    "sim_quantize_recall",
-    "events_pattern_view_to_purchase",
-    "sql_recursive_hierarchy",
-    "stream_attribution_last_touch",
-    "graph_cheirank",
-    "split_leakage_check",
+    "stream_dq_benford",
     "sample_bootstrap_ci",
-    "pipeline_e6_inlinks",
-    "graph_components",
-    "graph_pagerank",
-    "graph_personalized_pagerank",
-    "history_interpolate",
-    "sim_cosine_topk_pandas",
-    "dedup_prefix_filter_pairs",
+    "join_range_binned",
+    "q8_market_share",
+    "sql_adhoc_daily_orders",
+    "events_attribution_position",
+    "events_entropy_rate",
+    "sim_pq_topk",
+    "stream_corpus_ingest",
     "stream_heavy_hitters",
-    "text_bpe_merges",
-    "sim_kmeans_step",
-    "text_repetition",
-    "bucketed_join_order_lineitems",
+    "dq_functional_dependency",
+    "sql_recursive_hierarchy",
+    "sim_ivf_topk",
+    "sim_quantize_recall",
+    "stream_user_ewma",
+    "stream_language_mix",
+    "stream_pattern_conversions",
+    "stream_attribution_last_touch",
+    "copurchase_capped",
+    "pipeline_e6_inlinks",
+    "corpus_pipeline_funnel",
+    "stream_sessionize",
+    "stream_hourly_anomaly",
+    "graph_link_prediction",
+    "history_interpolate",
+    "sim_pca_power_iteration",
+    "sim_hybrid_rrf",
+    "text_rake_keywords",
+    "graph_pagerank",
+    "graph_cheirank",
+    "storage_zonemap_skipping",
+    "privacy_t_closeness",
+    "graph_components",
+    "graph_personalized_pagerank",
+    "graph_assortativity",
+    "split_leakage_check",
     "sim_ivfpq_topk",
+    "sim_kmeans_step",
+    "text_readability",
+    "multimodal_features_arrow",
+    "text_lm_quality_score",
+    "stream_dedup_events",
+    "dedup_prefix_filter_pairs",
+    "embed_dup_clusters",
+    "dedup_containment_pairs",
+    "copurchase_rules",
+    "graph_hits",
+    "dedup_ngram_jaccard_capped",
+    "graph_bfs_distance",
+    "pipeline_e2_ranks",
+    "stream_stream_join",
+    "events_ljung_box",
+    "bucketed_join_order_lineitems",
     "stream_stream_left_outer",
     "dedup_corpus_survivors",
-    "dedup_ngram_jaccard_capped",
+    "dedup_verified_pairs",
     "dedup_minhash_accuracy",
-    "history_theil_sen",
+    "dedup_containment_capped",
     "graph_triangle_count",
     "graph_components_converged",
-    "agg_histogram",
-    "stream_stream_join",
+    "graph_label_propagation",
+    "history_holt_forecast",
+    "multimodal_aspect_buckets",
     "stream_user_totals_tws",
-    "embed_dup_clusters",
-    "dedup_verified_pairs",
-    "macro_website_type",
-    "macro_concat_ws_skipnull",
+    "history_theil_sen",
+    "graph_kcore",
+    "graph_modularity",
+    "dedup_lsh_tuning_curve",
     "topk_orders_by_price",
-    "sim_srp_buckets",
-    "macro_doctype_label",
-    "sample_stratified",
+    "macro_concat_ws_skipnull",
     "macro_url_levels",
-    "multimodal_frame_plan",
-    "sample_weighted_reservoir",
-    "minmax_priciest_part_per_brand",
-    "macro_fill_cast",
-    "events_dedup_count",
+    "macro_doctype_label",
+    "macro_website_type",
+    "sim_srp_buckets",
+    "sim_label_stats",
     "text_token_stats",
+    "text_fingerprints",
+    "text_redact_pii",
     "text_token_positions",
-    "doc_length_deciles",
-    "text_type_token_ratio",
+    "sample_weighted_reservoir",
+    "multimodal_frame_plan",
+    "minmax_priciest_part_per_brand",
     "lateral_explode_type_words",
     "window_ntile_quartiles",
-    "agg_price_percentiles",
-    "multimodal_meta_stats",
-    "q6_forecast_revenue",
-    "pipeline_e1_crawl",
-    "agg_grouping_sets",
-    "agg_rollup_status_priority",
-    "agg_cube_flag_status",
-    "macro_regex_projection",
-    "sim_label_stats",
-    "pivot_status_by_priority",
-    "join_semi_shipped",
-    "events_heavy_hitters",
-    "text_redact_pii",
     "window_percent_rank_top",
+    "agg_collect_sorted",
+    "q6_forecast_revenue",
+    "join_semi_shipped",
+    "join_anti_unshipped",
+    "agg_rollup_status_priority",
+    "agg_distinct_suppliers",
+    "window_top3_orders_per_customer",
+    "asof_latest_order_per_customer",
+    "union_mismatched_entities",
+    "broadcast_nation_region",
+    "macro_dates_truncate",
+    "macro_fill_cast",
+    "events_json_extract",
+    "events_hourly_tumbling",
+    "events_sessionize",
+    "events_dedup_count",
+    "events_top_users",
+    "events_variant_parse",
+    "events_rollup_hour_day",
+    "events_heavy_hitters",
+    "events_dp_noisy_counts",
+    "sim_cosine_topk",
+    "sim_ivf_clusters",
+    "sim_label_centroids",
+    "text_quality_scores",
+    "contamination_scan",
+    "doc_length_deciles",
+    "text_type_token_ratio",
+    "pipeline_e1_crawl",
+    "multimodal_meta_stats",
+    "multimodal_dedup_payloads",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "scalar_subquery_above_avg",
+    "agg_stats_moments",
+    "join_null_safe",
+    "fuzzy_match_parts",
+    "q14_promo_revenue_share",
+    "agg_price_percentiles",
+    "pipeline_e4_images",
     "pipeline_e5_orphans",
     "pipeline_e8_hreflang",
-    "macro_dates_truncate",
-    "sim_cosine_topk",
-    "agg_collect_sorted",
-    "fuzzy_match_parts",
-    "window_top3_orders_per_customer",
-    "events_sessionize",
-    "events_top_users",
-    "events_dp_noisy_counts",
-    "contamination_scan",
-    "agg_stats_moments",
-    "sim_label_centroids",
-    "multimodal_dedup_payloads",
-    "join_null_safe",
-    "join_anti_unshipped",
-    "broadcast_nation_region",
-    "events_time_weighted_value",
-    "text_chunk_docs",
-    "corpus_quality_filter",
-    "setop_nations_cust_and_supp",
-    "pipeline_e4_images",
-    "union_mismatched_entities",
-    "split_train_test",
-    "sim_ivf_clusters",
-    "text_fingerprints",
-    "q14_promo_revenue_share",
-    "events_hourly_tumbling",
-    "events_variant_parse",
-    "scalar_subquery_above_avg",
-    "agg_distinct_suppliers",
+    "history_metric_delta",
+    "join_left_customer_orders",
+    "agg_cube_flag_status",
     "window_order_gap_days",
-    "setop_nations_cust_only",
-    "unpivot_lineitem_metrics",
-    "join_range_followups",
-    "history_url_churn",
     "window_running_spend",
+    "macro_lenient_int",
+    "macro_days_between",
+    "events_props_map_explode",
+    "dedup_embedding_cosine",
+    "split_train_test",
+    "sim_ann_topk",
+    "sim_knn_join",
+    "text_pack_sequences",
+    "text_ngram_counts",
+    "text_vocab_coverage",
+    "corpus_mixture_weights",
+    "text_char_entropy",
+    "setop_nations_cust_and_supp",
+    "setop_nations_cust_only",
+    "join_range_followups",
+    "unpivot_lineitem_metrics",
+    "window_cume_dist_nth",
+    "winsorize_order_totals",
+    "agg_regression_price_qty",
+    "fit_price_trend_pandas",
+    "skew_salted_event_counts",
+    "diag_custkey_skew",
+    "q4_priority_with_late_lines",
+    "q12_priority_class_by_status",
+    "q13_customer_order_distribution",
+    "q22_idle_customers",
+    "history_url_churn",
+    "history_scd2",
     "macro_locale_decimal",
     "events_sliding_2h",
-    "events_value_outliers",
-    "events_user_ewma",
-    "text_tfidf_terms",
-    "window_dense_rank_days",
-    "q1_pricing_summary",
-    "asof_latest_order_per_customer",
-    "macro_days_between",
-    "events_json_extract",
-    "text_pack_sequences",
-    "skew_salted_event_counts",
-    "q12_priority_class_by_status",
-    "history_scd2",
     "events_cohort_retention",
-    "events_rollup_hour_day",
-    "text_ngram_counts",
-    "q13_customer_order_distribution",
-    "join_left_customer_orders",
-    "events_transition_matrix",
-    "q4_priority_with_late_lines",
-    "sim_ann_topk",
-    "corpus_mixture_weights",
-    "setop_nation_bag_overlap",
-    "winsorize_order_totals",
-    "diag_custkey_skew",
-    "macro_lenient_int",
+    "events_new_vs_returning",
     "events_value_outliers_mad",
-    "dedup_embedding_cosine",
-    "dedup_incremental",
     "events_hourly_anomaly",
-    "sim_knn_join",
-    "text_quality_scores",
-    "agg_regression_price_qty",
-    "history_metric_delta",
-    "events_dau_wau",
-    "text_vocab_coverage",
-    "multimodal_features",
-    "q22_idle_customers",
-    "window_cume_dist_nth",
+    "events_transition_matrix",
+    "dedup_exact_groups",
+    "dedup_incremental",
+    "sample_stratified",
+    "window_dense_rank_days",
+    "setop_nation_bag_overlap",
     "setop_nation_bag_excess",
     "q3_shipping_priority",
+    "macro_regex_projection",
     "events_funnel",
-    "fit_price_trend_pandas",
-    "customer_nation_segment_chi2",
-    "dedup_exact_groups",
-    "events_new_vs_returning",
-    "events_props_map_explode",
     "events_drift_psi",
-    "text_char_entropy",
     "q5_local_supplier_volume",
+    "customer_nation_segment_chi2",
     "dedup_minhash_signatures",
+    "events_dau_wau",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash",
+    "text_tfidf_terms",
+    "events_value_outliers",
+    "q1_pricing_summary",
+    "corpus_quality_filter",
+    "events_user_ewma",
+    "multimodal_features",
+    "events_time_weighted_value",
+    "text_chunk_docs",
     "dedup_ngram_jaccard",
+    "dedup_simhash",
     "dedup_clusters",
     "sim_ivf_recall_curve",
 )
