@@ -361,3 +361,49 @@ def test_orc_round_trip(spark, tmp_path):
     # pushdown survives the format: an equality filter returns the row
     key = src.limit(1).collect()[0]["o_orderkey"]
     assert back.filter(back.o_orderkey == key).count() == 1
+
+
+def test_write_training_shards_is_range_ordered(spark, tmp_path):
+    """The training-shard sink must produce n range-disjoint, internally
+    sorted JSONL files whose union is the input, byte-stable across
+    re-runs (the reproducible-epoch contract)."""
+    import json as _json
+    import os
+
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+    from ug_dwh_etl_spark.sinks.writers import write_training_shards
+
+    shuffled = QUERIES["corpus_global_shuffle"].fn(spark, "/root/testdata/sf0.001")
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(shuffled, out, order_col="pos", n_shards=4)
+    assert manifest["n_rows"] == shuffled.count()
+    assert manifest["n_files"] == 4
+    assert manifest["bytes"] > 0
+    ranges = []
+    for f in sorted(os.listdir(out)):
+        if not f.startswith("part-"):
+            continue
+        vals = [
+            _json.loads(line)["pos"]
+            for line in open(os.path.join(out, f))
+            if line.strip()
+        ]
+        if not vals:
+            continue
+        assert vals == sorted(vals)  # sorted within shard
+        ranges.append((min(vals), max(vals)))
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # range-disjoint shards
+    # byte-stable re-run
+    again = str(tmp_path / "shards2")
+    write_training_shards(shuffled, again, order_col="pos", n_shards=4)
+    c1 = b"".join(
+        open(os.path.join(out, f), "rb").read()
+        for f in sorted(os.listdir(out)) if f.startswith("part-")
+    )
+    c2 = b"".join(
+        open(os.path.join(again, f), "rb").read()
+        for f in sorted(os.listdir(again)) if f.startswith("part-")
+    )
+    assert c1 == c2
