@@ -228,6 +228,9 @@ HEADLINE = [
     # added round 5 (wave 17): raw-Arrow python batch path twin
     "multimodal_features_arrow",
     "join_range_binned",
+    # added round 5 (wave 18): deterministic k-center seeding, PK audit
+    "sim_farthest_first_centroids",
+    "dq_primary_key_audit",
 ]
 
 

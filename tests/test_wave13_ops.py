@@ -164,3 +164,30 @@ def test_binned_range_join_equals_plain(spark):
     plain = {(r.user_id, r.n_followups) for r in _run(spark, "join_range_followups").collect()}
     binned = {(r.user_id, r.n_followups) for r in _run(spark, "join_range_binned").collect()}
     assert plain == binned
+
+
+def test_farthest_first_distances_decrease(spark):
+    rows = sorted(_run(spark, "sim_farthest_first_centroids").collect(), key=lambda r: r.k)
+    assert [r.k for r in rows] == [1, 2, 3, 4]
+    assert rows[0].dist_sq == 0.0
+    assert len({r.vec_id for r in rows}) == 4  # distinct seeds
+    # coverage radius is non-increasing: each pick is the farthest point
+    # from the set chosen so far, and the set only grows
+    for a, b in zip(rows[1:], rows[2:]):
+        assert b.dist_sq <= a.dist_sq + 1e-9
+
+
+def test_pk_audit_covers_all_tables(spark):
+    rows = {r.table_name: r for r in _run(spark, "dq_primary_key_audit").collect()}
+    assert len(rows) == 10
+    for t, r in rows.items():
+        assert r.dup_rows == r.n_rows - r.n_keys
+        assert r.is_unique == (r.dup_rows == 0), t
+    # single-column surrogate keys are clean in the fixtures; lineitem's
+    # composite (orderkey, linenumber) is NOT — the generator reuses
+    # line numbers within an order, and the audit exists to catch
+    # exactly that
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "events", "documents", "embeddings"):
+        assert rows[t].is_unique, t
+    assert not rows["lineitem"].is_unique

@@ -139,6 +139,8 @@ EXPECTED_NESTED_LOOP = {
     "dq_ks_doclength",
     # 1-row grand-total frame broadcast onto the |S|x|S| transition table
     "events_entropy_rate",
+    # 1-row newest-centroid frames broadcast per farthest-first round
+    "sim_farthest_first_centroids",
 }
 STREAM = re.compile(r"^stream_")
 

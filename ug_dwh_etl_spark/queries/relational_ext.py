@@ -2311,3 +2311,59 @@ def join_range_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_followups"))
     )
+
+
+# --- primary-key uniqueness audit across the warehouse ---------------------------
+_PK_COLS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey",),
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey",),
+    "lineitem": ("l_orderkey", "l_linenumber"),
+    "events": ("event_id",),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def _pk_audit_sql() -> str:
+    selects = []
+    for t, cols in _PK_COLS.items():
+        key = ", ".join(cols)
+        selects.append(
+            f"""SELECT '{t}' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT ({key})) AS BIGINT) AS n_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT ({key})) AS BIGINT) AS dup_rows,
+           CAST(COUNT(*) = COUNT(DISTINCT ({key})) AS BOOLEAN) AS is_unique
+    FROM {t}"""
+        )
+    return "\n    UNION ALL ".join(selects)
+
+
+@register("dq_primary_key_audit", _pk_audit_sql())
+def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit over every warehouse table in one
+    result: row count vs distinct declared-key count per table (the
+    composite (orderkey, linenumber) for lineitem) — the first DQ gate
+    any ingest runs (dq_contract_orders checks VALUES; this checks
+    IDENTITY, the precondition for every merge_upsert and dedup
+    decision upstream). One scan + one map-side-combinable distinct per
+    table, outputs are 10 rows, and at 100 TB each distinct is the
+    same shuffle its table's dedup would pay anyway — run it as the
+    cheap pre-flight before those jobs."""
+    out = None
+    for t, cols in _PK_COLS.items():
+        df = table(spark, sf_dir, t)
+        key = F.struct(*[F.col(c) for c in cols])
+        row = df.agg(
+            F.lit(t).alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+            (F.count(F.lit(1)) - F.countDistinct(key)).alias("dup_rows"),
+            (F.count(F.lit(1)) == F.countDistinct(key)).alias("is_unique"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

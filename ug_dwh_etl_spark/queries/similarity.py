@@ -1006,3 +1006,119 @@ def sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc(F.round(F.col("rrf_score"), 6)), F.asc("doc_id"))
         .limit(_RRF_TOP)
     )
+
+
+# --- farthest-first centroid seeding (k-center / k-means++ style) -----------------
+_FF_K = 4
+
+
+def _ff_sql() -> str:
+    d = "list_dot_product"
+    parts = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        "c1 AS (SELECT vec_id, e FROM base ORDER BY vec_id LIMIT 1)",
+        f"""d1 AS (
+      SELECT b.vec_id,
+             {d}(b.e, b.e) - 2 * {d}(b.e, c1.e) + {d}(c1.e, c1.e) AS dmin
+      FROM base b, c1)""",
+    ]
+    for k in range(2, _FF_K + 1):
+        parts.append(
+            f"p{k} AS (SELECT vec_id, dmin FROM d{k - 1} ORDER BY dmin DESC, vec_id LIMIT 1)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT b.vec_id, b.e, p{k}.dmin FROM base b JOIN p{k} USING (vec_id))"
+        )
+        if k < _FF_K:
+            parts.append(
+                f"""d{k} AS (
+      SELECT b.vec_id,
+             LEAST(d{k - 1}.dmin,
+                   {d}(b.e, b.e) - 2 * {d}(b.e, c{k}.e) + {d}(c{k}.e, c{k}.e)) AS dmin
+      FROM base b JOIN d{k - 1} USING (vec_id), c{k})"""
+            )
+    selects = ["SELECT 1 AS k, (SELECT vec_id FROM c1) AS vec_id, 0.0 AS dist_sq"]
+    for k in range(2, _FF_K + 1):
+        selects.append(
+            f"SELECT {k}, (SELECT vec_id FROM c{k}), ROUND((SELECT dmin FROM c{k}), 6)"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register("sim_farthest_first_centroids", _ff_sql())
+def sim_farthest_first_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means seeding by farthest-first traversal
+    (Gonzalez k-center, the deterministic cousin of k-means++ D²
+    sampling): start from the min-id vector, then K−1 times pick the
+    point farthest from everything chosen so far (min-id tie-break) —
+    the seeds sim_kmeans_step's Lloyd iteration wants instead of
+    arbitrary hash buckets, with a 2-approximation guarantee for the
+    k-center objective. Each round is ONE scan computing
+    min(prev_dmin, dist² to the newest centroid) — the newest centroid
+    is a broadcast 1-row frame, dist² expands to dot products via the
+    same codegen fold as every sim_* query — plus a 1-row argmax.
+    O(K·n) total work, never K×n² pairwise."""
+    from ug_dwh_etl_spark.operators.similarity import dot
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    c1 = base.orderBy("vec_id").limit(1).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    picks = [(1, c1, None)]
+    dprev = None
+    cur = c1
+    for k in range(2, _FF_K + 1):
+        dist = (
+            dot(F.col("e"), F.col("e"))
+            - 2 * dot(F.col("e"), F.col("ce"))
+            + dot(F.col("ce"), F.col("ce"))
+        )
+        if dprev is None:
+            dcur = base.crossJoin(F.broadcast(cur)).select(
+                "vec_id", "e", dist.alias("dmin")
+            )
+        else:
+            dcur = (
+                dprev.drop("c_id", "ce")
+                .crossJoin(F.broadcast(cur))
+                .select(
+                    "vec_id", "e", F.least(F.col("dmin"), dist).alias("dmin")
+                )
+            )
+        # 1-row argmax: max-struct (dmin DESC, vec_id ASC) == min of
+        # struct(-dmin, vec_id); floats negate exactly
+        pick = (
+            dcur.agg(
+                F.min(F.struct((-F.col("dmin")).alias("nd"), F.col("vec_id"))).alias("m")
+            )
+            .select(F.col("m.vec_id").alias("pick_id"))
+        )
+        cur = (
+            base.join(F.broadcast(pick), base.vec_id == F.col("pick_id"))
+            .select(F.col("vec_id").alias("c_id"), F.col("e").alias("ce"))
+        )
+        chosen_d = (
+            dcur.join(
+                F.broadcast(pick), dcur.vec_id == F.col("pick_id")
+            ).select("vec_id", "dmin")
+        )
+        picks.append((k, cur, chosen_d))
+        dprev = dcur.crossJoin(F.broadcast(cur))
+    out = None
+    for k, cframe, dframe in picks:
+        if dframe is None:
+            row = cframe.select(
+                F.lit(1).alias("k"),
+                F.col("c_id").alias("vec_id"),
+                F.lit(0.0).alias("dist_sq"),
+            )
+        else:
+            row = dframe.select(
+                F.lit(k).alias("k"),
+                "vec_id",
+                F.round("dmin", 6).alias("dist_sq"),
+            )
+        out = row if out is None else out.unionByName(row)
+    return out
