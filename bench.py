@@ -231,6 +231,7 @@ HEADLINE = [
     # added round 5 (wave 18): deterministic k-center seeding, PK audit
     "sim_farthest_first_centroids",
     "dq_primary_key_audit",
+    "stream_transition_matrix",
 ]
 
 

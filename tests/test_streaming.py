@@ -382,3 +382,18 @@ def test_streaming_observe_reports_dq_metrics_inline(spark, tmp_path):
     total = sum(m["n_rows"] for m in got)
     assert total == read_events(spark, sf).count()
     assert all(m["n_null_value"] == 0 for m in got)
+
+
+def test_stream_transition_matrix_equals_batch(spark):
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    batch = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in QUERIES["events_transition_matrix"].fn(spark, sf).collect()
+    }
+    stream = {
+        (r.from_type, r.to_type): (r.n, r.prob)
+        for r in QUERIES["stream_transition_matrix"].fn(spark, sf).collect()
+    }
+    assert stream == batch

@@ -341,6 +341,31 @@ def q_stream_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "stream_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS next_type
+      FROM events)
+    SELECT event_type AS from_type, next_type AS to_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*)::DOUBLE / SUM(COUNT(*)) OVER (PARTITION BY event_type), 6)
+             AS prob
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+)
+def q_stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stateful streaming twin of events_transition_matrix — SAME oracle;
+    # state per user is one event type + the order high-watermark, each
+    # event emits its transition exactly once
+    from ug_dwh_etl_spark.streaming.stateful import stream_transition_matrix
+
+    return stream_transition_matrix(spark, sf_dir)
+
+
+@register(
     "stream_kmv_viewers",
     """
     WITH va AS (SELECT DISTINCT ('0x' || substr(md5(user_id::VARCHAR || '|kmv'), 1, 15))::BIGINT AS h

@@ -492,3 +492,86 @@ def stream_kmv_viewers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.agg(
         F.round(F.max("est")).cast("long").alias("est_viewers")
     )
+
+
+# --- stateful transition counting (streaming twin of
+# --- events_transition_matrix) --------------------------------------------------
+
+TRANS_STATE_SCHEMA = StructType(
+    [
+        StructField("last_type", StringType()),
+        StructField("hwm_us", LongType()),
+        StructField("hwm_eid", LongType()),
+    ]
+)
+TRANS_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+
+def _update_transitions(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    if state.exists:
+        last_type, hwm_us, hwm_eid = state.get
+    else:
+        last_type, hwm_us, hwm_eid = None, -1, -1
+    out = []
+    for batch in batches:
+        b = batch.sort_values(["ts", "event_id"])
+        for et, us, eid in zip(b["event_type"], b["us"], b["event_id"]):
+            us, eid = int(us), int(eid)
+            if (us, eid) <= (hwm_us, hwm_eid):
+                raise ValueError(
+                    f"stream_transition_matrix order contract violated for "
+                    f"user {user_id}: (ts_us={us}, event_id={eid}) after "
+                    f"(ts_us={hwm_us}, event_id={hwm_eid})"
+                )
+            hwm_us, hwm_eid = us, eid
+            if last_type is not None:
+                out.append((user_id, last_type, et))
+            last_type = et
+    state.update((last_type, hwm_us, hwm_eid))
+    yield pd.DataFrame(out, columns=["user_id", "from_type", "to_type"])
+
+
+def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming transition-matrix maintenance — the stateful twin of
+    events_transition_matrix (SAME oracle): state per user is ONE
+    event type plus the enforced (ts, event_id) order high-watermark,
+    each arriving event emits exactly one (from, to) transition row, so
+    the memory sink accumulates the transition multiset exactly once
+    and the final count/probability rollup equals the batch window
+    result. Constant state per key, transition volume = event volume:
+    the recommender-feature table this maintains stays fresh at
+    arrival rate, never by re-scanning history."""
+    from pyspark.sql import Window
+
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_transitions,
+        outputStructType=TRANS_OUTPUT_SCHEMA,
+        stateStructType=TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "append")
+    counts = out.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("prob"),
+    )
