@@ -232,6 +232,7 @@ HEADLINE = [
     "sim_farthest_first_centroids",
     "dq_primary_key_audit",
     "stream_transition_matrix",
+    "corpus_epochs_for_budget",
 ]
 
 

@@ -191,3 +191,14 @@ def test_pk_audit_covers_all_tables(spark):
               "orders", "events", "documents", "embeddings"):
         assert rows[t].is_unique, t
     assert not rows["lineitem"].is_unique
+
+
+def test_epochs_budget_allocates_whole_budget(spark):
+    rows = _run(spark, "corpus_epochs_for_budget").collect()
+    total_tokens = sum(r.n_tokens for r in rows)
+    allocated = sum(r.allocated_tokens for r in rows)
+    # the whole 10x budget is handed out (up to per-row rounding)
+    assert abs(allocated - 10.0 * total_tokens) <= len(rows)
+    assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.repeat_risk == (r.epochs > 4.0)

@@ -141,6 +141,9 @@ EXPECTED_NESTED_LOOP = {
     "events_entropy_rate",
     # 1-row newest-centroid frames broadcast per farthest-first round
     "sim_farthest_first_centroids",
+    # 1-row total/normalizer scalars on the 5-row language table
+    # (corpus_mixture_weights shape)
+    "corpus_epochs_for_budget",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -1747,3 +1747,65 @@ def dq_ks_doclength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (d > F.first(crit)).alias("reject_same_dist"),
         )
     )
+
+
+# --- epochs-per-source for a token budget ----------------------------------------
+_BUDGET_X = 10.0  # train budget as a multiple of the corpus's token count
+_EPOCH_CLIFF = 4.0  # repetition beyond ~4 epochs stops helping (Muennighoff et al.)
+
+
+@register(
+    "corpus_epochs_for_budget",
+    f"""
+    WITH {_TOK_CTE},
+    counts AS (
+      SELECT d.lang, CAST(SUM(len(t)) AS BIGINT) AS n_tokens
+      FROM tok JOIN documents d ON d.doc_id = tok.doc_id GROUP BY d.lang),
+    tot AS (SELECT SUM(n_tokens) AS total FROM counts),
+    powed AS (
+      SELECT lang, n_tokens,
+             pow(n_tokens * 1.0 / (SELECT total FROM tot), {_MIX_ALPHA}) AS p_alpha
+      FROM counts),
+    z AS (SELECT SUM(p_alpha) AS z FROM powed)
+    SELECT lang, n_tokens,
+           ROUND(p_alpha / (SELECT z FROM z), 6) AS sample_weight,
+           CAST(ROUND({_BUDGET_X} * (SELECT total FROM tot)
+                      * p_alpha / (SELECT z FROM z), 0) AS BIGINT)
+             AS allocated_tokens,
+           ROUND({_BUDGET_X} * (SELECT total FROM tot)
+                 * p_alpha / (SELECT z FROM z) / n_tokens, 4) AS epochs,
+           CAST(ROUND({_BUDGET_X} * (SELECT total FROM tot)
+                 * p_alpha / (SELECT z FROM z) / n_tokens, 4) > {_EPOCH_CLIFF}
+                AS BOOLEAN) AS repeat_risk
+    FROM powed
+    """,
+)
+def corpus_epochs_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-per-language for a fixed training token budget under the
+    temperature-scaled mixture (corpus_mixture_weights' α=0.3 weights,
+    budget = {_B}× the corpus token count): allocated tokens per
+    language divided by available tokens = how many times that slice
+    REPEATS, flagged past the ~4-epoch cliff where repetition stops
+    buying loss (the check that catches a mixture upsampling a
+    low-resource language into memorization territory). One token-count
+    aggregate per language + three scalar broadcasts — corpus-linear
+    with a 5-row tail.""".replace("{_B}", str(_BUDGET_X))
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.sum(F.size(H.tokens(F.col("text")))).alias("n_tokens")
+    )
+    tot = counts.agg(F.sum("n_tokens").alias("total"))
+    powed = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "p_alpha", F.pow(F.col("n_tokens").cast("double") / F.col("total"), _MIX_ALPHA)
+    )
+    z = powed.agg(F.sum("p_alpha").alias("z"))
+    alloc = F.lit(_BUDGET_X) * F.col("total") * F.col("p_alpha") / F.col("z")
+    epochs = F.round(alloc / F.col("n_tokens"), 4)
+    return powed.crossJoin(F.broadcast(z)).select(
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(F.col("p_alpha") / F.col("z"), 6).alias("sample_weight"),
+        F.round(alloc, 0).cast("long").alias("allocated_tokens"),
+        epochs.alias("epochs"),
+        (epochs > _EPOCH_CLIFF).alias("repeat_risk"),
+    )
