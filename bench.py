@@ -233,6 +233,9 @@ HEADLINE = [
     "dq_primary_key_audit",
     "stream_transition_matrix",
     "corpus_epochs_for_budget",
+    # added round 5 (wave 19): embedding outlier tail, LTV curve
+    "embed_outlier_docs",
+    "customer_ltv_curve",
 ]
 
 

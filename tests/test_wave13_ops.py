@@ -202,3 +202,21 @@ def test_epochs_budget_allocates_whole_budget(spark):
     assert abs(sum(r.sample_weight for r in rows) - 1.0) < 1e-4
     for r in rows:
         assert r.repeat_risk == (r.epochs > 4.0)
+
+
+def test_embed_outliers_are_sorted_tail(spark):
+    rows = _run(spark, "embed_outlier_docs").collect()
+    assert len(rows) == 20
+    dists = [r.dist_sq for r in rows]
+    assert dists == sorted(dists, reverse=True)
+    assert all(d >= 0 for d in dists)
+
+
+def test_ltv_curve_is_monotone(spark):
+    rows = sorted(_run(spark, "customer_ltv_curve").collect(), key=lambda r: r.month_age)
+    assert [r.month_age for r in rows] == list(range(24))
+    n = {r.n_customers for r in rows}
+    assert len(n) == 1  # every customer appears in every age bucket
+    vals = [r.avg_cum_revenue for r in rows]
+    for a, b in zip(vals, vals[1:]):
+        assert b >= a - 1e-6  # cumulative revenue never decreases

@@ -144,6 +144,9 @@ EXPECTED_NESTED_LOOP = {
     # 1-row total/normalizer scalars on the 5-row language table
     # (corpus_mixture_weights shape)
     "corpus_epochs_for_budget",
+    # 24-row month spine broadcast onto the per-customer grid
+    # (history_gap_fill shape)
+    "customer_ltv_curve",
 }
 STREAM = re.compile(r"^stream_")
 

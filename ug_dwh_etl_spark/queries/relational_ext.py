@@ -2367,3 +2367,87 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- customer LTV curve by account age --------------------------------------------
+_LTV_MONTHS = 24
+
+
+@register(
+    "customer_ltv_curve",
+    f"""
+    WITH first_o AS (
+      SELECT o_custkey, MIN(o_orderdate) AS first_dt FROM orders GROUP BY o_custkey),
+    rev AS (
+      SELECT o.o_custkey,
+             LEAST(CAST(date_diff('month',
+                                  date_trunc('month', f.first_dt),
+                                  date_trunc('month', o.o_orderdate)) AS BIGINT),
+                   {_LTV_MONTHS - 1}) AS m,
+             SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS r
+      FROM orders o JOIN first_o f ON f.o_custkey = o.o_custkey
+      GROUP BY o.o_custkey, m),
+    grid AS (
+      SELECT f.o_custkey, s.m, COALESCE(rev.r, 0) AS r
+      FROM first_o f
+      CROSS JOIN (SELECT unnest(range(0, {_LTV_MONTHS})) AS m) s
+      LEFT JOIN rev ON rev.o_custkey = f.o_custkey AND rev.m = s.m),
+    cum AS (
+      SELECT o_custkey, m,
+             SUM(r) OVER (PARTITION BY o_custkey ORDER BY m) AS cum_r
+      FROM grid)
+    SELECT CAST(m AS INT) AS month_age,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(cum_r::DOUBLE), 4) AS avg_cum_revenue
+    FROM cum GROUP BY m
+    """,
+)
+def customer_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average cumulative revenue per customer by account age (months
+    since first order, capped at {_M}) — the LTV curve that prices
+    acquisition and decides retention spend, and the revenue-weighted
+    generalization of events_cohort_retention. Months with no purchase
+    carry the running total forward, so each customer is densified onto
+    a {_M}-row month spine (a broadcast cross join — output is
+    customers×{_M}, linear) and cumulated with a per-customer window;
+    revenue stays DECIMAL until the final averaging. Everything is
+    keyed by customer: no global windows, no driver loops.""".replace(
+        "{_M}", str(_LTV_MONTHS)
+    )
+    from pyspark.sql import Window
+
+    orders = table(spark, sf_dir, "orders")
+    first_o = orders.groupBy("o_custkey").agg(F.min("o_orderdate").alias("first_dt"))
+    rev = (
+        orders.join(first_o, "o_custkey")
+        .select(
+            "o_custkey",
+            F.least(
+                F.months_between(
+                    F.date_trunc("month", "o_orderdate"),
+                    F.date_trunc("month", "first_dt"),
+                ).cast("long"),
+                F.lit(_LTV_MONTHS - 1),
+            ).alias("m"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_custkey", "m")
+        .agg(F.sum("p").alias("r"))
+    )
+    spine = orders.sparkSession.range(_LTV_MONTHS).select(F.col("id").alias("m"))
+    grid = (
+        first_o.select("o_custkey")
+        .crossJoin(F.broadcast(spine))
+        .join(rev, ["o_custkey", "m"], "left")
+        .select(
+            "o_custkey",
+            "m",
+            F.coalesce(F.col("r"), F.lit(0).cast("decimal(18,2)")).alias("r"),
+        )
+    )
+    w = Window.partitionBy("o_custkey").orderBy("m")
+    cum = grid.select("o_custkey", "m", F.sum("r").over(w).alias("cum_r"))
+    return cum.groupBy(F.col("m").cast("int").alias("month_age")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.avg(F.col("cum_r").cast("double")), 4).alias("avg_cum_revenue"),
+    )

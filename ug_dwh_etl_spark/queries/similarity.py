@@ -1122,3 +1122,57 @@ def sim_farthest_first_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- embedding outlier documents (distance-to-centroid) ---------------------------
+_OUT_TOPK = 20
+
+
+@register(
+    "embed_outlier_docs",
+    f"""
+    WITH flat AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    mu AS (SELECT dim, AVG(v) AS mu FROM flat GROUP BY dim),
+    d AS (
+      SELECT f.vec_id, ANY_VALUE(f.label) AS label,
+             SUM((f.v - mu.mu) * (f.v - mu.mu)) AS d2
+      FROM flat f JOIN mu USING (dim) GROUP BY f.vec_id)
+    SELECT vec_id, label, ROUND(d2, 6) AS dist_sq
+    FROM d
+    ORDER BY ROUND(d2, 6) DESC, vec_id
+    LIMIT {_OUT_TOPK}
+    """,
+)
+def embed_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The {_K} embeddings farthest from the corpus centroid — the
+    outlier-filtering pass a training pipeline runs on encoder output
+    (broken encodes, off-distribution content, and mislabeled items
+    concentrate in the distance tail; the per-item companion to
+    embed_dim_zscore's per-dimension audit). Shape: posexplode → one
+    dim-sized mean table broadcast back onto the exploded scan →
+    per-vector Σ(v−μ)² — two passes over n·dim rows with dim-sized
+    state, never an n×n distance matrix. Cut ordered by the ROUNDED
+    distance (vec_id tie-break) so the top-k boundary is decided on the
+    same 6dp grid in both engines.""".replace("{_K}", str(_OUT_TOPK))
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("v"))
+    mu = flat.groupBy("dim").agg(F.avg("v").alias("mu"))
+    d = (
+        flat.join(F.broadcast(mu), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.first("label").alias("label"),
+            F.sum((F.col("v") - F.col("mu")) * (F.col("v") - F.col("mu"))).alias("d2"),
+        )
+    )
+    return (
+        d.select("vec_id", "label", F.round("d2", 6).alias("dist_sq"))
+        .orderBy(F.desc("dist_sq"), F.asc("vec_id"))
+        .limit(_OUT_TOPK)
+    )
