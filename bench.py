@@ -236,6 +236,10 @@ HEADLINE = [
     # added round 5 (wave 19): embedding outlier tail, LTV curve
     "embed_outlier_docs",
     "customer_ltv_curve",
+    # added round 5 (wave 20): Bloom FPR audit, freshness, backlog aging
+    "sketch_bloom_fpr",
+    "dq_freshness_audit",
+    "orders_backlog_aging",
 ]
 
 

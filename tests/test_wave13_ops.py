@@ -220,3 +220,30 @@ def test_ltv_curve_is_monotone(spark):
     vals = [r.avg_cum_revenue for r in rows]
     for a, b in zip(vals, vals[1:]):
         assert b >= a - 1e-6  # cumulative revenue never decreases
+
+
+def test_bloom_fpr_is_calibrated(spark):
+    row = _run(spark, "sketch_bloom_fpr").collect()[0]
+    assert 0 < row.bits_set <= 3 * row.n_members
+    assert row.n_probes == row.n_members
+    assert 0.0 <= row.measured_fpr <= 1.0
+    # measured FPR within 3x of the closed form (probe set is small)
+    assert row.measured_fpr <= max(3 * row.theoretical_fpr, 0.01)
+
+
+def test_freshness_audit_has_anchor_at_zero(spark):
+    rows = _run(spark, "dq_freshness_audit").collect()
+    assert {r.table_name for r in rows} == {"orders", "lineitem", "events"}
+    assert min(r.staleness_days for r in rows) == 0  # the anchor table
+    for r in rows:
+        assert r.stale == (r.staleness_days > 30)
+
+
+def test_backlog_buckets_partition_open_orders(spark):
+    from ug_dwh_etl_spark.queries.registry import table
+
+    rows = _run(spark, "orders_backlog_aging").collect()
+    n_open = table(spark, SF, "orders").filter(F.col("o_orderstatus") == "O").count()
+    assert sum(r.n_orders for r in rows) == n_open
+    for r in rows:
+        assert r.open_value > 0

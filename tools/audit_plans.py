@@ -147,6 +147,12 @@ EXPECTED_NESTED_LOOP = {
     # 24-row month spine broadcast onto the per-customer grid
     # (history_gap_fill shape)
     "customer_ltv_curve",
+    # 1-row bit/member-count frames cross-joined into the audit row
+    "sketch_bloom_fpr",
+    # 1-row warehouse-max anchor broadcast onto the 3-row marks table
+    "dq_freshness_audit",
+    # 1-row as-of anchor broadcast onto the filtered scan
+    "orders_backlog_aging",
 }
 STREAM = re.compile(r"^stream_")
 

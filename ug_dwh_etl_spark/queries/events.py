@@ -2283,3 +2283,98 @@ def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("entropy_rate_bits"),
         F.round(F.log2(n_states * 1.0), 6).alias("max_entropy_bits"),
     )
+
+
+# --- Bloom filter false-positive-rate audit ---------------------------------------
+_BLOOM_BITS = 1 << 16  # m
+_BLOOM_K = 3  # hash functions (md5 slices, cross-engine identical)
+
+
+def _bloom_bit_sql(expr: str, j: int) -> str:
+    # j-th hash = a disjoint 8-hex-digit md5 slice, mod m
+    return (
+        f"(('0x' || substr(md5({expr}), {1 + 8 * j}, 8))::BIGINT % {_BLOOM_BITS})"
+    )
+
+
+@register(
+    "sketch_bloom_fpr",
+    f"""
+    WITH members AS (SELECT DISTINCT c_custkey AS key FROM customer),
+    bits AS (
+      SELECT DISTINCT bit FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_bit_sql('key::VARCHAR', j)} AS bit FROM members" for j in range(_BLOOM_K))}
+      )),
+    probes AS (
+      SELECT key + 10000000 AS probe FROM members),
+    hits AS (
+      SELECT probe,
+             {" + ".join(f"(CASE WHEN {_bloom_bit_sql('probe::VARCHAR', j)} IN (SELECT bit FROM bits) THEN 1 ELSE 0 END)" for j in range(_BLOOM_K))}
+               AS k_hit
+      FROM probes)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_probes,
+           CAST(SUM(CASE WHEN k_hit = {_BLOOM_K} THEN 1 ELSE 0 END) AS BIGINT)
+             AS false_positives,
+           ROUND(SUM(CASE WHEN k_hit = {_BLOOM_K} THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS measured_fpr,
+           ROUND(pow(1.0 - pow(1.0 - 1.0 / {_BLOOM_BITS},
+                               {_BLOOM_K} * (SELECT COUNT(*) FROM members)),
+                     {_BLOOM_K}), 6) AS theoretical_fpr
+    FROM hits
+    """,
+)
+def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter false-positive-rate audit, completing the sketch
+    family (HLL, KMV, CMS, AMS): build an m={_M}-bit / k={_K}-hash
+    filter over the customer keys (hashes = disjoint md5 slices,
+    identical in both engines), probe with a key set DISJOINT from the
+    members, and report the measured FPR next to the closed-form
+    (1−(1−1/m)^{{kn}})^k — the calibration that sizes the runtime
+    bloom-pruned join (join_bloom_pruned) before trusting it at
+    100 TB. The filter is a distinct bit relation (≤m rows, mergeable
+    across partitions exactly like the production bitset); probing is
+    a broadcast semi-join per hash — scan-bound, no state beyond m
+    bits.""".replace("{_M}", str(_BLOOM_BITS)).replace("{_K}", str(_BLOOM_K))
+    cust = table(spark, sf_dir, "customer")
+    members = cust.select(F.col("c_custkey").alias("key")).distinct()
+
+    def bit(col, j):
+        return F.conv(F.substring(F.md5(col.cast("string")), 1 + 8 * j, 8), 16, 10).cast(
+            "long"
+        ) % _BLOOM_BITS
+
+    bits = None
+    for j in range(_BLOOM_K):
+        b = members.select(bit(F.col("key"), j).alias("bit"))
+        bits = b if bits is None else bits.unionByName(b)
+    bits = bits.distinct()
+    probes = members.select((F.col("key") + 10_000_000).alias("probe"))
+    hits = probes
+    for j in range(_BLOOM_K):
+        pb = bits.select(F.col("bit").alias(f"b{j}"))
+        hits = hits.join(
+            F.broadcast(pb), bit(F.col("probe"), j) == F.col(f"b{j}"), "left"
+        ).select(*hits.columns, F.col(f"b{j}").isNotNull().cast("int").alias(f"h{j}"))
+    k_hit = sum(F.col(f"h{j}") for j in range(_BLOOM_K))
+    fp = F.sum(F.when(k_hit == _BLOOM_K, 1).otherwise(0))
+    # closed-form FPR with n as an in-plan scalar (no driver count):
+    # (1 - (1 - 1/m)^(k·n))^k
+    theo = F.pow(
+        1.0 - F.pow(F.lit(1.0 - 1.0 / _BLOOM_BITS), _BLOOM_K * F.col("n_members")),
+        float(_BLOOM_K),
+    )
+    return (
+        hits.crossJoin(F.broadcast(bits.agg(F.count(F.lit(1)).alias("bits_set"))))
+        .crossJoin(F.broadcast(members.agg(F.count(F.lit(1)).alias("n_members"))))
+        .groupBy()
+        .agg(
+            F.first("n_members").cast("long").alias("n_members"),
+            F.first("bits_set").cast("long").alias("bits_set"),
+            F.count(F.lit(1)).alias("n_probes"),
+            fp.cast("long").alias("false_positives"),
+            F.round(fp * 1.0 / F.count(F.lit(1)), 6).alias("measured_fpr"),
+            F.round(F.first(theo), 6).alias("theoretical_fpr"),
+        )
+    )

@@ -2451,3 +2451,104 @@ def customer_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.avg(F.col("cum_r").cast("double")), 4).alias("avg_cum_revenue"),
     )
+
+
+# --- freshness audit ---------------------------------------------------------------
+@register(
+    "dq_freshness_audit",
+    """
+    WITH marks AS (
+      SELECT 'orders' AS table_name, MAX(o_orderdate) AS latest FROM orders
+      UNION ALL SELECT 'lineitem', MAX(l_shipdate) FROM lineitem
+      UNION ALL SELECT 'events', MAX(ts) FROM events),
+    anchor AS (SELECT MAX(latest) AS now_ts FROM marks)
+    SELECT m.table_name,
+           CAST(m.latest AS TIMESTAMP) AS latest,
+           CAST(date_diff('day', m.latest, a.now_ts) AS BIGINT) AS staleness_days,
+           CAST(date_diff('day', m.latest, a.now_ts) > 30 AS BOOLEAN) AS stale
+    FROM marks m, anchor a
+    """,
+)
+def dq_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness audit across the time-bearing tables: each table's
+    latest watermark vs the warehouse-wide newest timestamp, flagged
+    past a 30-day staleness budget — the DQ gate that catches a dead
+    ingest BEFORE downstream queries silently compute on old data (the
+    reference's crawl pipelines re-append daily; a table whose max
+    crawl_date stops moving is exactly this alarm). One MAX per table
+    (metadata-cheap under parquet statistics) + a 3-row rollup."""
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ev = table(spark, sf_dir, "events")
+    marks = (
+        orders.agg(
+            F.lit("orders").alias("table_name"),
+            F.max(F.col("o_orderdate").cast("timestamp")).alias("latest"),
+        )
+        .unionByName(
+            li.agg(
+                F.lit("lineitem").alias("table_name"),
+                F.max(F.col("l_shipdate").cast("timestamp")).alias("latest"),
+            )
+        )
+        .unionByName(
+            ev.agg(F.lit("events").alias("table_name"), F.max("ts").alias("latest"))
+        )
+    )
+    anchor = marks.agg(F.max("latest").alias("now_ts"))
+    stale_days = F.datediff(F.to_date("now_ts"), F.to_date("latest")).cast("long")
+    return marks.crossJoin(F.broadcast(anchor)).select(
+        "table_name",
+        "latest",
+        stale_days.alias("staleness_days"),
+        (stale_days > 30).alias("stale"),
+    )
+
+
+# --- open-order backlog aging --------------------------------------------------------
+@register(
+    "orders_backlog_aging",
+    """
+    WITH anchor AS (SELECT MAX(o_orderdate) AS now_dt FROM orders),
+    open_o AS (
+      SELECT o_orderkey, o_totalprice,
+             date_diff('day', o_orderdate, (SELECT now_dt FROM anchor)) AS age_days
+      FROM orders WHERE o_orderstatus = 'O')
+    SELECT CASE WHEN age_days < 90 THEN '0-89'
+                WHEN age_days < 365 THEN '90-364'
+                WHEN age_days < 730 THEN '365-729'
+                ELSE '730+' END AS age_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS open_value
+    FROM open_o GROUP BY age_bucket
+    """,
+)
+def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog aging: orders still in status 'O', bucketed by
+    age against the newest order date (the as-of anchor), with the
+    decimal-exact open value per bucket — the operations staple that
+    says how much committed revenue is stuck and for how long. One
+    pushed-filter scan + a broadcast anchor scalar + a 4-row rollup;
+    the status filter reaches the parquet scan so at 100 TB only the
+    open slice is read where the table is status-partitioned."""
+    orders = table(spark, sf_dir, "orders")
+    anchor = orders.agg(F.max("o_orderdate").alias("now_dt"))
+    aged = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            F.datediff(F.to_date("now_dt"), F.to_date("o_orderdate")).alias("age_days"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+    )
+    bucket = (
+        F.when(F.col("age_days") < 90, "0-89")
+        .when(F.col("age_days") < 365, "90-364")
+        .when(F.col("age_days") < 730, "365-729")
+        .otherwise("730+")
+    )
+    return aged.groupBy(bucket.alias("age_bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("p"), 2).cast("double").alias("open_value"),
+    )
