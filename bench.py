@@ -240,6 +240,9 @@ HEADLINE = [
     "sketch_bloom_fpr",
     "dq_freshness_audit",
     "orders_backlog_aging",
+    # added round 5 (wave 21): sum-identity diversity, interval sweep
+    "sim_label_diversity",
+    "events_peak_concurrency",
 ]
 
 

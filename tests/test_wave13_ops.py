@@ -247,3 +247,33 @@ def test_backlog_buckets_partition_open_orders(spark):
     assert sum(r.n_orders for r in rows) == n_open
     for r in rows:
         assert r.open_value > 0
+
+
+def test_label_diversity_matches_naive_pairs(spark):
+    import itertools
+
+    from ug_dwh_etl_spark.queries.registry import table
+
+    got = {r.label: (r.n_vectors, r.mean_pair_dist_sq)
+           for r in _run(spark, "sim_label_diversity").collect()}
+    vecs = {}
+    for r in table(spark, SF, "embeddings").collect():
+        vecs.setdefault(r.label, []).append([float(x) for x in r.embedding])
+    for label, xs in vecs.items():
+        n, mp = got[label]
+        assert n == len(xs)
+        if n < 2:
+            assert mp is None
+            continue
+        total = sum(
+            sum((a - b) ** 2 for a, b in zip(x, y))
+            for x, y in itertools.combinations(xs, 2)
+        )
+        naive = 2.0 * total / (n * (n - 1))
+        assert abs(naive - mp) < 1e-4, label
+
+
+def test_peak_concurrency_bounds(spark):
+    row = _run(spark, "events_peak_concurrency").collect()[0]
+    assert 1 <= row.peak_concurrency <= row.n_sessions
+    assert row.peak_ts is not None

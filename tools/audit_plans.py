@@ -153,6 +153,8 @@ EXPECTED_NESTED_LOOP = {
     "dq_freshness_audit",
     # 1-row as-of anchor broadcast onto the filtered scan
     "orders_backlog_aging",
+    # 1-row peak/session-count frames on the endpoint sweep relation
+    "events_peak_concurrency",
 }
 STREAM = re.compile(r"^stream_")
 

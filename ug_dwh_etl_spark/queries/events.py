@@ -2378,3 +2378,98 @@ def sketch_bloom_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.first(theo), 6).alias("theoretical_fpr"),
         )
     )
+
+
+# --- peak session concurrency (interval sweep) --------------------------------------
+_CONC_GAP_MIN = 30
+
+
+@register(
+    "events_peak_concurrency",
+    f"""
+    WITH seq AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id))
+                  > {_CONC_GAP_MIN} * 60 * 1000000 OR LAG(ts) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events),
+    sess AS (
+      SELECT user_id, MIN(ts) AS s_start, MAX(ts) AS s_end
+      FROM (SELECT user_id, ts,
+                   SUM(is_start) OVER (PARTITION BY user_id
+                                       ORDER BY ts) AS sid
+            FROM seq)
+      GROUP BY user_id, sid),
+    endpoints AS (
+      SELECT s_start AS t, 1 AS delta FROM sess
+      UNION ALL SELECT s_end, -1 FROM sess),
+    sweep AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta DESC
+                                 ROWS UNBOUNDED PRECEDING) AS live
+      FROM endpoints)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sess) AS n_sessions,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+           MIN(t) FILTER (WHERE live = (SELECT MAX(live) FROM sweep)) AS peak_ts
+    FROM sweep
+    """,
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions: sessionize per user ({_G}-minute gap,
+    the events_sessionize rule), then run the classic +1/−1 interval
+    sweep over session endpoints — the capacity-planning number (how
+    many sessions were EVER live at once, and when). The sweep's
+    running sum is ordered over the ENDPOINT relation — two rows per
+    session, already thousands-fold smaller than events — which is the
+    same series-sized-window justification as the day-series operators;
+    at even larger scales the sweep becomes per-day partitioned with
+    carried-in offsets (the distributed prefix-sum pattern of
+    multimodal_shard_manifest). Ties process +1 before −1 so touching
+    sessions count as overlapping — identical in both engines."""
+    from pyspark.sql import Window
+
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _CONC_GAP_MIN * 60 * 1_000_000
+    seq = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(wu).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(wu)) > gap_us),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_start"),
+    )
+    sess = (
+        seq.select(
+            "user_id",
+            "ts",
+            F.sum("is_start")
+            .over(Window.partitionBy("user_id").orderBy("ts"))
+            .alias("sid"),
+        )
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s_start"), F.max("ts").alias("s_end"))
+    )
+    endpoints = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
+    )
+    wsweep = Window.orderBy(F.col("t"), F.desc("delta")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = endpoints.select("t", F.sum("delta").over(wsweep).alias("live"))
+    n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
+    peak = sweep.agg(F.max("live").alias("peak"))
+    return (
+        sweep.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(n_sessions))
+        .groupBy()
+        .agg(
+            F.first("n_sessions").cast("long").alias("n_sessions"),
+            F.first("peak").cast("long").alias("peak_concurrency"),
+            F.min(F.when(F.col("live") == F.col("peak"), F.col("t"))).alias("peak_ts"),
+        )
+    )

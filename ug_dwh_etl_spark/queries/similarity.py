@@ -1176,3 +1176,60 @@ def embed_outlier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dist_sq"), F.asc("vec_id"))
         .limit(_OUT_TOPK)
     )
+
+
+# --- per-label embedding diversity (pairwise distance without pairs) ---------------
+@register(
+    "sim_label_diversity",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    per_vec AS (
+      SELECT label, vec_id, SUM(v * v) AS sq FROM flat GROUP BY label, vec_id),
+    dim_sums AS (
+      SELECT label, dim, SUM(v) AS s FROM flat GROUP BY label, dim),
+    a AS (SELECT label, COUNT(*) AS n, SUM(sq) AS sum_sq FROM per_vec GROUP BY label),
+    b AS (SELECT label, SUM(s * s) AS norm_sum_sq FROM dim_sums GROUP BY label)
+    SELECT a.label, CAST(a.n AS BIGINT) AS n_vectors,
+           ROUND(CASE WHEN a.n > 1
+                      THEN 2.0 * (a.n * a.sum_sq - b.norm_sum_sq)
+                           / (a.n * (a.n - 1.0)) END, 6) AS mean_pair_dist_sq
+    FROM a JOIN b USING (label)
+    """,
+)
+def sim_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean pairwise squared distance WITHIN each label group — the
+    intra-class diversity audit (a collapsing embedding space shows up
+    as a shrinking value; duplicate-heavy classes sit near 0) —
+    computed WITHOUT forming pairs: Σ_{{i≠j}}||xᵢ−xⱼ||² =
+    2n·Σ||xᵢ||² − 2||Σxᵢ||², so the naively O(n²·dim) statistic needs
+    only a per-vector norm pass and per-(label, dim) sums — O(n·dim)
+    with label×dim-sized state, the same algebraic identity that makes
+    variance a single-pass aggregate. At 100 TB this is two map-side
+    combinable aggregations; the pairwise spelling would be a
+    self-join nobody can run."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).select("vec_id", "label", (F.col("pos") + 1).alias("dim"), F.col("col").alias("v"))
+    per_vec = flat.groupBy("label", "vec_id").agg(F.sum(F.col("v") * F.col("v")).alias("sq"))
+    dim_sums = flat.groupBy("label", "dim").agg(F.sum("v").alias("s"))
+    a = per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("sq").alias("sum_sq")
+    )
+    b = dim_sums.groupBy("label").agg(F.sum(F.col("s") * F.col("s")).alias("norm_sum_sq"))
+    return a.join(b, "label").select(
+        "label",
+        F.col("n").cast("long").alias("n_vectors"),
+        F.round(
+            F.when(
+                F.col("n") > 1,
+                2.0 * (F.col("n") * F.col("sum_sq") - F.col("norm_sum_sq"))
+                / (F.col("n") * (F.col("n") - 1.0)),
+            ),
+            6,
+        ).alias("mean_pair_dist_sq"),
+    )
