@@ -243,6 +243,7 @@ HEADLINE = [
     # added round 5 (wave 21): sum-identity diversity, interval sweep
     "sim_label_diversity",
     "events_peak_concurrency",
+    "corpus_quality_dup_matrix",
 ]
 
 

@@ -277,3 +277,11 @@ def test_peak_concurrency_bounds(spark):
     row = _run(spark, "events_peak_concurrency").collect()[0]
     assert 1 <= row.peak_concurrency <= row.n_sessions
     assert row.peak_ts is not None
+
+
+def test_quality_dup_matrix_shares_sum_to_one(spark):
+    rows = _run(spark, "corpus_quality_dup_matrix").collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    from ug_dwh_etl_spark.queries.registry import table
+
+    assert sum(r.n for r in rows) == table(spark, SF, "documents").count()

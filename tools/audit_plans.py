@@ -155,6 +155,8 @@ EXPECTED_NESTED_LOOP = {
     "orders_backlog_aging",
     # 1-row peak/session-count frames on the endpoint sweep relation
     "events_peak_concurrency",
+    # 1-row corpus-total frame broadcast onto the 2x2 cell table
+    "corpus_quality_dup_matrix",
 }
 STREAM = re.compile(r"^stream_")
 

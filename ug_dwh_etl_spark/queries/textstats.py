@@ -1809,3 +1809,94 @@ def corpus_epochs_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         epochs.alias("epochs"),
         (epochs > _EPOCH_CLIFF).alias("repeat_risk"),
     )
+
+
+# --- quality x duplication interaction matrix -------------------------------------
+@register(
+    "corpus_quality_dup_matrix",
+    f"""
+    WITH {_TOK_CTE},
+    m AS (
+      SELECT doc_id, len(t) AS n_words,
+             CASE WHEN len(t) > 0
+                  THEN length(array_to_string(t, '')) / len(t)::DOUBLE END AS mean_raw,
+             CASE WHEN len(t) > 0
+                  THEN {sql_stop_filter('t', STOPWORDS['en'])} / len(t)::DOUBLE
+                  ELSE 0.0 END AS stop_raw,
+             md5(array_to_string(t, ' ')) AS fp
+      FROM tok),
+    flags AS (
+      SELECT doc_id, fp,
+             (n_words BETWEEN {_QF['min_words']} AND {_QF['max_words']})
+               AND COALESCE(mean_raw BETWEEN {_QF['min_mean_word_len']}
+                              AND {_QF['max_mean_word_len']}, FALSE)
+               AND stop_raw >= {_QF['min_stopword_ratio']} AS quality_keep
+      FROM m),
+    dup AS (
+      SELECT doc_id, fp, quality_keep,
+             doc_id <> MIN(doc_id) OVER (PARTITION BY fp) AS is_duplicate
+      FROM flags),
+    cells AS (
+      SELECT quality_keep, is_duplicate, COUNT(*) AS n FROM dup
+      GROUP BY quality_keep, is_duplicate),
+    tot AS (SELECT SUM(n) AS total FROM cells)
+    SELECT quality_keep, is_duplicate, CAST(n AS BIGINT) AS n,
+           ROUND(n * 1.0 / (SELECT total FROM tot), 6) AS share
+    FROM cells
+    """,
+)
+def corpus_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter decision × exact-duplicate status as a 2×2 matrix
+    — the curation interaction the funnel's sequential stages hide: if
+    duplicates concentrate in the quality-fail cell, dedup after
+    filtering is nearly free; if they concentrate in the keep cell,
+    dedup is doing independent work and must stay. Duplicate = any doc
+    that is not its fingerprint group's min-id survivor (the
+    dedup_exact_groups rule); both signals come from ONE tokenization
+    pass, the survivor flag from a fingerprint-partitioned window, and
+    the matrix is a 4-row aggregate with a broadcast total."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = H.tokens(F.col("text"))
+    n_words = F.size(toks)
+    joined = F.concat_ws("", toks)
+    mean_raw = F.when(n_words > 0, F.length(joined) / n_words)
+    stop_raw = F.when(
+        n_words > 0,
+        F.size(
+            F.filter(
+                toks, lambda x: F.array_contains(F.array(*[F.lit(w) for w in STOPWORDS["en"]]), x)
+            )
+        )
+        / n_words,
+    ).otherwise(0.0)
+    keep = (
+        n_words.between(_QF["min_words"], _QF["max_words"])
+        & F.coalesce(
+            mean_raw.between(_QF["min_mean_word_len"], _QF["max_mean_word_len"]),
+            F.lit(False),
+        )
+        & (stop_raw >= _QF["min_stopword_ratio"])
+    )
+    flags = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", toks)).alias("fp"),
+        keep.alias("quality_keep"),
+    )
+    dup = flags.select(
+        "quality_keep",
+        (F.col("doc_id") != F.min("doc_id").over(Window.partitionBy("fp"))).alias(
+            "is_duplicate"
+        ),
+    )
+    cells = dup.groupBy("quality_keep", "is_duplicate").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "quality_keep",
+        "is_duplicate",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+    )
