@@ -244,6 +244,7 @@ HEADLINE = [
     "sim_label_diversity",
     "events_peak_concurrency",
     "corpus_quality_dup_matrix",
+    "history_scd3",
 ]
 
 

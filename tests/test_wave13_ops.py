@@ -285,3 +285,14 @@ def test_quality_dup_matrix_shares_sum_to_one(spark):
     from ug_dwh_etl_spark.queries.registry import table
 
     assert sum(r.n for r in rows) == table(spark, SF, "documents").count()
+
+
+def test_scd3_one_row_per_entity_and_change_flags(spark):
+    rows = _run(spark, "history_scd3").collect()
+    addrs = [r.address for r in rows]
+    assert len(addrs) == len(set(addrs))
+    for r in rows:
+        if r.prev_metric is None:
+            assert not r.changed
+        else:
+            assert r.changed == (r.current_metric != r.prev_metric)

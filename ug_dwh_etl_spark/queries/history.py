@@ -761,3 +761,60 @@ def history_backtest_snaive(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return side("f_naive", "naive").unionByName(side("f_snaive", "snaive"))
+
+
+# --- SCD Type 3: current + previous value in one row --------------------------
+@register(
+    "history_scd3",
+    f"""
+    WITH {_HIST_DUCK},
+    hist AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+    ranked AS (
+      SELECT address, metric, crawl_date,
+             ROW_NUMBER() OVER w AS rn,
+             LEAD(metric) OVER w AS prev_metric,
+             LEAD(crawl_date) OVER w AS prev_date
+      FROM hist
+      WINDOW w AS (PARTITION BY address ORDER BY crawl_date DESC)
+    )
+    SELECT address,
+           metric AS current_metric,
+           prev_metric,
+           crawl_date AS current_from,
+           CAST(prev_metric IS NOT NULL AND metric <> prev_metric AS BOOLEAN)
+             AS changed
+    FROM ranked WHERE rn = 1
+    """,
+)
+def history_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 3 over the crawl history: one row per entity carrying
+    the CURRENT metric and the immediately-previous one side by side —
+    the cheap "what changed since last crawl" dimension shape (the
+    reference's daily re-crawl consumers ask exactly this), completing
+    the history family next to Type 2 (history_scd2's validity
+    intervals) and the as-of reads. One descending window per entity,
+    top row kept: linear in history rows, output entity-sized; at
+    100 TB the window partitions by the same address key every history
+    operator shuffles on."""
+    from pyspark.sql import Window
+
+    c1, c2 = _crawls(spark, sf_dir)
+    hist = c1.unionByName(c2)
+    w = Window.partitionBy("address").orderBy(F.desc("crawl_date"))
+    ranked = hist.select(
+        "address",
+        "metric",
+        "crawl_date",
+        F.row_number().over(w).alias("rn"),
+        F.lead("metric").over(w).alias("prev_metric"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "address",
+        F.col("metric").alias("current_metric"),
+        "prev_metric",
+        F.col("crawl_date").alias("current_from"),
+        (
+            F.col("prev_metric").isNotNull()
+            & (F.col("metric") != F.col("prev_metric"))
+        ).alias("changed"),
+    )
