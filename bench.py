@@ -245,6 +245,7 @@ HEADLINE = [
     "events_peak_concurrency",
     "corpus_quality_dup_matrix",
     "history_scd3",
+    "privacy_generalize_qi",
 ]
 
 

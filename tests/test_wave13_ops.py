@@ -296,3 +296,19 @@ def test_scd3_one_row_per_entity_and_change_flags(spark):
             assert not r.changed
         else:
             assert r.changed == (r.current_metric != r.prev_metric)
+
+
+def test_qi_generalization_meets_k_after_repair(spark):
+    from ug_dwh_etl_spark.queries.registry import table
+
+    rows = _run(spark, "privacy_generalize_qi").collect()
+    n_cust = table(spark, SF, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    # every published NATION-level class still meets k (it was >= k
+    # pre-repair by construction); generalized classes moved to region
+    for r in rows:
+        if r.qi_location.startswith("nation:"):
+            assert not r.was_generalized
+            assert r.n_rows >= 5
+        else:
+            assert r.was_generalized

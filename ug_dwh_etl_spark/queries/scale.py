@@ -637,3 +637,65 @@ def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     g.unpersist()
     return out
+
+
+# --- QI generalization: the k-anonymity REPAIR transform ---------------------------
+@register(
+    "privacy_generalize_qi",
+    f"""
+    WITH g AS (
+      SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+      FROM customer GROUP BY c_nationkey, c_mktsegment),
+    joined AS (
+      SELECT c.c_custkey, c.c_mktsegment, c.c_nationkey, n.n_regionkey, g.n
+      FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN g ON g.c_nationkey = c.c_nationkey
+              AND g.c_mktsegment = c.c_mktsegment),
+    published AS (
+      SELECT c_mktsegment,
+             CASE WHEN n >= {_K_ANON} THEN 'nation:' || c_nationkey::VARCHAR
+                  ELSE 'region:' || n_regionkey::VARCHAR END AS qi_location,
+             CAST(n < {_K_ANON} AS BOOLEAN) AS generalized
+      FROM joined)
+    SELECT qi_location, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(generalized) AS BOOLEAN) AS was_generalized
+    FROM published GROUP BY qi_location, c_mktsegment
+    """,
+)
+def privacy_generalize_qi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REPAIR transform behind the privacy_k_anonymity audit:
+    customers whose (nation, segment) equivalence class falls below
+    k={_K} get their location generalized one rung up the hierarchy
+    (nation → region) before release, the standard
+    generalization-lattice step — so the published table trades
+    precision for group size instead of dropping rows (suppression).
+    Group sizes come from one aggregation broadcast back onto the scan
+    with the nation→region dim join; the output is the published
+    equivalence-class census. Scan-bound, group-sized state, the same
+    shape at 100 TB.""".replace("{_K}", str(_K_ANON))
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    joined = (
+        cust.select("c_custkey", "c_mktsegment", "c_nationkey")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(g), ["c_nationkey", "c_mktsegment"])
+    )
+    qi = F.when(
+        F.col("n") >= _K_ANON,
+        F.concat(F.lit("nation:"), F.col("c_nationkey").cast("string")),
+    ).otherwise(F.concat(F.lit("region:"), F.col("n_regionkey").cast("string")))
+    return (
+        joined.select(
+            qi.alias("qi_location"),
+            "c_mktsegment",
+            (F.col("n") < _K_ANON).alias("generalized"),
+        )
+        .groupBy("qi_location", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.max("generalized").alias("was_generalized"),
+        )
+    )
