@@ -246,6 +246,7 @@ HEADLINE = [
     "corpus_quality_dup_matrix",
     "history_scd3",
     "privacy_generalize_qi",
+    "agg_mode_returnflag",
 ]
 
 

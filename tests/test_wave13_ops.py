@@ -312,3 +312,19 @@ def test_qi_generalization_meets_k_after_repair(spark):
             assert r.n_rows >= 5
         else:
             assert r.was_generalized
+
+
+def test_mode_matches_naive_recount(spark):
+    from ug_dwh_etl_spark.queries.registry import table
+
+    got = {r.o_orderpriority: (r.mode_returnflag, r.n_lines)
+           for r in _run(spark, "agg_mode_returnflag").collect()}
+    li = table(spark, SF, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    counts = {}
+    for r in li.join(orders, li.l_orderkey == orders.o_orderkey).collect():
+        counts.setdefault(r.o_orderpriority, {}).setdefault(r.l_returnflag, 0)
+        counts[r.o_orderpriority][r.l_returnflag] += 1
+    for prio, cs in counts.items():
+        best = min(((-n, v) for v, n in cs.items()))
+        assert got[prio] == (best[1], -best[0]), prio

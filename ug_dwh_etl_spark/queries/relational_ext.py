@@ -2552,3 +2552,46 @@ def orders_backlog_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("p"), 2).cast("double").alias("open_value"),
     )
+
+
+# --- exact per-group mode ----------------------------------------------------------
+@register(
+    "agg_mode_returnflag",
+    """
+    WITH c AS (
+      SELECT l_returnflag, o_orderpriority, COUNT(*) AS n
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY l_returnflag, o_orderpriority),
+    pick AS (
+      SELECT o_orderpriority, l_returnflag AS mode_returnflag, n,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY n DESC, l_returnflag ASC) AS rn
+      FROM c)
+    SELECT o_orderpriority, mode_returnflag, CAST(n AS BIGINT) AS n_lines
+    FROM pick WHERE rn = 1
+    """,
+)
+def agg_mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group — the most frequent return flag per order
+    priority with a deterministic (count DESC, value ASC) tie-break —
+    the categorical central-tendency aggregate Spark has no built-in
+    for. Spelled as count + min-of-struct argmax (the same
+    sort-free trick as label_propagation's per-node pick): two
+    map-side-combinable aggregations over group×value state, never a
+    per-group sort or collect — at 100 TB the state is
+    |priorities|×|flags|, constant."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    c = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    picked = c.groupBy("o_orderpriority").agg(
+        F.min(F.struct((-F.col("n")).alias("nn"), F.col("l_returnflag"))).alias("m")
+    )
+    return picked.select(
+        "o_orderpriority",
+        F.col("m.l_returnflag").alias("mode_returnflag"),
+        (-F.col("m.nn")).cast("long").alias("n_lines"),
+    )
