@@ -266,6 +266,46 @@ def test_merge_asof_tolerance_edges(spark):
     assert out == {100: None, 101: 9, 102: 9, 103: None, 200: None}
 
 
+def test_merge_asof_row_level_with_null_right_values(spark):
+    """pandas merge_asof is ROW-level: the matched right row is chosen by
+    time alone, and if one of its value columns is NULL the output keeps
+    that NULL — it must NOT backfill from an older (backward) or later
+    (forward) right row. Round-5 ADVICE flagged that the per-column
+    independent carry diverged here; the single-struct carry fixes it.
+    Also asserts the two directions return the SAME schema (forward used
+    to leak the internal _tag column when tolerance_days is None)."""
+    import datetime as dt
+
+    from ug_dwh_etl_spark.operators.joins import merge_asof, merge_asof_forward
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2026, 3, 15), 100)], "k long, t timestamp, eid long"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, dt.datetime(2026, 3, 1), 7, "early"),
+            (1, dt.datetime(2026, 3, 10), None, None),  # latest <= left
+            (1, dt.datetime(2026, 3, 20), None, None),  # earliest >= left
+            (1, dt.datetime(2026, 3, 25), 9, "late"),
+        ],
+        "k long, rt timestamp, oid long, tag string",
+    )
+    kw = dict(
+        key="k", left_time="t", right_time="rt",
+        left_vals=["eid"], right_vals=["oid", "tag"],
+    )
+    back = merge_asof(left, right, **kw)
+    fwd = merge_asof_forward(left, right, **kw)
+    b, f = back.collect()[0], fwd.collect()[0]
+    # backward matches the 3-10 row (NULL values stay NULL, no backfill
+    # from 3-1); forward matches 3-20 (no forward-fill from 3-25).
+    assert (b.asof_oid, b.asof_tag) == (None, None)
+    assert b.asof_t == dt.datetime(2026, 3, 10)
+    assert (f.asof_oid, f.asof_tag) == (None, None)
+    assert f.asof_t == dt.datetime(2026, 3, 20)
+    assert back.columns == fwd.columns  # no _tag leak in either direction
+
+
 def test_fast_hash_mode_runs_and_differs(spark):
     """HASH_MODE='fast' (xxhash64) must produce a working dedup pipeline
     — same shapes, different hash values — so the production switch

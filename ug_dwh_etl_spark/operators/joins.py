@@ -92,15 +92,32 @@ def merge_asof(
         .orderBy("_t", "_tag", *right_vals)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = [
-        F.last(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_vals
-    ]
-    carried_t = F.last(
-        F.when(F.col("_tag") == 0, F.col("_t")), ignorenulls=True
+    # Carry ONE struct of (t, right_vals) keyed on the tag so every
+    # asof_ column comes from the SAME matched right row — carrying each
+    # column independently would mix rows whenever a right-side value is
+    # NULL on the latest eligible row (pandas merge_asof is row-level).
+    match = F.last(
+        F.when(
+            F.col("_tag") == 0,
+            F.struct(
+                F.col("_t").alias("__t"),
+                *[F.col(c).alias(c) for c in right_vals],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
-    out = u.select(
-        "_k", "_t", "_tag", *left_vals, *carried, carried_t.alias("asof_t")
-    ).filter(F.col("_tag") == 1)
+    out = (
+        u.select("_k", "_t", "_tag", *left_vals, match.alias("_m"))
+        .filter(F.col("_tag") == 1)
+        .select(
+            "_k",
+            "_t",
+            "_tag",
+            *left_vals,
+            *[F.col("_m")[c].alias(f"asof_{c}") for c in right_vals],
+            F.col("_m")["__t"].alias("asof_t"),
+        )
+    )
     if tolerance_days is not None:
         within = F.datediff(F.to_date("_t"), F.to_date("asof_t")) <= tolerance_days
         out = out.select(
@@ -159,15 +176,31 @@ def merge_asof_forward(
         .orderBy("_t", "_tag", *right_vals)
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    carried = [
-        F.first(c, ignorenulls=True).over(w).alias(f"asof_{c}") for c in right_vals
-    ]
-    carried_t = F.first(
-        F.when(F.col("_tag") == 1, F.col("_t")), ignorenulls=True
+    # Single-struct carry keyed on the tag — same row-level guarantee as
+    # merge_asof above: all asof_ columns come from the one earliest
+    # eligible right row even when some of its value columns are NULL.
+    match = F.first(
+        F.when(
+            F.col("_tag") == 1,
+            F.struct(
+                F.col("_t").alias("__t"),
+                *[F.col(c).alias(c) for c in right_vals],
+            ),
+        ),
+        ignorenulls=True,
     ).over(w)
-    out = u.select(
-        "_k", "_t", "_tag", *left_vals, *carried, carried_t.alias("asof_t")
-    ).filter(F.col("_tag") == 0)
+    out = (
+        u.select("_k", "_t", "_tag", *left_vals, match.alias("_m"))
+        .filter(F.col("_tag") == 0)
+        .select(
+            "_k",
+            "_t",
+            "_tag",
+            *left_vals,
+            *[F.col("_m")[c].alias(f"asof_{c}") for c in right_vals],
+            F.col("_m")["__t"].alias("asof_t"),
+        )
+    )
     if tolerance_days is not None:
         within = F.datediff(F.to_date("asof_t"), F.to_date("_t")) <= tolerance_days
         out = out.select(
@@ -180,4 +213,6 @@ def merge_asof_forward(
             ],
             F.when(within, F.col("asof_t")).alias("asof_t"),
         )
+    else:
+        out = out.drop("_tag")
     return out

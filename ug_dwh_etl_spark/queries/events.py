@@ -2416,8 +2416,8 @@ _CONC_GAP_MIN = 30
     """,
 )
 def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Peak concurrent sessions: sessionize per user ({_G}-minute gap,
-    the events_sessionize rule), then run the classic +1/−1 interval
+    """Peak concurrent sessions: sessionize per user (30-minute gap —
+    ``_CONC_GAP_MIN`` — the events_sessionize rule), then run the classic +1/−1 interval
     sweep over session endpoints — the capacity-planning number (how
     many sessions were EVER live at once, and when). The sweep's
     running sum is ordered over the ENDPOINT relation — two rows per

@@ -238,8 +238,9 @@ def write_training_shards(
     instead of a single-reducer ORDER BY. Crash-safe via the same
     staging-directory swap as the snapshot sink. Returns a small
     manifest dict {n_files, n_rows, bytes} (metadata-sized — the rows
-    count comes from the written files' footers for parquet, or one
-    count() over the input otherwise)."""
+    count comes from the written parquet files' footers, or a cheap
+    line count over the written JSONL text; never a re-parse with
+    schema inference of what was just written)."""
     spark = df.sparkSession
     staging = f"{path}__staging_{uuid.uuid4().hex[:8]}"
     shaped = df.repartitionByRange(n_shards, F.col(order_col)).sortWithinPartitions(
@@ -253,7 +254,13 @@ def write_training_shards(
     else:
         raise ValueError(f"unsupported training-shard format: {fmt}")
     swap_dir(staging, path)
-    n_rows = spark.read.format(fmt).load(path).count()
+    if fmt == "parquet":
+        # count() over a parquet scan folds to footer row-count metadata.
+        n_rows = spark.read.parquet(path).count()
+    else:
+        # JSONL: one line per row — spark.read.text is a raw line scan,
+        # no JSON re-parse / schema inference of what was just written.
+        n_rows = spark.read.text(path).count()
     files = [
         f for f in os.listdir(path) if f.startswith("part-")
     ]

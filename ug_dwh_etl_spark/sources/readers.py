@@ -78,12 +78,6 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLE
     return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in names}
 
 
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """Columnar alternative to parquet — same pushdown/pruning behavior
-    through the ORC datasource (vectorized reader, predicate pushdown)."""
-    return spark.read.orc(path)
-
-
 def read_text(
     spark: SparkSession, path: str, whole: bool = False, normalize_col: str = "value"
 ) -> DataFrame:
@@ -128,7 +122,7 @@ def read_binary_files(
     return reader.load(path)
 
 
-def read_orc(spark, path: str, schema=None):
+def read_orc(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
     """ORC scan — the other columnar format a lake migration inherits
     (Hive-era tables). Same predicate-pushdown/column-pruning behavior
     as the parquet scans; round-tripped in
