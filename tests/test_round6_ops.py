@@ -1,0 +1,102 @@
+"""Round-6 additions: incremental near-dup against a stored LSH index,
+multi-round BPE training, widened PII redaction, order-tolerant CEP."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_neardup_matches_full_rerun(spark, tmp_path):
+    """The index-lookup path must find exactly the pairs a full-corpus
+    LSH re-run would add for the batch — nothing more, nothing less —
+    with the corpus side read back from persisted parquet."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        incremental_neardup,
+        lsh_band_keys,
+        minhash_lsh_pairs,
+        spread,
+        verify_pairs_jaccard,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_rows = [
+        (1, base),
+        (2, base + " extra tail words here"),
+        (3, "completely different content about spark shuffles and joins"),
+    ]
+    batch_rows = [
+        (10, base),  # near-dup of 1 and 2
+        (11, "totally novel text that matches nothing in the corpus"),
+        (12, base),  # near-dup of 1, 2 and 10 (intra-batch pair too)
+    ]
+    corpus = _docs(spark, corpus_rows)
+    batch = _docs(spark, batch_rows)
+
+    bands_path = str(tmp_path / "bands")
+    sh_path = str(tmp_path / "shingles")
+    lsh_band_keys(corpus, "doc_id", "text").write.parquet(bands_path)
+    doc_shingle_hashes(spread(corpus), "doc_id", "text").write.parquet(sh_path)
+
+    got = incremental_neardup(
+        batch,
+        spark.read.parquet(bands_path),
+        spark.read.parquet(sh_path),
+        "doc_id",
+        "text",
+        0.5,
+    )
+    got_pairs = {(r.id_a, r.id_b): r.jaccard for r in got.collect()}
+
+    # ground truth: full re-run over the union, restricted to batch ids
+    full = _docs(spark, corpus_rows + batch_rows)
+    all_pairs = minhash_lsh_pairs(full, "doc_id", "text")
+    verified = verify_pairs_jaccard(full, all_pairs, "doc_id", "text", 0.5)
+    batch_ids = {r[0] for r in batch_rows}
+    want_pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verified.collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got_pairs == want_pairs
+    assert any(a in batch_ids and b in batch_ids for a, b in got_pairs)  # intra-batch
+    assert any((a in batch_ids) != (b in batch_ids) for a, b in got_pairs)  # cross
+
+
+def test_incremental_neardup_never_scans_corpus_text(spark, tmp_path):
+    """Structural no-rescan guarantee: the ONLY file scans in the plan
+    are the persisted index relations — corpus documents parquet never
+    appears, so per-day cost cannot silently regress to O(corpus)."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        incremental_neardup,
+        lsh_band_keys,
+        spread,
+    )
+
+    corpus = _docs(spark, [(1, "alpha beta gamma delta epsilon zeta eta")])
+    corpus_path = str(tmp_path / "corpus_docs")
+    corpus.write.parquet(corpus_path)
+    stored = spark.read.parquet(corpus_path)
+    bands_path = str(tmp_path / "bands")
+    sh_path = str(tmp_path / "shingles")
+    lsh_band_keys(stored, "doc_id", "text").write.parquet(bands_path)
+    doc_shingle_hashes(spread(stored), "doc_id", "text").write.parquet(sh_path)
+
+    batch = _docs(spark, [(10, "alpha beta gamma delta epsilon zeta eta")])
+    out = incremental_neardup(
+        batch,
+        spark.read.parquet(bands_path),
+        spark.read.parquet(sh_path),
+        "doc_id",
+        "text",
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "bands" in plan and "shingles" in plan
+    assert "corpus_docs" not in plan

@@ -121,13 +121,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Candidate near-duplicate pairs (id_a < id_b) that agree on at
-    least one LSH band. At scale the bucket-join is the whole point:
-    shuffle keys are (band_id, band_key) so only same-bucket docs meet.
+def lsh_band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_id, band_key) — the banded MinHash signature relation.
+
+    This IS the persistable LSH index: append each ingest batch's rows
+    to a table partition-keyed however the corpus is sharded, and later
+    batches match against the table by (band_id, band_key) equi-join
+    without ever rescanning corpus text (see ``incremental_neardup``).
     """
     sig = minhash_signatures(df, id_col, text_col)
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(*[
@@ -141,7 +144,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                 for b in range(N_BANDS)
             ])
         ).alias("band"),
-    ).select(id_col, "band.band_id", "band.band_key").localCheckpoint(eager=False)
+    ).select(id_col, "band.band_id", "band.band_key")
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) that agree on at
+    least one LSH band. At scale the bucket-join is the whole point:
+    shuffle keys are (band_id, band_key) so only same-bucket docs meet.
+    """
+    bands = lsh_band_keys(df, id_col, text_col).localCheckpoint(eager=False)
     # ^ both self-join sides read the banded signatures. localCheckpoint
     # (not persist): computed once, blocks freed by the ContextCleaner as
     # soon as the result is dropped — df.persist() pins the relation in
@@ -358,6 +369,66 @@ def dedup_incremental(
     e = normalized_fingerprint(existing, id_col, text_col).select("fingerprint")
     batch_survivors = b.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
     return batch_survivors.join(e, "fingerprint", "left_anti").select(id_col)
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    corpus_index: DataFrame,
+    corpus_shingles: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-dup: verified near-duplicate pairs an incoming
+    ``batch`` introduces, matched against a STORED LSH index — the daily
+    100 TB ingest shape (the reference's daily-append model,
+    `sf_html_data.py:178` ``if_exists="append"``, is exactly this
+    cadence). The corpus side never rescans text: ``corpus_index`` is
+    the persisted ``lsh_band_keys`` relation and ``corpus_shingles`` the
+    persisted ``doc_shingle_hashes`` relation, both written at each
+    prior ingest; per-day cost is O(batch) signature work + equi-joins
+    whose corpus side is index-partition-pruned to the batch's band
+    keys, never O(corpus).
+
+    Candidates = (batch ⋈ stored index on (band_id, band_key)) ∪ (batch
+    band self-join) — every new pair with at least one batch member,
+    exactly what a full-corpus LSH re-run would add. Verification is
+    candidate-restricted exact Jaccard (``verify_pairs_jaccard``) over
+    stored corpus shingles ∪ the batch's own shingles. Returns
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ ``threshold``."""
+    batch_bands = lsh_band_keys(batch, id_col, text_col).localCheckpoint(eager=False)
+    batch_sh = doc_shingle_hashes(spread(batch), id_col, text_col)
+    bb = batch_bands.select(
+        F.col(id_col).alias("_bid"), "band_id", "band_key"
+    )
+    # batch vs stored corpus: only (band_id, band_key) shuffles; the
+    # stored-index side is never joined to anything text-sized.
+    ci = corpus_index.select(F.col(id_col).alias("_cid"), "band_id", "band_key")
+    cross = (
+        bb.join(ci, ["band_id", "band_key"])
+        .filter(F.col("_bid") != F.col("_cid"))  # re-ingested id: not a pair
+        .select(
+            F.least("_bid", "_cid").alias("id_a"),
+            F.greatest("_bid", "_cid").alias("id_b"),
+        )
+    )
+    # batch vs batch: the within-day near-dups (same band self-join as
+    # minhash_lsh_pairs, batch-sized).
+    intra = (
+        bb.join(
+            batch_bands.select(
+                F.col(id_col).alias("_bid2"), "band_id", "band_key"
+            ),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("_bid") < F.col("_bid2"))
+        .select(F.col("_bid").alias("id_a"), F.col("_bid2").alias("id_b"))
+    )
+    candidates = cross.unionByName(intra).distinct()
+    shingles = corpus_shingles.unionByName(batch_sh)
+    return verify_pairs_jaccard(
+        batch, candidates, id_col, text_col, threshold, shingle_hashes=shingles
+    )
 
 
 def verify_pairs_jaccard(

@@ -538,6 +538,76 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_incremental(batch, existing, "doc_id", "text")
 
 
+# --- incremental NEAR-dup against a persisted LSH index --------------------------
+def _incremental_neardup_sql(threshold: float = 0.5) -> str:
+    # The oracle is the FULL-corpus verified-pairs computation restricted
+    # to pairs touching a batch id — exactly the new pairs a daily batch
+    # introduces, which is what the incremental index-lookup must find.
+    return f"""
+    WITH {_lsh_pairs_ctes()},
+    exh2 AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS inter
+      FROM pairs p
+        JOIN exh2 a ON a.doc_id = p.id_a
+        JOIN exh2 b ON b.doc_id = p.id_b AND b.h = a.h
+      WHERE p.id_a % 10 = 0 OR p.id_b % 10 = 0
+      GROUP BY p.id_a, p.id_b)
+    SELECT id_a, id_b,
+           ROUND(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+    WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}
+    """
+
+
+@register("dedup_incremental_neardup", _incremental_neardup_sql())
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest NEAR-dup: match the incoming batch (doc_id % 10 = 0)
+    against the corpus via a PERSISTED LSH index — band keys and shingle
+    hashes written to parquet at prior ingests — so no corpus text is
+    rescanned (the corpus side of the returned plan scans the index
+    files, not documents.parquet). The stored index here is actually
+    written to disk and read back (overwritten per call; keyed by the
+    sf_dir so scale factors don't collide), making this the runnable
+    model of the daily 100 TB cadence: per-day cost is O(batch)
+    signatures + band-key equi-joins against the index. The oracle
+    recomputes the same pairs from the unioned corpus restricted to
+    batch-touching ids, proving the incremental lookup finds exactly
+    what a full re-run would add."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        incremental_neardup,
+        lsh_band_keys,
+        spread,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    existing = docs.filter(F.col("doc_id") % 10 != 0)
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"lsh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+    )
+    lsh_band_keys(existing, "doc_id", "text").write.mode("overwrite").parquet(
+        os.path.join(root, "bands")
+    )
+    doc_shingle_hashes(spread(existing), "doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(root, "shingles"))
+    corpus_index = spark.read.parquet(os.path.join(root, "bands"))
+    corpus_shingles = spark.read.parquet(os.path.join(root, "shingles"))
+    return incremental_neardup(
+        batch, corpus_index, corpus_shingles, "doc_id", "text", 0.5
+    )
+
+
 # --- candidate-restricted Jaccard verification ---------------------------------
 def _verified_pairs_sql(threshold: float = 0.5) -> str:
     return f"""
