@@ -348,6 +348,134 @@ def test_bpe_pair_stats_matches_python_model(spark, texts):
     assert got == _model_bpe(texts, 5)
 
 
+def _model_bpe_rounds(texts: list[str], n_rounds: int):
+    """Pure-Python mirror of bpe_train_rounds: greedy (total desc, pair
+    asc) winner per round, str.replace recode into chr(round), rendering
+    with newest-first placeholder expansion."""
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in _re.split(r"[^a-z]+", t.lower()):
+            if w:
+                words[w] += 1
+    vocab = list(words.items())  # [(sym, n)]
+    raw: list[tuple[str, int]] = []  # winning (pair, total) per round
+    for rnd in range(1, n_rounds + 1):
+        pairs = Counter()
+        for s, n in vocab:
+            for i in range(len(s) - 1):
+                pairs[s[i : i + 2]] += n
+        if not pairs:
+            break
+        best, total = sorted(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        raw.append((best, total))
+        vocab = [(s.replace(best, chr(rnd)), n) for s, n in vocab]
+    out = []
+    for rnd, (pair, total) in enumerate(raw, start=1):
+        for prev in range(rnd - 1, 0, -1):
+            pair = pair.replace(chr(prev), "<" + raw[prev - 1][0] + ">")
+        out.append((rnd, pair, total))
+    return out
+
+
+@SETTINGS
+@given(texts=_tie_text)
+def test_bpe_train_rounds_matches_python_model(spark, texts):
+    # tie-heavy tiny-alphabet corpora hammer the greedy winner's
+    # (total desc, pair asc) tie-break AND the placeholder recode path
+    # (merged symbols re-pairing with neighbors in later rounds)
+    from ug_dwh_etl_spark.operators.textstats import bpe_train_rounds
+
+    schema = StructType([StructField("text", StringType())])
+    df = spark.createDataFrame([(t,) for t in texts], schema)
+    got = [
+        (r.round, r.pair, r.total)
+        for r in bpe_train_rounds(df, "text", n_rounds=3).orderBy("round").collect()
+    ]
+    assert got == _model_bpe_rounds(texts, 3)
+
+
+# --- PII redaction round-trip ---------------------------------------------------
+_pii_email = st.builds(
+    lambda u, d: f"{u}@{d}.example.com",
+    st.text(alphabet="abz09._", min_size=1, max_size=6),
+    st.text(alphabet="abz09", min_size=1, max_size=5),
+)
+_pii_ip = st.builds(
+    lambda a, b, c, d: f"{a}.{b}.{c}.{d}",
+    *[st.integers(min_value=0, max_value=255) for _ in range(4)],
+)
+_pii_phone = st.builds(
+    lambda cc, a, b, c, s: f"+{cc}{s}{a}{s}{b}{s}{c}",
+    st.integers(min_value=1, max_value=999),
+    st.text(alphabet="0123456789", min_size=2, max_size=4),
+    st.text(alphabet="0123456789", min_size=3, max_size=4),
+    st.text(alphabet="0123456789", min_size=2, max_size=4),
+    st.sampled_from([" ", "-"]),  # "." is IPv4-ambiguous, not a phone sep
+)
+_pii_iban = st.builds(
+    lambda cc, chk, bban: f"{cc}{chk:02d}{bban}",
+    st.sampled_from(["DE", "FR", "GB", "NL"]),
+    st.integers(min_value=0, max_value=99),
+    st.text(alphabet="ABCDEF0123456789", min_size=11, max_size=30),
+)
+_pii_item = st.one_of(
+    st.tuples(st.just("<EMAIL>"), _pii_email),
+    st.tuples(st.just("<IP>"), _pii_ip),
+    st.tuples(st.just("<PHONE>"), _pii_phone),
+    st.tuples(st.just("<IBAN>"), _pii_iban),
+)
+# lowercase-alpha filler can't match any PII pattern, so every injected
+# span is exactly one match and the expected redaction is computable
+_pii_filler = st.text(alphabet="abcdefgz", min_size=1, max_size=8)
+_pii_docs = st.lists(
+    st.lists(st.tuples(_pii_filler, _pii_item), min_size=0, max_size=5),
+    min_size=1,
+    max_size=15,
+)
+
+
+@SETTINGS
+@given(docs=_pii_docs)
+def test_redact_pii_round_trip(spark, docs):
+    """Round-trip property: text assembled from safe filler + generated
+    PII spans must come back with exactly the injected spans replaced by
+    their typed tags (md5-compared against the Python-built expectation)
+    and per-type counts equal to what was injected."""
+    import hashlib
+
+    from ug_dwh_etl_spark.operators.textstats import redact_pii
+
+    rows, want = [], {}
+    for i, parts in enumerate(docs):
+        raw, red = [], []
+        counts = {"<EMAIL>": 0, "<IP>": 0, "<PHONE>": 0, "<IBAN>": 0}
+        for filler, (tag, span) in parts:
+            raw += [filler, span]
+            red += [filler, tag]
+            counts[tag] += 1
+        text = " ".join(raw)
+        expected = " ".join(red)
+        rows.append((str(i), text))
+        want[str(i)] = (
+            counts["<EMAIL>"],
+            counts["<IP>"],
+            counts["<PHONE>"],
+            counts["<IBAN>"],
+            hashlib.md5(expected.encode()).hexdigest(),
+        )
+    schema = StructType(
+        [StructField("doc_id", StringType()), StructField("text", StringType())]
+    )
+    out = redact_pii(spark.createDataFrame(rows, schema), "doc_id", "text")
+    got = {
+        r.doc_id: (r.n_emails, r.n_ips, r.n_phones, r.n_ibans, r.redacted_md5)
+        for r in out.collect()
+    }
+    assert got == want
+
+
 # --- URL canonicalization: cross-engine parity + idempotence -------------------
 
 import duckdb as _duckdb

@@ -199,26 +199,43 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-# PII-shaped patterns, RE2-compatible so Spark (Java regex) and DuckDB
-# (RE2) match the identical spans: email, IPv4.
+# PII-shaped patterns, RE2-compatible (no lookaround/backreferences) so
+# Spark (Java regex) and DuckDB (RE2) match the identical spans: email,
+# IPv4, international phone (+CC sep groups), IBAN (CC + check digits +
+# 11-30 alphanumeric BBAN). Replacement order matters only in that the
+# inserted tags must not re-match a later pattern — <EMAIL>/<IP>/<PHONE>
+# contain no digits, so neither phone nor IBAN can fire on them.
 EMAIL_PATTERN = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 IPV4_PATTERN = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+# phone separators are space/hyphen only: a dot-separated phone contains
+# an IPv4-shaped span ("+1.00.000.00"), so "." would make the two
+# patterns overlap and the per-type counts ambiguous
+PHONE_PATTERN = "\\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{2,4}\\b"
+IBAN_PATTERN = "\\b[A-Z]{2}[0-9]{2}[A-Z0-9]{11,30}\\b"
+
+_PII_TAGS = (
+    (EMAIL_PATTERN, "<EMAIL>", "n_emails"),
+    (IPV4_PATTERN, "<IP>", "n_ips"),
+    (PHONE_PATTERN, "<PHONE>", "n_phones"),
+    (IBAN_PATTERN, "<IBAN>", "n_ibans"),
+)
 
 
 def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Replace email addresses and IPv4 literals with typed placeholder
-    tags and count what was removed — the scrubbing pass every
-    web-corpus training pipeline runs before tokenization. Pure narrow
-    map (regexp_replace/regexp_count), no shuffle, whole-stage codegen."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col(text_col), EMAIL_PATTERN, "<EMAIL>"),
-        IPV4_PATTERN,
-        "<IP>",
-    )
+    """Replace email addresses, IPv4 literals, international phone
+    numbers and IBANs with typed placeholder tags and count what was
+    removed per type — the scrubbing pass every web-corpus training
+    pipeline runs before tokenization. Pure narrow map
+    (regexp_replace/regexp_count), no shuffle, whole-stage codegen."""
+    redacted = F.col(text_col)
+    for pattern, tag, _ in _PII_TAGS:
+        redacted = F.regexp_replace(redacted, pattern, tag)
     return df.select(
         F.col(id_col),
-        F.regexp_count(F.col(text_col), F.lit(EMAIL_PATTERN)).alias("n_emails"),
-        F.regexp_count(F.col(text_col), F.lit(IPV4_PATTERN)).alias("n_ips"),
+        *[
+            F.regexp_count(F.col(text_col), F.lit(pattern)).alias(name)
+            for pattern, _, name in _PII_TAGS
+        ],
         F.md5(redacted).alias("redacted_md5"),
     )
 
@@ -395,3 +412,76 @@ def bpe_pair_stats(docs: DataFrame, text_col: str = "text", top_k: int = 20) -> 
         F.col("total").cast("long").alias("total"),
         F.row_number().over(w).alias("rnk"),
     )
+
+
+def bpe_train_rounds(
+    docs: DataFrame, text_col: str = "text", n_rounds: int = 3
+) -> DataFrame:
+    """The actual BPE tokenizer-TRAINING loop the two single-round
+    queries (text_bpe_merges / text_bpe_apply_merge) imply: ``n_rounds``
+    greedy merges, each round picking the most frequent adjacent symbol
+    pair (total desc, pair asc tie-break) and recoding it into a
+    private-use placeholder char chr(round) across the vocabulary.
+
+    Scale shape: the corpus is touched exactly ONCE (the word-frequency
+    count); every round after that is vocabulary-bound — pair explode,
+    1-row top-1, broadcast crossJoin recode — with a per-round
+    ``localCheckpoint`` lineage cut so plan depth stays constant however
+    many merges run (same discipline as the graph iteration loops).
+    Returns (round, pair, total): one row per merge, the winning pair
+    rendered with earlier placeholders expanded as <parent-pair> so the
+    merge table is human-readable and engine-comparable. Placeholder
+    chars can't collide with data: vocabulary terms are [a-z]+ only."""
+    terms = docs.select(
+        F.explode(F.split(F.lower(text_col), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    vocab = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("term").alias("sym"), "n")
+        .localCheckpoint(eager=False)
+    )
+    spark = docs.sparkSession
+    bests: list[DataFrame] = []  # 1-row (pair, total) per round
+    for rnd in range(1, n_rounds + 1):
+        pairs = (
+            vocab.filter(F.length("sym") >= 2)
+            .select(
+                "n",
+                F.explode(F.sequence(F.lit(1), F.length("sym") - 1)).alias("i"),
+                "sym",
+            )
+            .select(F.expr("substring(sym, i, 2)").alias("pair"), "n")
+            .groupBy("pair")
+            .agg(F.sum("n").alias("total"))
+        )
+        best = (
+            pairs.orderBy(F.desc("total"), F.asc("pair"))
+            .limit(1)
+            .select("pair", F.col("total").cast("long").alias("total"))
+            .localCheckpoint(eager=False)
+        )
+        bests.append(best)
+        vocab = (
+            vocab.crossJoin(F.broadcast(best.select("pair")))
+            .select(F.expr(f"replace(sym, pair, chr({rnd}))").alias("sym"), "n")
+            .localCheckpoint(eager=False)
+        )
+    # Render each winner with earlier placeholders expanded: chr(k) →
+    # '<' || raw pair of round k || '>', expanded newest-first so a
+    # nested placeholder inside round k's pair gets expanded in turn.
+    out = None
+    for rnd, best in enumerate(bests, start=1):
+        row = best
+        for prev in range(rnd - 1, 0, -1):
+            row = row.crossJoin(
+                F.broadcast(bests[prev - 1].select(F.col("pair").alias(f"_p{prev}")))
+            ).select(
+                F.expr(
+                    f"replace(pair, chr({prev}), '<' || _p{prev} || '>')"
+                ).alias("pair"),
+                "total",
+            )
+        row = row.select(F.lit(rnd).alias("round"), "pair", "total")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -98,31 +98,47 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # deterministic PII injection so the redaction is actually exercised:
-# every doc gets a synthetic email + IP derived from its doc_id
+# every doc gets a synthetic email + IP + phone + IBAN derived from its
+# doc_id
 _PII_SPARK = (
     "concat(text, ' contact user', CAST(doc_id AS STRING),"
-    " '@mail.example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7')"
+    " '@mail.example.com from 10.0.', CAST(doc_id % 256 AS STRING), '.7',"
+    " ' call +49 30 555 ', lpad(CAST(doc_id % 10000 AS STRING), 4, '0'),"
+    " ' pay DE44500105', lpad(CAST(doc_id % 100000000 AS STRING), 8, '0'), '17')"
 )
 _PII_DUCK = (
     "text || ' contact user' || doc_id::VARCHAR"
     " || '@mail.example.com from 10.0.' || (doc_id % 256)::VARCHAR || '.7'"
+    " || ' call +49 30 555 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    " || ' pay DE44500105' || lpad((doc_id % 100000000)::VARCHAR, 8, '0') || '17'"
 )
 
 
-@register(
-    "text_redact_pii",
-    f"""
+def _redact_pii_sql() -> str:
+    from ug_dwh_etl_spark.operators.textstats import _PII_TAGS
+
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(text, '{p}')) AS {name}"
+        for p, _, name in _PII_TAGS
+    )
+    redacted = "text"
+    for p, tag, _ in _PII_TAGS:
+        redacted = f"regexp_replace({redacted}, '{p}', '{tag}', 'g')"
+    return f"""
     WITH pii AS (SELECT doc_id, {_PII_DUCK} AS text FROM documents)
     SELECT doc_id,
-           len(regexp_extract_all(text, '{{EMAIL}}')) AS n_emails,
-           len(regexp_extract_all(text, '{{IPV4}}')) AS n_ips,
-           md5(regexp_replace(regexp_replace(text, '{{EMAIL}}', '<EMAIL>', 'g'),
-                              '{{IPV4}}', '<IP>', 'g')) AS redacted_md5
+           {counts},
+           md5({redacted}) AS redacted_md5
     FROM pii
-    """.replace("{EMAIL}", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}")
-    .replace("{IPV4}", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"),
-)
+    """
+
+
+@register("text_redact_pii", _redact_pii_sql())
 def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email / IPv4 / international-phone / IBAN scrub with per-type
+    counts — patterns and tag order come from one table
+    (operators/textstats.py ``_PII_TAGS``) shared with the generated
+    oracle so the two engines cannot drift."""
     from pyspark.sql import functions as F
 
     from ug_dwh_etl_spark.operators.textstats import redact_pii
@@ -1095,6 +1111,65 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+def _bpe_train_rounds_sql(n_rounds: int = 3) -> str:
+    """Sequential-CTE oracle for the N-round BPE trainer: v0 → (p1, b1,
+    v1) → (p2, b2, v2) → … mirrors the Spark loop exactly, including the
+    greedy left-to-right replace() recode and the <parent> rendering."""
+    ctes = [
+        """terms AS (
+      SELECT term FROM (
+        SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+        FROM documents)
+      WHERE term <> '')""",
+        "v0 AS (SELECT term AS sym, COUNT(*) AS n FROM terms GROUP BY term)",
+    ]
+    selects = []
+    for r in range(1, n_rounds + 1):
+        ctes.append(
+            f"""p{r} AS (
+      SELECT substr(sym, i, 2) AS pair, SUM(n) AS total
+      FROM (SELECT sym, n, unnest(generate_series(1, length(sym) - 1)) AS i
+            FROM v{r - 1} WHERE length(sym) >= 2)
+      GROUP BY pair)"""
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, CAST(total AS BIGINT) AS total "
+            f"FROM p{r} ORDER BY total DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"v{r} AS (SELECT replace(sym, (SELECT pair FROM b{r}), chr({r})) "
+            f"AS sym, n FROM v{r - 1})"
+        )
+        rendered = "pair"
+        for prev in range(r - 1, 0, -1):
+            rendered = (
+                f"replace({rendered}, chr({prev}), "
+                f"'<' || (SELECT pair FROM b{prev}) || '>')"
+            )
+        selects.append(
+            f"SELECT {r} AS round, {rendered} AS pair, total FROM b{r}"
+        )
+    return (
+        "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL\n    ".join(selects)
+    )
+
+
+@register("text_bpe_train_rounds", _bpe_train_rounds_sql(3))
+def text_bpe_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training run to 3 merges — the loop the single-round
+    text_bpe_merges / text_bpe_apply_merge queries imply, landed as one
+    operator (operators/textstats.py bpe_train_rounds). The corpus is
+    scanned once for word frequencies; every merge round is
+    vocabulary-bound (pair recount + 1-row greedy winner + broadcast
+    recode) with a per-round lineage cut, so training cost at 100 TB is
+    the vocab build, and rounds are O(vocab) each no matter the corpus
+    size. Output is the merge table itself: (round, pair, total) with
+    earlier merges rendered inline as <parent-pair>."""
+    from ug_dwh_etl_spark.operators.textstats import bpe_train_rounds
+
+    return bpe_train_rounds(table(spark, sf_dir, "documents"), "text", 3)
 
 
 @register(
