@@ -353,6 +353,81 @@ def test_stream_pattern_multi_batch_matches_window_twin(spark, tmp_path):
         assert (nv, nc) == expect[uid], uid
 
 
+def test_stream_pattern_ooo_tolerates_shuffled_ingest(spark, tmp_path):
+    """Hash-split micro-batches (event_id parity, NOT a time split) put
+    massively out-of-order arrivals across batches: the strict matcher
+    must fail its order contract, while the buffer-and-watermark twin
+    with a budget covering the disorder must match the batch window
+    query exactly."""
+    import os
+
+    import pytest
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from ug_dwh_etl_spark.queries.events import events_pattern_view_to_purchase
+    from ug_dwh_etl_spark.queries.registry import table
+    from ug_dwh_etl_spark.streaming import stateful as S
+    from ug_dwh_etl_spark.streaming.jobs import run_stream_to_memory
+
+    sf = "/root/testdata/sf0.001"
+    ev = table(spark, sf, "events").select(
+        "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    d = str(tmp_path / "events.parquet")
+    os.makedirs(d)
+    for i, half in enumerate(
+        (ev.filter(F.col("event_id") % 2 == 0), ev.filter(F.col("event_id") % 2 == 1))
+    ):
+        tmp = str(tmp_path / f"half{i}")
+        half.coalesce(1).write.parquet(tmp)
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{d}/half{i}.parquet"
+        os.rename(f"{tmp}/{part}", dst)
+        os.utime(dst, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+
+    def run(update_fn, out_schema, state_schema):
+        src = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        updated = src.groupBy("user_id").applyInPandasWithState(
+            update_fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        return run_stream_to_memory(updated, "update")
+
+    # strict twin: the shuffled split violates (ts, event_id) order
+    with pytest.raises(StreamingQueryException, match="order contract violated"):
+        run(
+            S._update_pattern, S.PATTERN_OUTPUT_SCHEMA, S.PATTERN_STATE_SCHEMA
+        ).count()
+
+    # order-tolerant twin with a budget covering the full disorder
+    span_us = ev.agg(
+        (F.max("us") - F.min("us")).alias("span")
+    ).first()[0]
+    out = run(
+        S._make_update_pattern_ooo(int(span_us) + 1),
+        S.PATTERN_OOO_OUTPUT_SCHEMA,
+        S.PATTERN_OOO_STATE_SCHEMA,
+    )
+    last = (
+        out.groupBy("user_id")
+        .agg(F.max_by(F.struct("n_views", "n_converted", "sum_us"), "n_seen").alias("s"))
+        .select("user_id", "s.n_views", "s.n_converted")
+        .filter(F.col("n_views") > 0)
+    )
+    streamed = {r.user_id: (r.n_views, r.n_converted) for r in last.collect()}
+    batch = events_pattern_view_to_purchase(spark, sf)
+    expect = {r.user_id: (r.n_views, r.n_converted) for r in batch.collect()}
+    assert streamed == expect
+
+
 def test_streaming_observe_reports_dq_metrics_inline(spark, tmp_path):
     """The observation API on a STREAM: per-batch row/null counts ride
     the existing pass (no second scan), surfaced in progress events —

@@ -291,6 +291,16 @@ def _pattern_oracle() -> str:
     return QUERIES["events_pattern_view_to_purchase"].oracle
 
 
+@register("stream_pattern_conversions_ooo", _pattern_oracle())
+def q_stream_pattern_conversions_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # order-TOLERANT CEP: per-key buffer + event-time watermark fold
+    # (arrivals shuffled within the lateness budget give identical
+    # results), same oracle as the strict twin and the batch window
+    from ug_dwh_etl_spark.streaming.stateful import stream_pattern_conversions_ooo
+
+    return stream_pattern_conversions_ooo(spark, sf_dir)
+
+
 @register("stream_pattern_conversions", _pattern_oracle())
 def q_stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # applyInPandasWithState CEP matcher; same oracle as the batch

@@ -343,6 +343,178 @@ def stream_pattern_conversions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- ORDER-TOLERANT CEP: buffer-and-watermark variant -------------------------
+#
+# stream_pattern_conversions enforces (ts, event_id) arrival order and
+# ERRORS on a violating split — correct but brittle (round-5 ADVICE).
+# This twin buffers events per key and folds them only once they drop
+# below a per-key event-time watermark (max event time seen minus an
+# allowed-lateness budget), so any reordering within the budget yields
+# the identical result; an arrival older than the already-folded horizon
+# still fails loudly (it exceeded the declared budget). Emissions carry
+# the PROVISIONAL totals — resolved prefix plus a replay of the sorted
+# buffer — so the last emission per key always reflects every event,
+# and the final answer matches the batch oracle. State per key is the
+# resolved aggregate + the events inside one lateness window (bounded),
+# the CEP analogue of a stream-stream join's watermark-bounded state.
+
+PATTERN_OOO_STATE_SCHEMA = StructType(
+    [
+        StructField("n_views", LongType()),
+        StructField("n_conv", LongType()),
+        StructField("sum_us", LongType()),
+        StructField("pending", ArrayType(LongType())),
+        StructField("resolved_us", LongType()),  # folded horizon (≤ this = final)
+        StructField("max_us", LongType()),
+        StructField("n_seen", LongType()),
+        StructField("buf_us", ArrayType(LongType())),
+        StructField("buf_eid", ArrayType(LongType())),
+        StructField("buf_view", ArrayType(LongType())),
+    ]
+)
+PATTERN_OOO_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_views", LongType()),
+        StructField("n_converted", LongType()),
+        StructField("sum_us", LongType()),
+        # strictly-increasing per-key emission stamp: provisional sum_us
+        # is NOT monotone (a late-but-in-budget purchase can re-match a
+        # view earlier), so the reader takes max_by(n_seen), never max
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _fold_pattern(events, n_v: int, n_c: int, s_us: int, pending: list):
+    """Fold (us, eid, isview) tuples — MUST be pre-sorted — through the
+    view→purchase matcher: a view goes pending; a purchase converts
+    every pending view inside the horizon and resolves (clears) all of
+    them either way. Shared by the resolved-prefix fold and the
+    provisional buffer replay so the two cannot drift."""
+    for us, _eid, isview in events:
+        if isview:
+            n_v += 1
+            pending.append(us)
+        elif pending:
+            for v in pending:
+                d = us - v
+                if d <= _PATTERN_WINDOW_US:
+                    n_c += 1
+                    s_us += d
+            pending = []
+    return n_v, n_c, s_us, pending
+
+
+def _make_update_pattern_ooo(lateness_us: int):
+    """Builds the applyInPandasWithState update fn with the allowed
+    lateness baked in (closure — cloudpickle ships it to workers)."""
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.exists:
+            (
+                n_v, n_c, s_us, pending, resolved_us, max_us, n_seen,
+                buf_us, buf_eid, buf_view,
+            ) = state.get
+            pending = list(pending)
+            buf = list(zip(buf_us, buf_eid, buf_view))
+        else:
+            n_v, n_c, s_us, pending = 0, 0, 0, []
+            resolved_us, max_us, n_seen = -1, -1, 0
+            buf = []
+        for batch in batches:
+            for et, us, eid in zip(batch["event_type"], batch["us"], batch["event_id"]):
+                us, eid = int(us), int(eid)
+                n_seen += 1
+                if us <= resolved_us:
+                    raise ValueError(
+                        f"stream_pattern_conversions_ooo lateness budget "
+                        f"exceeded for user {user_id}: event (ts_us={us}, "
+                        f"event_id={eid}) arrived after the fold horizon "
+                        f"advanced to {resolved_us} (allowed lateness "
+                        f"{lateness_us} us) — raise the budget or fix the "
+                        f"ingest"
+                    )
+                if us > max_us:
+                    max_us = us
+                if et == "view":
+                    buf.append((us, eid, 1))
+                elif et == "purchase":
+                    buf.append((us, eid, 0))
+        cutoff = max_us - lateness_us
+        buf.sort()
+        ready = [e for e in buf if e[0] <= cutoff]
+        buf = [e for e in buf if e[0] > cutoff]
+        n_v, n_c, s_us, pending = _fold_pattern(ready, n_v, n_c, s_us, pending)
+        if cutoff > resolved_us:
+            resolved_us = cutoff
+        state.update(
+            (
+                n_v, n_c, s_us, pending, resolved_us, max_us, n_seen,
+                [e[0] for e in buf],
+                [e[1] for e in buf],
+                [e[2] for e in buf],
+            )
+        )
+        pv, pc, ps, _ = _fold_pattern(buf, n_v, n_c, s_us, list(pending))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_views": [pv],
+                "n_converted": [pc],
+                "sum_us": [ps],
+                "n_seen": [n_seen],
+            }
+        )
+
+    return update
+
+
+def stream_pattern_conversions_ooo(
+    spark: SparkSession, sf_dir: str, lateness_us: int = 3600 * 1_000_000
+) -> DataFrame:
+    """Order-tolerant CEP twin of ``stream_pattern_conversions`` — SAME
+    oracle. Events may arrive shuffled across micro-batches up to the
+    lateness budget (default 1 h of event time); the matcher folds only
+    the watermark-complete prefix into state and emits provisional
+    totals that include the buffered tail, so the final emission equals
+    the batch window twin exactly (proven per key by max_by(n_seen) —
+    the provisional values are not monotone, see the schema note)."""
+    ev = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts", "event_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _make_update_pattern_ooo(lateness_us),
+        outputStructType=PATTERN_OOO_OUTPUT_SCHEMA,
+        stateStructType=PATTERN_OOO_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    last = out.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_views", "n_converted", "sum_us"), "n_seen"
+        ).alias("s")
+    )
+    return last.select("user_id", "s.n_views", "s.n_converted", "s.sum_us").filter(
+        F.col("n_views") > 0
+    ).select(
+        "user_id",
+        "n_views",
+        "n_converted",
+        F.round(
+            F.when(
+                F.col("n_converted") > 0,
+                (F.col("sum_us") / F.col("n_converted")) / 1000000.0,
+            ),
+            3,
+        ).alias("avg_latency_s"),
+    )
+
+
 # --- stateful last-touch attribution (streaming twin of
 # --- events_attribution_last_touch) -------------------------------------------
 
