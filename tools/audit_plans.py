@@ -10,6 +10,9 @@ signals and flags the anti-patterns that matter at 100 TB:
                     MapInPandas / FlatMapGroupsInPandas instead;
 - ``nofilter``    — a parquet scan whose query has a filter but shows
                     no PushedFilters (pushdown broken);
+- ``unpruned``    — a file scan reads a column that no operator outside
+                    the scan references (column-pruning regression: the
+                    scan pays I/O for bytes nothing consumes);
 - exchange count  — shuffles in the plan (compare against the shape's
                     expected minimum, e.g. scan→agg = 1).
 
@@ -161,6 +164,38 @@ EXPECTED_NESTED_LOOP = {
 STREAM = re.compile(r"^stream_")
 
 
+def _unpruned_columns(formatted: str) -> list[str]:
+    """Scan attributes (``name#id``) that appear ONLY inside their file
+    scan's own section — read from disk but referenced by no expression,
+    projection, filter or join anywhere else in the plan. Structural
+    lists (Input, ReadSchema, Location) are not usage; everything else
+    (Project/Aggregate outputs, conditions, arguments, pushed filters)
+    is. Catalyst's ColumnPruning makes this set empty for healthy plans;
+    a non-empty set means a barrier (or a careless select) is forcing
+    dead column I/O — the regression this guard exists to catch."""
+    scan_attrs: dict[str, str] = {}
+    usage: list[str] = []
+    for sec in re.split(r"\n(?=\(\d+\) )", formatted):
+        header = sec.split("\n", 1)[0]
+        is_scan = "Scan " in header
+        for line in sec.split("\n"):
+            ls = line.strip()
+            if is_scan:
+                # nothing inside the scan's own section is usage — its
+                # Arguments/ReadSchema lines self-reference every output
+                if ls.startswith("Output"):
+                    for m in re.finditer(r"(\w+)#(\d+)", ls):
+                        scan_attrs[m.group(0)] = m.group(1)
+                continue
+            if ls.startswith(("Input", "ReadSchema", "Location")):
+                continue
+            usage.append(ls)
+    used_text = "\n".join(usage)
+    return sorted(
+        {col for tok, col in scan_attrs.items() if tok not in used_text}
+    )
+
+
 def _flags_for(name: str, plan: str) -> tuple[str, list[str]]:
     n_exchange = plan.count("Exchange ")
     n_bhj = plan.count("BroadcastHashJoin")
@@ -182,7 +217,14 @@ def _flags_for(name: str, plan: str) -> tuple[str, list[str]]:
 
 def audit(name: str, df) -> tuple[str, list[str]]:
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return _flags_for(name, plan)
+    summary, flags = _flags_for(name, plan)
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    dead = _unpruned_columns(formatted)
+    if dead:
+        flags.append(f"unpruned:{','.join(dead)}")
+    return summary, flags
 
 
 def audit_stream(name: str, fn, spark, sf_dir: str) -> tuple[str, list[str]]:

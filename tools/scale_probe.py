@@ -9,6 +9,10 @@ this is the local stand-in for "would it survive 100 TB".
 
 Usage:
     python tools/scale_probe.py [query ...]        # default: probe set
+    SCALE_PROBE_FACTORS=1,16,64 python tools/scale_probe.py q ...
+                                    # override the expansion rungs (the
+                                    # 64x octave for the families whose
+                                    # 16x exponents sit near the line)
 """
 
 from __future__ import annotations
@@ -26,7 +30,9 @@ from ug_dwh_etl_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
 WORK = "/tmp/scale_probe"
-FACTORS = (1, 4, 16)
+FACTORS = tuple(
+    int(x) for x in os.environ.get("SCALE_PROBE_FACTORS", "1,4,16").split(",")
+)
 # fact tables get expanded with shifted keys; dims are copied as-is so
 # FK joins stay broadcast-able (matching how a real warehouse scales:
 # facts grow, dims don't)
