@@ -549,7 +549,11 @@ def test_merge_asof_directions_match_pandas(spark, lt, rt, tol):
     the pandas model unambiguous."""
     import pandas as pd
 
-    from ug_dwh_etl_spark.operators.joins import merge_asof, merge_asof_forward
+    from ug_dwh_etl_spark.operators.joins import (
+        merge_asof,
+        merge_asof_forward,
+        merge_asof_nearest,
+    )
 
     base = pd.Timestamp("2020-01-01")
     left = pd.DataFrame(
@@ -570,7 +574,11 @@ def test_merge_asof_directions_match_pandas(spark, lt, rt, tol):
     sl = spark.createDataFrame(left)
     sr = spark.createDataFrame(right)
     tol_td = pd.Timedelta(days=tol) if tol is not None else None
-    for direction, fn in (("backward", merge_asof), ("forward", merge_asof_forward)):
+    for direction, fn in (
+        ("backward", merge_asof),
+        ("forward", merge_asof_forward),
+        ("nearest", merge_asof_nearest),
+    ):
         expected = pd.merge_asof(
             left.sort_values("lt"),
             right.sort_values("rt"),

@@ -110,6 +110,11 @@ EXPECTED_NESTED_LOOP = {
     "events_survival_km",
     # 1-row winning-pair broadcast onto the vocab recode
     "text_bpe_apply_merge",
+    # same 1-row winner broadcast, once per merge round
+    "text_bpe_train_rounds",
+    # 1-row BM25 stats + ≤10-row DCG/IDCG frames cross-joined into the
+    # single eval row
+    "text_ndcg_bm25",
     # 1-row median x exact-F2 frames joined into the audit row
     "sketch_ams_f2",
     # three 1-row stage counts cross-joined into the ordered-funnel row
@@ -164,26 +169,34 @@ EXPECTED_NESTED_LOOP = {
 STREAM = re.compile(r"^stream_")
 
 
-def _unpruned_columns(formatted: str) -> list[str]:
-    """Scan attributes (``name#id``) that appear ONLY inside their file
+_FILE_SCAN = re.compile(r"Scan (parquet|orc|csv|json|text|binaryFile)")
+
+
+def _unpruned_columns(formatted: str, result_cols: set[str]) -> list[str]:
+    """FILE-scan attributes (``name#id``) that appear ONLY inside their
     scan's own section — read from disk but referenced by no expression,
     projection, filter or join anywhere else in the plan. Structural
     lists (Input, ReadSchema, Location) are not usage; everything else
     (Project/Aggregate outputs, conditions, arguments, pushed filters)
-    is. Catalyst's ColumnPruning makes this set empty for healthy plans;
-    a non-empty set means a barrier (or a careless select) is forcing
+    is, as are the query's own result columns (a collapsed single-scan
+    plan returns the scan output directly). Only file sources count:
+    ReadSchema is real I/O there, while an ExistingRDD/checkpoint scan
+    holds already-materialized rows where 'pruning' saves nothing.
+    Catalyst's ColumnPruning makes this set empty for healthy plans; a
+    non-empty set means a barrier (or a careless select) is forcing
     dead column I/O — the regression this guard exists to catch."""
     scan_attrs: dict[str, str] = {}
     usage: list[str] = []
     for sec in re.split(r"\n(?=\(\d+\) )", formatted):
         header = sec.split("\n", 1)[0]
         is_scan = "Scan " in header
+        is_file_scan = bool(_FILE_SCAN.search(header))
         for line in sec.split("\n"):
             ls = line.strip()
             if is_scan:
                 # nothing inside the scan's own section is usage — its
                 # Arguments/ReadSchema lines self-reference every output
-                if ls.startswith("Output"):
+                if is_file_scan and ls.startswith("Output"):
                     for m in re.finditer(r"(\w+)#(\d+)", ls):
                         scan_attrs[m.group(0)] = m.group(1)
                 continue
@@ -192,7 +205,11 @@ def _unpruned_columns(formatted: str) -> list[str]:
             usage.append(ls)
     used_text = "\n".join(usage)
     return sorted(
-        {col for tok, col in scan_attrs.items() if tok not in used_text}
+        {
+            col
+            for tok, col in scan_attrs.items()
+            if tok not in used_text and col not in result_cols
+        }
     )
 
 
@@ -221,7 +238,7 @@ def audit(name: str, df) -> tuple[str, list[str]]:
     formatted = df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
-    dead = _unpruned_columns(formatted)
+    dead = _unpruned_columns(formatted, set(df.columns))
     if dead:
         flags.append(f"unpruned:{','.join(dead)}")
     return summary, flags

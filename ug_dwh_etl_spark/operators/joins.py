@@ -216,3 +216,66 @@ def merge_asof_forward(
     else:
         out = out.drop("_tag")
     return out
+
+
+def merge_asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_time: str,
+    right_time: str,
+    left_vals: Sequence[str],
+    right_vals: Sequence[str],
+    tolerance_days: int | None = None,
+) -> DataFrame:
+    """Per-row NEAREST as-of join (pandas ``merge_asof``
+    direction='nearest'): each left row picks whichever of its backward
+    match (latest right ≤ t) and forward match (earliest right ≥ t) is
+    closer in absolute time, ties going BACKWARD (pandas' bisect picks
+    the left neighbor on equal distance). ``tolerance_days`` restricts
+    each direction's candidacy BEFORE the choice, so a stale backward
+    match never beats an in-tolerance forward one.
+
+    Composition of the two union-tag window passes plus one equi-join of
+    their (key-partitioned) outputs — still zero range-join explosion;
+    the join back is co-partitioned on the same key both window passes
+    shuffled on. ``left_vals`` must uniquely identify left rows (they
+    are the join-back key together with (key, time))."""
+    b = merge_asof(
+        left, right, key, left_time, right_time, left_vals, right_vals,
+        tolerance_days,
+    ).select(
+        "_k",
+        "_t",
+        *left_vals,
+        *[F.col(f"asof_{c}").alias(f"_b_{c}") for c in right_vals],
+        F.col("asof_t").alias("_b_t"),
+    )
+    f = merge_asof_forward(
+        left, right, key, left_time, right_time, left_vals, right_vals,
+        tolerance_days,
+    ).select(
+        "_k",
+        "_t",
+        *left_vals,
+        *[F.col(f"asof_{c}").alias(f"_f_{c}") for c in right_vals],
+        F.col("asof_t").alias("_f_t"),
+    )
+    j = b.join(f, ["_k", "_t", *left_vals])
+    back_d = F.unix_micros("_t") - F.unix_micros("_b_t")
+    fwd_d = F.unix_micros("_f_t") - F.unix_micros("_t")
+    use_back = F.col("_b_t").isNotNull() & (
+        F.col("_f_t").isNull() | (back_d <= fwd_d)
+    )
+    return j.select(
+        "_k",
+        "_t",
+        *left_vals,
+        *[
+            F.when(use_back, F.col(f"_b_{c}"))
+            .otherwise(F.col(f"_f_{c}"))
+            .alias(f"asof_{c}")
+            for c in right_vals
+        ],
+        F.when(use_back, F.col("_b_t")).otherwise(F.col("_f_t")).alias("asof_t"),
+    )

@@ -2223,6 +2223,90 @@ def asof_event_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- nearest as-of join (merge_asof direction='nearest') -------------------------
+@register(
+    "asof_event_nearest_purchase",
+    """
+    WITH u AS (
+      SELECT user_id AS k, ts AS t, 1 AS is_purchase,
+             NULL::BIGINT AS event_id, event_id AS purchase_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id, ts, 0, event_id, NULL::BIGINT
+      FROM events WHERE event_type <> 'purchase'),
+    carried AS (
+      SELECT k, t, is_purchase, event_id,
+             last_value(purchase_id IGNORE NULLS) OVER wb AS b_id,
+             last_value(CASE WHEN is_purchase = 1 THEN t END IGNORE NULLS)
+               OVER wb AS b_t,
+             first_value(purchase_id IGNORE NULLS) OVER wf AS f_id,
+             first_value(CASE WHEN is_purchase = 1 THEN t END IGNORE NULLS)
+               OVER wf AS f_t
+      FROM u
+      WINDOW
+        wb AS (PARTITION BY k ORDER BY t, is_purchase DESC, purchase_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        wf AS (PARTITION BY k ORDER BY t, is_purchase, purchase_id
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+    tol AS (
+      SELECT event_id, k, t,
+             CASE WHEN date_diff('day', b_t::DATE, t::DATE) <= 7
+                  THEN b_id END AS b_id,
+             CASE WHEN date_diff('day', b_t::DATE, t::DATE) <= 7
+                  THEN b_t END AS b_t,
+             CASE WHEN date_diff('day', t::DATE, f_t::DATE) <= 7
+                  THEN f_id END AS f_id,
+             CASE WHEN date_diff('day', t::DATE, f_t::DATE) <= 7
+                  THEN f_t END AS f_t
+      FROM carried WHERE is_purchase = 0)
+    SELECT event_id, k AS user_id,
+           CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR
+                     epoch_us(t) - epoch_us(b_t) <= epoch_us(f_t) - epoch_us(t))
+                THEN b_id ELSE f_id END AS nearest_purchase_id,
+           CASE WHEN b_t IS NOT NULL AND (f_t IS NULL OR
+                     epoch_us(t) - epoch_us(b_t) <= epoch_us(f_t) - epoch_us(t))
+                THEN CAST(date_diff('day', t::DATE, b_t::DATE) AS BIGINT)
+                ELSE CAST(date_diff('day', t::DATE, f_t::DATE) AS BIGINT)
+           END AS gap_days
+    FROM tol
+    """,
+)
+def asof_event_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event NEAREST as-of join: each non-purchase event picks the
+    user's closest purchase in EITHER direction within a 7-day
+    tolerance, ties to the earlier one (pandas merge_asof
+    direction='nearest') — 'which conversion is this touch about',
+    without assuming the touch preceded it. Completes the as-of family
+    (backward asof_event_latest_order, forward
+    asof_event_next_purchase): two union-tag window passes + one
+    co-partitioned join-back, all shuffling once on user_id, never a
+    range-join explosion. gap_days is signed (negative = purchase
+    before the event)."""
+    from ug_dwh_etl_spark.operators.joins import merge_asof_nearest
+
+    ev = table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type") != "purchase")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("purchase_id")
+    )
+    out = merge_asof_nearest(
+        touches,
+        purchases,
+        key="user_id",
+        left_time="ts",
+        right_time="p_ts",
+        left_vals=["event_id"],
+        right_vals=["purchase_id"],
+        tolerance_days=7,
+    )
+    return out.select(
+        "event_id",
+        F.col("_k").alias("user_id"),
+        F.col("asof_purchase_id").alias("nearest_purchase_id"),
+        F.datediff(F.to_date("asof_t"), F.to_date("_t")).cast("long").alias("gap_days"),
+    )
+
+
 # --- Markov entropy rate of the event stream -------------------------------------
 @register(
     "events_entropy_rate",

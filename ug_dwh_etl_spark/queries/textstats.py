@@ -1113,6 +1113,114 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_ndcg_bm25",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, term
+      FROM (SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+            FROM documents)
+      WHERE term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM terms GROUP BY doc_id),
+    stats AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+                     (SELECT AVG(dl) FROM dl) AS avgdl),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM terms
+      WHERE term IN {_BM25_PROBE!r}
+      GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM terms
+           WHERE term IN {_BM25_PROBE!r} GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(LN((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ({_BM25_K1} + 1.0)
+                 / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl / avgdl)))
+               AS s
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+      GROUP BY tf.doc_id),
+    rel AS (SELECT doc_id, COUNT(*) AS rel FROM tf GROUP BY doc_id),
+    ranked AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY ROUND(s, 4) DESC, doc_id) AS rnk
+      FROM scored),
+    dcg AS (
+      SELECT SUM((POWER(2, rel) - 1.0) / LOG2(rnk + 1.0)) AS dcg
+      FROM ranked JOIN rel USING (doc_id) WHERE rnk <= 10),
+    ideal AS (
+      SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, doc_id) AS irnk
+      FROM rel),
+    idcg AS (
+      SELECT SUM((POWER(2, rel) - 1.0) / LOG2(irnk + 1.0)) AS idcg
+      FROM ideal WHERE irnk <= 10)
+    SELECT 10 AS k, ROUND(dcg, 6) AS dcg, ROUND(idcg, 6) AS idcg,
+           ROUND(dcg / idcg, 6) AS ndcg
+    FROM dcg CROSS JOIN idcg
+    """,
+)
+def text_ndcg_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality audit: nDCG@10 of the BM25 ranking against a
+    graded relevance label (distinct probe terms present, 0-5) derived
+    independently of the score — the eval every retrieval/RAG corpus
+    pipeline runs before trusting a ranker. Gains are (2^rel − 1) with
+    the standard log2(rank+1) discount; the ideal ordering shares the
+    deterministic (rel desc, doc_id) tie-break. Scale shape inherits
+    text_bm25_topdocs: probe-filtered postings, broadcast df/stats, two
+    TakeOrderedAndProject top-10s, and the DCG sums run over ≤10-row
+    relations — eval cost is index-build cost, not corpus-squared."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term")
+    ).filter(F.col("term") != "")
+    dl = terms.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        dl.agg(F.avg("dl").alias("avgdl"))
+    )
+    probed = terms.filter(F.col("term").isin(*_BM25_PROBE))
+    tf = probed.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * F.col("tf") * (_BM25_K1 + 1.0) / denom).alias("s"))
+    )
+    rel = tf.groupBy("doc_id").agg(F.count(F.lit(1)).alias("rel"))
+    top = (
+        scored.select("doc_id", F.round("s", 4).alias("r4"))
+        .orderBy(F.desc("r4"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn(
+            "rnk", F.row_number().over(Window.orderBy(F.desc("r4"), F.asc("doc_id")))
+        )
+    )
+    gain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("rnk") + 1.0)
+    dcg = top.join(rel, "doc_id").agg(F.sum(gain).alias("dcg"))
+    itop = (
+        rel.orderBy(F.desc("rel"), F.asc("doc_id"))
+        .limit(10)
+        .withColumn(
+            "irnk", F.row_number().over(Window.orderBy(F.desc("rel"), F.asc("doc_id")))
+        )
+    )
+    igain = (F.pow(F.lit(2.0), F.col("rel")) - 1.0) / F.log2(F.col("irnk") + 1.0)
+    idcg = itop.agg(F.sum(igain).alias("idcg"))
+    return dcg.crossJoin(idcg).select(
+        F.lit(10).alias("k"),
+        F.round("dcg", 6).alias("dcg"),
+        F.round("idcg", 6).alias("idcg"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+    )
+
+
 def _bpe_train_rounds_sql(n_rounds: int = 3) -> str:
     """Sequential-CTE oracle for the N-round BPE trainer: v0 → (p1, b1,
     v1) → (p2, b2, v2) → … mirrors the Spark loop exactly, including the
