@@ -692,6 +692,122 @@ def history_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Holt-Winters additive seasonal smoothing ----------------------------------
+# alpha/beta/gamma literals appear VERBATIM in both engines' recursions;
+# the l_t expression is repeated inline (not aliased) in both so the
+# IEEE evaluation order is identical everywhere it is consumed.
+_HW_A, _HW_B, _HW_G = 0.3, 0.1, 0.2
+
+
+@register(
+    "history_holt_winters",
+    f"""
+    WITH RECURSIVE monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS xd
+      FROM orders GROUP BY m),
+    series AS (SELECT x, xd, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly),
+    l0 AS (SELECT CAST(SUM(xd) AS DOUBLE) / 12.0 AS l FROM series WHERE rn <= 12),
+    b0 AS (SELECT (CAST(SUM(CASE WHEN rn BETWEEN 13 AND 24 THEN xd END) AS DOUBLE) / 12.0
+                   - CAST(SUM(CASE WHEN rn <= 12 THEN xd END) AS DOUBLE) / 12.0) / 12.0 AS b
+           FROM series WHERE rn <= 24),
+    seed AS (
+      SELECT 12 AS rn,
+             (SELECT l FROM l0) AS l,
+             (SELECT b FROM b0) AS b,
+             (SELECT LIST(x - (SELECT l FROM l0) ORDER BY rn)
+              FROM series WHERE rn <= 12) AS s),
+    rec AS (
+      SELECT rn, l, b, s FROM seed
+      UNION ALL
+      SELECT sr.rn,
+             {_HW_A} * (sr.x - r.s[1]) + {1 - _HW_A} * (r.l + r.b),
+             {_HW_B} * (({_HW_A} * (sr.x - r.s[1]) + {1 - _HW_A} * (r.l + r.b)) - r.l)
+               + {1 - _HW_B} * r.b,
+             list_concat(r.s[2:12],
+               [{_HW_G} * (sr.x - ({_HW_A} * (sr.x - r.s[1])
+                                   + {1 - _HW_A} * (r.l + r.b)))
+                + {1 - _HW_G} * r.s[1]])
+      FROM rec r JOIN series sr ON sr.rn = r.rn + 1),
+    fin AS (SELECT MAX(rn) AS mx FROM rec)
+    SELECT CAST(f.mx AS BIGINT) AS n_months,
+           ROUND(r.l, 4) AS level, ROUND(r.b, 4) AS trend,
+           ROUND(r.s[1], 4) AS season_next,
+           ROUND(r.l + r.b + r.s[1], 4) AS forecast_1,
+           ROUND(r.l + 12 * r.b + r.s[12], 4) AS forecast_12
+    FROM rec r JOIN fin f ON r.rn = f.mx
+    """,
+)
+def history_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters ADDITIVE seasonal smoothing (alpha=0.3, beta=0.1,
+    gamma=0.2, season m=12) over the global monthly revenue series —
+    the seasonal completion of the forecasting family (Holt trend,
+    seasonal decomposition, sNaive backtest). Classical initialization
+    (fpp3 §8.3): l_12 = mean of year 1, b_12 = year-over-year monthly
+    growth, s_i = x_i − l_12; then the coupled 14-number recursion
+    (level, trend, 12 seasonals) folds months 13.. in order.
+
+    Scale shape identical to history_holt_forecast: 100 TB of orders
+    reduce to the month rollup in the one real shuffle (decimal sums →
+    bit-exact doubles), the series collect is months-sized, and the
+    fold is a codegen'd `aggregate` lambda carrying a constant-size
+    state struct — the oracle runs the same arithmetic as a genuine
+    recursive CTE, so every IEEE intermediate matches."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("xd")
+    )
+    ser = monthly.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(m, xd)))").alias("sx")
+    ).select(
+        F.expr("transform(sx, s -> CAST(s.xd AS DOUBLE))").alias("xs"),
+        F.expr("transform(sx, s -> s.xd)").alias("xsd"),
+    )
+    # decimal partial sums -> deterministic init level/trend
+    prep = ser.select(
+        "xs",
+        F.expr(
+            "CAST(aggregate(slice(xsd, 1, 12), CAST(0 AS DECIMAL(28,2)),"
+            " (a, v) -> CAST(a + v AS DECIMAL(28,2))) AS DOUBLE) / 12.0"
+        ).alias("l0"),
+        F.expr(
+            "(CAST(aggregate(slice(xsd, 13, 12), CAST(0 AS DECIMAL(28,2)),"
+            " (a, v) -> CAST(a + v AS DECIMAL(28,2))) AS DOUBLE) / 12.0"
+            " - CAST(aggregate(slice(xsd, 1, 12), CAST(0 AS DECIMAL(28,2)),"
+            " (a, v) -> CAST(a + v AS DECIMAL(28,2))) AS DOUBLE) / 12.0) / 12.0"
+        ).alias("b0"),
+    ).select(
+        "xs",
+        "l0",
+        "b0",
+        F.expr("transform(slice(xs, 1, 12), x -> x - l0)").alias("s0"),
+    )
+    a, b, g = _HW_A, _HW_B, _HW_G
+    lnew = f"{a} * (x - element_at(acc.s, 1)) + {1 - a} * (acc.l + acc.b)"
+    fold = F.expr(
+        "aggregate(slice(xs, 13, size(xs) - 12),"
+        " named_struct('l', l0, 'b', b0, 's', s0),"
+        " (acc, x) -> named_struct("
+        f"   'l', {lnew},"
+        f"   'b', {b} * (({lnew}) - acc.l) + {1 - b} * acc.b,"
+        f"   's', concat(slice(acc.s, 2, 11),"
+        f"        array({g} * (x - ({lnew})) + {1 - g} * element_at(acc.s, 1)))))"
+    )
+    return prep.select(F.size("xs").cast("long").alias("n_months"), fold.alias("st")).select(
+        "n_months",
+        F.round(F.col("st.l"), 4).alias("level"),
+        F.round(F.col("st.b"), 4).alias("trend"),
+        F.round(F.expr("element_at(st.s, 1)"), 4).alias("season_next"),
+        F.round(F.col("st.l") + F.col("st.b") + F.expr("element_at(st.s, 1)"), 4).alias(
+            "forecast_1"
+        ),
+        F.round(
+            F.col("st.l") + 12 * F.col("st.b") + F.expr("element_at(st.s, 12)"), 4
+        ).alias("forecast_12"),
+    )
+
+
 # --- rolling-origin backtest: naive vs seasonal-naive baselines ----------------
 @register(
     "history_backtest_snaive",
