@@ -67,6 +67,64 @@ def test_incremental_neardup_matches_full_rerun(spark, tmp_path):
     assert any((a in batch_ids) != (b in batch_ids) for a, b in got_pairs)  # cross
 
 
+def test_incremental_neardup_two_day_cadence(spark, tmp_path):
+    """The daily-ingest loop END TO END: day-1's batch appends its band
+    keys and shingle hashes to the stored index; day-2 then matches
+    against the UPDATED index and must find its near-dups against both
+    the original corpus and day-1's docs — the append-model maintenance
+    path, not just a one-shot lookup."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        incremental_neardup,
+        lsh_band_keys,
+        spread,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = _docs(spark, [(1, base), (2, "unrelated text about query planners")])
+    day1 = _docs(spark, [(10, "novel day one content nothing matches this")])
+    day2 = _docs(
+        spark,
+        [
+            (20, base),  # near-dup of corpus doc 1
+            (21, "novel day one content nothing matches this"),  # dup of day-1 doc 10
+        ],
+    )
+    bands_path = str(tmp_path / "bands")
+    sh_path = str(tmp_path / "shingles")
+    lsh_band_keys(corpus, "doc_id", "text").write.parquet(bands_path)
+    doc_shingle_hashes(spread(corpus), "doc_id", "text").write.parquet(sh_path)
+
+    # day 1: match (finds nothing), then APPEND day-1's index rows
+    got1 = incremental_neardup(
+        day1,
+        spark.read.parquet(bands_path),
+        spark.read.parquet(sh_path),
+        "doc_id",
+        "text",
+    )
+    assert got1.count() == 0
+    lsh_band_keys(day1, "doc_id", "text").write.mode("append").parquet(bands_path)
+    doc_shingle_hashes(spread(day1), "doc_id", "text").write.mode("append").parquet(
+        sh_path
+    )
+
+    # day 2: the updated index must surface BOTH the corpus match and
+    # the day-1 match
+    got2 = {
+        (r.id_a, r.id_b)
+        for r in incremental_neardup(
+            day2,
+            spark.read.parquet(bands_path),
+            spark.read.parquet(sh_path),
+            "doc_id",
+            "text",
+        ).collect()
+    }
+    assert (1, 20) in got2
+    assert (10, 21) in got2
+
+
 def test_incremental_neardup_never_scans_corpus_text(spark, tmp_path):
     """Structural no-rescan guarantee: the ONLY file scans in the plan
     are the persisted index relations — corpus documents parquet never

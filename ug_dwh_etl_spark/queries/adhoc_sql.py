@@ -210,3 +210,73 @@ def sql_macro_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY root, directory
         """
     )
+
+
+# --- Spark 4 SQL pipe syntax -------------------------------------------------
+@register(
+    "sql_pipe_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's SQL PIPE syntax (`FROM t |> WHERE … |> AGGREGATE …`) —
+    the linear query-writing surface SQL analysts migrate to; each |>
+    stage lowers into the SAME Catalyst logical plan as the classic
+    spelling (the oracle here IS that classic spelling), so pushdown,
+    pruning and join selection are identical. API-coverage proof that
+    the ad-hoc entry point accepts both dialects."""
+    df = run_sql(
+        spark,
+        sf_dir,
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS total
+           GROUP BY o_orderpriority
+        """,
+    )
+    return df.select(
+        "o_orderpriority", "n_orders", df.total.cast("double").alias("total")
+    )
+
+
+# --- parameterized SQL (named placeholders) ----------------------------------
+_PARAM_THRESHOLD = 450000.0
+
+
+@register(
+    "sql_parameterized",
+    f"""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_big,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders
+    WHERE o_totalprice > {_PARAM_THRESHOLD}
+    GROUP BY o_orderpriority
+    """,
+)
+def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named-parameter SQL (`spark.sql(sql, args={...})`): the
+    injection-safe way a dashboard passes user inputs — the parameter
+    binds as a typed literal in the plan (constant-folded, filter still
+    pushed to the scan), never string concatenation. The oracle inlines
+    the same literal."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_big,
+               CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+        FROM orders
+        WHERE o_totalprice > :threshold
+        GROUP BY o_orderpriority
+        """,
+        args={"threshold": _PARAM_THRESHOLD},
+    )

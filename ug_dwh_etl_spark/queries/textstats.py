@@ -1114,6 +1114,90 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_cdc_chunks",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    pos AS (
+      SELECT doc_id, i AS p, t[i] AS tok
+      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM tok WHERE len(t) > 0)),
+    bnd AS (
+      SELECT doc_id, p, tok,
+             CASE WHEN {H.sql_md5_long('tok', 15)} % 8 = 0 THEN 1 ELSE 0 END AS b
+      FROM pos),
+    cid AS (
+      SELECT doc_id, p, tok,
+             1 + COALESCE(SUM(b) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id
+      FROM bnd),
+    chunks AS (
+      SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+             md5(string_agg(tok, ' ' ORDER BY p)) AS fp
+      FROM cid GROUP BY doc_id, chunk_id),
+    occ AS (SELECT fp, COUNT(*) AS occ FROM chunks GROUP BY fp)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           ROUND(SUM(CASE WHEN occ > 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 6)
+             AS dup_chunk_ratio
+    FROM chunks JOIN occ USING (fp)
+    GROUP BY doc_id
+    """,
+)
+def text_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED chunking + duplicate-chunk audit: a chunk
+    boundary falls after any token whose content hash ≡ 0 (mod 8), so
+    expected chunk length is 8 tokens but boundaries RE-SYNC after
+    insertions/deletions — the property fixed-size windows
+    (text_chunk_docs) and fixed spans (text_duplicate_spans) lack: an
+    edit near a doc's head shifts every fixed window but only the one
+    CDC chunk containing it. Per doc: chunk count and the fraction of
+    its chunks appearing verbatim elsewhere in the corpus (grouped by
+    chunk fingerprint). Scale shape: one posexplode pass, boundary flag
+    is map-side hash arithmetic, chunk assembly is one (doc, chunk)
+    aggregation, and the cross-doc occ count shuffles fingerprints
+    (longs+md5), never text."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(H.tokens("text")).alias("p", "tok")
+    )
+    b = (H.content_hash_long("tok", 15) % 8 == 0).cast("long")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cid = toks.select(
+        "doc_id",
+        "p",
+        "tok",
+        (F.lit(1) + F.coalesce(F.sum(b).over(w), F.lit(0))).alias("chunk_id"),
+    )
+    chunks = cid.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.md5(
+            F.expr(
+                "concat_ws(' ', transform(array_sort(collect_list(struct(p, tok))),"
+                " s -> s.tok))"
+            )
+        ).alias("fp"),
+    )
+    occ = chunks.groupBy("fp").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (F.col("occ") > 1).cast("long")
+    return (
+        chunks.join(occ, "fp")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(dup).alias("n_dup_chunks"),
+            F.round(F.sum(dup) / F.count(F.lit(1)), 6).alias("dup_chunk_ratio"),
+        )
+    )
+
+
+@register(
     "text_ndcg_bm25",
     f"""
     WITH terms AS (
