@@ -125,6 +125,47 @@ def test_incremental_neardup_two_day_cadence(spark, tmp_path):
     assert (10, 21) in got2
 
 
+def test_stream_incremental_neardup_across_micro_batches(spark, tmp_path):
+    """The foreachBatch match-then-append loop must find pairs ACROSS
+    micro-batches: a doc in batch 2 whose only duplicate arrived in
+    batch 1 pairs with it because batch 1 appended its band keys to the
+    index before batch 2 ran. Union of emissions == full re-run."""
+    import os
+
+    from ug_dwh_etl_spark.streaming.jobs import stream_incremental_neardup
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus_and_b1 = _docs(
+        spark,
+        [
+            (1, base),  # corpus (1 % 10 != 0)
+            (2, "unrelated corpus text about catalyst optimizer rules"),
+            (10, base),  # stream batch file 0
+        ],
+    )
+    b2 = _docs(spark, [(20, base)])  # stream batch file 1 — dups 1 AND 10
+
+    d = str(tmp_path / "documents.parquet")
+    os.makedirs(d)
+    for i, part in enumerate((corpus_and_b1, b2)):
+        tmp = str(tmp_path / f"half{i}")
+        part.coalesce(1).write.parquet(tmp)
+        src = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        dst = f"{d}/half{i}.parquet"
+        os.rename(f"{tmp}/{src}", dst)
+        os.utime(dst, (1_700_000_000 + i * 3600, 1_700_000_000 + i * 3600))
+
+    out = stream_incremental_neardup(
+        spark,
+        str(tmp_path),
+        index_root=str(tmp_path / "idx"),
+        max_files_per_trigger=1,
+    )
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    # (1,10) found in batch 1; (1,20) AND the cross-batch (10,20) in batch 2
+    assert pairs == {(1, 10), (1, 20), (10, 20)}
+
+
 def test_incremental_neardup_never_scans_corpus_text(spark, tmp_path):
     """Structural no-rescan guarantee: the ONLY file scans in the plan
     are the persisted index relations — corpus documents parquet never

@@ -165,6 +165,8 @@ EXPECTED_NESTED_LOOP = {
     "events_peak_concurrency",
     # 1-row corpus-total frame broadcast onto the 2x2 cell table
     "corpus_quality_dup_matrix",
+    # 5-row threshold frame broadcast-crossed onto the candidate pairs
+    "dedup_threshold_curve",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -643,6 +643,62 @@ def dedup_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verify_pairs_jaccard(docs, pairs, "doc_id", "text", 0.5)
 
 
+# --- dedup-threshold decision curve ----------------------------------------------
+def _threshold_curve_sql() -> str:
+    return f"""
+    WITH {_lsh_pairs_ctes()},
+    exh2 AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS inter
+      FROM pairs p
+        JOIN exh2 a ON a.doc_id = p.id_a
+        JOIN exh2 b ON b.doc_id = p.id_b AND b.h = a.h
+      GROUP BY p.id_a, p.id_b),
+    vp AS (
+      SELECT id_a, id_b,
+             ROUND(inter / (sa.sz + sb.sz - inter), 6) AS j
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b),
+    th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t)
+    SELECT t,
+           CAST(COUNT(CASE WHEN j >= t THEN 1 END) AS BIGINT) AS n_pairs,
+           CAST(COUNT(DISTINCT CASE WHEN j >= t THEN id_b END) AS BIGINT)
+             AS n_docs_dropped
+    FROM th CROSS JOIN vp
+    GROUP BY t
+    """
+
+
+@register("dedup_threshold_curve", _threshold_curve_sql())
+def dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup-aggressiveness decision tool: exact Jaccard computed
+    ONCE on the LSH candidates, then pair counts and docs-dropped (the
+    max-id side, under the min-id survivor rule) at thresholds
+    0.5–0.9 — run this BEFORE choosing the cut for a corpus pass, next
+    to dedup_lsh_tuning_curve's banding decision. The candidate
+    relation is computed once and the sweep is a 5-row broadcast cross
+    of pair-sized data; at 100 TB cost is one verified-pairs pass, not
+    five."""
+    from ug_dwh_etl_spark.operators.dedup import verify_pairs_jaccard
+
+    docs = table(spark, sf_dir, "documents")
+    cands = minhash_lsh_pairs(docs, "doc_id", "text")
+    vp = verify_pairs_jaccard(docs, cands, "doc_id", "text", threshold=0.0)
+    th = spark.createDataFrame([(t,) for t in (0.5, 0.6, 0.7, 0.8, 0.9)], "t double")
+    hit = F.col("jaccard") >= F.col("t")
+    return (
+        F.broadcast(th)
+        .crossJoin(vp)
+        .groupBy("t")
+        .agg(
+            F.sum(hit.cast("long")).alias("n_pairs"),
+            F.count_distinct(F.when(hit, F.col("id_b"))).alias("n_docs_dropped"),
+        )
+    )
+
+
 # --- boilerplate report: hottest shingles by document frequency -----------------
 @register(
     "dedup_hot_shingles",

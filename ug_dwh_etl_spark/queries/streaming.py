@@ -436,3 +436,20 @@ def q_stream_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_benford_totalprice
 
     return stream_benford_totalprice(spark, sf_dir)
+
+
+def _incremental_neardup_oracle() -> str:
+    from ug_dwh_etl_spark.queries.dedup import _incremental_neardup_sql
+
+    return _incremental_neardup_sql()
+
+
+@register("stream_incremental_neardup", _incremental_neardup_oracle())
+def q_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # foreachBatch match-then-append against the persisted LSH index —
+    # the streaming twin of dedup_incremental_neardup, SAME oracle: the
+    # union of per-batch emissions equals the full-corpus re-run
+    # restricted to stream-side ids, however the stream is micro-batched
+    from ug_dwh_etl_spark.streaming.jobs import stream_incremental_neardup
+
+    return stream_incremental_neardup(spark, sf_dir)
