@@ -218,3 +218,41 @@ def test_join_bloom_pruned_query_injects_runtime_filter(spark):
     QUERIES["join_bloom_pruned"].fn(spark, "/root/testdata/sf0.001").collect()
     after = {k: spark.conf.get(k, None) for k in _BLOOM_CONFS}
     assert after == before
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Dynamic Partition Pruning: a hive-partitioned fact joined to a
+    selectively-filtered dim must get a runtime `dynamicpruning`
+    subquery on its partition column — at 100 TB this is the difference
+    between scanning one day and scanning the table when the pruning
+    value is only known at run time (dim filter, not a literal). The
+    partition-level sibling of the runtime bloom-filter row test."""
+    fact_path = str(tmp_path / "fact")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    fact = orders.withColumn(
+        "od", F.date_format("o_orderdate", "yyyy-MM").cast("string")
+    )
+    fact.write.partitionBy("od").parquet(fact_path)
+    # the pruning predicate must be RUNTIME-only (a dim attribute, not a
+    # literal on the join key — a literal constraint-propagates into a
+    # STATIC partition filter, which is stronger but a different feature)
+    dim = fact.select("od").distinct().withColumn("flag", F.col("od").endswith("-01"))
+    dim_path = str(tmp_path / "dim")
+    dim.write.parquet(dim_path)
+
+    f = spark.read.parquet(fact_path)
+    # the static range predicate keeps the optimizer's benefit estimate
+    # above the DPP threshold on this small fixture; `flag` stays the
+    # runtime-only part the subquery must deliver
+    d = (
+        spark.read.parquet(dim_path)
+        .filter(F.col("flag") & (F.col("od") > "1997"))
+        .select("od")
+    )
+    j = f.join(d, "od").groupBy().count()
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan
+    # correctness: the DPP'd join equals the statically-filtered count
+    expect = f.filter(F.col("od").endswith("-01") & (F.col("od") > "1997")).count()
+    assert j.collect()[0]["count"] == expect

@@ -1113,6 +1113,97 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_switch_sql() -> str:
+    from ug_dwh_etl_spark.operators.textstats import STOPWORDS, sql_stop_filter
+
+    h = {lang: sql_stop_filter("ct", words) for lang, words in STOPWORDS.items()}
+    return f"""
+    WITH {_TOK_CTE},
+    nz AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, list_slice(t, s, LEAST(s + 15, n)) AS ct
+      FROM (SELECT doc_id, t, n, unnest(generate_series(1, n, 16)) AS s FROM nz)),
+    pred AS (
+      SELECT doc_id,
+             CASE WHEN {h['en']} >= {h['de']} AND {h['en']} >= {h['fr']}
+                   AND {h['en']} >= {h['es']} AND {h['en']} > 0 THEN 'en'
+                  WHEN {h['de']} >= {h['fr']} AND {h['de']} >= {h['es']}
+                   AND {h['de']} > 0 THEN 'de'
+                  WHEN {h['fr']} >= {h['es']} AND {h['fr']} > 0 THEN 'fr'
+                  WHEN {h['es']} > 0 THEN 'es'
+                  ELSE 'und' END AS lang
+      FROM chunks),
+    per AS (SELECT doc_id, lang, COUNT(*) AS c FROM pred GROUP BY doc_id, lang),
+    main AS (
+      SELECT doc_id, lang AS main_lang FROM (
+        SELECT doc_id, lang, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY c DESC, lang) AS r
+        FROM per) WHERE r = 1),
+    agg AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_chunks,
+             CAST(COUNT(DISTINCT CASE WHEN lang <> 'und' THEN lang END) AS BIGINT)
+               AS n_langs
+      FROM per GROUP BY doc_id)
+    SELECT a.doc_id, n_chunks, n_langs, main_lang,
+           n_langs >= 2 AS is_mixed
+    FROM agg a JOIN main m ON m.doc_id = a.doc_id
+    """
+
+
+@register("text_code_switch", _code_switch_sql())
+def text_code_switch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-switching audit: classify every 16-token window with the
+    stopword-argmax language model (text_langid's classifier), then per
+    doc report window count, distinct confident languages, the majority
+    language (count desc, lang asc tie-break via min-of-struct argmax —
+    no per-doc sort) and a mixed flag — the doc-level language-purity
+    gate a multilingual corpus mix needs: whole-doc langid averages
+    away a 50/50 bilingual page, per-window voting doesn't. One
+    explode + two doc-keyed aggregations; the stopword hits are
+    codegen'd array intersections, no UDFs."""
+    from pyspark.sql import functions as FN
+
+    from ug_dwh_etl_spark.operators.textstats import STOPWORDS, _stop_filter_spark
+
+    docs = table(spark, sf_dir, "documents")
+    nz = docs.select("doc_id", H.tokens("text").alias("t")).filter(
+        F.size("t") > 0
+    )
+    chunks = nz.select(
+        "doc_id",
+        F.explode(F.expr("sequence(1, size(t), 16)")).alias("s"),
+        "t",
+    ).select("doc_id", F.expr("slice(t, s, 16)").alias("ct"))
+    hits = {lang: _stop_filter_spark("ct", words) for lang, words in STOPWORDS.items()}
+    lang = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"])
+            & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]) & (hits["de"] > 0), F.lit("de"))
+        .when((hits["fr"] >= hits["es"]) & (hits["fr"] > 0), F.lit("fr"))
+        .when(hits["es"] > 0, F.lit("es"))
+        .otherwise(F.lit("und"))
+    )
+    per = chunks.select("doc_id", lang.alias("lang")).groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_chunks"),
+        FN.count_distinct(F.when(F.col("lang") != "und", F.col("lang"))).alias(
+            "n_langs"
+        ),
+        F.min(F.struct((-F.col("c")).alias("nc"), F.col("lang").alias("lang")))[
+            "lang"
+        ].alias("main_lang"),
+        (
+            FN.count_distinct(F.when(F.col("lang") != "und", F.col("lang"))) >= 2
+        ).alias("is_mixed"),
+    )
+
+
 @register(
     "text_cdc_chunks",
     f"""
