@@ -167,6 +167,8 @@ EXPECTED_NESTED_LOOP = {
     "corpus_quality_dup_matrix",
     # 5-row threshold frame broadcast-crossed onto the candidate pairs
     "dedup_threshold_curve",
+    # per-edge (1-row total x 1-row orphan-count) frames, 7 edges
+    "dq_foreign_key_audit",
 }
 STREAM = re.compile(r"^stream_")
 

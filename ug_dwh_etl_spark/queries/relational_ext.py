@@ -2369,6 +2369,74 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# --- foreign-key referential-integrity audit --------------------------------------
+# (child table, fk column(s)) -> (parent table, pk column(s))
+_FK_EDGES = (
+    ("nation", ("n_regionkey",), "region", ("r_regionkey",)),
+    ("customer", ("c_nationkey",), "nation", ("n_nationkey",)),
+    ("supplier", ("s_nationkey",), "nation", ("n_nationkey",)),
+    ("orders", ("o_custkey",), "customer", ("c_custkey",)),
+    ("lineitem", ("l_orderkey",), "orders", ("o_orderkey",)),
+    ("lineitem", ("l_partkey",), "part", ("p_partkey",)),
+    ("lineitem", ("l_suppkey",), "supplier", ("s_suppkey",)),
+)
+
+
+def _fk_audit_sql() -> str:
+    selects = []
+    for child, fk, parent, pk in _FK_EDGES:
+        fkc, pkc = ", ".join(fk), ", ".join(pk)
+        selects.append(
+            f"""SELECT '{child}.{fk[0]}' AS fk,
+           '{parent}' AS parent_table,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM {parent} p WHERE ({pkc}) = ({fkc}))
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+           CAST(SUM(CASE WHEN NOT EXISTS (
+                  SELECT 1 FROM {parent} p WHERE ({pkc}) = ({fkc}))
+                THEN 1 ELSE 0 END) = 0 AS BOOLEAN) AS is_consistent
+    FROM {child}"""
+        )
+    return "\n    UNION ALL ".join(selects)
+
+
+@register("dq_foreign_key_audit", _fk_audit_sql())
+def dq_foreign_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit for every declared FK edge of the
+    star schema in one 7-row result: orphaned child rows per edge
+    (child keys with no parent) — the companion to
+    dq_primary_key_audit (that one proves parent identity; this proves
+    the edges the join layer relies on). Each edge is a LEFT ANTI join
+    counted — at 100 TB the parent side is the key column only, and
+    dim-sized parents broadcast, so the audit costs one pass per fact
+    edge with no wide shuffles; Spark and DuckDB agree on NOT-EXISTS
+    null semantics because the anti-join is on key equality."""
+    out = None
+    for child, fk, parent, pk in _FK_EDGES:
+        c = table(spark, sf_dir, child)
+        p = table(spark, sf_dir, parent).select(
+            *[F.col(k).alias(f"__p{i}") for i, k in enumerate(pk)]
+        )
+        cond = None
+        for i, k in enumerate(fk):
+            e = F.col(k) == F.col(f"__p{i}")
+            cond = e if cond is None else cond & e
+        orphans = c.join(p, cond, "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        total = c.agg(F.count(F.lit(1)).alias("n_child_rows"))
+        row = total.crossJoin(orphans).select(
+            F.lit(f"{child}.{fk[0]}").alias("fk"),
+            F.lit(parent).alias("parent_table"),
+            "n_child_rows",
+            "n_orphans",
+            (F.col("n_orphans") == 0).alias("is_consistent"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
 # --- customer LTV curve by account age --------------------------------------------
 _LTV_MONTHS = 24
 
