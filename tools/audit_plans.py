@@ -169,6 +169,9 @@ EXPECTED_NESTED_LOOP = {
     "dedup_threshold_curve",
     # per-edge (1-row total x 1-row orphan-count) frames, 7 edges
     "dq_foreign_key_audit",
+    # 1-row exact-percentile cutpoint frame broadcast onto the scan
+    # (customer_rfm_segments shape)
+    "corpus_curriculum_plan",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -1113,6 +1113,89 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_curriculum_plan",
+    f"""
+    WITH {_TOK_CTE},
+    m AS (
+      SELECT doc_id, len(t) AS n_tokens,
+             CASE WHEN len(t) > 0
+                  THEN {{SF}} / len(t)::DOUBLE ELSE 0.0 END AS q
+      FROM tok),
+    cuts AS (
+      SELECT quantile_cont(q, 1.0/3) AS q33, quantile_cont(q, 2.0/3) AS q66,
+             quantile_cont(n_tokens, 1.0/3) AS l33,
+             quantile_cont(n_tokens, 2.0/3) AS l66,
+             SUM(n_tokens) AS all_tokens
+      FROM m),
+    banded AS (
+      SELECT CASE WHEN q <= q33 THEN 'q1_low' WHEN q <= q66 THEN 'q2_mid'
+                  ELSE 'q3_high' END AS quality_band,
+             CASE WHEN n_tokens <= l33 THEN 'l1_short'
+                  WHEN n_tokens <= l66 THEN 'l2_mid'
+                  ELSE 'l3_long' END AS length_band,
+             n_tokens, all_tokens
+      FROM m CROSS JOIN cuts)
+    SELECT quality_band, length_band,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(SUM(n_tokens) / MAX(all_tokens)::DOUBLE, 6) AS token_share
+    FROM banded
+    GROUP BY quality_band, length_band
+    """.replace("{SF}", "len(list_filter(t, w -> len(w) >= 4))"),
+)
+def corpus_curriculum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule grid: every doc scored on a cheap quality
+    proxy (share of tokens ≥ 4 chars — content-word density) and its
+    token length, cut into terciles on BOTH axes by exact global
+    percentiles, yielding the ≤9-cell (quality × length) plan table
+    with doc and token budgets per cell — the thing a curriculum or
+    batch-mixing schedule is built from (start short/clean, end
+    long/hard). Scale shape: one tokenize pass for the per-doc
+    metrics, exact percentile cutpoints as a 1-row broadcast (the
+    customer_rfm_segments pattern — no global ntile sort), then a
+    9-key aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    m = docs.select(
+        "doc_id",
+        F.size(H.tokens("text")).alias("n_tokens"),
+        F.when(
+            F.size(H.tokens("text")) > 0,
+            F.size(F.filter(H.tokens("text"), lambda w: F.length(w) >= 4))
+            / F.size(H.tokens("text")),
+        )
+        .otherwise(0.0)
+        .alias("q"),
+    )
+    cuts = m.agg(
+        F.expr("percentile(q, 1.0D/3)").alias("q33"),
+        F.expr("percentile(q, 2.0D/3)").alias("q66"),
+        F.expr("percentile(n_tokens, 1.0D/3)").alias("l33"),
+        F.expr("percentile(n_tokens, 2.0D/3)").alias("l66"),
+        F.sum("n_tokens").alias("all_tokens"),
+    )
+    qb = (
+        F.when(F.col("q") <= F.col("q33"), "q1_low")
+        .when(F.col("q") <= F.col("q66"), "q2_mid")
+        .otherwise("q3_high")
+    )
+    lb = (
+        F.when(F.col("n_tokens") <= F.col("l33"), "l1_short")
+        .when(F.col("n_tokens") <= F.col("l66"), "l2_mid")
+        .otherwise("l3_long")
+    )
+    return (
+        m.crossJoin(F.broadcast(cuts))
+        .select(qb.alias("quality_band"), lb.alias("length_band"), "n_tokens", "all_tokens")
+        .groupBy("quality_band", "length_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.max("all_tokens"), 6).alias("token_share"),
+        )
+    )
+
+
 def _code_switch_sql() -> str:
     from ug_dwh_etl_spark.operators.textstats import STOPWORDS, sql_stop_filter
 
