@@ -808,6 +808,124 @@ def history_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "history_holt_winters_backtest",
+    f"""
+    WITH RECURSIVE monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS m,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS xd
+      FROM orders GROUP BY m),
+    series AS (SELECT x, xd, ROW_NUMBER() OVER (ORDER BY m) AS rn FROM monthly),
+    l0 AS (SELECT CAST(SUM(xd) AS DOUBLE) / 12.0 AS l FROM series WHERE rn <= 12),
+    b0 AS (SELECT (CAST(SUM(CASE WHEN rn BETWEEN 13 AND 24 THEN xd END) AS DOUBLE) / 12.0
+                   - CAST(SUM(CASE WHEN rn <= 12 THEN xd END) AS DOUBLE) / 12.0) / 12.0 AS b
+           FROM series WHERE rn <= 24),
+    seed AS (
+      SELECT 12 AS rn,
+             (SELECT l FROM l0) AS l,
+             (SELECT b FROM b0) AS b,
+             (SELECT LIST(x - (SELECT l FROM l0) ORDER BY rn)
+              FROM series WHERE rn <= 12) AS s,
+             CAST(0.0 AS DOUBLE) AS e),
+    rec AS (
+      SELECT rn, l, b, s, e FROM seed
+      UNION ALL
+      SELECT sr.rn,
+             {_HW_A} * (sr.x - r.s[1]) + {1 - _HW_A} * (r.l + r.b),
+             {_HW_B} * (({_HW_A} * (sr.x - r.s[1]) + {1 - _HW_A} * (r.l + r.b)) - r.l)
+               + {1 - _HW_B} * r.b,
+             list_concat(r.s[2:12],
+               [{_HW_G} * (sr.x - ({_HW_A} * (sr.x - r.s[1])
+                                   + {1 - _HW_A} * (r.l + r.b)))
+                + {1 - _HW_G} * r.s[1]]),
+             r.e + ABS(sr.x - (r.l + r.b + r.s[1]))
+      FROM rec r JOIN series sr ON sr.rn = r.rn + 1),
+    fin AS (SELECT MAX(rn) AS mx FROM rec),
+    hw AS (SELECT r.e AS err_hw, f.mx AS n FROM rec r JOIN fin f ON r.rn = f.mx),
+    -- the snaive error must fold LEFT-TO-RIGHT like the Spark lambda:
+    -- a hash-join SUM reorders double additions and the cents floor
+    -- can land one ulp across a .5 boundary (observed at sf0.01)
+    sn AS (SELECT LIST(x ORDER BY rn) AS lx FROM series),
+    sne AS (SELECT list_reduce(
+              [ABS(lx[i] - lx[i-12]) FOR i IN generate_series(13, len(lx))],
+              (a, b) -> a + b) AS err_sn
+            FROM sn)
+    SELECT CAST(n - 12 AS BIGINT) AS n_evaluated,
+           CAST(FLOOR(err_hw / (n - 12) * 100 + 0.5) AS BIGINT) AS mae_hw_cents,
+           CAST(FLOOR(err_sn / (n - 12) * 100 + 0.5) AS BIGINT) AS mae_snaive_cents,
+           ROUND(err_hw / err_sn, 6) AS mase
+    FROM hw CROSS JOIN sne
+    """,
+)
+def history_holt_winters_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-sample one-step-ahead backtest of the Holt-Winters model: at
+    every month 13..n the PRE-update state forecasts l+b+s[1] and the
+    absolute error accumulates inside the same fold; MASE divides the
+    HW MAE by the seasonal-naive MAE over the identical window — the
+    falsifiability audit for history_holt_winters (a MASE ≥ 1 model is
+    not worth its state). Both error sums fold in a fixed order on
+    identical IEEE sequences, so the oracle's recursive CTE matches
+    bit-for-bit before the cents floor."""
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(F.date_trunc("month", "o_orderdate").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("xd")
+    )
+    ser = monthly.groupBy().agg(
+        F.expr("array_sort(collect_list(struct(m, xd)))").alias("sx")
+    ).select(
+        F.expr("transform(sx, s -> CAST(s.xd AS DOUBLE))").alias("xs"),
+        F.expr("transform(sx, s -> s.xd)").alias("xsd"),
+    )
+    prep = ser.select(
+        "xs",
+        F.expr(
+            "CAST(aggregate(slice(xsd, 1, 12), CAST(0 AS DECIMAL(28,2)),"
+            " (a, v) -> CAST(a + v AS DECIMAL(28,2))) AS DOUBLE) / 12.0"
+        ).alias("l0"),
+        F.expr(
+            "(CAST(aggregate(slice(xsd, 13, 12), CAST(0 AS DECIMAL(28,2)),"
+            " (a, v) -> CAST(a + v AS DECIMAL(28,2))) AS DOUBLE) / 12.0"
+            " - CAST(aggregate(slice(xsd, 1, 12), CAST(0 AS DECIMAL(28,2)),"
+            " (a, v) -> CAST(a + v AS DECIMAL(28,2))) AS DOUBLE) / 12.0) / 12.0"
+        ).alias("b0"),
+    ).select(
+        "xs",
+        "l0",
+        "b0",
+        F.expr("transform(slice(xs, 1, 12), x -> x - l0)").alias("s0"),
+    )
+    a, b, g = _HW_A, _HW_B, _HW_G
+    lnew = f"{a} * (x - element_at(acc.s, 1)) + {1 - a} * (acc.l + acc.b)"
+    fold = F.expr(
+        "aggregate(slice(xs, 13, size(xs) - 12),"
+        " named_struct('l', l0, 'b', b0, 's', s0, 'e', CAST(0.0 AS DOUBLE)),"
+        " (acc, x) -> named_struct("
+        f"   'l', {lnew},"
+        f"   'b', {b} * (({lnew}) - acc.l) + {1 - b} * acc.b,"
+        f"   's', concat(slice(acc.s, 2, 11),"
+        f"        array({g} * (x - ({lnew})) + {1 - g} * element_at(acc.s, 1))),"
+        "    'e', acc.e + abs(x - (acc.l + acc.b + element_at(acc.s, 1)))))"
+    )
+    snaive = F.expr(
+        "aggregate(sequence(13, size(xs)), CAST(0.0 AS DOUBLE),"
+        " (a, i) -> a + abs(element_at(xs, i) - element_at(xs, i - 12)))"
+    )
+    n_eval = F.size("xs") - 12
+    return prep.select(
+        fold.alias("st"), snaive.alias("err_sn"), n_eval.alias("n_eval")
+    ).select(
+        F.col("n_eval").cast("long").alias("n_evaluated"),
+        F.floor(F.col("st.e") / F.col("n_eval") * 100 + 0.5)
+        .cast("long")
+        .alias("mae_hw_cents"),
+        F.floor(F.col("err_sn") / F.col("n_eval") * 100 + 0.5)
+        .cast("long")
+        .alias("mae_snaive_cents"),
+        F.round(F.col("st.e") / F.col("err_sn"), 6).alias("mase"),
+    )
+
+
 # --- rolling-origin backtest: naive vs seasonal-naive baselines ----------------
 @register(
     "history_backtest_snaive",
