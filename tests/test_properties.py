@@ -396,6 +396,64 @@ def test_bpe_train_rounds_matches_python_model(spark, texts):
     assert got == _model_bpe_rounds(texts, 3)
 
 
+# --- incremental near-dup == full re-run, on arbitrary corpora ------------------
+_nd_word = st.sampled_from(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+)
+_nd_text = st.lists(_nd_word, min_size=6, max_size=14).map(" ".join)
+_nd_corpus = st.lists(_nd_text, min_size=1, max_size=5)
+_nd_batch = st.lists(_nd_text, min_size=1, max_size=4)
+
+
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(corpus_texts=_nd_corpus, batch_texts=_nd_batch)
+def test_incremental_neardup_equals_full_rerun_property(
+    spark, corpus_texts, batch_texts
+):
+    """For ANY corpus/batch from a tiny shared vocabulary (maximally
+    collision- and near-dup-prone), the index-lookup path must produce
+    exactly the batch-touching subset of a full-corpus verified-pairs
+    re-run — same pairs, same jaccard values."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        incremental_neardup,
+        lsh_band_keys,
+        minhash_lsh_pairs,
+        spread,
+        verify_pairs_jaccard,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], "doc_id long, text string"
+    )
+    batch_ids = set(range(100, 100 + len(batch_texts)))
+    batch = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch_texts)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_neardup(
+            batch,
+            lsh_band_keys(corpus, "doc_id", "text"),
+            doc_shingle_hashes(spread(corpus), "doc_id", "text"),
+            "doc_id",
+            "text",
+            0.5,
+        ).collect()
+    }
+    full = corpus.unionByName(batch)
+    want = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in verify_pairs_jaccard(
+            full, minhash_lsh_pairs(full, "doc_id", "text"), "doc_id", "text", 0.5
+        ).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == want
+
+
 # --- PII redaction round-trip ---------------------------------------------------
 _pii_email = st.builds(
     lambda u, d: f"{u}@{d}.example.com",
