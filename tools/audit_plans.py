@@ -172,6 +172,8 @@ EXPECTED_NESTED_LOOP = {
     # 1-row exact-percentile cutpoint frame broadcast onto the scan
     # (customer_rfm_segments shape)
     "corpus_curriculum_plan",
+    # 1-row per-half token-total frame broadcast onto the vocab relation
+    "text_js_divergence",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -2215,6 +2215,66 @@ def dq_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Gini concentration of customer revenue --------------------------------------
 @register(
+    "customer_activation_wilson",
+    """
+    WITH act AS (
+      SELECT c.c_nationkey AS nationkey,
+             CAST(COUNT(*) AS BIGINT) AS n_customers,
+             CAST(SUM(CASE WHEN EXISTS (
+               SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_active
+      FROM customer c GROUP BY nationkey),
+    w AS (
+      SELECT nationkey, n_customers, n_active,
+             n_active / n_customers::DOUBLE AS p,
+             1.96 AS z, n_customers::DOUBLE AS n
+      FROM act)
+    SELECT nationkey, n_customers, n_active,
+           ROUND(p, 6) AS rate,
+           ROUND((p + z*z/(2*n) - z * sqrt(p*(1-p)/n + z*z/(4*n*n)))
+                 / (1 + z*z/n), 6) AS wilson_lo,
+           ROUND((p + z*z/(2*n) + z * sqrt(p*(1-p)/n + z*z/(4*n*n)))
+                 / (1 + z*z/n), 6) AS wilson_hi
+    FROM w
+    """,
+)
+def customer_activation_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer activation rate (has ≥1 order) per nation with a Wilson
+    95% interval — the small-sample-honest CI the normal approximation
+    gets wrong near 0/1 or low n, i.e. the statistic a dashboard should
+    show instead of a bare rate when nations differ 100× in size. One
+    semi-join flag + per-nation aggregate; the interval is post-agg
+    scalar arithmetic (sqrt is IEEE-correctly-rounded on both engines,
+    so rounded endpoints match exactly)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey").distinct()
+    flagged = cust.join(
+        orders.withColumnRenamed("o_custkey", "c_custkey").withColumn(
+            "_has", F.lit(1)
+        ),
+        "c_custkey",
+        "left",
+    )
+    act = flagged.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.when(F.col("_has").isNotNull(), 1).otherwise(0)).alias("n_active"),
+    )
+    p = F.col("n_active") / F.col("n_customers")
+    n = F.col("n_customers").cast("double")
+    z = F.lit(1.96)
+    half = z * F.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    denom = 1 + z * z / n
+    return act.select(
+        "nationkey",
+        "n_customers",
+        "n_active",
+        F.round(p, 6).alias("rate"),
+        F.round((p + z * z / (2 * n) - half) / denom, 6).alias("wilson_lo"),
+        F.round((p + z * z / (2 * n) + half) / denom, 6).alias("wilson_hi"),
+    )
+
+
+@register(
     "customer_gini",
     """
     WITH rev AS (

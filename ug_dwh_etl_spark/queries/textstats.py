@@ -1114,6 +1114,66 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_js_divergence",
+    f"""
+    WITH {_TOK_CTE},
+    grams AS (
+      SELECT doc_id % 2 AS half, unnest(t) AS w FROM tok),
+    counts AS (
+      SELECT w,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS c0,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS c1
+      FROM grams GROUP BY w),
+    tot AS (SELECT SUM(c0) AS t0, SUM(c1) AS t1 FROM counts),
+    contrib AS (
+      SELECT w,
+             c0 / t0::DOUBLE AS p, c1 / t1::DOUBLE AS q
+      FROM counts CROSS JOIN tot)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(0.5 * SUM(
+             CASE WHEN p > 0 THEN p * log2(2.0 * p / (p + q)) ELSE 0 END
+             + CASE WHEN q > 0 THEN q * log2(2.0 * q / (p + q)) ELSE 0 END
+           ), 6) AS jsd_bits
+    FROM contrib
+    """,
+)
+def text_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (bits) between the unigram
+    distributions of the two corpus halves (doc_id parity as the
+    deterministic split) — the standard TEXT-distribution drift gate
+    next to dq_ks_doclength's length drift: 0 = identical vocabularies
+    and frequencies, 1 = disjoint. One tokenize pass, one vocab-keyed
+    count shuffle, totals as a 1-row broadcast; the JSD sum runs on the
+    vocabulary relation, so drift monitoring at 100 TB costs the same
+    as building a term dictionary. At production cadence the two sides
+    are yesterday's persisted term counts vs today's batch counts —
+    both mergeable relations, no corpus rescans."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select(
+        (F.col("doc_id") % 2).alias("half"),
+        F.explode(H.tokens("text")).alias("w"),
+    )
+    counts = grams.groupBy("w").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("c0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("c1"),
+    )
+    tot = counts.agg(F.sum("c0").alias("t0"), F.sum("c1").alias("t1"))
+    p = F.col("c0") / F.col("t0")
+    q = F.col("c1") / F.col("t1")
+    term = F.when(p > 0, p * F.log2(2.0 * p / (p + q))).otherwise(0.0) + F.when(
+        q > 0, q * F.log2(2.0 * q / (p + q))
+    ).otherwise(0.0)
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(0.5 * F.sum(term), 6).alias("jsd_bits"),
+        )
+        .select(F.col("n_terms").cast("long").alias("n_terms"), "jsd_bits")
+    )
+
+
+@register(
     "corpus_curriculum_plan",
     f"""
     WITH {_TOK_CTE},
