@@ -1233,3 +1233,70 @@ def sim_label_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_pair_dist_sq"),
     )
+
+
+@register(
+    "sim_centroid_classifier_eval",
+    """
+    WITH flat AS (
+      SELECT vec_id, label,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label AS clabel, dim, ROUND(AVG(v), 6) AS c
+      FROM flat GROUP BY clabel, dim),
+    dists AS (
+      SELECT f.vec_id, f.label, c.clabel,
+             ROUND(SUM((f.v - c.c) * (f.v - c.c)), 6) AS d
+      FROM flat f JOIN cent c USING (dim)
+      GROUP BY f.vec_id, f.label, c.clabel),
+    pred AS (
+      SELECT vec_id, label, clabel,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS r
+      FROM dists)
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           ROUND(SUM(CASE WHEN clabel = label THEN 1 ELSE 0 END)
+                 / COUNT(*)::DOUBLE, 6) AS accuracy
+    FROM pred WHERE r = 1
+    GROUP BY label
+    """,
+)
+def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid (Rocchio) classification accuracy per label —
+    the eval that closes the embedding-label loop: sim_label_centroids
+    builds the per-class means, this assigns every vector to its
+    nearest class mean (squared distance, rounded-6 centroids AND
+    distances so the argmin is engine-reproducible; ties break to the
+    smaller label) and scores it against the true label. Separability
+    here predicts whether those labels are learnable from these
+    embeddings at all — the go/no-go before training a real probe.
+    Scale shape: centroids are a (labels × dims) broadcast-sized
+    aggregate; assignment is one join against that tiny relation
+    grouped per (vector, candidate) — never vector×vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).withColumn("dim", (F.col("pos0") + 1).cast("long"))
+    cent = flat.groupBy(F.col("label").alias("clabel"), "dim").agg(
+        F.round(F.avg("v"), 6).alias("c")
+    )
+    dists = (
+        flat.join(F.broadcast(cent), "dim")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(F.round(F.sum((F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))), 6).alias("d"))
+    )
+    pred = dists.groupBy("vec_id", "label").agg(
+        F.min(F.struct(F.col("d").alias("d"), F.col("clabel").alias("clabel"))).alias("s")
+    )
+    correct = (F.col("s.clabel") == F.col("label")).cast("long")
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(correct).alias("n_correct"),
+        F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
+    )
