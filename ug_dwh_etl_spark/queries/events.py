@@ -2557,3 +2557,78 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.when(F.col("live") == F.col("peak"), F.col("t"))).alias("peak_ts"),
         )
     )
+
+
+# --- A/B experiment readout: two-proportion z-test -------------------------------
+@register(
+    "events_ab_test_ztest",
+    """
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 12 THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id, arm),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(conv) AS BIGINT) AS k
+      FROM assign GROUP BY arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN k END) AS k0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN k END) AS k1
+      FROM arms),
+    z AS (
+      SELECT n0, k0, n1, k1,
+             k0 / n0::DOUBLE AS p0, k1 / n1::DOUBLE AS p1,
+             (k0 + k1) / (n0 + n1)::DOUBLE AS pp
+      FROM w)
+    SELECT n0, k0, n1, k1,
+           ROUND(p0, 6) AS rate0, ROUND(p1, 6) AS rate1,
+           ROUND((p1 - p0) / NULLIF(sqrt(pp * (1 - pp) * (1.0/n0 + 1.0/n1)), 0.0),
+                 6) AS z,
+           ABS((p1 - p0) / NULLIF(sqrt(pp * (1 - pp) * (1.0/n0 + 1.0/n1)), 0.0))
+             > 1.96 AS significant
+    FROM z
+    """,
+)
+def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users split into two arms by user_id
+    parity (the deterministic stand-in for an assignment column),
+    converter = heavy purchaser (≥12 purchase events — every user in
+    the synthetic fixture buys at least once, so a plain any-purchase
+    flag is degenerate at p=1); the two-proportion pooled z-test
+    decides whether the arms differ at the 5% level — the experiment
+    summary next to the other inference ops (chi², KS, DiD, Wilson).
+    One user-keyed aggregate, one 2-row pivot, scalar math after; at
+    100 TB the only corpus-sized work is the per-user conversion flag,
+    which is the same aggregate a funnel already pays."""
+    ev = table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 12
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+    )
+    p0 = F.col("k0") / F.col("n0")
+    p1 = F.col("k1") / F.col("n1")
+    pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1"))
+    denom = F.sqrt(pp * (1 - pp) * (1.0 / F.col("n0") + 1.0 / F.col("n1")))
+    zexpr = (p1 - p0) / F.nullif(denom, F.lit(0.0))
+    return w.select(
+        "n0", "k0", "n1", "k1",
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(zexpr, 6).alias("z"),
+        (F.abs(zexpr) > 1.96).alias("significant"),
+    )
