@@ -320,6 +320,38 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(table(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+@register(
+    "dedup_cluster_size_histogram",
+    _label_prop_ctes()
+    + """,
+    cl AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS sz FROM l3 GROUP BY label)
+    SELECT sz AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           CAST(SUM(sz) - COUNT(*) AS BIGINT) AS n_removable
+    FROM cl GROUP BY sz
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of near-dup cluster sizes (size 1 = unique docs):
+    per size, how many clusters, how many docs they hold, and how many
+    docs a min-id-survivor pass would remove — the one-glance dedup
+    impact report an operator reads BEFORE running corpus removal (a
+    fat tail here means boilerplate families, not pairwise dups, and
+    changes the banding/threshold decision). Rides the same bounded
+    label-propagation components as dedup_clusters; the histogram is a
+    second tiny aggregate over the label relation."""
+    from ug_dwh_etl_spark.operators.dedup import near_dup_labels
+
+    labels = near_dup_labels(table(spark, sf_dir, "documents"), "doc_id", "text")
+    cl = labels.groupBy("label").agg(F.count(F.lit(1)).alias("sz"))
+    return cl.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("sz").alias("n_docs"),
+        (F.sum("sz") - F.count(F.lit(1))).alias("n_removable"),
+    )
+
+
 # --- end-to-end dedup decision: the retained corpus ----------------------------
 @register(
     "dedup_corpus_survivors",

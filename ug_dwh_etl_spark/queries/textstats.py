@@ -1114,6 +1114,43 @@ def text_bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_hapax_ratio",
+    f"""
+    WITH {_TOK_CTE},
+    grams AS (
+      SELECT d.lang, unnest(t.t) AS w
+      FROM tok t JOIN documents d USING (doc_id)),
+    freq AS (SELECT lang, w, COUNT(*) AS f FROM grams GROUP BY lang, w)
+    SELECT lang,
+           CAST(SUM(f) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           ROUND(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) / COUNT(*)::DOUBLE, 6)
+             AS hapax_ratio
+    FROM freq GROUP BY lang
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena share per language: the fraction of vocabulary
+    types occurring exactly once — the corpus-health dial next to the
+    Zipf slope (a natural corpus sits near ~0.4-0.6; far below means
+    template/boilerplate text, far above means OCR noise or tokenizer
+    breakage). One tokenize pass into a (lang, term) count, then a
+    lang-keyed rollup of the vocabulary relation — corpus-sized work
+    is the term count a dictionary build pays anyway."""
+    docs = table(spark, sf_dir, "documents")
+    grams = docs.select("lang", F.explode(H.tokens("text")).alias("w"))
+    freq = grams.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("f"))
+    hapax = F.sum((F.col("f") == 1).cast("long"))
+    return freq.groupBy("lang").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count(F.lit(1)).alias("vocab_size"),
+        hapax.alias("n_hapax"),
+        F.round(hapax / F.count(F.lit(1)), 6).alias("hapax_ratio"),
+    )
+
+
+@register(
     "text_js_divergence",
     f"""
     WITH {_TOK_CTE},
