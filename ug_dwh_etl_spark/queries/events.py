@@ -2632,3 +2632,72 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(zexpr, 6).alias("z"),
         (F.abs(zexpr) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "events_ab_power",
+    """
+    WITH assign AS (
+      SELECT user_id, user_id % 2 AS arm,
+             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  >= 12 THEN 1 ELSE 0 END AS conv
+      FROM events GROUP BY user_id, arm),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
+      FROM assign GROUP BY arm),
+    w AS (
+      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+             MAX(CASE WHEN arm = 0 THEN k END) AS k0,
+             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+             MAX(CASE WHEN arm = 1 THEN k END) AS k1
+      FROM arms),
+    p AS (SELECT n0, n1, k0 / n0::DOUBLE AS p0, k1 / n1::DOUBLE AS p1 FROM w)
+    SELECT ROUND(p0, 6) AS rate0, ROUND(p1, 6) AS rate1,
+           ROUND(ABS(p1 - p0), 6) AS observed_delta,
+           CAST(CEIL((1.96 + 0.8416) * (1.96 + 0.8416)
+                     * (p0 * (1 - p0) + p1 * (1 - p1))
+                     / NULLIF((p1 - p0) * (p1 - p0), 0.0)) AS BIGINT)
+             AS n_per_arm_80pct,
+           CAST(n0 + n1 AS BIGINT) AS n_observed
+    FROM p
+    """,
+)
+def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment PLANNING companion to events_ab_test_ztest: the
+    per-arm sample size needed to detect the observed effect at 5%
+    significance with 80% power (z_alpha/2 = 1.96, z_beta = 0.8416,
+    two-proportion normal approximation) next to what was actually
+    observed — the 'how much longer must this test run' number. All
+    math is post-aggregate scalar arithmetic on the same per-user
+    conversion relation the z-test builds."""
+    ev = table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 12
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+    )
+    p0 = F.col("k0") / F.col("n0")
+    p1 = F.col("k1") / F.col("n1")
+    need = F.ceil(
+        (1.96 + 0.8416) ** 2
+        * (p0 * (1 - p0) + p1 * (1 - p1))
+        / F.nullif((p1 - p0) * (p1 - p0), F.lit(0.0))
+    )
+    return w.select(
+        F.round(p0, 6).alias("rate0"),
+        F.round(p1, 6).alias("rate1"),
+        F.round(F.abs(p1 - p0), 6).alias("observed_delta"),
+        need.cast("long").alias("n_per_arm_80pct"),
+        (F.col("n0") + F.col("n1")).cast("long").alias("n_observed"),
+    )

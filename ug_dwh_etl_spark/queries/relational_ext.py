@@ -2723,3 +2723,39 @@ def agg_mode_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("m.l_returnflag").alias("mode_returnflag"),
         (-F.col("m.nn")).cast("long").alias("n_lines"),
     )
+
+
+@register(
+    "orders_calendar_heatmap",
+    """
+    SELECT CAST(isodow(o_orderdate) AS BIGINT) AS iso_dow,
+           CAST(month(o_orderdate) AS BIGINT) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders
+    GROUP BY iso_dow, month
+    """,
+)
+def orders_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality grid: order count and decimal-exact revenue
+    by (ISO weekday 1-7, month 1-12) — the 84-cell heatmap behind
+    staffing/capacity dashboards and the seasonal feature table a
+    demand model joins. Engine note: Spark's dayofweek() is
+    1=Sunday while DuckDB's isodow() is 1=Monday, so the Spark side
+    derives ISO day as weekday()+1 — calendar off-by-ones are exactly
+    the cross-engine bug class these oracles exist to catch. One
+    partial-aggregated shuffle onto an 84-key space."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            (F.weekday("o_orderdate") + 1).cast("long").alias("iso_dow"),
+            F.month("o_orderdate").cast("long").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
