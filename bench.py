@@ -316,12 +316,19 @@ def main() -> None:
     # total stays best-of-2 over the stable HEADLINE list for
     # round-over-round comparability.
     others: dict[str, float] = {}
+    errors: list[str] = []
     headline_set = set(HEADLINE)
     for name, entry in QUERIES.items():
         if name in headline_set:
             continue
         t0 = time.perf_counter()
-        entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as e:  # noqa: BLE001 — one bad query must not
+            # abort the sweep and lose every already-measured timing
+            errors.append(name)
+            print(f"BENCH ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
+            continue
         others[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
@@ -337,6 +344,7 @@ def main() -> None:
         "other_queries": others,
         "other_queries_total_sec": others_total,
         "n_all_queries": len(timings) + len(others),
+        "errors": errors,
         "sf": sf_val,
     }
     # Full per-query map: side artifact + an EARLY stdout line (its head

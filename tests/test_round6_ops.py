@@ -240,6 +240,43 @@ def test_corpus_daily_ingest_two_days(spark, tmp_path):
     assert final == {1, 2, 11, 21}
 
 
+def test_incremental_neardup_reingested_id_keeps_exact_jaccard(spark, tmp_path):
+    """A batch doc whose id ALREADY exists in the stored index (a
+    re-ingest) must not double-count its shingle rows: pairs between it
+    and other docs must still verify with the true Jaccard (round-6
+    review caught the union double-count scoring identical docs at
+    2i/(2s+s-2i) instead of 1.0)."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        incremental_neardup,
+        lsh_band_keys,
+        spread,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = _docs(spark, [(1, base), (7, base)])  # 7 will be re-ingested
+    bands_path = str(tmp_path / "bands")
+    sh_path = str(tmp_path / "shingles")
+    lsh_band_keys(corpus, "doc_id", "text").write.parquet(bands_path)
+    doc_shingle_hashes(spread(corpus), "doc_id", "text").write.parquet(sh_path)
+
+    batch = _docs(spark, [(7, base)])  # same id, same text — a re-ingest
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in incremental_neardup(
+            batch,
+            spark.read.parquet(bands_path),
+            spark.read.parquet(sh_path),
+            "doc_id",
+            "text",
+            0.5,
+        ).collect()
+    }
+    # the re-ingested doc pairs with doc 1 (identical text, jaccard 1.0)
+    # and never with itself
+    assert got == {(1, 7): 1.0}
+
+
 def test_incremental_neardup_never_scans_corpus_text(spark, tmp_path):
     """Structural no-rescan guarantee: the ONLY file scans in the plan
     are the persisted index relations — corpus documents parquet never

@@ -213,11 +213,16 @@ def _unpruned_columns(formatted: str, result_cols: set[str]) -> list[str]:
                 continue
             usage.append(ls)
     used_text = "\n".join(usage)
+    # id-boundary match: plain substring containment would mask doc_id#12
+    # as used whenever any doc_id#12N exists elsewhere in the plan
+    def _used(tok: str) -> bool:
+        return re.search(re.escape(tok) + r"(?![0-9])", used_text) is not None
+
     return sorted(
         {
             col
             for tok, col in scan_attrs.items()
-            if tok not in used_text and col not in result_cols
+            if not _used(tok) and col not in result_cols
         }
     )
 

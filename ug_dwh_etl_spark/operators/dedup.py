@@ -425,7 +425,17 @@ def incremental_neardup(
         .select(F.col("_bid").alias("id_a"), F.col("_bid2").alias("id_b"))
     )
     candidates = cross.unionByName(intra).distinct()
-    shingles = corpus_shingles.unionByName(batch_sh)
+    # A re-ingested id (present in BOTH the stored index and the batch)
+    # must not contribute its shingle rows twice — the union would
+    # double-count its set size and every intersection it appears in,
+    # corrupting Jaccard for each of its pairs (two identical docs would
+    # score 2i/(2s+s-2i), not 1). Anti-join the batch's ids out of the
+    # stored relation first: the batch-id side is batch-sized
+    # (broadcastable), so this never reshuffles the corpus relation.
+    batch_id_rel = batch.select(F.col(id_col)).distinct()
+    shingles = corpus_shingles.join(
+        F.broadcast(batch_id_rel), id_col, "left_anti"
+    ).unionByName(batch_sh)
     return verify_pairs_jaccard(
         batch, candidates, id_col, text_col, threshold, shingle_hashes=shingles
     )

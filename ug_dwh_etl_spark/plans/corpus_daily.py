@@ -84,10 +84,14 @@ def corpus_daily_ingest(
     p = _paths(root)
     n_in = batch.count()
 
-    # 1. quality gate (map-side)
+    # 1. quality gate (map-side). Each stage is localCheckpoint'ed:
+    # this function takes ~8 actions (4 counts + 4 writes) and without
+    # the cuts every one would re-run the whole gate→dedup→verify
+    # lineage from the source — the same once-per-stage discipline as
+    # minhash_lsh_pairs / bpe_train_rounds.
     flags = quality_filter(batch, id_col, text_col)
     kept_ids = flags.filter("keep").select(id_col)
-    gated = batch.join(kept_ids, id_col, "left_semi")
+    gated = batch.join(kept_ids, id_col, "left_semi").localCheckpoint()
     n_gated = gated.count()
 
     # 2. exact dedup: in-batch min-id survivor + anti-join vs the stored
@@ -100,7 +104,7 @@ def corpus_daily_ingest(
         .join(fp_index, "fingerprint", "left_anti")
         .select(id_col)
     )
-    exact_kept = gated.join(survivors, id_col, "left_semi")
+    exact_kept = gated.join(survivors, id_col, "left_semi").localCheckpoint()
     n_exact = exact_kept.count()
 
     # 3. near-dup vs the stored LSH index + within-batch
@@ -125,7 +129,7 @@ def corpus_daily_ingest(
     )
     drop_b = pj.filter(F.col("_b_b").isNotNull()).select(F.col("id_b").alias(id_col))
     drop = drop_a.unionByName(drop_b).distinct()
-    final = exact_kept.join(drop, id_col, "left_anti")
+    final = exact_kept.join(drop, id_col, "left_anti").localCheckpoint()
     n_final = final.count()
 
     # 4. append survivors + their index rows (tomorrow matches against

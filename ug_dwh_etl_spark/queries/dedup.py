@@ -624,9 +624,13 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     existing = docs.filter(F.col("doc_id") % 10 != 0)
+    # per-process path: a deterministic shared location would let a
+    # concurrent process's overwrite delete files under this process's
+    # lazy scan (bench + gate running together). Keyed by (sf_dir, pid),
+    # cached once per process via _LSH_INDEX_BUILT.
     root = os.path.join(
         tempfile.gettempdir(),
-        f"lsh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+        f"lsh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
     )
     # Build the corpus index once per process per sf_dir: in production
     # the index is maintained by prior ingests (append model), so the

@@ -2560,24 +2560,55 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- A/B experiment readout: two-proportion z-test -------------------------------
-@register(
-    "events_ab_test_ztest",
-    """
-    WITH assign AS (
+# Shared arm/conversion definition: BOTH the z-test and the power
+# readout must describe the SAME experiment, so the assignment rule
+# (user_id parity), the converter rule (>= _AB_CONV_MIN purchases) and
+# the 2-row pivot exist exactly once for the SQL oracles and once for
+# the Spark side.
+_AB_CONV_MIN = 12
+
+_AB_CTES = """assign AS (
       SELECT user_id, user_id % 2 AS arm,
              CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  >= 12 THEN 1 ELSE 0 END AS conv
+                  >= {m} THEN 1 ELSE 0 END AS conv
       FROM events GROUP BY user_id, arm),
     arms AS (
-      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(conv) AS BIGINT) AS k
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
       FROM assign GROUP BY arm),
     w AS (
       SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
              MAX(CASE WHEN arm = 0 THEN k END) AS k0,
              MAX(CASE WHEN arm = 1 THEN n END) AS n1,
              MAX(CASE WHEN arm = 1 THEN k END) AS k1
-      FROM arms),
+      FROM arms)""".format(m=_AB_CONV_MIN)
+
+
+def _ab_arms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 1-row (n0, k0, n1, k1) arm summary both A/B queries build on."""
+    ev = table(spark, sf_dir, "events")
+    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
+        (
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            >= _AB_CONV_MIN
+        )
+        .cast("int")
+        .alias("conv")
+    )
+    arms = assign.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
+    )
+    return arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
+    )
+
+
+@register(
+    "events_ab_test_ztest",
+    f"""
+    WITH {_AB_CTES},
     z AS (
       SELECT n0, k0, n1, k1,
              k0 / n0::DOUBLE AS p0, k1 / n1::DOUBLE AS p1,
@@ -2595,31 +2626,17 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
 def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment readout: users split into two arms by user_id
     parity (the deterministic stand-in for an assignment column),
-    converter = heavy purchaser (≥12 purchase events — every user in
-    the synthetic fixture buys at least once, so a plain any-purchase
-    flag is degenerate at p=1); the two-proportion pooled z-test
-    decides whether the arms differ at the 5% level — the experiment
-    summary next to the other inference ops (chi², KS, DiD, Wilson).
-    One user-keyed aggregate, one 2-row pivot, scalar math after; at
-    100 TB the only corpus-sized work is the per-user conversion flag,
-    which is the same aggregate a funnel already pays."""
-    ev = table(spark, sf_dir, "events")
-    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
-        (
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 12
-        )
-        .cast("int")
-        .alias("conv")
-    )
-    arms = assign.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
-    )
-    w = arms.agg(
-        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
-        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
-        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
-    )
+    converter = heavy purchaser (>= _AB_CONV_MIN purchase events — every
+    user in the synthetic fixture buys at least once, so a plain
+    any-purchase flag is degenerate at p=1); the two-proportion pooled
+    z-test decides whether the arms differ at the 5% level — the
+    experiment summary next to the other inference ops (chi-squared, KS,
+    DiD, Wilson). One user-keyed aggregate, one 2-row pivot, scalar
+    math after; at 100 TB the only corpus-sized work is the per-user
+    conversion flag, which is the same aggregate a funnel already
+    pays. Arm/conversion rules are shared with events_ab_power via
+    _AB_CTES/_ab_arms so the two readouts can never drift apart."""
+    w = _ab_arms(spark, sf_dir)
     p0 = F.col("k0") / F.col("n0")
     p1 = F.col("k1") / F.col("n1")
     pp = (F.col("k0") + F.col("k1")) / (F.col("n0") + F.col("n1"))
@@ -2636,21 +2653,8 @@ def events_ab_test_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_ab_power",
-    """
-    WITH assign AS (
-      SELECT user_id, user_id % 2 AS arm,
-             CASE WHEN SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                  >= 12 THEN 1 ELSE 0 END AS conv
-      FROM events GROUP BY user_id, arm),
-    arms AS (
-      SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
-      FROM assign GROUP BY arm),
-    w AS (
-      SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
-             MAX(CASE WHEN arm = 0 THEN k END) AS k0,
-             MAX(CASE WHEN arm = 1 THEN n END) AS n1,
-             MAX(CASE WHEN arm = 1 THEN k END) AS k1
-      FROM arms),
+    f"""
+    WITH {_AB_CTES},
     p AS (SELECT n0, n1, k0 / n0::DOUBLE AS p0, k1 / n1::DOUBLE AS p1 FROM w)
     SELECT ROUND(p0, 6) AS rate0, ROUND(p1, 6) AS rate1,
            ROUND(ABS(p1 - p0), 6) AS observed_delta,
@@ -2667,26 +2671,10 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-arm sample size needed to detect the observed effect at 5%
     significance with 80% power (z_alpha/2 = 1.96, z_beta = 0.8416,
     two-proportion normal approximation) next to what was actually
-    observed — the 'how much longer must this test run' number. All
-    math is post-aggregate scalar arithmetic on the same per-user
-    conversion relation the z-test builds."""
-    ev = table(spark, sf_dir, "events")
-    assign = ev.groupBy("user_id", (F.col("user_id") % 2).alias("arm")).agg(
-        (
-            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)) >= 12
-        )
-        .cast("int")
-        .alias("conv")
-    )
-    arms = assign.groupBy("arm").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("k")
-    )
-    w = arms.agg(
-        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
-        F.max(F.when(F.col("arm") == 0, F.col("k"))).alias("k0"),
-        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
-        F.max(F.when(F.col("arm") == 1, F.col("k"))).alias("k1"),
-    )
+    observed — the 'how much longer must this test run' number. Built
+    on the SAME _AB_CTES/_ab_arms arm summary as the z-test, so the
+    power readout always describes the experiment the test ran."""
+    w = _ab_arms(spark, sf_dir)
     p0 = F.col("k0") / F.col("n0")
     p1 = F.col("k1") / F.col("n1")
     need = F.ceil(

@@ -675,9 +675,14 @@ def stream_incremental_neardup(
 
     docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     if index_root is None:
+        # per-process path — same race rationale as the batch twin: a
+        # concurrent process's overwrite must not delete files under
+        # this run's scans (and this index also takes APPENDS during
+        # the run, so it can never be shared anyway)
         index_root = os.path.join(
             tempfile.gettempdir(),
-            f"lsh_stream_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}",
+            f"lsh_stream_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
+            f"_{os.getpid()}",
         )
     bands_path = os.path.join(index_root, "bands")
     sh_path = os.path.join(index_root, "shingles")

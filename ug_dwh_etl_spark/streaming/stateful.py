@@ -446,11 +446,16 @@ def _make_update_pattern_ooo(lateness_us: int):
                     buf.append((us, eid, 0))
         cutoff = max_us - lateness_us
         buf.sort()
-        ready = [e for e in buf if e[0] <= cutoff]
-        buf = [e for e in buf if e[0] > cutoff]
+        # fold STRICTLY below the cutoff and record the folded horizon
+        # as cutoff-1: an arrival delayed exactly the declared budget
+        # (us == cutoff) then stays buffered and is tolerated, instead
+        # of tripping the us <= resolved_us check on the next batch —
+        # the at-budget boundary sits consistently on the tolerated side
+        ready = [e for e in buf if e[0] < cutoff]
+        buf = [e for e in buf if e[0] >= cutoff]
         n_v, n_c, s_us, pending = _fold_pattern(ready, n_v, n_c, s_us, pending)
-        if cutoff > resolved_us:
-            resolved_us = cutoff
+        if cutoff - 1 > resolved_us:
+            resolved_us = cutoff - 1
         state.update(
             (
                 n_v, n_c, s_us, pending, resolved_us, max_us, n_seen,
