@@ -1,0 +1,160 @@
+"""In-warehouse model-fit / selection / imputation queries
+(queries/mlfit.py): closed-form solves checked against numpy lstsq,
+MMR checked against a pure-Python greedy reference, the Markov power
+iteration for probability-simplex invariants, and imputation for the
+no-second-pass mean identity."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return [r.asDict() for r in df.collect()]
+
+
+def test_ols_matches_numpy_lstsq(spark):
+    from ug_dwh_etl_spark.queries.mlfit import fit_ols_normal_equations
+
+    got = _rows(fit_ols_normal_equations(spark, SF))[0]
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    X = np.column_stack(
+        [np.ones(len(pdf)), pdf["l_quantity"].to_numpy(), pdf["l_discount"].to_numpy()]
+    )
+    y = pdf["l_extendedprice"].to_numpy()
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    assert got["n"] == len(pdf)
+    assert got["b0"] == pytest.approx(beta[0], abs=2e-4)
+    assert got["b1"] == pytest.approx(beta[1], abs=2e-4)
+    assert got["b2"] == pytest.approx(beta[2], abs=2e-4)
+    # R^2 in [0, 1] and matches the numpy residual definition
+    pred = X @ beta
+    r2 = 1.0 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert got["r2"] == pytest.approx(r2, abs=1e-5)
+
+
+def test_ridge_shrinks_toward_zero_slopes(spark):
+    from ug_dwh_etl_spark.queries.mlfit import (
+        fit_ols_normal_equations,
+        fit_ridge_closed_form,
+    )
+
+    ols = _rows(fit_ols_normal_equations(spark, SF))[0]
+    ridge = _rows(fit_ridge_closed_form(spark, SF))[0]
+    # lambda > 0 must not grow the coefficient norm (centered-ridge
+    # shrinkage; equality only if lambda were 0)
+    assert ridge["b1"] ** 2 + ridge["b2"] ** 2 < ols["b1"] ** 2 + ols["b2"] ** 2
+    assert ridge["lambda"] == pytest.approx(0.5)
+
+
+def test_logreg_step_is_ols_of_pseudo_target(spark):
+    from ug_dwh_etl_spark.queries.mlfit import fit_logreg_newton_step
+
+    got = _rows(fit_logreg_newton_step(spark, SF))[0]
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    X = np.column_stack(
+        [np.ones(len(li)), li["l_quantity"].to_numpy(), li["l_discount"].to_numpy()]
+    )
+    z = np.where(li["l_returnflag"].to_numpy() == "R", 2.0, -2.0)
+    beta, *_ = np.linalg.lstsq(X, z, rcond=None)
+    assert got["b0"] == pytest.approx(beta[0], abs=1e-5)
+    assert got["b1"] == pytest.approx(beta[1], abs=1e-5)
+    assert got["b2"] == pytest.approx(beta[2], abs=1e-5)
+    eta = got["b0"] + 10.0 * got["b1"] + 0.05 * got["b2"]
+    assert got["p_qty10_disc005"] == pytest.approx(1.0 / (1.0 + math.exp(-eta)), abs=1e-6)
+    assert 0.0 < got["p_qty10_disc005"] < 1.0
+
+
+def test_mmr_matches_pure_python_greedy(spark):
+    from ug_dwh_etl_spark.queries.mlfit import (
+        _MMR_K,
+        _MMR_LAMBDA,
+        _MMR_POOL,
+        _MMR_QUERY_ID,
+        sim_mmr_selection,
+    )
+
+    got = _rows(sim_mmr_selection(spark, SF).orderBy("step"))
+    assert [g["step"] for g in got] == list(range(1, _MMR_K + 1))
+    picked_ids = [g["vec_id"] for g in got]
+    assert len(set(picked_ids)) == _MMR_K  # all distinct
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64) for r in emb.itertuples()}
+    q = vecs[_MMR_QUERY_ID]
+
+    def dot(a, b):
+        # sequential left-to-right fold — same accumulation order as the
+        # engine's aggregate(zip_with(...)) and DuckDB's list_dot_product
+        # (numpy's pairwise @ differs at the last ulp, which flips round()
+        # at 6dp boundaries)
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += float(x) * float(y)
+        return acc
+
+    def r6(x):
+        # Spark's F.round / DuckDB's ROUND do HALF_UP on the shortest
+        # decimal rendering (BigDecimal.valueOf semantics); Python's
+        # round() is banker's on the binary double — they disagree on
+        # exact .xxxxx5 boundaries, which MMR's subtraction produces
+        from decimal import ROUND_HALF_UP, Decimal
+
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def cos(a, b):
+        return r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+
+    rel = {i: cos(v, q) for i, v in vecs.items() if i != _MMR_QUERY_ID}
+    # pool: top-N by raw cosine, min-id tie-break (raw == rounded order here)
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:_MMR_POOL]
+    sel = [min(pool, key=lambda i: (-rel[i], i))]
+    scores = [rel[sel[0]]]
+    remaining = [i for i in pool if i != sel[0]]
+    msim = {i: cos(vecs[i], vecs[sel[0]]) for i in remaining}
+    for _ in range(_MMR_K - 1):
+        score = {
+            i: r6(_MMR_LAMBDA * rel[i] - round(1 - _MMR_LAMBDA, 6) * msim[i])
+            for i in remaining
+        }
+        pick = min(remaining, key=lambda i: (-score[i], i))
+        sel.append(pick)
+        scores.append(score[pick])
+        remaining = [i for i in remaining if i != pick]
+        for i in remaining:
+            msim[i] = max(msim[i], cos(vecs[i], vecs[pick]))
+    assert picked_ids == sel
+    assert [g["mmr_score"] for g in got] == pytest.approx(scores, abs=1e-6)
+
+
+def test_markov_stationary_is_a_distribution(spark):
+    from ug_dwh_etl_spark.queries.mlfit import events_markov_stationary
+
+    got = _rows(events_markov_stationary(spark, SF))
+    assert len(got) == 5
+    total = sum(g["pi"] for g in got)
+    # 8 rounds of 6dp-rounded updates: mass conserved to rounding error
+    assert total == pytest.approx(1.0, abs=1e-4)
+    assert all(g["pi"] > 0 for g in got)
+
+
+def test_impute_mean_identity_and_mask_rate(spark):
+    from ug_dwh_etl_spark.queries.mlfit import dq_impute_group_median
+
+    got = _rows(dq_impute_group_median(spark, SF))
+    assert got
+    for g in got:
+        assert 0 < g["n_missing"] < g["n_total"]
+        # mask rule hits ~1/20 of rows
+        assert g["n_missing"] / g["n_total"] == pytest.approx(0.05, abs=0.03)
+        assert 0.0 <= g["imputed_value"] <= 0.1  # discount domain
+        assert 0.0 <= g["mean_after_impute"] <= 0.1

@@ -30,5 +30,6 @@ import ug_dwh_etl_spark.queries.adhoc_sql  # noqa: F401
 import ug_dwh_etl_spark.queries.pipelines_ext  # noqa: F401
 import ug_dwh_etl_spark.queries.history  # noqa: F401
 import ug_dwh_etl_spark.queries.relational_tpch2  # noqa: F401
+import ug_dwh_etl_spark.queries.mlfit  # noqa: F401
 
 __all__ = ["QUERIES", "register", "table"]
