@@ -158,3 +158,76 @@ def test_impute_mean_identity_and_mask_rate(spark):
         assert g["n_missing"] / g["n_total"] == pytest.approx(0.05, abs=0.03)
         assert 0.0 <= g["imputed_value"] <= 0.1  # discount domain
         assert 0.0 <= g["mean_after_impute"] <= 0.1
+
+
+def test_aqp_estimate_within_ci_of_truth(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.queries.mlfit import aqp_sampled_revenue
+
+    got = {g["o_orderpriority"]: g for g in _rows(aqp_sampled_revenue(spark, SF))}
+    truth = {
+        r["o_orderpriority"]: r
+        for r in _rows(
+            spark.read.parquet(f"{SF}/orders.parquet")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"), F.sum("o_totalprice").alias("rev"))
+        )
+    }
+    assert set(got) == set(truth)
+    for prio, g in got.items():
+        t = truth[prio]
+        # HT estimate of the total within 4 standard errors of truth
+        # (deterministic sample, so this is a fixed fact, not flaky)
+        assert abs(g["est_revenue"] - t["rev"]) <= 4 * g["se_revenue"]
+        assert g["n_sample"] < t["n"]
+        assert 0 < g["rel_ci95"] < 1
+
+
+def test_pacf_matches_python_durbin_levinson(spark):
+    from ug_dwh_etl_spark.queries.mlfit import _PACF_LAGS, events_pacf
+
+    got = {g["lag"]: g["pacf"] for g in _rows(events_pacf(spark, SF))}
+    assert set(got) == set(range(1, _PACF_LAGS + 1))
+
+    import pyspark.sql.functions as F
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    hourly = (
+        read_events(spark, SF)
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("double").alias("x"))
+        .orderBy("h")
+        .toPandas()["x"]
+        .to_numpy()
+    )
+    c = hourly - hourly.mean()
+    denom = float((c * c).sum())
+    r = {k: round(float((c[k:] * c[:-k]).sum()) / denom, 6) for k in range(1, 5)}
+    # Durbin-Levinson reference
+    phi = {(1, 1): r[1]}
+    for k in range(2, 5):
+        num = r[k] - sum(phi[(k - 1, j)] * r[k - j] for j in range(1, k))
+        den = 1 - sum(phi[(k - 1, j)] * r[j] for j in range(1, k))
+        phi[(k, k)] = num / den
+        for j in range(1, k):
+            phi[(k, j)] = phi[(k - 1, j)] - phi[(k, k)] * phi[(k - 1, k - j)]
+    for k in range(1, 5):
+        assert got[k] == pytest.approx(phi[(k, k)], abs=2e-6)
+    # PACF lag 1 equals ACF lag 1 by construction
+    assert got[1] == pytest.approx(r[1], abs=1e-6)
+
+
+def test_theil_matches_numpy_and_decomposition_bounds(spark):
+    from ug_dwh_etl_spark.queries.mlfit import agg_theil_index
+
+    got = {g["o_orderpriority"]: g for g in _rows(agg_theil_index(spark, SF))}
+    pdf = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    for prio, grp in pdf.groupby("o_orderpriority"):
+        x = grp["o_totalprice"].to_numpy()
+        mu = x.mean()
+        t = float(((x / mu) * np.log(x / mu)).mean())
+        l = float(np.log(mu / x).mean())
+        assert got[prio]["theil_t"] == pytest.approx(t, abs=1e-4)
+        assert got[prio]["theil_l"] == pytest.approx(l, abs=1e-4)
+        assert got[prio]["theil_t"] >= 0 and got[prio]["theil_l"] >= 0

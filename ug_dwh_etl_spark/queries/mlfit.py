@@ -539,3 +539,224 @@ def dq_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sum_obs") + F.col("n_missing") * F.col("imp")) / F.col("n_total"), 6
         ).alias("mean_after_impute"),
     )
+
+
+# ---------------------------------------------------------------------------
+# approximate query processing: Horvitz-Thompson estimate off a
+# deterministic Bernoulli sample, with a CLT confidence interval
+# ---------------------------------------------------------------------------
+_AQP_RATE = 0.05
+_AQP_DENOM = 1152921504606846976.0  # 2^60, same scaling as the bootstrap
+
+_AQP_SQL = f"""
+    WITH s AS (
+      SELECT o_orderpriority, o_totalprice
+      FROM orders
+      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || '|aqp'), 1, 15))::BIGINT
+            / {_AQP_DENOM} < {_AQP_RATE}),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_sample,
+             SUM(o_totalprice) AS sx,
+             SUM(o_totalprice * o_totalprice) AS sxx
+      FROM s GROUP BY o_orderpriority)
+    SELECT o_orderpriority, n_sample,
+           ROUND(n_sample / {_AQP_RATE}, 2) AS est_count,
+           ROUND(sx / {_AQP_RATE}, 2) AS est_revenue,
+           ROUND(sqrt((1.0 - {_AQP_RATE}) / ({_AQP_RATE} * {_AQP_RATE}) * sxx), 2)
+             AS se_revenue,
+           ROUND(1.96 * sqrt((1.0 - {_AQP_RATE}) / ({_AQP_RATE} * {_AQP_RATE}) * sxx)
+                 / (sx / {_AQP_RATE}), 6) AS rel_ci95
+    FROM agg
+"""
+
+
+@register("aqp_sampled_revenue", _AQP_SQL)
+def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing: per-priority order count and
+    revenue estimated from a deterministic 5% Bernoulli sample
+    (md5-hash uniform on the key — the same engine-exact coin as the
+    Poisson bootstrap), scaled up by the Horvitz-Thompson 1/f factor,
+    with the Bernoulli-sampling standard error
+    se(T^) = sqrt((1-f)/f^2 * sum_sample x^2) and the relative 95% CI
+    half-width next to every estimate. This is the interactivity
+    contract at 100 TB: the scan touches f of the data (with a
+    pre-materialized sample table it IS a 5%-sized scan; partition/
+    bucket by the hash and the sampling predicate prunes storage), the
+    error column tells the user whether the estimate is usable, and
+    the whole thing is one partial-aggregated groupBy. The oracle runs
+    the identical estimator, so determinism — not luck — makes it
+    engine-exact."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    f = _AQP_RATE
+    orders = table(spark, sf_dir, "orders")
+    u = md5_long(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("|aqp"))
+    ) / F.lit(_AQP_DENOM)
+    s = orders.filter(u < f).select("o_orderpriority", "o_totalprice")
+    agg = s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("o_totalprice").alias("sx"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+    )
+    se = F.sqrt((1.0 - f) / (f * f) * F.col("sxx"))
+    return agg.select(
+        "o_orderpriority",
+        "n_sample",
+        F.round(F.col("n_sample") / f, 2).alias("est_count"),
+        F.round(F.col("sx") / f, 2).alias("est_revenue"),
+        F.round(se, 2).alias("se_revenue"),
+        F.round(F.lit(1.96) * se / (F.col("sx") / f), 6).alias("rel_ci95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PACF by Durbin-Levinson over the hourly event series
+# ---------------------------------------------------------------------------
+_PACF_LAGS = 4
+
+# Durbin-Levinson recursion unrolled to lag 4 as (column, expression)
+# steps — the SAME expression strings run as Spark F.expr and inside
+# the DuckDB oracle's chained CTEs, so the scalar arithmetic (IEEE
+# +,-,*,/ are exactly rounded, hence bit-identical across engines on
+# identical inputs) cannot diverge. Inputs r1..r4 are 6dp-rounded
+# autocorrelations.
+_DL_STEPS = (
+    ("p11", "r1"),
+    ("p22", "(r2 - p11 * r1) / (1 - p11 * r1)"),
+    ("p21", "p11 - p22 * p11"),
+    ("p33", "(r3 - (p21 * r2 + p22 * r1)) / (1 - (p21 * r1 + p22 * r2))"),
+    ("p32", "p22 - p33 * p21"),
+    ("p31", "p21 - p33 * p22"),
+    (
+        "p44",
+        "(r4 - (p31 * r3 + p32 * r2 + p33 * r1))"
+        " / (1 - (p31 * r1 + p32 * r2 + p33 * r3))",
+    ),
+)
+
+
+def _pacf_sql() -> str:
+    lag_cols = ",\n             ".join(
+        f"LAG(c, {k}) OVER w AS c{k}" for k in range(1, _PACF_LAGS + 1)
+    )
+    r_cols = ",\n             ".join(
+        f"ROUND(SUM(c * c{k}) / SUM(c * c), 6) AS r{k}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    steps = []
+    prev = "rr"
+    for i, (col, expr) in enumerate(_DL_STEPS):
+        steps.append(f"s{i} AS (SELECT *, {expr} AS {col} FROM {prev})")
+        prev = f"s{i}"
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {k} AS lag, ROUND(p{k}{k}, 6) AS pacf FROM {prev}"
+        for k in range(1, _PACF_LAGS + 1)
+    )
+    steps_sql = ",\n    ".join(steps)
+    return f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h, COUNT(*) * 1.0 AS x
+      FROM events GROUP BY h),
+    cent AS (SELECT h, x - (SELECT AVG(x) FROM hourly) AS c FROM hourly),
+    lagged AS (
+      SELECT c,
+             {lag_cols}
+      FROM cent WINDOW w AS (ORDER BY h)),
+    rr AS (
+      SELECT {r_cols}
+      FROM lagged),
+    {steps_sql}
+    {finals}
+    """
+
+
+@register("events_pacf", _pacf_sql())
+def events_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTIAL autocorrelation of the hourly event series at lags 1-4
+    via the Durbin-Levinson recursion — the AR-order selector that
+    separates direct lag-k dependence from what lags 1..k-1 already
+    explain (the cut-off lag is the AR(p) you'd fit;
+    events_autocorrelation alone can't distinguish propagated from
+    direct correlation). Corpus-sized work is the one groupBy(hour)
+    rollup; the lag windows run on the hourly relation (series-sized,
+    same justification as the ACF twin) and the recursion itself is
+    scalar arithmetic on ONE row. Autocorrelations are rounded to 6dp
+    first, and both engines evaluate the IDENTICAL unrolled expression
+    strings (_DL_STEPS) — IEEE arithmetic is exactly rounded, so the
+    recursion cannot diverge between Spark and the oracle."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("h")).agg(
+        (F.count(F.lit(1)) * 1.0).alias("x")
+    )
+    m = hourly.agg(F.avg("x").alias("m"))
+    cent = hourly.crossJoin(F.broadcast(m)).select(
+        "h", (F.col("x") - F.col("m")).alias("c")
+    )
+    w = W.orderBy("h")
+    lagged = cent.select(
+        "c", *[F.lag("c", k).over(w).alias(f"c{k}") for k in range(1, _PACF_LAGS + 1)]
+    )
+    rr = lagged.agg(
+        *[
+            F.round(
+                F.sum(F.col("c") * F.col(f"c{k}")) / F.sum(F.col("c") * F.col("c")), 6
+            ).alias(f"r{k}")
+            for k in range(1, _PACF_LAGS + 1)
+        ]
+    )
+    for col, expr in _DL_STEPS:
+        rr = rr.withColumn(col, F.expr(expr))
+    out = None
+    for k in range(1, _PACF_LAGS + 1):
+        row = rr.select(
+            F.lit(k).alias("lag"), F.round(F.col(f"p{k}{k}"), 6).alias("pacf")
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# inequality indices: Theil T and mean log deviation (Theil L)
+# ---------------------------------------------------------------------------
+_THEIL_SQL = """
+    WITH m AS (
+      SELECT o_orderpriority, o_totalprice,
+             AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS mu
+      FROM orders)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG((o_totalprice / mu) * ln(o_totalprice / mu)), 6) AS theil_t,
+           ROUND(AVG(ln(mu / o_totalprice)), 6) AS theil_l
+    FROM m GROUP BY o_orderpriority
+"""
+
+
+@register("agg_theil_index", _THEIL_SQL)
+def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T and mean-log-deviation (Theil L) inequality indices of
+    order value per priority — the decomposable cousins of the Gini the
+    warehouse already computes (`customer_gini`): unlike Gini they sum
+    exactly across subgroups (within + between), which is why
+    concentration monitoring at scale prefers them. One windowed mean
+    + one aggregate — no sort over values, no pairwise terms (Gini's
+    rank trick needs the per-group sort; Theil doesn't) — so the plan
+    is two hash exchanges on the same key at any data size. Prices are
+    strictly positive, so ln() is total on both engines; 6dp rounding
+    absorbs libm-vs-StrictMath last-ulp drift in the transcendental."""
+    w = Window.partitionBy("o_orderpriority")
+    orders = table(spark, sf_dir, "orders")
+    m = orders.select(
+        "o_orderpriority",
+        "o_totalprice",
+        F.avg("o_totalprice").over(w).alias("mu"),
+    )
+    ratio = F.col("o_totalprice") / F.col("mu")
+    return m.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(ratio * F.log(ratio)), 6).alias("theil_t"),
+        F.round(F.avg(F.log(F.col("mu") / F.col("o_totalprice"))), 6).alias("theil_l"),
+    )
