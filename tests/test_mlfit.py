@@ -231,3 +231,58 @@ def test_theil_matches_numpy_and_decomposition_bounds(spark):
         assert got[prio]["theil_t"] == pytest.approx(t, abs=1e-4)
         assert got[prio]["theil_l"] == pytest.approx(l, abs=1e-4)
         assert got[prio]["theil_t"] >= 0 and got[prio]["theil_l"] >= 0
+
+
+def test_ohlc_invariants_and_counts(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.queries.mlfit import events_ohlc_hourly
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    got = _rows(events_ohlc_hourly(spark, SF))
+    assert got
+    for g in got:
+        assert g["low"] <= g["open"] <= g["high"]
+        assert g["low"] <= g["close"] <= g["high"]
+        assert g["volume"] >= 1
+    n_events = read_events(spark, SF).count()
+    assert sum(g["volume"] for g in got) == n_events
+    # single-event hours must have open == close == high == low
+    singles = [g for g in got if g["volume"] == 1]
+    assert singles and all(
+        g["open"] == g["close"] == g["high"] == g["low"] for g in singles
+    )
+
+
+def test_randomized_response_debias_recovers_truth(spark):
+    from ug_dwh_etl_spark.queries.mlfit import privacy_randomized_response
+
+    got = _rows(privacy_randomized_response(spark, SF))
+    assert len(got) == 24
+    for g in got:
+        # debiased estimate within binomial noise of the true rate:
+        # se of reported ~ sqrt(.25/n), scaled by 1/(2p-1) = 2
+        se = 2 * (0.25 / g["n"]) ** 0.5
+        assert abs(g["debiased_rate"] - g["true_rate"]) <= 4 * se
+        # reported rate is pulled toward the flip floor (1-p = 0.25)
+        assert abs(g["reported_rate"] - 0.5) <= abs(g["true_rate"] - 0.5) + 1e-9
+
+
+def test_median_bisection_brackets_exact_median(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.queries.mlfit import _BISECT_ROUNDS, agg_median_bisection
+
+    got = _rows(agg_median_bisection(spark, SF))[0]
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    exact = orders.agg(F.expr("percentile(o_totalprice, 0.5)").alias("m")).collect()[0][
+        "m"
+    ]
+    rng = orders.agg(
+        (F.max("o_totalprice") - F.min("o_totalprice")).alias("r")
+    ).collect()[0]["r"]
+    # bracket halves every round from the full range
+    assert got["bracket_width"] <= rng / 2 ** (_BISECT_ROUNDS - 1)
+    # estimate within half a bracket of the exact median
+    assert abs(got["est_median"] - exact) <= got["bracket_width"] / 2 + 1e-6
+    assert got["n"] == orders.count()

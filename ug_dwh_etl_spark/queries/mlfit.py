@@ -760,3 +760,216 @@ def agg_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(ratio * F.log(ratio)), 6).alias("theil_t"),
         F.round(F.avg(F.log(F.col("mu") / F.col("o_totalprice"))), 6).alias("theil_l"),
     )
+
+
+# ---------------------------------------------------------------------------
+# OHLC bars: open/high/low/close resampling of the event value series
+# ---------------------------------------------------------------------------
+_OHLC_SQL = """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT h,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           ROUND(SUM(value), 2) AS total_value
+    FROM w GROUP BY h
+"""
+
+
+@register("events_ohlc_hourly", _OHLC_SQL)
+def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC candlestick resampling of the event value series at hour
+    grain — the first/last-in-window aggregates (open/close) that plain
+    min/max can't express, done with the two-row_number trick:
+    ascending and descending rank inside one hour partition, then
+    conditional MAX picks the rn=1 rows. Both window passes share the
+    same (hour) partitioning, so Catalyst plans ONE exchange + two
+    sorts; ties break on (ts, event_id) so open/close are deterministic
+    even with equal timestamps. At 100 TB the hour key is perfectly
+    parallel (no unpartitioned window anywhere) and the bar table is
+    hours-sized. The financial shape, but equally the 'first/last
+    reading per device per window' of any telemetry rollup."""
+    from pyspark.sql import Window as W
+
+    ev = table(spark, sf_dir, "events")
+    h = F.date_trunc("hour", F.col("ts"))
+    wa = W.partitionBy(h).orderBy(F.asc("ts"), F.asc("event_id"))
+    wd = W.partitionBy(h).orderBy(F.desc("ts"), F.desc("event_id"))
+    w = ev.select(
+        h.alias("h"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return w.groupBy("h").agg(
+        F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# randomized response: plausible-deniability collection + debiasing
+# ---------------------------------------------------------------------------
+_RR_KEEP = 0.75  # P(report truth); flip otherwise
+_RR_DENOM = 1152921504606846976.0
+
+_RR_SQL = f"""
+    WITH src AS (
+      SELECT extract(hour FROM ts) AS hod,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
+             CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '|rr'), 1, 15))::BIGINT
+                       / {_RR_DENOM} < {_RR_KEEP}
+                  THEN CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                  ELSE CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
+             END AS r
+      FROM events)
+    SELECT hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(r * 1.0), 6) AS reported_rate,
+           ROUND((AVG(r * 1.0) - (1.0 - {_RR_KEEP})) / (2.0 * {_RR_KEEP} - 1.0), 6)
+             AS debiased_rate,
+           ROUND(AVG(b * 1.0), 6) AS true_rate
+    FROM src GROUP BY hod
+"""
+
+
+@register("privacy_randomized_response", _RR_SQL)
+def privacy_randomized_response(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Warner randomized response over the purchase bit, per hour of
+    day: each row reports its true bit with probability p={keep} and
+    the flipped bit otherwise (plausible deniability per record —
+    ln(p/(1-p)) local differential privacy), then the aggregate
+    debiases with rate = (reported - (1-p)) / (2p - 1). The noise coin
+    is the same deterministic md5 uniform as the bootstrap/AQP
+    samplers, so the 'random' mechanism is engine-exact and the oracle
+    reproduces the exact debiased estimate; true_rate sits alongside
+    to show the recovery. Pure map-side arithmetic + one groupBy —
+    the LDP collection plan costs the same as the honest one at any
+    scale."""
+    ev = table(spark, sf_dir, "events")
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    b = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    u = md5_long(F.concat(F.col("event_id").cast("string"), F.lit("|rr"))) / F.lit(
+        _RR_DENOM
+    )
+    src = ev.select(
+        F.hour("ts").alias("hod"),
+        b.alias("b"),
+        F.when(u < _RR_KEEP, b).otherwise(1 - b).alias("r"),
+    )
+    p = _RR_KEEP
+    return src.groupBy("hod").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.col("r") * 1.0), 6).alias("reported_rate"),
+        F.round((F.avg(F.col("r") * 1.0) - (1.0 - p)) / (2.0 * p - 1.0), 6).alias(
+            "debiased_rate"
+        ),
+        F.round(F.avg(F.col("b") * 1.0), 6).alias("true_rate"),
+    )
+
+
+privacy_randomized_response.__doc__ = privacy_randomized_response.__doc__.replace(
+    "{keep}", str(_RR_KEEP)
+)
+
+
+# ---------------------------------------------------------------------------
+# median by bisection: distributed quantile without any sort
+# ---------------------------------------------------------------------------
+_BISECT_ROUNDS = 8
+
+
+def _bisect_sql() -> str:
+    parts = [
+        """r0 AS (
+      SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders)"""
+    ]
+    for i in range(1, _BISECT_ROUNDS + 1):
+        parts.append(
+            f"""r{i} AS (
+      SELECT CASE WHEN c.below * 2 >= p.n THEN p.lo ELSE (p.lo + p.hi) / 2 END AS lo,
+             CASE WHEN c.below * 2 >= p.n THEN (p.lo + p.hi) / 2 ELSE p.hi END AS hi,
+             p.n
+      FROM r{i - 1} p,
+           (SELECT CAST(COUNT(*) AS BIGINT) AS below
+            FROM orders, r{i - 1} p2
+            WHERE o_totalprice <= (p2.lo + p2.hi) / 2) c)"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT n,
+           ROUND((lo + hi) / 2, 4) AS est_median,
+           ROUND(hi - lo, 4) AS bracket_width
+    FROM r{_BISECT_ROUNDS}"""
+    )
+
+
+@register("agg_median_bisection", _bisect_sql())
+def agg_median_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median of order value by BISECTION — the quantile algorithm that
+    needs NO sort and NO per-group buffering: start from [min, max],
+    and each round ONE mergeable count (rows <= midpoint) halves the
+    bracket, keeping the median inside it. {rounds} rounds pin the
+    median to range/2^{rounds} deterministically — unlike
+    approx_percentile's sketch there is a hard error bound, and unlike
+    exact percentile nothing is ever sorted or buffered, so it scales
+    to any cardinality with {rounds}+1 trivial scan+count passes (cache
+    the column once and they're cheap; binary-search more quantiles by
+    reusing the same passes). Counts are integers and the midpoint
+    arithmetic is IEEE-exact, so both engines walk the identical
+    bracket sequence. The production pattern when you need a
+    guaranteed-precision quantile of a 100 TB column."""
+    orders = table(spark, sf_dir, "orders").select("o_totalprice")
+    state = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).localCheckpoint()
+    for _ in range(_BISECT_ROUNDS):
+        mid = (F.col("lo") + F.col("hi")) / 2
+        below = (
+            orders.crossJoin(F.broadcast(state.select((
+                (F.col("lo") + F.col("hi")) / 2).alias("mid"))))
+            .filter(F.col("o_totalprice") <= F.col("mid"))
+            .agg(F.count(F.lit(1)).alias("below"))
+        )
+        state = (
+            state.crossJoin(F.broadcast(below))
+            .select(
+                F.when(F.col("below") * 2 >= F.col("n"), F.col("lo"))
+                .otherwise(mid)
+                .alias("lo"),
+                F.when(F.col("below") * 2 >= F.col("n"), mid)
+                .otherwise(F.col("hi"))
+                .alias("hi"),
+                "n",
+            )
+            .localCheckpoint()
+        )
+    return state.select(
+        "n",
+        F.round((F.col("lo") + F.col("hi")) / 2, 4).alias("est_median"),
+        F.round(F.col("hi") - F.col("lo"), 4).alias("bracket_width"),
+    )
+
+
+agg_median_bisection.__doc__ = agg_median_bisection.__doc__.replace(
+    "{rounds}", str(_BISECT_ROUNDS)
+)
