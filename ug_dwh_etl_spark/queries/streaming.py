@@ -12,6 +12,7 @@ from ug_dwh_etl_spark.queries.registry import register
 from ug_dwh_etl_spark.streaming.jobs import (
     stream_dedup_events,
     stream_hourly_tumbling,
+    stream_ohlc_hourly,
     stream_session_windows,
 )
 
@@ -29,6 +30,34 @@ from ug_dwh_etl_spark.streaming.jobs import (
 )
 def q_stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_tumbling(spark, sf_dir)
+
+
+@register(
+    "stream_ohlc_hourly",
+    """
+    WITH w AS (
+      SELECT date_trunc('hour', ts) AS h, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           CAST(COUNT(*) AS BIGINT) AS volume,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM w GROUP BY h
+    """,
+)
+def q_stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # min_by/max_by on the (ts, event_id) struct replace the batch
+    # twin's row_number picks — order-insensitive, so any micro-batch
+    # arrival order folds to the same open/close.
+    return stream_ohlc_hourly(spark, sf_dir)
 
 
 @register(

@@ -183,6 +183,43 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "complete")
 
 
+def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``events_ohlc_hourly``: OHLC bars per tumbling
+    hour. The batch query picks open/close with row_number windows —
+    unavailable under streaming semantics — so here they are the
+    ORDER-INSENSITIVE ``min_by``/``max_by`` on the (ts, event_id)
+    struct, which the state store can fold incrementally in any arrival
+    order (each key holds one (key, value) pair, constant state per
+    window). Same deterministic tie-break — event_id makes the struct
+    key total — so the result is row-identical to the batch twin's
+    oracle."""
+    ev = read_events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+            "total_value",
+        )
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization via ``session_window`` (30 min gap):
     sessions and events per user — same result as the batch lag-based
