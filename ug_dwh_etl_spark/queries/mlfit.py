@@ -1,13 +1,16 @@
-"""Closed-form model fitting, diverse selection, and imputation queries.
+"""Closed-form model fitting, selection, estimation, and imputation.
 
-The in-warehouse ML shapes a training-data platform runs before (or
-instead of) shipping data to a dedicated trainer: multivariate OLS and
-ridge by normal equations (single-pass mergeable moments — the same
-shuffle shape as a SUM at any scale), one logistic Newton step (the
-IRLS building block, reduced to weighted least squares), MMR diverse
-top-k selection over embeddings, the stationary distribution of the
-event-transition Markov chain by unrolled power iteration, and
-group-median imputation of masked values.
+The in-warehouse ML and estimation shapes a training-data platform
+runs before (or instead of) shipping data to a dedicated trainer:
+multivariate OLS / ridge / one logistic Newton step by normal
+equations (single-pass mergeable moments — the same shuffle shape as
+a SUM at any scale), MMR diverse top-k selection over embeddings, the
+stationary distribution of the event-transition Markov chain by
+unrolled power iteration, group-median imputation of masked values,
+Horvitz-Thompson approximate query processing off a deterministic
+sample, PACF by Durbin-Levinson, Theil inequality indices, OHLC bar
+resampling, Warner randomized response with debiasing, and quantiles
+by bisection (no sort at any scale).
 
 Reference anchor: the public reference fits nothing in-engine (its
 pandas scripts hand everything to BigQuery / downstream notebooks,
