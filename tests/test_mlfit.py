@@ -338,3 +338,77 @@ def test_median_bisection_property_vs_sorted():
         assert lo - 1e-9 <= true_med <= hi + 1e-9
 
     check()
+
+
+def test_facility_location_gains_monotone_and_python_match(spark):
+    from ug_dwh_etl_spark.queries.mlfit import (
+        _FL_CAND_MOD,
+        _FL_K,
+        sim_facility_location,
+    )
+
+    got = _rows(sim_facility_location(spark, SF).orderBy("step"))
+    assert [g["step"] for g in got] == list(range(1, _FL_K + 1))
+    # submodularity: marginal gains never increase
+    gains = [g["coverage_gain"] for g in got]
+    assert all(gains[i] >= gains[i + 1] - 1e-9 for i in range(len(gains) - 1))
+    assert len({g["vec_id"] for g in got}) == _FL_K
+    assert all(g["vec_id"] % _FL_CAND_MOD == 0 for g in got)
+
+    # pure-Python greedy reference (same fold order + HALF_UP rounding)
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): [float(x) for x in r.embedding] for r in emb.itertuples()}
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("1e-6"), ROUND_HALF_UP))
+
+    def sim(a, b):
+        return max(r6(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))), 0.0)
+
+    cands = sorted(i for i in vecs if i % _FL_CAND_MOD == 0)
+    cover = {u: 0.0 for u in vecs}
+    picks = []
+    for _ in range(_FL_K):
+        best = None
+        for c in cands:
+            g = sum(max(sim(vecs[u], vecs[c]) - cover[u], 0.0) for u in sorted(vecs))
+            if best is None or g > best[1] + 1e-12 or (abs(g - best[1]) <= 1e-12 and c < best[0]):
+                best = (c, g)
+        picks.append(best[0])
+        for u in vecs:
+            cover[u] = max(cover[u], sim(vecs[u], vecs[best[0]]))
+    assert [g["vec_id"] for g in got] == picks
+
+
+def test_abc_classes_partition_revenue(spark):
+    from ug_dwh_etl_spark.queries.mlfit import orders_abc_classification
+
+    got = {g["abc"]: g for g in _rows(orders_abc_classification(spark, SF))}
+    assert set(got) == {"A", "B", "C"}
+    assert sum(g["revenue_share"] for g in got.values()) == pytest.approx(1.0, abs=1e-4)
+    # cut semantics: A ends at the first part crossing 50% of revenue,
+    # A+B at 80% (uniform TPC-H revenue means parts split roughly in
+    # proportion to revenue here — the skew that concentrates A into
+    # few parts is a property of real data, not this fixture)
+    assert got["A"]["revenue_share"] >= 0.45
+    assert got["A"]["revenue_share"] + got["B"]["revenue_share"] >= 0.75
+    assert got["C"]["revenue_share"] <= 0.25
+
+
+def test_stream_aqp_equals_batch_estimator(spark):
+    from ug_dwh_etl_spark.queries.mlfit import aqp_sampled_revenue
+    from ug_dwh_etl_spark.streaming.jobs import stream_aqp_sampled_revenue
+
+    streamed = stream_aqp_sampled_revenue(spark, SF)
+    batch = aqp_sampled_revenue(spark, SF)
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0

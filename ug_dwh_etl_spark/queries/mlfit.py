@@ -976,3 +976,180 @@ def agg_median_bisection(spark: SparkSession, sf_dir: str) -> DataFrame:
 agg_median_bisection.__doc__ = agg_median_bisection.__doc__.replace(
     "{rounds}", str(_BISECT_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# facility-location greedy selection (submodular max-coverage coreset)
+# ---------------------------------------------------------------------------
+_FL_K = 3
+_FL_CAND_MOD = 21  # candidate set: vec_id % 21 == 0 (~n/21 spread over ids)
+
+
+def _fl_sql() -> str:
+    cos = _duck_cos("u.e", "c.e")
+    parts = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"cand AS (SELECT vec_id, e FROM base WHERE vec_id % {_FL_CAND_MOD} = 0)",
+        "u0 AS (SELECT vec_id, e, 0.0 AS cover FROM base)",
+    ]
+    for k in range(1, _FL_K + 1):
+        parts.append(
+            f"""g{k} AS (
+      SELECT c.vec_id AS cid,
+             SUM(GREATEST(GREATEST({cos}, 0.0) - u.cover, 0.0)) AS gain
+      FROM u{k - 1} u, cand c GROUP BY c.vec_id)"""
+        )
+        parts.append(
+            f"s{k} AS (SELECT cid, gain FROM g{k} ORDER BY gain DESC, cid LIMIT 1)"
+        )
+        if k < _FL_K:
+            parts.append(
+                f"""u{k} AS (
+      SELECT u.vec_id, u.e,
+             GREATEST(u.cover, GREATEST({_duck_cos('u.e', 'p.e')}, 0.0)) AS cover
+      FROM u{k - 1} u, (SELECT c.e FROM cand c JOIN s{k} ON c.vec_id = s{k}.cid) p)"""
+            )
+    selects = "\n    UNION ALL ".join(
+        f"SELECT {k} AS step, cid AS vec_id, ROUND(gain, 4) AS coverage_gain FROM s{k}"
+        for k in range(1, _FL_K + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + selects
+
+
+@register("sim_facility_location", _fl_sql())
+def sim_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility-location greedy selection: pick K exemplars maximizing
+    total corpus COVERAGE sum_u max_s sim(u, s) — the submodular
+    coreset objective behind training-data selection (pick documents
+    that represent everything) as opposed to MMR's redundancy penalty
+    (pick documents unlike each other). Lazy exact greedy with the
+    1-1/e guarantee: each round scores every candidate's marginal gain
+    sum_u max(sim - cover, 0) in ONE scan of the universe against the
+    BROADCAST candidate set (bounded, ~n/{mod} here, fixed at scale),
+    then updates the per-row cover against the broadcast pick.
+    K rounds = K scans + K tiny argmaxes; the universe's cover column
+    is the only state (one double per row, localCheckpointed per
+    round). Similarities clamp at 0 and round to 6dp on both engines;
+    gains round to 4dp (a 500-term sum of rounded doubles — identical
+    inputs, but engine sum order differs at the ulp)."""
+    from ug_dwh_etl_spark.operators.similarity import cosine
+
+    base = table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").alias("e")
+    )
+    cand = base.filter(F.col("vec_id") % _FL_CAND_MOD == 0).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    sim_uc = F.greatest(F.round(cosine("e", "ce"), 6), F.lit(0.0))
+    univ = base.withColumn("cover", F.lit(0.0))
+    out_rows = []
+    for k in range(1, _FL_K + 1):
+        gains = (
+            univ.crossJoin(F.broadcast(cand))
+            .select("cid", F.greatest(sim_uc - F.col("cover"), F.lit(0.0)).alias("g"))
+            .groupBy("cid")
+            .agg(F.sum("g").alias("gain"))
+        )
+        pick = (
+            gains.agg(
+                F.min(F.struct((-F.col("gain")).alias("ng"), F.col("cid"))).alias("m")
+            )
+            .select(F.col("m.cid").alias("pick_id"))
+        )
+        out_rows.append(
+            gains.join(F.broadcast(pick), gains.cid == F.col("pick_id")).select(
+                F.lit(k).alias("step"),
+                F.col("cid").alias("vec_id"),
+                F.round("gain", 4).alias("coverage_gain"),
+            )
+        )
+        if k < _FL_K:
+            pe = cand.join(F.broadcast(pick), cand.cid == F.col("pick_id")).select(
+                F.col("ce").alias("pe")
+            )
+            sim_up = F.greatest(F.round(cosine("e", "pe"), 6), F.lit(0.0))
+            univ = (
+                univ.crossJoin(F.broadcast(pe))
+                .select(
+                    "vec_id",
+                    "e",
+                    F.greatest(F.col("cover"), sim_up).alias("cover"),
+                )
+                .localCheckpoint()
+            )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+sim_facility_location.__doc__ = sim_facility_location.__doc__.replace(
+    "{mod}", str(_FL_CAND_MOD)
+)
+
+
+# ---------------------------------------------------------------------------
+# ABC (Pareto) classification of parts by revenue
+# ---------------------------------------------------------------------------
+_ABC_SQL = """
+    WITH rev AS (
+      SELECT l_partkey,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT SUM(r) AS t FROM rev),
+    ranked AS (
+      SELECT l_partkey, r,
+             SUM(r) OVER (ORDER BY r DESC, l_partkey) AS cum
+      FROM rev),
+    classed AS (
+      SELECT l_partkey, r,
+             CASE WHEN CAST(cum AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.5
+                    THEN 'A'
+                  WHEN CAST(cum AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE) <= 0.8
+                    THEN 'B'
+                  ELSE 'C' END AS abc
+      FROM ranked)
+    SELECT abc,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(CAST(SUM(r) AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE), 6)
+             AS revenue_share
+    FROM classed GROUP BY abc
+"""
+
+
+@register("orders_abc_classification", _ABC_SQL)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification of parts by revenue: cumulative
+    revenue share down the sorted part list cuts A (first 50% of
+    revenue), B (to 80%), C (tail) — the inventory-policy and
+    hot-data-tiering primitive. The corpus-sized work is the per-part
+    rollup; the unpartitioned cumulative window then runs on the
+    PARTS-sized aggregate (aggregate first, window on the aggregate —
+    never window the fact table), with deterministic (revenue DESC,
+    partkey) ordering and DECIMAL sums so the running total is
+    order-exact. At 100 TB the parts relation is still single-window
+    friendly; if it weren't, the same cut falls out of a two-pass
+    percentile on the rollup."""
+    from pyspark.sql import Window as W
+
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
+    )
+    tot = rev.agg(F.sum("r").alias("t"))
+    w = W.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(F.broadcast(tot))
+    share = F.col("cum").cast("double") / F.col("t").cast("double")
+    classed = ranked.select(
+        "r",
+        "t",
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias("abc"),
+    )
+    return classed.groupBy("abc").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(
+            F.sum("r").cast("double") / F.first("t").cast("double"), 6
+        ).alias("revenue_share"),
+    )

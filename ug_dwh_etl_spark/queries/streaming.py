@@ -32,6 +32,22 @@ def q_stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream_hourly_tumbling(spark, sf_dir)
 
 
+def _aqp_oracle() -> str:
+    from ug_dwh_etl_spark.queries.mlfit import _AQP_SQL
+
+    return _AQP_SQL
+
+
+@register("stream_aqp_sampled_revenue", _aqp_oracle())
+def q_stream_aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # same oracle as the batch AQP estimator: the deterministic sample
+    # filter is stateless and the HT sums are mergeable, so the
+    # streaming fold must land on the identical estimate + error bar.
+    from ug_dwh_etl_spark.streaming.jobs import stream_aqp_sampled_revenue
+
+    return stream_aqp_sampled_revenue(spark, sf_dir)
+
+
 @register(
     "stream_ohlc_hourly",
     """

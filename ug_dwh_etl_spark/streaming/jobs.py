@@ -220,6 +220,42 @@ def stream_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "complete")
 
 
+def stream_aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``aqp_sampled_revenue``: the deterministic
+    md5-Bernoulli sample filter is stateless (each row's coin depends
+    only on its key), and the Horvitz-Thompson sums are plain mergeable
+    aggregates, so the WHOLE approximate-query estimator runs
+    incrementally — the estimate and its error bar stay correct after
+    every micro-batch, which is exactly how an AQP dashboard over a
+    100 TB/day feed stays interactive. Complete-mode global aggregate
+    over ~5 priority keys: state is keys-sized, no watermark needed."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+    from ug_dwh_etl_spark.queries.mlfit import _AQP_DENOM, _AQP_RATE
+
+    f = _AQP_RATE
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    orders = stream_table_source(spark, sf_dir, "orders", schema)
+    u = md5_long(
+        F.concat(F.col("o_orderkey").cast("string"), F.lit("|aqp"))
+    ) / F.lit(_AQP_DENOM)
+    s = orders.filter(u < f).select("o_orderpriority", "o_totalprice")
+    agg = s.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_sample"),
+        F.sum("o_totalprice").alias("sx"),
+        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+    )
+    out = run_stream_to_memory(agg, "complete")
+    se = F.sqrt((1.0 - f) / (f * f) * F.col("sxx"))
+    return out.select(
+        "o_orderpriority",
+        "n_sample",
+        F.round(F.col("n_sample") / f, 2).alias("est_count"),
+        F.round(F.col("sx") / f, 2).alias("est_revenue"),
+        F.round(se, 2).alias("se_revenue"),
+        F.round(F.lit(1.96) * se / (F.col("sx") / f), 6).alias("rel_ci95"),
+    )
+
+
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming sessionization via ``session_window`` (30 min gap):
     sessions and events per user — same result as the batch lag-based
