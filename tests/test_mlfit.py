@@ -412,3 +412,35 @@ def test_stream_aqp_equals_batch_estimator(spark):
     batch = aqp_sampled_revenue(spark, SF)
     assert streamed.count() == batch.count()
     assert streamed.exceptAll(batch).count() == 0
+
+
+def test_pit_features_no_leakage(spark):
+    """The defining feature-store property: no same-day or future data
+    in any feature value. Re-derive each row's features in pandas from
+    the raw tables and compare."""
+    import pandas as pd
+
+    from ug_dwh_etl_spark.queries.mlfit import join_pit_features
+
+    got = _rows(join_pit_features(spark, SF))
+    orders = spark.read.parquet(f"{SF}/orders.parquet").toPandas()
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").toPandas()
+    orders["od"] = pd.to_datetime(orders["o_orderdate"]).dt.normalize()
+    li = li.merge(orders[["o_orderkey", "o_custkey"]],
+                  left_on="l_orderkey", right_on="o_orderkey")
+    li["sd"] = pd.to_datetime(li["l_shipdate"]).dt.normalize()
+    by_key = {r["o_orderkey"]: r for r in got}
+    spine = orders[orders["o_custkey"] % 50 == 0]
+    assert len(by_key) == len(spine)
+    for _, o in spine.iterrows():
+        cutoff = o["od"] - pd.Timedelta(days=1)
+        hist = orders[(orders["o_custkey"] == o["o_custkey"]) & (orders["od"] <= cutoff)]
+        exp_spend = round(float(hist["o_totalprice"].sum()), 2) if len(hist) else None
+        rets = li[(li["o_custkey"] == o["o_custkey"]) & (li["l_returnflag"] == "R")
+                  & (li["sd"] <= cutoff)]
+        g = by_key[o["o_orderkey"]]
+        if exp_spend is None:
+            assert g["spend_before"] is None
+        else:
+            assert g["spend_before"] == pytest.approx(exp_spend, abs=0.02)
+        assert g["returns_before"] == len(rets)

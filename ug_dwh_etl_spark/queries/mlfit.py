@@ -1153,3 +1153,118 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("r").cast("double") / F.first("t").cast("double"), 6
         ).alias("revenue_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# point-in-time feature-store join (leakage-safe, multi-table)
+# ---------------------------------------------------------------------------
+_PIT_SQL = """
+    WITH spine AS (
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS od
+      FROM orders WHERE o_custkey % 50 = 0)
+    SELECT s.o_orderkey,
+           s.o_custkey,
+           CAST((SELECT SUM(CAST(o2.o_totalprice AS DECIMAL(18,2)))
+                 FROM orders o2
+                 WHERE o2.o_custkey = s.o_custkey
+                   AND CAST(o2.o_orderdate AS DATE) <= s.od - INTERVAL 1 DAY)
+                AS DOUBLE) AS spend_before,
+           CAST(COALESCE((SELECT COUNT(*)
+                          FROM lineitem l JOIN orders o3
+                               ON l.l_orderkey = o3.o_orderkey
+                          WHERE o3.o_custkey = s.o_custkey
+                            AND l.l_returnflag = 'R'
+                            AND CAST(l.l_shipdate AS DATE)
+                                  <= s.od - INTERVAL 1 DAY), 0)
+                AS BIGINT) AS returns_before
+    FROM spine s
+"""
+
+
+@register("join_pit_features", _PIT_SQL)
+def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (feature-store) join: every training example (an
+    order) is enriched with the feature values KNOWN AT T-1 — lifetime
+    spend and lifetime returned-line shipments — from two feature tables with their own
+    update cadences, via two chained ``merge_asof`` joins at
+    orderdate - 1 day. The T-1 anchor is the leakage contract: the
+    current order (and anything else from the same day) can never leak
+    into its own features, which is the defining correctness property
+    of feature-store retrieval and the thing a naive equi-join on date
+    gets wrong. Each feature table is a daily-grain cumulative rollup
+    built once (aggregate + per-key window); each as-of join is the
+    union-tag single-window shape (one shuffle per join key, no range
+    explosion — see operators/joins.py merge_asof). The oracle states
+    the same semantics declaratively as correlated T-1 subqueries.
+    Spine sampled to custkey % 50 == 0 to keep the gate comparison
+    small; features draw on the full history of those customers."""
+    from pyspark.sql import Window as W
+
+    from ug_dwh_etl_spark.operators.joins import merge_asof
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    sampled = orders.filter(F.col("o_custkey") % 50 == 0)
+
+    spine = sampled.select(
+        "o_orderkey",
+        "o_custkey",
+        F.date_sub(F.to_date("o_orderdate"), 1).alias("feat_date"),
+    )
+    # feature table 1: daily-grain cumulative spend per customer
+    cw = W.partitionBy("o_custkey").orderBy("d")
+    f1 = (
+        sampled.groupBy("o_custkey", F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("day_spend"))
+        .select(
+            "o_custkey",
+            "d",
+            F.sum("day_spend").over(cw).cast("double").alias("spend_to_date"),
+        )
+    )
+    # feature table 2: daily-grain cumulative returned-line count
+    f2 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            sampled.select(F.col("o_orderkey").alias("l_orderkey"), "o_custkey"),
+            "l_orderkey",
+        )
+        .groupBy("o_custkey", F.to_date("l_shipdate").alias("d"))
+        .agg(F.count(F.lit(1)).alias("day_returns"))
+        .select(
+            "o_custkey",
+            "d",
+            F.sum("day_returns").over(cw).alias("returns_to_date"),
+        )
+    )
+    j1 = merge_asof(
+        spine,
+        f1,
+        key="o_custkey",
+        left_time="feat_date",
+        right_time="d",
+        left_vals=["o_orderkey"],
+        right_vals=["spend_to_date"],
+    ).select(
+        F.col("_k").alias("o_custkey"),
+        F.col("_t").alias("feat_ts"),
+        "o_orderkey",
+        "asof_spend_to_date",
+    )
+    j2 = merge_asof(
+        j1,
+        f2,
+        key="o_custkey",
+        left_time="feat_ts",
+        right_time="d",
+        left_vals=["o_orderkey", "asof_spend_to_date"],
+        right_vals=["returns_to_date"],
+    )
+    return j2.select(
+        "o_orderkey",
+        F.col("_k").alias("o_custkey"),
+        F.round(F.col("asof_spend_to_date"), 2).alias("spend_before"),
+        F.coalesce(F.col("asof_returns_to_date"), F.lit(0))
+        .cast("long")
+        .alias("returns_before"),
+    )
