@@ -444,3 +444,16 @@ def test_pit_features_no_leakage(spark):
         else:
             assert g["spend_before"] == pytest.approx(exp_spend, abs=0.02)
         assert g["returns_before"] == len(rets)
+
+
+def test_bigram_perplexity_sane(spark):
+    from ug_dwh_etl_spark.queries.textstats import text_bigram_perplexity
+
+    got = _rows(text_bigram_perplexity(spark, SF))
+    assert got
+    for g in got:
+        # held-out ppl of an add-1 bigram model: > 1 always, and far
+        # below the uniform-over-vocab worst case only if the model
+        # learned anything — just pin the hard bounds
+        assert g["avg_perplexity"] > 1.0
+        assert g["n_docs"] > 0

@@ -2438,3 +2438,99 @@ def corpus_quality_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
     )
+
+
+# --- bigram language model: train/test split + held-out perplexity -------------
+@register(
+    "text_bigram_perplexity",
+    f"""
+    WITH {_TOK_CTE},
+    train AS (SELECT t FROM tok WHERE doc_id % 2 = 0),
+    uni AS (
+      SELECT tk AS w, COUNT(*) AS c
+      FROM (SELECT unnest(t) AS tk FROM train) GROUP BY tk),
+    v AS (SELECT CAST(COUNT(*) AS BIGINT) AS vs FROM uni),
+    big AS (
+      SELECT bg, COUNT(*) AS c
+      FROM (SELECT unnest({H.sql_shingles('t', 2)}) AS bg FROM train)
+      GROUP BY bg),
+    test AS (
+      SELECT doc_id, unnest({H.sql_shingles('t', 2)}) AS bg
+      FROM tok WHERE doc_id % 2 = 1),
+    scored AS (
+      SELECT test.doc_id,
+             LN((COALESCE(b.c, 0) + 1.0)
+                / (COALESCE(u.c, 0) + (SELECT vs FROM v))) AS lp
+      FROM test
+        LEFT JOIN big b ON b.bg = test.bg
+        LEFT JOIN uni u ON u.w = string_split(test.bg, ' ')[1]),
+    perdoc AS (
+      SELECT doc_id, COUNT(*) AS n_bigrams, EXP(-AVG(lp)) AS ppl
+      FROM scored GROUP BY doc_id)
+    SELECT d.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(p.ppl), 4) AS avg_perplexity
+    FROM perdoc p JOIN documents d USING (doc_id)
+    GROUP BY d.lang
+    """,
+)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out perplexity of an in-warehouse bigram language model:
+    train add-1-smoothed bigram/unigram counts on the even-id half of
+    the corpus, score the odd-id half with
+    p(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), and report
+    exp(-mean ln p) per language — the classic LM-based quality signal
+    (high perplexity under a corpus-trained model flags outlier / noisy
+    documents) computed entirely with joins and aggregates, no UDFs.
+
+    Scale shape: the model IS two count relations (unigrams, bigrams) —
+    one tokenize pass + two shuffles to build, co-shuffled hash joins
+    to apply (test bigrams join the bigram relation on its natural
+    key; at 100 TB both sides are big and the join is the plan you
+    want). The train/test split is the same deterministic id-parity
+    rule as split_train_test, so there is no leakage and the oracle
+    reproduces the exact counts. ln/exp see identical count-ratio
+    inputs on both engines; per-doc and per-lang averages round at 4dp,
+    far above ulp-order sum noise."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", H.tokens("text").alias("t"))
+    train = toks.filter(F.col("doc_id") % 2 == 0)
+    uni = (
+        train.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cu"))
+    )
+    v = uni.agg(F.count(F.lit(1)).alias("vs"))
+    big = (
+        train.select(F.explode(H.shingles(F.col("t"), 2)).alias("bg"))
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cb"))
+    )
+    test = toks.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", F.explode(H.shingles(F.col("t"), 2)).alias("bg")
+    )
+    scored = (
+        test.join(big, "bg", "left")
+        .withColumn("w1", F.split("bg", " ").getItem(0))
+        .join(uni.select(F.col("w").alias("w1"), "cu"), "w1", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.log(
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+                / (F.coalesce(F.col("cu"), F.lit(0)) + F.col("vs"))
+            ).alias("lp"),
+        )
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.exp(-F.avg("lp")).alias("ppl"),
+    )
+    return (
+        perdoc.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("ppl"), 4).alias("avg_perplexity"),
+        )
+    )
