@@ -295,6 +295,8 @@ def test_stream_ohlc_equals_batch_twin(spark):
     from ug_dwh_etl_spark.streaming.jobs import stream_ohlc_hourly
 
     streamed = stream_ohlc_hourly(spark, SF)
+    # both twins sum total_value as DECIMAL(18,2), so ALL columns —
+    # including the money one — must be row-identical
     batch = events_ohlc_hourly(spark, SF).select(
         F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
         "open",
@@ -302,12 +304,10 @@ def test_stream_ohlc_equals_batch_twin(spark):
         "low",
         "close",
         "volume",
-        # batch twin sums value as double; re-derive the stream's
-        # decimal-sum convention for an exact frame comparison
+        "total_value",
     )
-    s = streamed.drop("total_value")
-    assert s.count() == batch.count()
-    assert s.exceptAll(batch).count() == 0
+    assert streamed.count() == batch.count()
+    assert streamed.exceptAll(batch).count() == 0
 
 
 def test_median_bisection_property_vs_sorted():
@@ -380,8 +380,12 @@ def test_facility_location_gains_monotone_and_python_match(spark):
     for _ in range(_FL_K):
         best = None
         for c in cands:
-            g = sum(max(sim(vecs[u], vecs[c]) - cover[u], 0.0) for u in sorted(vecs))
-            if best is None or g > best[1] + 1e-12 or (abs(g - best[1]) <= 1e-12 and c < best[0]):
+            # engines round the gain SUM to 6dp before the argmax; mirror
+            # that so near-tied candidates break ties identically
+            g = r6(
+                sum(max(sim(vecs[u], vecs[c]) - cover[u], 0.0) for u in sorted(vecs))
+            )
+            if best is None or g > best[1] or (g == best[1] and c < best[0]):
                 best = (c, g)
         picks.append(best[0])
         for u in vecs:

@@ -50,6 +50,18 @@ def cosine_sql(a: str, b: str) -> str:
     return f"({dot_sql(a, b)} / (sqrt({dot_sql(a, a)}) * sqrt({dot_sql(b, b)})))"
 
 
+def duck_cosine_sql(a: str, b: str, digits: int = 6) -> str:
+    """DuckDB-side cosine, rounded — the ORACLE twin of ``cosine_sql``.
+    The rounding precision is part of the cross-engine tie-breaking
+    contract (both engines must argmax over identically-rounded
+    values), so every oracle that compares or ranks cosines should
+    build the expression here rather than inline it."""
+    d = "list_dot_product"
+    return (
+        f"ROUND({d}({a}, {b}) / (sqrt({d}({a}, {a})) * sqrt({d}({b}, {b}))), {digits})"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential left-to-right double fold — bitwise-identical to the
     oracle's list_dot_product accumulation order. Pass SQL strings for

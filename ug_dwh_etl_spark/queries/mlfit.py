@@ -246,11 +246,9 @@ _MMR_K = 5
 _MMR_LAMBDA = 0.7
 
 
-def _duck_cos(a: str, b: str) -> str:
-    d = "list_dot_product"
-    return (
-        f"ROUND({d}({a}, {b}) / (sqrt({d}({a}, {a})) * sqrt({d}({b}, {b}))), 6)"
-    )
+# oracle-side cosine comes from the shared helper so the 6dp rounding
+# that guarantees cross-engine tie-breaking lives in ONE place
+from ug_dwh_etl_spark.operators.similarity import duck_cosine_sql as _duck_cos
 
 
 def _mmr_sql() -> str:
@@ -551,17 +549,20 @@ def dq_impute_group_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AQP_RATE = 0.05
 _AQP_DENOM = 1152921504606846976.0  # 2^60, same scaling as the bootstrap
 
-_AQP_SQL = f"""
+def _aqp_sql() -> str:
+    from ug_dwh_etl_spark.operators.hashing import sql_md5_long
+
+    coin = sql_md5_long("o_orderkey::VARCHAR || '|aqp'")
+    return f"""
     WITH s AS (
-      SELECT o_orderpriority, o_totalprice
+      SELECT o_orderpriority, CAST(o_totalprice AS DECIMAL(18,2)) AS x
       FROM orders
-      WHERE ('0x' || substr(md5(o_orderkey::VARCHAR || '|aqp'), 1, 15))::BIGINT
-            / {_AQP_DENOM} < {_AQP_RATE}),
+      WHERE {coin} / {_AQP_DENOM} < {_AQP_RATE}),
     agg AS (
       SELECT o_orderpriority,
              CAST(COUNT(*) AS BIGINT) AS n_sample,
-             SUM(o_totalprice) AS sx,
-             SUM(o_totalprice * o_totalprice) AS sxx
+             CAST(SUM(x) AS DOUBLE) AS sx,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
       FROM s GROUP BY o_orderpriority)
     SELECT o_orderpriority, n_sample,
            ROUND(n_sample / {_AQP_RATE}, 2) AS est_count,
@@ -572,6 +573,9 @@ _AQP_SQL = f"""
                  / (sx / {_AQP_RATE}), 6) AS rel_ci95
     FROM agg
 """
+
+
+_AQP_SQL = _aqp_sql()
 
 
 @register("aqp_sampled_revenue", _AQP_SQL)
@@ -597,11 +601,14 @@ def aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = md5_long(
         F.concat(F.col("o_orderkey").cast("string"), F.lit("|aqp"))
     ) / F.lit(_AQP_DENOM)
-    s = orders.filter(u < f).select("o_orderpriority", "o_totalprice")
+    # decimal-sum parity rule: sum x and x^2 as exact DECIMAL (order-
+    # independent), cast to double only at the aggregate edge
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.filter(u < f).select("o_orderpriority", x.alias("x"))
     agg = s.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_sample"),
-        F.sum("o_totalprice").alias("sx"),
-        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
     )
     se = F.sqrt((1.0 - f) / (f * f) * F.col("sxx"))
     return agg.select(
@@ -782,7 +789,8 @@ _OHLC_SQL = """
            MIN(value) AS low,
            MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
            CAST(COUNT(*) AS BIGINT) AS volume,
-           ROUND(SUM(value), 2) AS total_value
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
     FROM w GROUP BY h
 """
 
@@ -818,7 +826,11 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("low"),
         F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("close"),
         F.count(F.lit(1)).alias("volume"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+        # decimal-sum parity rule (and definitional parity with the
+        # streaming twin): exact DECIMAL sum, double only at the edge
+        F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_value"),
     )
 
 
@@ -826,14 +838,18 @@ def events_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # randomized response: plausible-deniability collection + debiasing
 # ---------------------------------------------------------------------------
 _RR_KEEP = 0.75  # P(report truth); flip otherwise
-_RR_DENOM = 1152921504606846976.0
+_RR_DENOM = _AQP_DENOM  # 2^60, the shared md5-uniform scaling
 
-_RR_SQL = f"""
+
+def _rr_sql() -> str:
+    from ug_dwh_etl_spark.operators.hashing import sql_md5_long
+
+    coin = sql_md5_long("event_id::VARCHAR || '|rr'")
+    return f"""
     WITH src AS (
       SELECT extract(hour FROM ts) AS hod,
              CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS b,
-             CASE WHEN ('0x' || substr(md5(event_id::VARCHAR || '|rr'), 1, 15))::BIGINT
-                       / {_RR_DENOM} < {_RR_KEEP}
+             CASE WHEN {coin} / {_RR_DENOM} < {_RR_KEEP}
                   THEN CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
                   ELSE CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END
              END AS r
@@ -846,6 +862,9 @@ _RR_SQL = f"""
            ROUND(AVG(b * 1.0), 6) AS true_rate
     FROM src GROUP BY hod
 """
+
+
+_RR_SQL = _rr_sql()
 
 
 @register("privacy_randomized_response", _RR_SQL)
@@ -996,7 +1015,7 @@ def _fl_sql() -> str:
         parts.append(
             f"""g{k} AS (
       SELECT c.vec_id AS cid,
-             SUM(GREATEST(GREATEST({cos}, 0.0) - u.cover, 0.0)) AS gain
+             ROUND(SUM(GREATEST(GREATEST({cos}, 0.0) - u.cover, 0.0)), 6) AS gain
       FROM u{k - 1} u, cand c GROUP BY c.vec_id)"""
         )
         parts.append(
@@ -1029,9 +1048,11 @@ def sim_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     then updates the per-row cover against the broadcast pick.
     K rounds = K scans + K tiny argmaxes; the universe's cover column
     is the only state (one double per row, localCheckpointed per
-    round). Similarities clamp at 0 and round to 6dp on both engines;
-    gains round to 4dp (a 500-term sum of rounded doubles — identical
-    inputs, but engine sum order differs at the ulp)."""
+    round). Similarities clamp at 0 and round to 6dp on both engines,
+    and the gain SUM rounds to 6dp BEFORE the argmax — a corpus-sized
+    sum's fold order differs at the ulp between engines, so the pick
+    must compare identically-rounded values (the same tie-breaking
+    contract as MMR); the reported gain rounds to 4dp."""
     from ug_dwh_etl_spark.operators.similarity import cosine
 
     base = table(spark, sf_dir, "embeddings").select(
@@ -1048,7 +1069,11 @@ def sim_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             univ.crossJoin(F.broadcast(cand))
             .select("cid", F.greatest(sim_uc - F.col("cover"), F.lit(0.0)).alias("g"))
             .groupBy("cid")
-            .agg(F.sum("g").alias("gain"))
+            # round BEFORE the argmax: the gain is a corpus-sized sum
+            # whose engine fold order differs at the ulp — the pick must
+            # compare identically-rounded values or near-tied candidates
+            # argmax differently across engines (same contract as MMR)
+            .agg(F.round(F.sum("g"), 6).alias("gain"))
         )
         pick = (
             gains.agg(

@@ -238,11 +238,15 @@ def stream_aqp_sampled_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = md5_long(
         F.concat(F.col("o_orderkey").cast("string"), F.lit("|aqp"))
     ) / F.lit(_AQP_DENOM)
-    s = orders.filter(u < f).select("o_orderpriority", "o_totalprice")
+    # decimal-sum parity rule, same as the batch twin: exact DECIMAL
+    # sums are arrival-order-independent, which is doubly load-bearing
+    # here — micro-batch fold order differs from any batch plan
+    x = F.col("o_totalprice").cast("decimal(18,2)")
+    s = orders.filter(u < f).select("o_orderpriority", x.alias("x"))
     agg = s.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_sample"),
-        F.sum("o_totalprice").alias("sx"),
-        F.sum(F.col("o_totalprice") * F.col("o_totalprice")).alias("sxx"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
     )
     out = run_stream_to_memory(agg, "complete")
     se = F.sqrt((1.0 - f) / (f * f) * F.col("sxx"))
