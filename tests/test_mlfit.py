@@ -461,3 +461,28 @@ def test_bigram_perplexity_sane(spark):
         # learned anything — just pin the hard bounds
         assert g["avg_perplexity"] > 1.0
         assert g["n_docs"] > 0
+
+
+def test_ivf_incremental_update_consistency(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.similarity import ivf_assign
+    from ug_dwh_etl_spark.queries.similarity import sim_ivf_incremental_update
+
+    got = _rows(sim_ivf_incremental_update(spark, SF))
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # totals conserve: every vector lands in exactly one cluster
+    assert sum(g["n_total"] for g in got) == emb.count()
+    for g in got:
+        assert g["n_total"] == g["n_corpus"] + g["n_batch"]
+        assert g["centroid_shift"] >= 0.0
+    # clusters match the canonical assignment operator
+    canon = {
+        r["cluster"]: r["n"]
+        for r in ivf_assign(emb).groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert {g["cluster"]: g["n_total"] for g in got} == canon
+    # a cluster that received no new vectors cannot drift
+    for g in got:
+        if g["n_batch"] == 0:
+            assert g["centroid_shift"] == 0.0

@@ -1300,3 +1300,97 @@ def sim_centroid_classifier_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(correct).alias("n_correct"),
         F.round(F.sum(correct) / F.count(F.lit(1)), 6).alias("accuracy"),
     )
+
+
+# --- incremental IVF index maintenance: assign a new batch, measure drift --------
+_IVF_BATCH_MOD = 10  # batch = vec_id % 10 == 7 (the "newly arrived" tenth)
+
+
+def _ivf_incr_sql() -> str:
+    dists = ", ".join(
+        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
+    )
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS e,
+             CASE WHEN vec_id % {_IVF_BATCH_MOD} = 7 THEN 1 ELSE 0 END AS is_new
+      FROM embeddings),
+    d AS (SELECT vec_id, e, is_new, {dists} FROM base),
+    m AS (SELECT vec_id, e, is_new, {least} AS m, * FROM d),
+    assigned AS (SELECT vec_id, e, is_new, CASE {case} END AS cluster FROM m),
+    pos AS (
+      SELECT cluster, is_new,
+             generate_subscripts(e, 1) AS p, unnest(e) AS v
+      FROM assigned),
+    means AS (
+      SELECT cluster, p,
+             AVG(CASE WHEN is_new = 0 THEN v END) AS mb,
+             AVG(v) AS ma
+      FROM pos GROUP BY cluster, p),
+    shift AS (
+      SELECT cluster, SUM((ma - mb) * (ma - mb)) AS s2 FROM means GROUP BY cluster),
+    counts AS (
+      SELECT cluster,
+             CAST(SUM(1 - is_new) AS BIGINT) AS n_corpus,
+             CAST(SUM(is_new) AS BIGINT) AS n_batch
+      FROM assigned GROUP BY cluster)
+    SELECT c.cluster, c.n_corpus, c.n_batch,
+           CAST(c.n_corpus + c.n_batch AS BIGINT) AS n_total,
+           ROUND(sqrt(s.s2), 6) AS centroid_shift
+    FROM counts c JOIN shift s ON s.cluster = c.cluster
+    """
+
+
+@register("sim_ivf_incremental_update", _ivf_incr_sql())
+def sim_ivf_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the daily-ingest twin for the
+    ANN stack (the same shape `dedup_incremental_neardup` gives the LSH
+    index): newly-arrived vectors (the deterministic id-mod tenth) are
+    assigned to the EXISTING centroids with the same codegen argmin as
+    `sim_ivf_clusters` — at ingest that assignment IS the partition
+    key, so new data lands in the right storage partition with no
+    re-clustering — and the decision table reports, per cluster, the
+    old/new/total counts plus the RUNNING-MEAN DRIFT ||mean_after -
+    mean_before||, the monitor that tells you when accumulated arrivals
+    have moved a cell enough to warrant a re-cluster (kick off
+    `sim_kmeans_step` from the current centroids).
+
+    Distributed shape: one assignment scan (K distance folds, no
+    shuffle), then the per-dimension means go through an
+    explode(position) -> groupBy(cluster, position) aggregate — the
+    row-count is n x dim but each row is 3 numbers, and the shuffle key
+    (cluster, position) is perfectly spread; no vector ever needs to
+    fold into driver-side state. The oracle replays the identical
+    argmin and per-position means via unnest WITH ORDINALITY."""
+    emb = table(spark, sf_dir, "embeddings")
+    assigned = ivf_assign(emb).select(
+        "vec_id",
+        "cluster",
+        F.col("embedding").alias("e"),
+        (F.col("vec_id") % _IVF_BATCH_MOD == 7).cast("int").alias("is_new"),
+    )
+    pos = assigned.select(
+        "cluster",
+        "is_new",
+        F.posexplode(F.col("e").cast("array<double>")).alias("p0", "v"),
+    ).select("cluster", "is_new", (F.col("p0") + 1).alias("p"), "v")
+    means = pos.groupBy("cluster", "p").agg(
+        F.avg(F.when(F.col("is_new") == 0, F.col("v"))).alias("mb"),
+        F.avg("v").alias("ma"),
+    )
+    shift = means.groupBy("cluster").agg(
+        F.sum((F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))).alias("s2")
+    )
+    counts = assigned.groupBy("cluster").agg(
+        F.sum(1 - F.col("is_new")).cast("long").alias("n_corpus"),
+        F.sum("is_new").cast("long").alias("n_batch"),
+    )
+    return counts.join(shift, "cluster").select(
+        F.col("cluster").cast("int").alias("cluster"),
+        "n_corpus",
+        "n_batch",
+        (F.col("n_corpus") + F.col("n_batch")).alias("n_total"),
+        F.round(F.sqrt("s2"), 6).alias("centroid_shift"),
+    )
