@@ -486,3 +486,19 @@ def test_ivf_incremental_update_consistency(spark):
     for g in got:
         if g["n_batch"] == 0:
             assert g["centroid_shift"] == 0.0
+
+
+def test_shared_quantile_bisection_brackets_exact(spark):
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.queries.mlfit import agg_quantiles_bisection_shared
+
+    got = {g["pct"]: g for g in _rows(agg_quantiles_bisection_shared(spark, SF))}
+    assert set(got) == {25, 50, 75}
+    assert got[25]["est_value"] <= got[50]["est_value"] <= got[75]["est_value"]
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    for pct, g in got.items():
+        exact = orders.agg(
+            F.expr(f"percentile(o_totalprice, {pct / 100})").alias("m")
+        ).collect()[0]["m"]
+        assert abs(g["est_value"] - exact) <= g["bracket_width"] / 2 + 1e-6

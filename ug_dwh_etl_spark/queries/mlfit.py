@@ -1293,3 +1293,115 @@ def join_pit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("returns_before"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shared-scan multi-quantile bisection: p25/p50/p75 in the same passes
+# ---------------------------------------------------------------------------
+_MQ_ROUNDS = 8
+_MQ_QS = (25, 50, 75)
+
+
+def _mq_sql() -> str:
+    cols = []
+    for q in _MQ_QS:
+        cols += [f"lo{q}", f"hi{q}"]
+    init = ", ".join(
+        f"mn AS lo{q}, mx AS hi{q}" for q in _MQ_QS
+    )
+    parts = [
+        """r0x AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders)""",
+        f"r0 AS (SELECT {init}, n FROM r0x)",
+    ]
+    for i in range(1, _MQ_ROUNDS + 1):
+        counts = ", ".join(
+            f"SUM(CASE WHEN o_totalprice <= (p.lo{q} + p.hi{q}) / 2 THEN 1 ELSE 0 END)"
+            f" AS below{q}"
+            for q in _MQ_QS
+        )
+        updates = ", ".join(
+            f"CASE WHEN c.below{q} * 100 >= p.n * {q} THEN p.lo{q}"
+            f" ELSE (p.lo{q} + p.hi{q}) / 2 END AS lo{q}, "
+            f"CASE WHEN c.below{q} * 100 >= p.n * {q} THEN (p.lo{q} + p.hi{q}) / 2"
+            f" ELSE p.hi{q} END AS hi{q}"
+            for q in _MQ_QS
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT {updates}, p.n
+      FROM r{i - 1} p,
+           (SELECT {counts} FROM orders, r{i - 1} p) c)"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {q} AS pct, ROUND((lo{q} + hi{q}) / 2, 4) AS est_value,"
+        f" ROUND(hi{q} - lo{q}, 4) AS bracket_width FROM r{_MQ_ROUNDS}"
+        for q in _MQ_QS
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@register("agg_quantiles_bisection_shared", _mq_sql())
+def agg_quantiles_bisection_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p25/p50/p75 by bisection in SHARED scans: one pass per round
+    computes all three bracket-midpoint counts as conditional sums of
+    the same scan, so three quantiles cost the same {rounds} passes as
+    one — the amortization `agg_median_bisection`'s docstring promises,
+    demonstrated. Per round the state is one row of three (lo, hi)
+    brackets; each bracket halves independently on its own count-vs-
+    q*n/100 test (integer cross-multiplication, no float percent
+    arithmetic). Still no sort, still a hard range/2^{rounds} bound per
+    quantile, still mergeable counts — the shape that hands you an
+    entire deterministic-precision quantile TABLE of a 100 TB column
+    for {rounds} cheap scans (cache the column once)."""
+    orders = table(spark, sf_dir, "orders").select("o_totalprice")
+    init = orders.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    state = init.select(
+        *[c for q in _MQ_QS for c in
+          (F.col("mn").alias(f"lo{q}"), F.col("mx").alias(f"hi{q}"))],
+        "n",
+    ).localCheckpoint()
+    for _ in range(_MQ_ROUNDS):
+        # broadcast the checkpointed 1-row state itself; midpoints fold
+        # inline so each round is exactly one scan job + one state job
+        counts = orders.crossJoin(F.broadcast(state.drop("n"))).agg(
+            *[
+                F.sum(
+                    F.when(
+                        F.col("o_totalprice")
+                        <= (F.col(f"lo{q}") + F.col(f"hi{q}")) / 2,
+                        1,
+                    ).otherwise(0)
+                ).alias(f"below{q}")
+                for q in _MQ_QS
+            ]
+        )
+        new_cols = []
+        for q in _MQ_QS:
+            mid = (F.col(f"lo{q}") + F.col(f"hi{q}")) / 2
+            go_down = F.col(f"below{q}") * 100 >= F.col("n") * q
+            new_cols.append(F.when(go_down, F.col(f"lo{q}")).otherwise(mid).alias(f"lo{q}"))
+            new_cols.append(F.when(go_down, mid).otherwise(F.col(f"hi{q}")).alias(f"hi{q}"))
+        state = (
+            state.crossJoin(F.broadcast(counts)).select(*new_cols, "n").localCheckpoint()
+        )
+    out = None
+    for q in _MQ_QS:
+        row = state.select(
+            F.lit(q).alias("pct"),
+            F.round((F.col(f"lo{q}") + F.col(f"hi{q}")) / 2, 4).alias("est_value"),
+            F.round(F.col(f"hi{q}") - F.col(f"lo{q}"), 4).alias("bracket_width"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+agg_quantiles_bisection_shared.__doc__ = agg_quantiles_bisection_shared.__doc__.replace(
+    "{rounds}", str(_MQ_ROUNDS)
+)
