@@ -174,6 +174,16 @@ EXPECTED_NESTED_LOOP = {
     "corpus_curriculum_plan",
     # 1-row per-half token-total frame broadcast onto the vocab relation
     "text_js_divergence",
+    # 1-row hourly-mean frame broadcast onto the series, then the 1-row
+    # r1..r4 autocorrelation frame through the Durbin-Levinson selects
+    "events_pacf",
+    # 1-row pick / pick-embedding frames broadcast per greedy round onto
+    # the checkpointed universe (farthest-first shape)
+    "sim_facility_location",
+    # 1-row grand-total revenue frame broadcast onto the parts rollup
+    "orders_abc_classification",
+    # 1-row train-vocab-size frame broadcast onto the scored test bigrams
+    "text_bigram_perplexity",
 }
 STREAM = re.compile(r"^stream_")
 
