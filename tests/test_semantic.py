@@ -1,0 +1,66 @@
+"""Semantic layer (plans/semantic.py): join pruning, spec validation,
+and the by-construction parity between compiled plan and generated SQL."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from ug_dwh_etl_spark.plans.semantic import (
+    MetricSpec,
+    compile_spec,
+    oracle_for_spec,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fact_only_spec_plans_zero_joins(spark):
+    spec = MetricSpec(metrics=("n_orders",), dimensions=("order_status",))
+    plan = compile_spec(spec, spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # no dimension table touched
+
+
+def test_region_spec_joins_exactly_the_star_chain(spark):
+    spec = MetricSpec(metrics=("revenue",), dimensions=("region_name",))
+    plan = (
+        compile_spec(spec, spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # customer -> nation -> region are all needed; part/supplier never
+    assert plan.count("BroadcastHashJoin") == 3
+    for absent in ("part.parquet", "supplier.parquet", "lineitem.parquet"):
+        assert absent not in plan
+
+
+def test_unknown_names_rejected():
+    with pytest.raises(ValueError, match="unknown"):
+        MetricSpec(metrics=("revenu",)).validate()
+    with pytest.raises(ValueError, match="unknown"):
+        MetricSpec(metrics=("revenue",), dimensions=("region",)).validate()
+    with pytest.raises(ValueError, match="at least one"):
+        MetricSpec(metrics=()).validate()
+
+
+def test_compiled_plan_matches_generated_sql(spark):
+    """The whole point: one spec, two backends, identical answers —
+    checked here on a spec no registered query uses."""
+    spec = MetricSpec(
+        metrics=("n_orders", "revenue"),
+        dimensions=("nation_name", "order_year"),
+        filters=("o_orderstatus = 'F'",),
+    )
+    got = {
+        (r["nation_name"], r["order_year"]): (r["n_orders"], r["revenue"])
+        for r in compile_spec(spec, spark, SF).collect()
+    }
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation", "region"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    exp = {
+        (n, y): (c, rev)
+        for n, y, c, rev in con.execute(oracle_for_spec(spec)).fetchall()
+    }
+    assert got == exp

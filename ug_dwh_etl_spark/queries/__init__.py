@@ -31,5 +31,6 @@ import ug_dwh_etl_spark.queries.pipelines_ext  # noqa: F401
 import ug_dwh_etl_spark.queries.history  # noqa: F401
 import ug_dwh_etl_spark.queries.relational_tpch2  # noqa: F401
 import ug_dwh_etl_spark.queries.mlfit  # noqa: F401
+import ug_dwh_etl_spark.queries.semantic  # noqa: F401
 
 __all__ = ["QUERIES", "register", "table"]
