@@ -62,6 +62,20 @@ def main(argv: list[str] | None = None) -> int:
                     help="include a post-rewrite row count in the run log "
                          "(footer-metadata job; skip on very large tables)")
 
+    sm = sub.add_parser(
+        "metric",
+        help="semantic-layer query: governed metrics sliced by dimensions",
+    )
+    sm.add_argument("metrics", help="comma-separated metric names (see --show)")
+    sm.add_argument("--by", default="", help="comma-separated dimension names")
+    sm.add_argument("--where", action="append", default=[],
+                    help="fact-side SQL filter (repeatable)")
+    sm.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    sm.add_argument("--limit", type=int, default=50)
+    sm.add_argument("--explain", action="store_true")
+    sm.add_argument("--show-sql", action="store_true",
+                    help="print the generated warehouse SQL instead of running")
+
     args = p.parse_args(argv)
 
     from ug_dwh_etl_spark.queries import QUERIES
@@ -70,6 +84,37 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "list":
         for name in sorted(QUERIES):
             print(name)
+        return 0
+
+    if args.cmd == "metric":
+        from ug_dwh_etl_spark.plans.semantic import (
+            DIMENSIONS,
+            METRICS,
+            MetricSpec,
+            compile_spec,
+            oracle_for_spec,
+        )
+
+        spec = MetricSpec(
+            metrics=tuple(m.strip() for m in args.metrics.split(",") if m.strip()),
+            dimensions=tuple(d.strip() for d in args.by.split(",") if d.strip()),
+            filters=tuple(args.where),
+        )
+        try:
+            spec.validate()
+        except ValueError as e:
+            print(f"{e}\nmetrics: {', '.join(sorted(METRICS))}"
+                  f"\ndimensions: {', '.join(sorted(DIMENSIONS))}", file=sys.stderr)
+            return 2
+        if args.show_sql:
+            print(oracle_for_spec(spec))
+            return 0
+        spark = get_spark("cli-metric")
+        spark.sparkContext.setLogLevel("ERROR")
+        df = compile_spec(spec, spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        df.show(args.limit, truncate=False)
         return 0
 
     spark = get_spark(f"cli-{args.cmd}")
