@@ -64,3 +64,61 @@ def test_compiled_plan_matches_generated_sql(spark):
         for n, y, c, rev in con.execute(oracle_for_spec(spec)).fetchall()
     }
     assert got == exp
+
+
+def test_rollup_routing_guards_and_plan(spark, tmp_path):
+    from ug_dwh_etl_spark.plans.semantic import materialize_rollup
+
+    base = MetricSpec(
+        metrics=("gross_revenue", "n_lines"),
+        dimensions=("brand", "return_flag"),
+        fact="lineitem",
+    )
+    path = str(tmp_path / "rollup")
+    materialize_rollup(base, spark, SF, path)
+
+    routed = MetricSpec(metrics=("n_lines",), dimensions=("brand",), fact="lineitem")
+    df = compile_spec(routed, spark, SF, rollup=path)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "lineitem.parquet" not in plan  # fact never rescanned
+    # routed == direct
+    direct = compile_spec(routed, spark, SF)
+    assert df.exceptAll(direct).count() == 0 and direct.exceptAll(df).count() == 0
+
+    # guards: non-additive metrics and fact filters must refuse routing
+    with pytest.raises(ValueError, match="additive"):
+        compile_spec(
+            MetricSpec(metrics=("avg_order_value",)), spark, SF, rollup=path
+        )
+    with pytest.raises(ValueError, match="filters"):
+        compile_spec(
+            MetricSpec(
+                metrics=("n_lines",), fact="lineitem",
+                filters=("l_linestatus = 'F'",),
+            ),
+            spark, SF, rollup=path,
+        )
+    with pytest.raises(ValueError, match="lacks dimensions"):
+        compile_spec(
+            MetricSpec(
+                metrics=("n_lines",), dimensions=("part_type",), fact="lineitem"
+            ),
+            spark, SF, rollup=path,
+        )
+    with pytest.raises(ValueError, match="additive"):
+        materialize_rollup(
+            MetricSpec(metrics=("n_customers",)), spark, SF, str(tmp_path / "x")
+        )
+
+
+def test_lineitem_fact_star_chain(spark):
+    spec = MetricSpec(
+        metrics=("net_revenue",), dimensions=("supplier_region",), fact="lineitem"
+    )
+    plan = (
+        compile_spec(spec, spark, SF)._jdf.queryExecution().executedPlan().toString()
+    )
+    # supplier -> nation -> region, and NOT part/customer
+    assert plan.count("BroadcastHashJoin") == 3
+    for absent in ("part.parquet", "customer.parquet", "orders.parquet"):
+        assert absent not in plan

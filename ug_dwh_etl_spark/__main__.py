@@ -70,6 +70,7 @@ def main(argv: list[str] | None = None) -> int:
     sm.add_argument("--by", default="", help="comma-separated dimension names")
     sm.add_argument("--where", action="append", default=[],
                     help="fact-side SQL filter (repeatable)")
+    sm.add_argument("--fact", default="orders", help="fact table (orders|lineitem)")
     sm.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sm.add_argument("--limit", type=int, default=50)
     sm.add_argument("--explain", action="store_true")
@@ -88,8 +89,7 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "metric":
         from ug_dwh_etl_spark.plans.semantic import (
-            DIMENSIONS,
-            METRICS,
+            FACTS,
             MetricSpec,
             compile_spec,
             oracle_for_spec,
@@ -99,12 +99,16 @@ def main(argv: list[str] | None = None) -> int:
             metrics=tuple(m.strip() for m in args.metrics.split(",") if m.strip()),
             dimensions=tuple(d.strip() for d in args.by.split(",") if d.strip()),
             filters=tuple(args.where),
+            fact=args.fact,
         )
         try:
             spec.validate()
         except ValueError as e:
-            print(f"{e}\nmetrics: {', '.join(sorted(METRICS))}"
-                  f"\ndimensions: {', '.join(sorted(DIMENSIONS))}", file=sys.stderr)
+            model = FACTS.get(args.fact, FACTS["orders"])
+            print(f"{e}\nfacts: {', '.join(sorted(FACTS))}"
+                  f"\nmetrics ({args.fact}): {', '.join(sorted(model['metrics']))}"
+                  f"\ndimensions ({args.fact}): {', '.join(sorted(model['dimensions']))}",
+                  file=sys.stderr)
             return 2
         if args.show_sql:
             print(oracle_for_spec(spec))

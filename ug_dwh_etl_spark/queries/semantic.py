@@ -60,3 +60,71 @@ def semantic_global_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     governed metrics with no dimensions — the spec compiles to a
     filtered scan + single partial-aggregated global agg."""
     return compile_spec(_GLOBAL_KPIS, spark, sf_dir)
+
+
+_MARGIN_BY_BRAND = MetricSpec(
+    metrics=("gross_revenue", "net_revenue", "discount_cost", "n_lines"),
+    dimensions=("brand", "return_flag"),
+    fact="lineitem",
+)
+
+_NETREV_BY_SUPREGION = MetricSpec(
+    metrics=("net_revenue", "total_qty"),
+    dimensions=("supplier_region", "part_type"),
+    filters=("l_linestatus = 'F'",),
+    fact="lineitem",
+)
+
+
+@register("semantic_margin_by_brand_flag", oracle_for_spec(_MARGIN_BY_BRAND))
+def semantic_margin_by_brand_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross vs net revenue (and the discount cost between them) by
+    brand x return flag — the lineitem fact through the same compiler:
+    one broadcast part join, decimal-exact money products (2dp x 2dp =
+    exact 4dp), same by-construction oracle."""
+    return compile_spec(_MARGIN_BY_BRAND, spark, sf_dir)
+
+
+@register(
+    "semantic_net_revenue_by_supplier_region", oracle_for_spec(_NETREV_BY_SUPREGION)
+)
+def semantic_net_revenue_by_supplier_region(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TPC-H-definition net revenue by supplier region x part type,
+    finished lines only — exercises the supplier->nation->region chain
+    AND the part edge from one lineitem scan, every dimension join
+    broadcast, the filter pushed to the fact scan."""
+    return compile_spec(_NETREV_BY_SUPREGION, spark, sf_dir)
+
+
+@register("semantic_rollup_routed", oracle_for_spec(
+    MetricSpec(metrics=("gross_revenue", "n_lines"), dimensions=("brand",),
+               fact="lineitem"))
+)
+def semantic_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE NAVIGATOR, end to end through the gate: materialize
+    the (brand, return_flag) rollup once, then answer the coarser
+    brand-grain query by RE-AGGREGATING the rollup — the fact table is
+    scanned exactly once (for the materialization), the routed query
+    touches only the tiny rollup, and the ORACLE computes straight from
+    the fact, so the cube-routing algebra (sum-of-sums over cent-exact
+    partials) is proven engine-exact. This is how a 100 TB dashboard
+    answers in milliseconds: route additive metrics to the coarsest
+    covering rollup; the compiler refuses non-additive metrics and
+    fact-side filters (tested)."""
+    import tempfile
+
+    from ug_dwh_etl_spark.plans.semantic import materialize_rollup
+
+    base = MetricSpec(
+        metrics=("gross_revenue", "n_lines"),
+        dimensions=("brand", "return_flag"),
+        fact="lineitem",
+    )
+    path = tempfile.mkdtemp(prefix="semantic_rollup_") + "/brand_flag"
+    materialize_rollup(base, spark, sf_dir, path)
+    routed = MetricSpec(
+        metrics=("gross_revenue", "n_lines"), dimensions=("brand",), fact="lineitem"
+    )
+    return compile_spec(routed, spark, sf_dir, rollup=path)
