@@ -502,3 +502,15 @@ def test_shared_quantile_bisection_brackets_exact(spark):
             F.expr(f"percentile(o_totalprice, {pct / 100})").alias("m")
         ).collect()[0]["m"]
         assert abs(g["est_value"] - exact) <= g["bracket_width"] / 2 + 1e-6
+
+
+def test_fano_burstiness_poisson_reference(spark):
+    from ug_dwh_etl_spark.queries.mlfit import events_fano_burstiness
+
+    got = _rows(events_fano_burstiness(spark, SF))
+    assert len(got) == 5
+    for g in got:
+        assert g["mean_per_hour"] > 0
+        # the fixture's arrivals are near-Poisson: Fano within a broad
+        # band around 1 (the metric's calibration point), never negative
+        assert 0.2 < g["fano"] < 5.0

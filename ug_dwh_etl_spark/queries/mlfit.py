@@ -1405,3 +1405,59 @@ def agg_quantiles_bisection_shared(spark: SparkSession, sf_dir: str) -> DataFram
 agg_quantiles_bisection_shared.__doc__ = agg_quantiles_bisection_shared.__doc__.replace(
     "{rounds}", str(_MQ_ROUNDS)
 )
+
+
+# ---------------------------------------------------------------------------
+# Fano factor: burstiness of the event process per type
+# ---------------------------------------------------------------------------
+_FANO_SQL = """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+      FROM events GROUP BY event_type, h),
+    grid AS (SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT) AS nh
+             FROM events),
+    m AS (
+      SELECT event_type,
+             SUM(c) * 1.0 / (SELECT nh FROM grid) AS mean_c,
+             SUM(c * c) * 1.0 / (SELECT nh FROM grid) AS e2
+      FROM hourly GROUP BY event_type)
+    SELECT event_type,
+           ROUND(mean_c, 6) AS mean_per_hour,
+           ROUND((e2 - mean_c * mean_c) / mean_c, 6) AS fano
+    FROM m
+"""
+
+
+@register("events_fano_burstiness", _FANO_SQL)
+def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion, var/mean of hourly counts) per
+    event type — the burstiness dial: 1 = Poisson arrivals, >1 =
+    clustered/bursty, <1 = regular; pairs with events_autocorrelation
+    and hourly_anomaly when deciding whether rate alerts need
+    overdispersion-aware thresholds. Zero-event hours are handled WITHOUT
+    materializing the hour grid: with H = total distinct hours,
+    var = Sum(c^2)/H - mean^2 — the moment identity makes the silent
+    zeros free, so the plan is one groupBy(type, hour) rollup + one
+    per-type aggregate at any scale."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    grid = ev.agg(
+        F.count_distinct(F.date_trunc("hour", "ts")).alias("nh")
+    )
+    m = (
+        hourly.groupBy("event_type")
+        .agg(F.sum("c").alias("sc"), F.sum(F.col("c") * F.col("c")).alias("sc2"))
+        .crossJoin(F.broadcast(grid))
+        .select(
+            "event_type",
+            (F.col("sc") * 1.0 / F.col("nh")).alias("mean_c"),
+            (F.col("sc2") * 1.0 / F.col("nh")).alias("e2"),
+        )
+    )
+    return m.select(
+        "event_type",
+        F.round("mean_c", 6).alias("mean_per_hour"),
+        F.round((F.col("e2") - F.col("mean_c") * F.col("mean_c")) / F.col("mean_c"), 6).alias("fano"),
+    )

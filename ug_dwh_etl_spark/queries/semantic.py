@@ -128,3 +128,15 @@ def semantic_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics=("gross_revenue", "n_lines"), dimensions=("brand",), fact="lineitem"
     )
     return compile_spec(routed, spark, sf_dir, rollup=path)
+
+
+@register("stream_semantic_revenue_by_region", oracle_for_spec(_REV_BY_REGION))
+def stream_semantic_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of semantic_revenue_by_region_segment: the SAME
+    governed metric definitions folded incrementally over the orders
+    stream with stream-static broadcast dimension joins — and the SAME
+    oracle, so streaming dashboards and warehouse SQL can never
+    disagree on a governed metric."""
+    from ug_dwh_etl_spark.streaming.jobs import stream_semantic_revenue_by_region
+
+    return stream_semantic_revenue_by_region(spark, sf_dir)

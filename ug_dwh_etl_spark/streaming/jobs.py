@@ -821,3 +821,35 @@ def stream_incremental_neardup(
     return spark.createDataFrame(
         collected, schema="id_a bigint, id_b bigint, jaccard double"
     )
+
+
+def stream_semantic_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The semantic layer over a STREAM: the governed revenue /
+    n_orders / AOV definitions (plans/semantic.py FACTS) computed over
+    a streaming orders source with the dimension chain joined
+    stream-static (each dim a broadcast against every micro-batch) —
+    same metric definitions, same oracle as the batch
+    `semantic_revenue_by_region_segment`, so a dashboard fed by the
+    stream agrees with the warehouse's SQL consumers at every tick.
+    State is (region x segment)-sized; the decimal sums make the fold
+    arrival-order-independent."""
+    from ug_dwh_etl_spark.plans.semantic import FACTS
+    from ug_dwh_etl_spark.queries.registry import table as _table
+
+    model = FACTS["orders"]
+    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
+    orders = stream_table_source(spark, sf_dir, "orders", schema).filter(
+        F.expr("o_orderdate >= '1995-01-01'")
+    )
+    df = orders
+    for t in ("customer", "nation", "region"):
+        fact_key, dim_key, _via = model["edges"][t]
+        df = df.join(F.broadcast(_table(spark, sf_dir, t)), F.col(fact_key) == F.col(dim_key))
+    agg = df.groupBy(
+        F.col("r_name").alias("region_name"),
+        F.col("c_mktsegment").alias("mktsegment"),
+    ).agg(
+        *[model["metrics"][m][0]().alias(m)
+          for m in ("revenue", "n_orders", "avg_order_value")]
+    )
+    return run_stream_to_memory(agg, "complete")
