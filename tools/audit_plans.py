@@ -184,6 +184,8 @@ EXPECTED_NESTED_LOOP = {
     "orders_abc_classification",
     # 1-row train-vocab-size frame broadcast onto the scored test bigrams
     "text_bigram_perplexity",
+    # 1-row distinct-hour-count frame broadcast onto the 5-row type stats
+    "events_fano_burstiness",
 }
 STREAM = re.compile(r"^stream_")
 
