@@ -514,3 +514,24 @@ def test_fano_burstiness_poisson_reference(spark):
         # the fixture's arrivals are near-Poisson: Fano within a broad
         # band around 1 (the metric's calibration point), never negative
         assert 0.2 < g["fano"] < 5.0
+
+
+def test_random_walks_follow_real_edges(spark):
+    from ug_dwh_etl_spark.queries.graph import _WALK_STEPS, _edges, graph_random_walks
+
+    rows = _rows(graph_random_walks(spark, SF))
+    e = _edges(spark, SF)
+    edges = {(r["src"], r["dst"]) for r in e.collect()}
+    und = edges | {(b, a) for a, b in edges}
+    walks = {}
+    for r in rows:
+        walks.setdefault(r["walk_id"], {})[r["step"]] = r["node"]
+    assert walks
+    for wid, steps in walks.items():
+        assert steps[0] == wid  # starts at the seed
+        assert set(steps) == set(range(_WALK_STEPS + 1))  # no dead ends here
+        for k in range(1, _WALK_STEPS + 1):
+            assert (steps[k - 1], steps[k]) in und  # every hop is a real edge
+        # bipartite graph: walk alternates supplier/part namespaces
+        for k in range(_WALK_STEPS + 1):
+            assert steps[k][0] == ("s" if k % 2 == 0 else "p")

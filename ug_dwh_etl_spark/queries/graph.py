@@ -640,3 +640,82 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr("da", "db"), 6).alias("assortativity"),
         )
     )
+
+
+# --- deterministic random walks (DeepWalk-style sampling) -----------------------
+_WALK_STEPS = 4
+_WALK_SEED_MOD = 5  # seeds: suppliers with suppkey % 5 == 0
+
+
+def _walks_sql() -> str:
+    from ug_dwh_etl_spark.operators.hashing import sql_md5_long
+
+    parts = [
+        f"""e AS ({_EDGES_SQL})""",
+        "und AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e)",
+        f"""w0 AS (
+      SELECT DISTINCT 's' || l_suppkey::VARCHAR AS walk_id,
+                      's' || l_suppkey::VARCHAR AS node
+      FROM lineitem WHERE l_suppkey % {_WALK_SEED_MOD} = 0)""",
+    ]
+    for k in range(1, _WALK_STEPS + 1):
+        coin = sql_md5_long(f"w.node || '|{k}|' || und.dst")
+        parts.append(
+            f"""w{k} AS (
+      SELECT walk_id, node FROM (
+        SELECT w.walk_id, und.dst AS node,
+               row_number() OVER (PARTITION BY w.walk_id
+                                  ORDER BY {coin}, und.dst) AS rn
+        FROM w{k - 1} w JOIN und ON und.src = w.node)
+      WHERE rn = 1)"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT walk_id, {k} AS step, node FROM w{k}"
+        for k in range(0, _WALK_STEPS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@register("graph_random_walks", _walks_sql())
+def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeepWalk-style random walks over the undirected link graph, made
+    DETERMINISTIC: at step k the walker at node u moves to the neighbor
+    v minimizing md5(u|k|v) — an unbiased-in-practice hash coin that
+    both engines compute identically, so the sampled walks (the
+    training corpus for node embeddings / graph2vec) are reproducible
+    and engine-exact, the same determinism contract as the bootstrap
+    and AQP samplers. Per step: one join of the walker frontier
+    (seed-count rows, localCheckpointed) against the adjacency, then a
+    per-walker min-struct argmin — no collect, no per-node Python. At
+    100 TB the adjacency is the cached/bucketed relation every other
+    graph_* query shuffles once; walkers scale with seed count, not
+    graph size. Output is pure (walk_id, step, node) strings/ints —
+    no float parity surface at all."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    li = table(spark, sf_dir, "lineitem")
+    e = _edges(spark, sf_dir)
+    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    seeds = (
+        li.filter(F.col("l_suppkey") % _WALK_SEED_MOD == 0)
+        .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"))
+    )
+    out = seeds.select("walk_id", F.lit(0).alias("step"), "node")
+    cur = seeds.localCheckpoint()
+    for k in range(1, _WALK_STEPS + 1):
+        coin = md5_long(
+            F.concat(F.col("node"), F.lit(f"|{k}|"), F.col("dst"))
+        )
+        nxt = (
+            cur.join(und, cur.node == und.src)
+            .select("walk_id", F.col("dst"), coin.alias("h"))
+            .groupBy("walk_id")
+            .agg(F.min(F.struct(F.col("h"), F.col("dst"))).alias("m"))
+            .select("walk_id", F.col("m.dst").alias("node"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt.select("walk_id", F.lit(k).alias("step"), "node"))
+        cur = nxt
+    return out
