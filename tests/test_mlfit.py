@@ -535,3 +535,31 @@ def test_random_walks_follow_real_edges(spark):
         # bipartite graph: walk alternates supplier/part namespaces
         for k in range(_WALK_STEPS + 1):
             assert steps[k][0] == ("s" if k % 2 == 0 else "p")
+
+
+def test_skipgram_pairs_symmetric_and_windowed(spark):
+    from ug_dwh_etl_spark.queries.graph import (
+        _SG_WINDOW,
+        _WALK_STEPS,
+        graph_random_walks,
+        graph_walk_skipgram_pairs,
+    )
+
+    pairs = {(r["center"], r["context"]): r["n"] for r in
+             _rows(graph_walk_skipgram_pairs(spark, SF))}
+    assert pairs
+    # skip-gram pair multiset is symmetric: n(a,b) == n(b,a)
+    for (a, b), n in pairs.items():
+        assert pairs.get((b, a)) == n
+    # total pair count matches the window arithmetic over the walks
+    walks = {}
+    for r in _rows(graph_random_walks(spark, SF)):
+        walks.setdefault(r["walk_id"], []).append(r["step"])
+    expected = 0
+    for steps in walks.values():
+        L = len(steps)
+        expected += sum(
+            1 for i in range(L) for j in range(L)
+            if i != j and abs(i - j) <= _SG_WINDOW
+        )
+    assert sum(pairs.values()) == expected

@@ -719,3 +719,57 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(nxt.select("walk_id", F.lit(k).alias("step"), "node"))
         cur = nxt
     return out
+
+
+_SG_WINDOW = 2
+
+
+def _skipgram_sql() -> str:
+    # same CTE chain as _walks_sql, with the step union wrapped as a
+    # relation the window self-join can read
+    walks = _walks_sql()
+    head, union = walks.rsplit(")", 1)
+    return (
+        head
+        + """),
+    wout AS (
+    """
+        + union
+        + f"""),
+    pairs AS (
+      SELECT a.node AS center, b.node AS context
+      FROM wout a JOIN wout b
+        ON a.walk_id = b.walk_id
+       AND a.step <> b.step
+       AND abs(a.step - b.step) <= {_SG_WINDOW})
+    SELECT center, context, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pairs GROUP BY center, context
+    """
+    )
+
+
+@register("graph_walk_skipgram_pairs", _skipgram_sql())
+def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after `graph_random_walks`: turn the walk corpus into
+    SKIP-GRAM (center, context) training pairs with window {w} — the
+    exact input word2vec-style node-embedding training consumes
+    (DeepWalk = walks + skip-gram). A self-join of the walk relation on
+    walk_id with |step distance| <= {w}, then a pair-count aggregate;
+    the fan-out is bounded by 2*window per position, never quadratic in
+    walk length, and the join key (walk_id) is perfectly spread. Counts
+    are integers — no float surface."""
+    from pyspark.sql import functions as FF
+
+    walks = graph_random_walks(spark, sf_dir)
+    a = walks.select("walk_id", FF.col("step").alias("sa"), FF.col("node").alias("center"))
+    b = walks.select("walk_id", FF.col("step").alias("sb"), FF.col("node").alias("context"))
+    pairs = a.join(b, "walk_id").filter(
+        (FF.col("sa") != FF.col("sb"))
+        & (FF.abs(FF.col("sa") - FF.col("sb")) <= _SG_WINDOW)
+    )
+    return pairs.groupBy("center", "context").agg(FF.count(FF.lit(1)).alias("n"))
+
+
+graph_walk_skipgram_pairs.__doc__ = graph_walk_skipgram_pairs.__doc__.replace(
+    "{w}", str(_SG_WINDOW)
+)
