@@ -280,3 +280,31 @@ def sql_parameterized(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"threshold": _PARAM_THRESHOLD},
     )
+
+
+# --- correlated LATERAL subquery: per-row dependent top-k ------------------------
+_LATERAL_SQL = """
+    SELECT c_custkey, c_mktsegment, o.o_orderkey, o.o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    ) AS o
+    WHERE c_custkey % 100 = 0
+"""
+
+
+@register("sql_lateral_top_orders", _LATERAL_SQL)
+def sql_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — the per-row dependent-subquery
+    join (each customer's top-2 orders) that SQL:2016 users reach for
+    before they learn the window-rank rewrite, run VERBATIM on both
+    engines: the identical statement text is the Spark query and the
+    oracle (the strongest ANSI-parity statement the ad-hoc layer makes;
+    same contract as sql_recursive_hierarchy). Catalyst decorrelates
+    the LATERAL into the same rank-window/join plan you'd write by
+    hand, so the feature costs nothing at scale — and the deterministic
+    ORDER BY ... LIMIT inside the lateral keeps both engines' top-2
+    identical."""
+    return run_sql(spark, sf_dir, _LATERAL_SQL)
