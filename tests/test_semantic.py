@@ -98,16 +98,28 @@ def test_rollup_routing_guards_and_plan(spark, tmp_path):
             ),
             spark, SF, rollup=path,
         )
-    with pytest.raises(ValueError, match="lacks dimensions"):
+    with pytest.raises(ValueError, match="lacks columns"):
         compile_spec(
             MetricSpec(
                 metrics=("n_lines",), dimensions=("part_type",), fact="lineitem"
             ),
             spark, SF, rollup=path,
         )
+    with pytest.raises(ValueError, match="lacks columns"):
+        # metric not present in the rollup (built from lineitem metrics)
+        compile_spec(MetricSpec(metrics=("revenue",)), spark, SF, rollup=path)
     with pytest.raises(ValueError, match="additive"):
         materialize_rollup(
             MetricSpec(metrics=("n_customers",)), spark, SF, str(tmp_path / "x")
+        )
+    with pytest.raises(ValueError, match="unfiltered"):
+        # a filtered rollup would later masquerade as unfiltered totals
+        materialize_rollup(
+            MetricSpec(
+                metrics=("n_lines",), dimensions=("brand",), fact="lineitem",
+                filters=("l_linestatus = 'F'",),
+            ),
+            spark, SF, str(tmp_path / "y"),
         )
 
 

@@ -66,7 +66,7 @@ def main(argv: list[str] | None = None) -> int:
         "metric",
         help="semantic-layer query: governed metrics sliced by dimensions",
     )
-    sm.add_argument("metrics", help="comma-separated metric names (see --show)")
+    sm.add_argument("metrics", help="comma-separated metric names (an unknown name lists the valid ones)")
     sm.add_argument("--by", default="", help="comma-separated dimension names")
     sm.add_argument("--where", action="append", default=[],
                     help="fact-side SQL filter (repeatable)")

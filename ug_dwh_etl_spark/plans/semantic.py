@@ -40,6 +40,14 @@ _DECIMAL_REV = (
     lambda col: F.round(F.sum(F.col(col).cast("decimal(18,2)")), 2).cast("double")
 )
 
+# re-aggregation builders for the navigator: how an ADDITIVE metric's
+# rollup partials fold at a coarser grain (money re-applies the 2dp
+# round over cent-exact partials; counts fold with a plain SUM). Kept
+# IN the metric definition so a new metric cannot forget its rule.
+_REAGG_MONEY = lambda m: F.round(F.sum(F.col(m).cast("decimal(18,2)")), 2).cast("double")  # noqa: E731
+_REAGG_DECIMAL = lambda m: F.sum(F.col(m).cast("decimal(18,2)")).cast("double")  # noqa: E731
+_REAGG_COUNT = lambda m: F.sum(m).cast("long")  # noqa: E731
+
 FACTS = {
     "orders": {
         "edges": {
@@ -60,21 +68,25 @@ FACTS = {
                 lambda: _DECIMAL_REV("o_totalprice"),
                 "CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)",
                 True,
+                _REAGG_MONEY,
             ),
             "n_orders": (
                 lambda: F.count(F.lit(1)).cast("long"),
                 "CAST(COUNT(*) AS BIGINT)",
                 True,
+                _REAGG_COUNT,
             ),
             "n_customers": (
                 lambda: F.count_distinct(F.col("o_custkey")).cast("long"),
                 "CAST(COUNT(DISTINCT o_custkey) AS BIGINT)",
                 False,
+                None,
             ),
             "avg_order_value": (
                 lambda: F.round(F.avg("o_totalprice"), 4),
                 "ROUND(AVG(o_totalprice), 4)",
                 False,
+                None,
             ),
         },
     },
@@ -102,6 +114,7 @@ FACTS = {
                 "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2)"
                 " AS DOUBLE)",
                 True,
+                _REAGG_MONEY,
             ),
             "net_revenue": (
                 lambda: F.round(
@@ -118,6 +131,7 @@ FACTS = {
                 " * (CAST(1 AS DECIMAL(18,2))"
                 " - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)",
                 True,
+                _REAGG_MONEY,
             ),
             "discount_cost": (
                 lambda: F.round(
@@ -130,26 +144,24 @@ FACTS = {
                 "CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))"
                 " * CAST(l_discount AS DECIMAL(18,2))), 2) AS DOUBLE)",
                 True,
+                _REAGG_MONEY,
             ),
             "n_lines": (
                 lambda: F.count(F.lit(1)).cast("long"),
                 "CAST(COUNT(*) AS BIGINT)",
                 True,
+                _REAGG_COUNT,
             ),
             "total_qty": (
                 lambda: F.sum(F.col("l_quantity").cast("decimal(18,2)"))
                 .cast("double"),
                 "CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)",
                 True,
+                _REAGG_DECIMAL,
             ),
         },
     },
 }
-
-# Backwards-compatible aliases (the orders fact was the original API)
-DIMENSIONS = FACTS["orders"]["dimensions"]
-METRICS = FACTS["orders"]["metrics"]
-
 
 @dataclass(frozen=True)
 class MetricSpec:
@@ -230,10 +242,14 @@ def compile_spec(
         if spec.filters:
             raise ValueError("rollup routing does not support fact filters")
         base = spark.read.parquet(rollup)
-        missing = [d for d in spec.dimensions if d not in base.columns]
+        missing = [
+            c for c in (*spec.dimensions, *spec.metrics) if c not in base.columns
+        ]
         if missing:
-            raise ValueError(f"rollup lacks dimensions: {missing}")
-        aggs = [_reagg(spec.fact, m).alias(m) for m in spec.metrics]
+            raise ValueError(f"rollup lacks columns: {missing}")
+        aggs = [
+            model["metrics"][m][3](m).alias(m) for m in spec.metrics
+        ]
         if spec.dimensions:
             return base.groupBy(*spec.dimensions).agg(*aggs)
         return base.agg(*aggs)
@@ -252,19 +268,6 @@ def compile_spec(
     return df.agg(*aggs)
 
 
-def _reagg(fact: str, metric: str) -> Column:
-    """Re-aggregation of an additive metric from rollup partials:
-    sums and counts both fold with SUM; money metrics re-apply the
-    2dp round at the new edge (partials are already cent-rounded, so
-    the decimal sum of them is exact)."""
-    money = {"revenue", "gross_revenue", "net_revenue", "discount_cost"}
-    if metric in money:
-        return F.round(F.sum(F.col(metric).cast("decimal(18,2)")), 2).cast("double")
-    if metric == "total_qty":
-        return F.sum(F.col(metric).cast("decimal(18,2)")).cast("double")
-    return F.sum(metric).cast("long")
-
-
 def materialize_rollup(
     spec: MetricSpec, spark: SparkSession, sf_dir: str, out: str
 ) -> str:
@@ -273,6 +276,11 @@ def materialize_rollup(
     wrong — the classic cube-routing precondition, enforced here)."""
     if not spec.additive:
         raise ValueError("only all-additive specs can be materialized for routing")
+    if spec.filters:
+        # a filtered rollup would later be routed to as if it held the
+        # UNFILTERED totals — the silent-wrong-results case the routed
+        # side's no-filters guard exists to prevent; close it here too
+        raise ValueError("only unfiltered specs can be materialized for routing")
     compile_spec(spec, spark, sf_dir).write.mode("overwrite").parquet(out)
     return out
 

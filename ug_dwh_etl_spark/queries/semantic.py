@@ -113,6 +113,7 @@ def semantic_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers in milliseconds: route additive metrics to the coarsest
     covering rollup; the compiler refuses non-additive metrics and
     fact-side filters (tested)."""
+    import os
     import tempfile
 
     from ug_dwh_etl_spark.plans.semantic import materialize_rollup
@@ -122,7 +123,11 @@ def semantic_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         dimensions=("brand", "return_flag"),
         fact="lineitem",
     )
-    path = tempfile.mkdtemp(prefix="semantic_rollup_") + "/brand_flag"
+    # fixed per-process path + overwrite mode: repeated gate/bench runs
+    # reuse one directory instead of leaking a mkdtemp per invocation
+    path = os.path.join(
+        tempfile.gettempdir(), f"semantic_rollup_{os.getpid()}", "brand_flag"
+    )
     materialize_rollup(base, spark, sf_dir, path)
     routed = MetricSpec(
         metrics=("gross_revenue", "n_lines"), dimensions=("brand",), fact="lineitem"

@@ -1326,7 +1326,7 @@ def _ivf_incr_sql() -> str:
       FROM assigned),
     means AS (
       SELECT cluster, p,
-             AVG(CASE WHEN is_new = 0 THEN v END) AS mb,
+             COALESCE(AVG(CASE WHEN is_new = 0 THEN v END), 0.0) AS mb,
              AVG(v) AS ma
       FROM pos GROUP BY cluster, p),
     shift AS (
@@ -1376,8 +1376,14 @@ def sim_ivf_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new",
         F.posexplode(F.col("e").cast("array<double>")).alias("p0", "v"),
     ).select("cluster", "is_new", (F.col("p0") + 1).alias("p"), "v")
+    # a cluster formed ENTIRELY by new arrivals has no before-mean:
+    # treat it as the zero vector, so the reported shift is the full
+    # ||mean_after|| — defined, large, and exactly the re-cluster flag
+    # that case deserves (NULL would hide the most drift-worthy cell)
     means = pos.groupBy("cluster", "p").agg(
-        F.avg(F.when(F.col("is_new") == 0, F.col("v"))).alias("mb"),
+        F.coalesce(
+            F.avg(F.when(F.col("is_new") == 0, F.col("v"))), F.lit(0.0)
+        ).alias("mb"),
         F.avg("v").alias("ma"),
     )
     shift = means.groupBy("cluster").agg(

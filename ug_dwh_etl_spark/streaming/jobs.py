@@ -833,23 +833,28 @@ def stream_semantic_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataF
     stream agrees with the warehouse's SQL consumers at every tick.
     State is (region x segment)-sized; the decimal sums make the fold
     arrival-order-independent."""
-    from ug_dwh_etl_spark.plans.semantic import FACTS
+    from ug_dwh_etl_spark.plans.semantic import (
+        FACTS,
+        _dim_col,
+        _tables_needed,
+    )
     from ug_dwh_etl_spark.queries.registry import table as _table
+    from ug_dwh_etl_spark.queries.semantic import _REV_BY_REGION as spec
 
-    model = FACTS["orders"]
-    schema = spark.read.parquet(f"{sf_dir}/orders.parquet").schema
-    orders = stream_table_source(spark, sf_dir, "orders", schema).filter(
-        F.expr("o_orderdate >= '1995-01-01'")
-    )
-    df = orders
-    for t in ("customer", "nation", "region"):
+    # EVERYTHING below derives from the registered spec — filters, join
+    # chain, dimension columns, metric list — so an edit to the spec can
+    # never desynchronize this stream from its own batch oracle
+    model = FACTS[spec.fact]
+    schema = spark.read.parquet(f"{sf_dir}/{spec.fact}.parquet").schema
+    df = stream_table_source(spark, sf_dir, spec.fact, schema)
+    for flt in spec.filters:
+        df = df.filter(F.expr(flt))
+    for t in _tables_needed(spec):
         fact_key, dim_key, _via = model["edges"][t]
-        df = df.join(F.broadcast(_table(spark, sf_dir, t)), F.col(fact_key) == F.col(dim_key))
+        df = df.join(
+            F.broadcast(_table(spark, sf_dir, t)), F.col(fact_key) == F.col(dim_key)
+        )
     agg = df.groupBy(
-        F.col("r_name").alias("region_name"),
-        F.col("c_mktsegment").alias("mktsegment"),
-    ).agg(
-        *[model["metrics"][m][0]().alias(m)
-          for m in ("revenue", "n_orders", "avg_order_value")]
-    )
+        *[_dim_col(spec, d).alias(d) for d in spec.dimensions]
+    ).agg(*[model["metrics"][m][0]().alias(m) for m in spec.metrics])
     return run_stream_to_memory(agg, "complete")
