@@ -32,5 +32,6 @@ import ug_dwh_etl_spark.queries.history  # noqa: F401
 import ug_dwh_etl_spark.queries.relational_tpch2  # noqa: F401
 import ug_dwh_etl_spark.queries.mlfit  # noqa: F401
 import ug_dwh_etl_spark.queries.semantic  # noqa: F401
+import ug_dwh_etl_spark.queries.entity  # noqa: F401
 
 __all__ = ["QUERIES", "register", "table"]
