@@ -1353,3 +1353,86 @@ def dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         table(spark, sf_dir, "documents"), "doc_id", "text", 0.8, max_shingle_df=5
     )
+
+
+# --- quality-aware survivorship over near-dup clusters ---------------------------
+def _quality_survivors_sql(threshold: float = 0.5) -> str:
+    return f"""
+    WITH RECURSIVE {_lsh_pairs_ctes()},
+    exh2 AS (SELECT DISTINCT doc_id, h FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh2 GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS inter
+      FROM pairs p
+        JOIN exh2 a ON a.doc_id = p.id_a
+        JOIN exh2 b ON b.doc_id = p.id_b AND b.h = a.h
+      GROUP BY p.id_a, p.id_b),
+    vp AS (
+      SELECT id_a, id_b
+      FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+      WHERE ROUND(inter / (sa.sz + sb.sz - inter), 6) >= {threshold}),
+    und AS (SELECT id_a AS a, id_b AS b FROM vp
+            UNION SELECT id_b, id_a FROM vp),
+    reach(node, r) AS (
+      SELECT a, a FROM und
+      UNION
+      SELECT und.a, reach.r FROM und JOIN reach ON reach.node = und.b
+    ),
+    comp AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node),
+    qual AS (
+      SELECT doc_id,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / length(text)::DOUBLE, 6) AS alpha_ratio
+      FROM documents),
+    ranked AS (
+      SELECT c.cluster_id, c.node AS doc_id, q.alpha_ratio,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.alpha_ratio DESC, c.node) AS rk
+      FROM comp c JOIN qual q ON q.doc_id = c.node)
+    SELECT cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(CASE WHEN rk = 1 THEN doc_id END) AS survivor_id,
+           MIN(CASE WHEN rk = 1 THEN alpha_ratio END) AS survivor_alpha
+    FROM ranked GROUP BY cluster_id
+    """
+
+
+@register("dedup_quality_survivors", _quality_survivors_sql())
+def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEP-THE-BEST near-dup survivorship: verified LSH pairs close
+    into clusters (convergent components), and each cluster's survivor
+    is chosen by QUALITY (highest alpha ratio, ties to the smaller
+    doc_id) instead of the usual min-id rule — the policy real corpus
+    builds use so boilerplate-padded mirrors lose to their cleanest
+    copy. Composes the proven pieces end to end: LSH propose → Jaccard
+    verify → fixpoint clustering → one grouped argmax per cluster
+    (min_by over a (-quality, id) struct, 6dp-rounded BEFORE the argmax
+    so the pick is engine-exact). Everything past verification shuffles
+    on cluster ids only."""
+    from ug_dwh_etl_spark.operators.dedup import verify_pairs_jaccard
+    from ug_dwh_etl_spark.operators.graph import connected_components_converged
+    from ug_dwh_etl_spark.operators.textstats import quality_scores
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    vp = verify_pairs_jaccard(docs, pairs, "doc_id", "text", 0.5).select(
+        "id_a", "id_b"
+    )
+    comp = connected_components_converged(
+        vp, src="id_a", dst="id_b", loop_partitions=16
+    )
+    qual = quality_scores(docs, "doc_id", "text").select("doc_id", "alpha_ratio")
+    mem = comp.join(qual, comp["node"] == qual["doc_id"]).select(
+        F.col("component").alias("cluster_id"), "doc_id", "alpha_ratio"
+    )
+    pick = F.min_by(
+        F.struct(F.col("doc_id"), F.col("alpha_ratio")),
+        F.struct((-F.col("alpha_ratio")).alias("neg"), F.col("doc_id")),
+    )
+    return mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        pick["doc_id"].alias("survivor_id"),
+        pick["alpha_ratio"].alias("survivor_alpha"),
+    )

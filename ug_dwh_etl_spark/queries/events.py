@@ -2689,3 +2689,63 @@ def events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         need.cast("long").alias("n_per_arm_80pct"),
         (F.col("n0") + F.col("n1")).cast("long").alias("n_observed"),
     )
+
+
+# --- MATCH_RECOGNIZE-lite: quantified pattern spans (VIEW+ PURCHASE) ------------
+@register(
+    "events_match_spans",
+    """
+    WITH r AS (
+      SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    v AS (
+      SELECT user_id, ts, rn,
+             rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn) AS grp
+      FROM r WHERE event_type = 'view'),
+    runs AS (
+      SELECT user_id, grp, MIN(ts) AS start_ts,
+             CAST(COUNT(*) AS BIGINT) AS n_views, MAX(rn) AS last_rn
+      FROM v GROUP BY user_id, grp)
+    SELECT runs.user_id, runs.start_ts, p.ts AS end_ts, runs.n_views
+    FROM runs JOIN r p
+      ON p.user_id = runs.user_id AND p.rn = runs.last_rn + 1
+     AND p.event_type = 'purchase'
+    """,
+)
+def events_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MATCH_RECOGNIZE-lite: the quantified pattern VIEW+ PURCHASE
+    as maximal match SPANS — for every maximal run of consecutive 'view'
+    events whose very next event is a 'purchase', emit (user, span start,
+    purchase ts, views in the span). The gaps-and-islands trick (global
+    row_number minus per-type row_number is constant within a consecutive
+    run) turns regex-over-rows into two window passes plus one equi-join
+    on the successor position — no self-join over event pairs, no
+    per-user collect; everything shuffles once on user_id and the
+    successor join is (user_id, rn)-keyed. The streaming CEP twins
+    (stream_pattern_conversions*) cover the unbounded flavor; this is
+    the bounded-history batch shape SQL's MATCH_RECOGNIZE compiles to.
+    Reference anchor: the funnel/conversion readouts its event scripts
+    imply (SURVEY.md §2.11)."""
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = ev.withColumn("rn", F.row_number().over(w_all))
+    w_v = Window.partitionBy("user_id").orderBy("rn")
+    v = (
+        r.filter(F.col("event_type") == "view")
+        .withColumn("grp", F.col("rn") - F.row_number().over(w_v))
+    )
+    runs = v.groupBy("user_id", "grp").agg(
+        F.min("ts").alias("start_ts"),
+        F.count(F.lit(1)).alias("n_views"),
+        (F.max("rn") + F.lit(1)).alias("next_rn"),
+    )
+    purch = r.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("rn").alias("next_rn"), F.col("ts").alias("end_ts")
+    )
+    return runs.join(purch, ["user_id", "next_rn"]).select(
+        "user_id", "start_ts", "end_ts", "n_views"
+    )
