@@ -1461,3 +1461,225 @@ def events_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_c", 6).alias("mean_per_hour"),
         F.round((F.col("e2") - F.col("mean_c") * F.col("mean_c")) / F.col("mean_c"), 6).alias("fano"),
     )
+
+
+# --- leakage-safe categorical feature: leave-one-out target encoding ------------
+_TE_THRESH = 250_000
+
+
+@register(
+    "fit_target_encode_loo",
+    f"""
+    WITH j AS (
+      SELECT o_orderkey, c_mktsegment AS segment,
+             CASE WHEN o_totalprice > {_TE_THRESH} THEN 1 ELSE 0 END AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    seg AS (
+      SELECT segment, SUM(y) AS s, COUNT(*) AS n FROM j GROUP BY segment)
+    SELECT j.o_orderkey, j.segment, CAST(j.y AS BIGINT) AS y,
+           ROUND((seg.s - j.y) / CAST(NULLIF(seg.n - 1, 0) AS DOUBLE), 6)
+             AS loo_enc
+    FROM j JOIN seg ON seg.segment = j.segment
+    """,
+)
+def fit_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out TARGET ENCODING of a categorical feature — each
+    row's encoding is its category's target mean computed WITHOUT the
+    row itself ((sum - y_i)/(n - 1)), the standard leakage-safe variant
+    (plain mean encoding leaks each row's own label into its feature;
+    split_leakage_check polices the train/test flavor of the same
+    disease). One grouped aggregate per category broadcast back onto
+    the rows — integer sums and counts, so the encoding is engine-exact
+    before the single 6dp rounding."""
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(
+        F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "o_orderkey",
+        F.col("c_mktsegment").alias("segment"),
+        (F.col("o_totalprice") > _TE_THRESH).cast("long").alias("y"),
+    )
+    seg = j.groupBy("segment").agg(
+        F.sum("y").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    return j.join(F.broadcast(seg), "segment").select(
+        "o_orderkey",
+        "segment",
+        "y",
+        F.round(
+            (F.col("s") - F.col("y"))
+            / F.nullif(F.col("n") - 1, F.lit(0)).cast("double"),
+            6,
+        ).alias("loo_enc"),
+    )
+
+
+# --- weight-of-evidence / information-value binning -----------------------------
+_WOE_BINS = 10
+
+
+@register(
+    "fit_woe_binning",
+    f"""
+    WITH r AS (
+      SELECT o_totalprice,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             NTILE({_WOE_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+      FROM orders),
+    b AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(y) AS BIGINT) AS n_pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+      FROM r GROUP BY bin),
+    t AS (SELECT SUM(n_pos) AS tp, SUM(n_neg) AS tn FROM b)
+    SELECT bin, n, n_pos,
+           ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN ln((n_pos / CAST(tp AS DOUBLE))
+                              / (n_neg / CAST(tn AS DOUBLE))) END, 6) AS woe,
+           ROUND(CASE WHEN n_pos > 0 AND n_neg > 0
+                      THEN (n_pos / CAST(tp AS DOUBLE) - n_neg / CAST(tn AS DOUBLE))
+                           * ln((n_pos / CAST(tp AS DOUBLE))
+                                / (n_neg / CAST(tn AS DOUBLE))) END, 6) AS iv_term
+    FROM b CROSS JOIN t
+    """,
+)
+def fit_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value readout for a numeric
+    feature vs a binary target: equal-frequency deciles (deterministic
+    NTILE tiebreak on the key), per-bin WOE = ln((pos_i/P)/(neg_i/N))
+    and its IV contribution — the classic credit-scoring / feature-
+    selection table. Zero-cell bins yield NULL WOE on both engines
+    (guarded CASE; DuckDB would otherwise error on ln(0) where Spark
+    nulls). The NTILE is one global-order window — fine for a feature
+    column that fits a single pass; at 100 TB the same table comes from
+    the equi-depth histogram's percentile cuts instead
+    (agg_equidepth_histogram) without a global sort."""
+    orders = table(spark, sf_dir, "orders")
+    r = orders.select(
+        "o_totalprice",
+        (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
+        F.ntile(_WOE_BINS)
+        .over(Window.orderBy("o_totalprice", "o_orderkey"))
+        .alias("bin"),
+    )
+    b = r.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("n_pos"),
+        (F.count(F.lit(1)) - F.sum("y")).alias("n_neg"),
+    )
+    t = b.agg(F.sum("n_pos").alias("tp"), F.sum("n_neg").alias("tn"))
+    pos_r = F.col("n_pos") / F.col("tp").cast("double")
+    neg_r = F.col("n_neg") / F.col("tn").cast("double")
+    ok = (F.col("n_pos") > 0) & (F.col("n_neg") > 0)
+    return b.crossJoin(F.broadcast(t)).select(
+        "bin",
+        "n",
+        "n_pos",
+        F.round(F.when(ok, F.log(pos_r / neg_r)), 6).alias("woe"),
+        F.round(F.when(ok, (pos_r - neg_r) * F.log(pos_r / neg_r)), 6).alias(
+            "iv_term"
+        ),
+    )
+
+
+# --- k-fold cross-validated OLS from one scan of sufficient statistics ----------
+_KFOLDS = 5
+
+
+@register(
+    "fit_kfold_cv_ols",
+    f"""
+    WITH r AS (
+      SELECT (l_orderkey + l_linenumber) % {_KFOLDS} AS fold,
+             CAST(l_quantity AS DECIMAL(9,3)) AS x,
+             CAST(l_extendedprice AS DECIMAL(13,3)) AS y
+      FROM lineitem),
+    fs AS (
+      SELECT fold, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(x * y) AS sxy
+      FROM r GROUP BY fold),
+    tot AS (
+      SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sy) AS tsy,
+             SUM(sxx) AS tsxx, SUM(sxy) AS tsxy
+      FROM fs),
+    params AS (
+      SELECT fold, n,
+             (CAST(tsxy - sxy AS DOUBLE) - CAST(tsx - sx AS DOUBLE) * CAST(tsy - sy AS DOUBLE) / CAST(tn - n AS DOUBLE))
+             / (CAST(tsxx - sxx AS DOUBLE) - CAST(tsx - sx AS DOUBLE) * CAST(tsx - sx AS DOUBLE) / CAST(tn - n AS DOUBLE)) AS b1,
+             CAST(tsy - sy AS DOUBLE) / CAST(tn - n AS DOUBLE) AS my,
+             CAST(tsx - sx AS DOUBLE) / CAST(tn - n AS DOUBLE) AS mx
+      FROM fs CROSS JOIN tot)
+    SELECT p.fold, p.n AS n_test,
+           ROUND(p.b1, 4) AS b1,
+           ROUND(p.my - p.b1 * p.mx, 4) AS b0,
+           ROUND(sqrt(AVG(POW(CAST(r.y AS DOUBLE)
+                              - (p.my - p.b1 * p.mx)
+                              - p.b1 * CAST(r.x AS DOUBLE), 2))), 4) AS rmse
+    FROM r JOIN params p ON p.fold = r.fold
+    GROUP BY p.fold, p.n, p.b1, p.my, p.mx
+    """,
+)
+def fit_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-fold cross-validated simple OLS where every fold's TRAINING
+    statistics come from ONE scan: per-fold exact-decimal sufficient
+    statistics (n, Σx, Σy, Σx², Σxy) roll up to the global totals, and
+    fold k trains on the COMPLEMENT (total - fold_k) — k models for the
+    price of one aggregate, no per-fold rescans. Decimal sums make the
+    complement subtraction engine-exact regardless of fold order (the
+    double-sum ulp drift rule from SURVEY §5); the only doubles are the
+    final closed-form slope and the per-row residual RMSE, both rounded.
+    The held-out RMSE pass joins the 5-row param table broadcast onto
+    the rows — one more scan, still nothing quadratic."""
+    li = table(spark, sf_dir, "lineitem").select(
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % _KFOLDS).alias("fold"),
+        F.col("l_quantity").cast("decimal(9,3)").alias("x"),
+        F.col("l_extendedprice").cast("decimal(13,3)").alias("y"),
+    )
+    fs = li.groupBy("fold").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    tot = fs.agg(
+        F.sum("n").alias("tn"),
+        F.sum("sx").alias("tsx"),
+        F.sum("sy").alias("tsy"),
+        F.sum("sxx").alias("tsxx"),
+        F.sum("sxy").alias("tsxy"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    p = fs.crossJoin(F.broadcast(tot)).select(
+        "fold",
+        "n",
+        (
+            (d(F.col("tsxy") - F.col("sxy"))
+             - d(F.col("tsx") - F.col("sx")) * d(F.col("tsy") - F.col("sy"))
+             / d(F.col("tn") - F.col("n")))
+            / (d(F.col("tsxx") - F.col("sxx"))
+               - d(F.col("tsx") - F.col("sx")) * d(F.col("tsx") - F.col("sx"))
+               / d(F.col("tn") - F.col("n")))
+        ).alias("b1"),
+        (d(F.col("tsy") - F.col("sy")) / d(F.col("tn") - F.col("n"))).alias("my"),
+        (d(F.col("tsx") - F.col("sx")) / d(F.col("tn") - F.col("n"))).alias("mx"),
+    )
+    resid = d(F.col("y")) - (F.col("my") - F.col("b1") * F.col("mx")) - F.col(
+        "b1"
+    ) * d(F.col("x"))
+    return (
+        li.join(F.broadcast(p), "fold")
+        .groupBy("fold", "n", "b1", "my", "mx")
+        .agg(F.round(F.sqrt(F.avg(resid * resid)), 4).alias("rmse"))
+        .select(
+            "fold",
+            F.col("n").alias("n_test"),
+            F.round("b1", 4).alias("b1"),
+            F.round(F.col("my") - F.col("b1") * F.col("mx"), 4).alias("b0"),
+            "rmse",
+        )
+    )
