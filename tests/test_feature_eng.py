@@ -117,3 +117,32 @@ def test_woe_zero_cell_guard(spark):
     }
     assert got[1] is None  # bin 1 = values 1..4, all negative
     assert got[2] is not None
+
+
+def test_left_outer_ivm_flip_rule(spark):
+    """Padded row flips when its key arrives in dB; padded row whose
+    key never arrives stays padded; matched row gains extra matches."""
+    from ug_dwh_etl_spark.operators.ivm import refresh_left_outer_view
+
+    a_old = spark.createDataFrame(
+        [(1, "x1"), (2, "x2"), (3, "x3")], "k long, av string"
+    )
+    a_delta = spark.createDataFrame([(4, "x4"), (9, "x9")], "k long, av string")
+    b_old = spark.createDataFrame([(1, "b1")], "bk long, bv string")
+    b_delta = spark.createDataFrame(
+        [(2, "b2"), (1, "b1x"), (4, "b4")], "bk long, bv string"
+    )
+    got = {
+        (r.k, r.av, r.bv)
+        for r in refresh_left_outer_view(
+            a_old, a_delta, b_old, b_delta, "k", "bk"
+        ).collect()
+    }
+    assert got == {
+        (1, "x1", "b1"),    # kept old match
+        (1, "x1", "b1x"),   # extra match from dB
+        (2, "x2", "b2"),    # flipped: padded row retracted, match added
+        (3, "x3", None),    # still padded — key 3 never arrived
+        (4, "x4", "b4"),    # new left row, matched in dB
+        (9, "x9", None),    # new left row, padded
+    }

@@ -19,6 +19,7 @@ history sink. Deletes/updates extend the same algebra with counted
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def join_view_delta(
@@ -56,3 +57,41 @@ def refresh_join_view(
     return a_old.join(b_old, keys).unionByName(
         join_view_delta(a_old, a_delta, b_old, b_delta, keys)
     )
+
+
+def refresh_left_outer_view(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: str,
+    b_key: str,
+) -> DataFrame:
+    """LEFT-OUTER join view maintained under inserts — the flip rule.
+
+    Inner-join IVM is bilinear; the outer join adds one non-monotone
+    wrinkle: a NULL-padded row of V_old = A_old ⟕ B_old must be
+    RETRACTED when ΔB brings its key's first match. One refresh is
+
+        V_new =   (V_old  minus  padded rows whose key ∈ keys(ΔB))
+                ∪ (A_old ⋈ ΔB)          -- flipped matches + new extras
+                ∪ (ΔA ⟕ (B_old ∪ ΔB))   -- new left rows see everything
+
+    Padded rows are recognized by NULL in ``b_key`` (B's own key column,
+    non-nullable in B itself); the retraction is a semi-join of the
+    padded slice against ΔB's keys — |Δ|-sized, like every other term.
+    Deletes would extend this with counted rows; the reference
+    pipelines are append-only (`sf_html_data.py:178`)."""
+    # carry b_key as _bk so padded rows stay detectable after the drop
+    b_old_k = b_old.withColumn("_bk", F.col(b_key))
+    b_delta_k = b_delta.withColumn("_bk", F.col(b_key))
+    v_old = a_old.join(b_old_k, a_old[on] == b_old_k[b_key], "left").drop(b_key)
+    flipped_keys = b_delta.select(F.col(b_key).alias(on)).distinct()
+    kept = v_old.join(
+        flipped_keys, (v_old[on] == flipped_keys[on]) & v_old["_bk"].isNull(),
+        "left_anti",
+    )
+    flips = a_old.join(b_delta_k, a_old[on] == b_delta_k[b_key]).drop(b_key)
+    b_all_k = b_old_k.unionByName(b_delta_k)
+    news = a_delta.join(b_all_k, a_delta[on] == b_all_k[b_key], "left").drop(b_key)
+    return kept.unionByName(flips).unionByName(news).drop("_bk")

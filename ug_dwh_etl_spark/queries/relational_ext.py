@@ -2759,3 +2759,54 @@ def orders_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
         )
     )
+
+
+# --- incremental LEFT-OUTER view maintenance (the flip rule) --------------------
+@register(
+    "ivm_left_outer_view",
+    """
+    SELECT COALESCE(c_nationkey, -1) AS nationkey,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_acctbal > 0) c
+      ON o_custkey = c_custkey
+    GROUP BY COALESCE(c_nationkey, -1)
+    """,
+)
+def ivm_left_outer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained LEFT-OUTER join view, proven against
+    the direct outer join: beyond ivm_join_view's bilinear terms, the
+    outer view needs the FLIP rule — a NULL-padded row retracts when
+    ΔB delivers its key's first match (operators/ivm.py,
+    refresh_left_outer_view). The B side keeps only positive-balance
+    customers so genuinely unmatched orders survive to the final view
+    (nationkey -1 bucket) — the padded slice is real data, not an
+    artifact of the split. Both bases split (orders by date, customers
+    by key parity), so every term fires: kept-padded, flipped,
+    new-left-matched and new-left-padded."""
+    from ug_dwh_etl_spark.operators.ivm import refresh_left_outer_view
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = (
+        table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 0)
+        .select("c_custkey", "c_nationkey")
+    )
+    a_old = orders.filter(F.col("o_orderdate") < "1995-01-01")
+    a_delta = orders.filter(F.col("o_orderdate") >= "1995-01-01")
+    b_old = cust.filter(F.col("c_custkey") % 2 == 0)
+    b_delta = cust.filter(F.col("c_custkey") % 2 == 1)
+    view = refresh_left_outer_view(
+        a_old, a_delta, b_old, b_delta, "o_custkey", "c_custkey"
+    )
+    return view.groupBy(
+        F.coalesce(F.col("c_nationkey"), F.lit(-1)).alias("nationkey")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
