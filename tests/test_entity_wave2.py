@@ -83,3 +83,31 @@ def test_quality_survivor_argmax_rounds_before_pick(spark):
         .collect()[0]
     )
     assert row.survivor_id == 1
+
+
+def test_node2vec_bias_classes(spark):
+    """Candidate weights: return=1, distance-1=2, distance-2=4 on a
+    triangle-with-tail graph (walker at 3, prev=2)."""
+    import pyspark.sql.functions as F
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "a long, b long"
+    )
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    ).distinct()
+    cur = spark.createDataFrame([(3, 3, 2)], "walk_id long, node long, prev long")
+    t_adj = und.select(F.col("src").alias("ts"), F.col("dst").alias("td"))
+    w = (
+        F.when(F.col("dst") == F.col("prev"), F.lit(1))
+        .when(F.col("td").isNotNull(), F.lit(2))
+        .otherwise(F.lit(4))
+    )
+    got = {
+        r.dst: r.w
+        for r in cur.join(und, und["src"] == cur["node"])
+        .join(t_adj, (F.col("ts") == F.col("prev")) & (F.col("td") == F.col("dst")), "left")
+        .select("dst", w.alias("w"))
+        .collect()
+    }
+    assert got == {2: 1, 1: 2, 4: 4}  # return / shares edge with prev / far

@@ -773,3 +773,145 @@ def graph_walk_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 graph_walk_skipgram_pairs.__doc__ = graph_walk_skipgram_pairs.__doc__.replace(
     "{w}", str(_SG_WINDOW)
 )
+
+
+# --- node2vec: second-order biased walks (p=2, q=0.5, exploratory) --------------
+_N2V_STEPS = 4
+_N2V_SEED_MOD = 23
+# integer replica weights: return=1 (1/p with p=2), distance-1=2,
+# distance-2=4 (1/q with q=0.5), all scaled x2 so they stay integers —
+# weighted sampling becomes argmin over w hash-salted replicas, which
+# both engines compute EXACTLY (no pow()/ln() parity surface at all)
+_N2V_W_RET, _N2V_W_D1, _N2V_W_D2 = 1, 2, 4
+
+
+def _n2v_sql() -> str:
+    from ug_dwh_etl_spark.operators.hashing import sql_md5_long
+
+    parts = [
+        """op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)""",
+        """e2 AS (SELECT a.p AS a, b.p AS b
+           FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+           GROUP BY a.p, b.p HAVING COUNT(*) >= 2)""",
+        "und AS (SELECT a AS src, b AS dst FROM e2 UNION SELECT b, a FROM e2)",
+        "reps AS (SELECT * FROM (VALUES (0), (1), (2), (3)) t(i))",
+        f"""w0 AS (
+      SELECT DISTINCT src AS walk_id, src AS node, src AS prev
+      FROM und WHERE src % {_N2V_SEED_MOD} = 0)""",
+    ]
+    for k in range(1, _N2V_STEPS + 1):
+        coin = sql_md5_long(
+            f"w.node::VARCHAR || '|{k}|' || c.dst::VARCHAR || '|' || r.i::VARCHAR"
+        )
+        parts.append(
+            f"""w{k} AS (
+      SELECT walk_id, node, prev FROM (
+        SELECT w.walk_id, c.dst AS node, w.node AS prev,
+               row_number() OVER (PARTITION BY w.walk_id
+                                  ORDER BY {coin}, c.dst, r.i) AS rn
+        FROM w{k - 1} w
+        JOIN und c ON c.src = w.node
+        LEFT JOIN und t ON t.src = w.prev AND t.dst = c.dst
+        JOIN reps r ON r.i < (CASE WHEN c.dst = w.prev THEN {_N2V_W_RET}
+                                   WHEN t.dst IS NOT NULL THEN {_N2V_W_D1}
+                                   ELSE {_N2V_W_D2} END))
+      WHERE rn = 1)"""
+        )
+    finals = "\n    UNION ALL ".join(
+        f"SELECT walk_id, {k} AS step, node FROM w{k}"
+        for k in range(0, _N2V_STEPS + 1)
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + finals
+
+
+@register("graph_node2vec_walks", _n2v_sql())
+def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """node2vec SECOND-ORDER biased walks (Grover & Leskovec 2016) over
+    the support>=2 co-purchase graph, deterministic and engine-exact:
+    the (p, q) transition bias is expressed as INTEGER replica weights
+    (return 1, distance-1 2, distance-2 4 — p=2, q=0.5, the exploratory
+    DFS-ish setting), each candidate neighbor is expanded into w
+    hash-salted replicas, and the walker takes the replica minimizing
+    md5(u|step|v|i) — exact weighted sampling with zero float surface,
+    the same replica trick as the Poisson bootstrap. The second-order
+    state (prev, cur) needs one extra |frontier|-sized LEFT join per
+    step against the adjacency to classify candidates by distance from
+    prev; everything else is graph_random_walks' shape: frontier join,
+    min-struct argmin, localCheckpoint lineage cut per step. The first
+    step degenerates to uniform automatically (prev = cur makes every
+    candidate distance-1). Co-purchase projection is the unipartite
+    graph where all three bias classes actually fire (the supplier-part
+    bipartite graph has no distance-1 candidates by construction)."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a = op.select(F.col("o"), F.col("p").alias("a"))
+    b = op.select(F.col("o"), F.col("p").alias("b"))
+    e2 = (
+        a.join(b, "o")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("sup"))
+        .filter(F.col("sup") >= 2)
+        .select("a", "b")
+    )
+    und = (
+        e2.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e2.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    t_adj = und.select(F.col("src").alias("ts"), F.col("dst").alias("td"))
+    seeds = (
+        und.filter(F.col("src") % _N2V_SEED_MOD == 0)
+        .select(F.col("src").alias("walk_id"))
+        .distinct()
+        .select("walk_id", F.col("walk_id").alias("node"), F.col("walk_id").alias("prev"))
+    )
+    out = seeds.select("walk_id", F.lit(0).alias("step"), "node")
+    cur = seeds.localCheckpoint()
+    for k in range(1, _N2V_STEPS + 1):
+        w = (
+            F.when(F.col("dst") == F.col("prev"), F.lit(_N2V_W_RET))
+            .when(F.col("td").isNotNull(), F.lit(_N2V_W_D1))
+            .otherwise(F.lit(_N2V_W_D2))
+        )
+        coin = md5_long(
+            F.concat(
+                F.col("node").cast("string"),
+                F.lit(f"|{k}|"),
+                F.col("dst").cast("string"),
+                F.lit("|"),
+                F.col("i").cast("string"),
+            )
+        )
+        nxt = (
+            cur.join(und, und["src"] == cur["node"])
+            .join(
+                t_adj,
+                (F.col("ts") == F.col("prev")) & (F.col("td") == F.col("dst")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "node",
+                "dst",
+                F.explode(F.sequence(F.lit(0), w - 1)).alias("i"),
+            )
+            .select("walk_id", "node", "dst", "i", coin.alias("h"))
+            .groupBy("walk_id", "node")
+            .agg(F.min(F.struct("h", "dst", "i")).alias("m"))
+            .select(
+                "walk_id",
+                F.col("m.dst").alias("node"),
+                F.col("node").alias("prev"),
+            )
+            .localCheckpoint()
+        )
+        out = out.unionByName(nxt.select("walk_id", F.lit(k).alias("step"), "node"))
+        cur = nxt
+    und.unpersist()
+    return out
