@@ -112,3 +112,25 @@ def test_kmeans_step_invariants(spark):
     # Lloyd monotonicity: an update step must move at least one centroid
     # (seed centroids are random, data means are not)
     assert any(r.shift2 > 0 for r in rows)
+
+
+def test_binary_sketch_pack_and_hamming(spark):
+    """Known sign patterns pack into the expected words; popcount(xor)
+    gives the true bit disagreement count."""
+    import pyspark.sql.functions as F
+    from ug_dwh_etl_spark.operators.similarity import binary_sketches
+
+    v1 = [1.0] * 64                      # all bits set
+    v2 = [1.0] * 32 + [-1.0] * 32        # lo set, hi clear
+    v3 = [-1.0] + [1.0] * 63             # bit 1 clear
+    df = spark.createDataFrame(
+        [(1, v1), (2, v2), (3, v3)], "vec_id long, embedding array<double>"
+    )
+    sk = {r.vec_id: (r.lo, r.hi) for r in binary_sketches(df).collect()}
+    assert sk[1] == (0xFFFFFFFF, 0xFFFFFFFF)
+    assert sk[2] == (0xFFFFFFFF, 0)
+    assert sk[3] == (0xFFFFFFFE, 0xFFFFFFFF)
+    ham = lambda a, b: bin(a[0] ^ b[0]).count("1") + bin(a[1] ^ b[1]).count("1")  # noqa: E731
+    assert ham(sk[1], sk[2]) == 32
+    assert ham(sk[1], sk[3]) == 1
+    assert ham(sk[2], sk[3]) == 33

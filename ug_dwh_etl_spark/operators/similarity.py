@@ -769,3 +769,89 @@ def matryoshka_knn_recall(
             F.round(F.col("n_match") / float(k), 6).alias(f"recall_at_{k}"),
         )
     )
+
+
+# --- 1-bit (sign) binary quantization + Hamming search --------------------------
+def binary_sketches(embeddings: DataFrame) -> DataFrame:
+    """Pack each 64-dim embedding into TWO bigints of sign bits
+    (v > 0), low dims 1-32 and high dims 33-64 — bit 63 of a single
+    word would collide with the sign bit, and two words keep the pack
+    portable to any dim count. Integer arithmetic end to end, so the
+    sketch is engine-exact; 64 floats (256-512 B) become 16 B, the
+    32x compression that makes a 100 TB vector corpus RAM-resident."""
+    flat = embeddings.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos0", "v"),
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("dim"), "v")
+    bit = (F.col("v") > 0).cast("long")
+    return flat.groupBy("vec_id").agg(
+        F.sum(
+            F.when(
+                F.col("dim") <= 32,
+                bit * F.expr("shiftleft(1L, cast(dim - 1 as int))"),
+            ).otherwise(F.lit(0))
+        ).alias("lo"),
+        F.sum(
+            F.when(
+                F.col("dim") > 32,
+                bit * F.expr("shiftleft(1L, cast(dim - 33 as int))"),
+            ).otherwise(F.lit(0))
+        ).alias("hi"),
+    )
+
+
+def binary_knn_recall(
+    embeddings: DataFrame, query_mod: int, k: int = 3
+) -> DataFrame:
+    """Recall@k of 1-bit Hamming search vs exact cosine — the audit for
+    the most aggressive quantization tier (binary embeddings; sibling
+    of quantized_knn_recall/int8 and the Matryoshka truncation audit).
+    Hamming distance = popcount(xor) on the two packed words; ranking
+    ties break on vec_id so the comparison is engine-exact."""
+    from pyspark.sql import Window
+
+    sk = binary_sketches(embeddings)
+    q = sk.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    hd = F.bit_count(F.col("lo").bitwiseXOR(F.col("qlo"))) + F.bit_count(
+        F.col("hi").bitwiseXOR(F.col("qhi"))
+    )
+    w = Window.partitionBy("q_id").orderBy("hd", "vec_id")
+    binq = (
+        sk.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
+        .select("q_id", "vec_id", hd.alias("hd"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col("q_id").alias("mq"), F.col("vec_id").alias("mn_id"))
+    )
+    qv = embeddings.filter(F.col("vec_id") % query_mod == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    scored = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).join(F.broadcast(qv), F.col("vec_id") != F.col("q_id"))
+    we = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    exact = (
+        scored.select("q_id", "vec_id", cosine("e", "qe").alias("cos_raw"))
+        .withColumn("rn", F.row_number().over(we))
+        .filter(F.col("rn") <= k)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    return (
+        exact.join(
+            binq,
+            (F.col("q_id") == F.col("mq")) & (F.col("neighbor_id") == F.col("mn_id")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(F.count("mn_id").alias("n_match"))
+        .select(
+            "q_id",
+            "n_match",
+            F.round(F.col("n_match") / float(k), 6).alias(f"recall_at_{k}"),
+        )
+    )

@@ -1400,3 +1400,66 @@ def sim_ivf_incremental_update(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_corpus") + F.col("n_batch")).alias("n_total"),
         F.round(F.sqrt("s2"), 6).alias("centroid_shift"),
     )
+
+
+# --- 1-bit binary quantization: Hamming search recall audit ---------------------
+def _binary_recall_sql(k: int = 3, query_mod: int = 97) -> str:
+    cos = ("list_dot_product(e, qe) / (sqrt(list_dot_product(e, e))"
+           " * sqrt(list_dot_product(qe, qe)))")
+    return f"""
+    WITH flat AS (
+      SELECT vec_id,
+             unnest(range(1, len(embedding) + 1)) AS dim,
+             unnest(embedding::DOUBLE[]) AS v
+      FROM embeddings),
+    bits AS (
+      SELECT vec_id,
+             SUM(CASE WHEN v > 0 AND dim <= 32
+                      THEN 1::BIGINT << (dim - 1) ELSE 0 END) AS lo,
+             SUM(CASE WHEN v > 0 AND dim > 32
+                      THEN 1::BIGINT << (dim - 33) ELSE 0 END) AS hi
+      FROM flat GROUP BY vec_id),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    exact AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, c.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM (SELECT vec_id, e AS qe FROM c WHERE vec_id % {query_mod} = 0) q
+          JOIN c ON c.vec_id <> q.vec_id)
+      WHERE rn <= {k}),
+    binq AS (
+      SELECT q_id, vec_id AS neighbor_id FROM (
+        SELECT q.vec_id AS q_id, b.vec_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY bit_count(xor(q.lo, b.lo)) + bit_count(xor(q.hi, b.hi)),
+                          b.vec_id) AS rn
+        FROM (SELECT * FROM bits WHERE vec_id % {query_mod} = 0) q
+          JOIN bits b ON b.vec_id <> q.vec_id)
+      WHERE rn <= {k})
+    SELECT e.q_id, CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_match,
+           ROUND(COUNT(m.neighbor_id) / {k}.0, 6) AS recall_at_{k}
+    FROM exact e
+      LEFT JOIN binq m ON m.q_id = e.q_id AND m.neighbor_id = e.neighbor_id
+    GROUP BY e.q_id
+    """
+
+
+@register("sim_quantize_binary_recall", _binary_recall_sql())
+def sim_quantize_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of 1-BIT (sign) binary embeddings under Hamming search
+    vs exact cosine — the audit for the most aggressive quantization
+    tier (32x compression: 64 doubles -> two packed bigints), completing
+    the fidelity ladder int8 (sim_quantize_recall) -> Matryoshka
+    truncation (sim_matryoshka_recall) -> binary. Hamming distance is
+    popcount(xor) on the packed words — pure integer arithmetic, so
+    candidate ranking is engine-exact with vec_id tiebreaks; at 100 TB
+    this is the tier that fits the whole corpus sketch in executor
+    memory and makes the Hamming scan a broadcast-query CPU loop, with
+    exact cosine re-ranking reserved for the shortlist."""
+    from ug_dwh_etl_spark.operators.similarity import binary_knn_recall
+
+    return binary_knn_recall(
+        table(spark, sf_dir, "embeddings"), query_mod=97, k=3
+    )
