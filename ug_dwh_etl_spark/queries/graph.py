@@ -695,7 +695,13 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = table(spark, sf_dir, "lineitem")
     e = _edges(spark, sf_dir)
-    und = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # persist the adjacency: without it each of the _WALK_STEPS frontier
+    # joins re-scans lineitem and re-runs the distinct shuffle
+    und = (
+        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
     seeds = (
         li.filter(F.col("l_suppkey") % _WALK_SEED_MOD == 0)
         .select(F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("walk_id"))
@@ -718,6 +724,7 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = out.unionByName(nxt.select("walk_id", F.lit(k).alias("step"), "node"))
         cur = nxt
+    und.unpersist()
     return out
 
 

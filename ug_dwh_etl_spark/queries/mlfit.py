@@ -1061,14 +1061,39 @@ def sim_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = base.filter(F.col("vec_id") % _FL_CAND_MOD == 0).select(
         F.col("vec_id").alias("cid"), F.col("e").alias("ce")
     )
-    sim_uc = F.greatest(F.round(cosine("e", "ce"), 6), F.lit(0.0))
-    univ = base.withColumn("cover", F.lit(0.0))
+    # the (universe x candidate) similarity matrix is round-invariant:
+    # materialize it ONCE (rounded+clamped exactly as the oracle does)
+    # and let every greedy round reuse it — the cosines are interpreted
+    # higher-order-function expressions, by far the dominant cost, and
+    # recomputing them per round tripled the query. |U| x |C| rows is
+    # the price; at corpus scale the candidate set stays bounded, so
+    # the matrix grows linearly with the universe like the cover state.
+    scores = (
+        base.crossJoin(F.broadcast(cand))
+        .select(
+            "vec_id",
+            "cid",
+            F.greatest(F.round(cosine("e", "ce"), 6), F.lit(0.0)).alias("sim"),
+        )
+        .persist()
+    )
+    picks = None
     out_rows = []
     for k in range(1, _FL_K + 1):
+        if picks is None:
+            contrib = scores.select("cid", F.col("sim").alias("g"))
+        else:
+            cover = (
+                scores.join(F.broadcast(picks), "cid")
+                .groupBy("vec_id")
+                .agg(F.max("sim").alias("cover"))
+            )
+            contrib = scores.join(cover, "vec_id").select(
+                "cid",
+                F.greatest(F.col("sim") - F.col("cover"), F.lit(0.0)).alias("g"),
+            )
         gains = (
-            univ.crossJoin(F.broadcast(cand))
-            .select("cid", F.greatest(sim_uc - F.col("cover"), F.lit(0.0)).alias("g"))
-            .groupBy("cid")
+            contrib.groupBy("cid")
             # round BEFORE the argmax: the gain is a corpus-sized sum
             # whose engine fold order differs at the ulp — the pick must
             # compare identically-rounded values or near-tied candidates
@@ -1079,32 +1104,22 @@ def sim_facility_location(spark: SparkSession, sf_dir: str) -> DataFrame:
             gains.agg(
                 F.min(F.struct((-F.col("gain")).alias("ng"), F.col("cid"))).alias("m")
             )
-            .select(F.col("m.cid").alias("pick_id"))
+            .select(F.col("m.cid").alias("cid"))
+            .localCheckpoint()
         )
         out_rows.append(
-            gains.join(F.broadcast(pick), gains.cid == F.col("pick_id")).select(
+            gains.join(F.broadcast(pick), "cid").select(
                 F.lit(k).alias("step"),
                 F.col("cid").alias("vec_id"),
                 F.round("gain", 4).alias("coverage_gain"),
             )
         )
-        if k < _FL_K:
-            pe = cand.join(F.broadcast(pick), cand.cid == F.col("pick_id")).select(
-                F.col("ce").alias("pe")
-            )
-            sim_up = F.greatest(F.round(cosine("e", "pe"), 6), F.lit(0.0))
-            univ = (
-                univ.crossJoin(F.broadcast(pe))
-                .select(
-                    "vec_id",
-                    "e",
-                    F.greatest(F.col("cover"), sim_up).alias("cover"),
-                )
-                .localCheckpoint()
-            )
+        picks = pick if picks is None else picks.unionByName(pick).localCheckpoint()
     out = out_rows[0]
     for r in out_rows[1:]:
         out = out.unionByName(r)
+    out = out.localCheckpoint()
+    scores.unpersist()
     return out
 
 
