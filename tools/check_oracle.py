@@ -28,12 +28,23 @@ TABLES = (
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    """Mirror of the DRIVER's canonicalizer, including its limits: the
+    driver sorts RAW cells (pandas sort_values), which crashes on
+    list/array/map cells (unhashable) — so a query emitting one would
+    be locally green here while driver-red. Refuse such cells up front;
+    the house rule is to ``array_join`` collections at the query edge
+    (see sim_quantize_int8 / agg_collect_sorted)."""
     df = df.reindex(sorted(df.columns), axis=1)
 
     def cell(v):
         if v is None or (isinstance(v, float) and pd.isna(v)):
             return "NULL"
-        if pd.api.types.is_scalar(v) and pd.isna(v):
+        if not pd.api.types.is_scalar(v):
+            raise TypeError(
+                f"non-scalar result cell {type(v).__name__} — the driver "
+                "canonicalizer cannot sort it; array_join at the query edge"
+            )
+        if pd.isna(v):
             return "NULL"
         if isinstance(v, float):
             return f"{v:.6f}"
@@ -90,7 +101,12 @@ def main() -> int:
         ok_cols = sorted(sdf.columns) == sorted(odf.columns)
         ok_vals = False
         if ok_rows and ok_cols:
-            ns, no = normalize(sdf), normalize(odf)
+            try:
+                ns, no = normalize(sdf), normalize(odf)
+            except TypeError as exc:  # driver-uncanonicalizable cell
+                failures.append(name)
+                print(f"FAIL  {name}: {exc}")
+                continue
             ok_vals = ns.equals(no)
             if not ok_vals:
                 diff = ns.compare(no) if ns.shape == no.shape else None

@@ -82,9 +82,20 @@ FACTS = {
                 False,
                 None,
             ),
+            # decimal-sum / count, NOT AVG(DOUBLE): double partial-agg
+            # fold order differs across engines (and again in the
+            # streaming twin), so AVG over doubles is a latent
+            # .00005-boundary mismatch; the cent-exact sum is
+            # order-independent and only ONE double division remains
             "avg_order_value": (
-                lambda: F.round(F.avg("o_totalprice"), 4),
-                "ROUND(AVG(o_totalprice), 4)",
+                lambda: F.round(
+                    F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                    .cast("double")
+                    / F.count(F.lit(1)),
+                    4,
+                ),
+                "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+                " / COUNT(*), 4)",
                 False,
                 None,
             ),

@@ -396,7 +396,6 @@ sim_mmr_selection.__doc__ = sim_mmr_selection.__doc__.replace(
 # Markov stationary distribution by unrolled power iteration
 # ---------------------------------------------------------------------------
 _MARKOV_ITERS = 8
-_N_EVENT_TYPES = 5  # click / signup / error / view / purchase
 
 
 def _markov_sql() -> str:
@@ -410,7 +409,11 @@ def _markov_sql() -> str:
         """p AS (
       SELECT cur, nxt, ROUND(c * 1.0 / SUM(c) OVER (PARTITION BY cur), 6) AS prob
       FROM cnt)""",
-        f"pi0 AS (SELECT DISTINCT cur AS et, 1.0 / {_N_EVENT_TYPES} AS pi FROM cnt)",
+        # uniform start derived from the DATA's state set (not a constant:
+        # a fixture with more/fewer event types must still start at a
+        # probability vector summing to 1 on both engines)
+        "k AS (SELECT CAST(COUNT(DISTINCT cur) AS DOUBLE) AS k FROM cnt)",
+        "pi0 AS (SELECT DISTINCT cur AS et, 1.0 / k.k AS pi FROM cnt CROSS JOIN k)",
     ]
     for i in range(1, _MARKOV_ITERS + 1):
         parts.append(
@@ -456,9 +459,10 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = cnt.select(
         "cur", "nxt", F.round(F.col("c") / F.sum("c").over(wp), 6).alias("prob")
     ).localCheckpoint()
-    pi = (
-        p.select("cur").distinct()
-        .select(F.col("cur").alias("et"), (F.lit(1.0) / _N_EVENT_TYPES).alias("pi"))
+    states = p.select("cur").distinct()
+    k = states.agg(F.count(F.lit(1)).cast("double").alias("k"))
+    pi = states.crossJoin(F.broadcast(k)).select(
+        F.col("cur").alias("et"), (F.lit(1.0) / F.col("k")).alias("pi")
     )
     for _ in range(_MARKOV_ITERS):
         pi = (

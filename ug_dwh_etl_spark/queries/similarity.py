@@ -253,7 +253,9 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT f.vec_id, f.dim,
              CAST(ROUND(255.0 * (f.v - d.mn) / NULLIF(d.mx - d.mn, 0.0)) AS BIGINT) AS qv
       FROM flat f JOIN dims d USING (dim))
-    SELECT vec_id, list(qv ORDER BY dim) AS qvec
+    SELECT vec_id,
+           array_to_string(list(coalesce(CAST(qv AS VARCHAR), 'null')
+                                ORDER BY dim), ',') AS qvec
     FROM q GROUP BY vec_id
     """,
 )
@@ -263,7 +265,10 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     min/max is a dims-sized aggregate (8 rows) broadcast back onto the
     flattened relation; quantized vectors re-assemble with a sorted
     collect per id. Two shuffles total (dim stats, re-assembly); the
-    dims join is a broadcast, never a shuffle."""
+    dims join is a broadcast, never a shuffle. The quantized vector is
+    emitted as a comma-joined STRING (house rule for array-valued
+    results, same as agg_collect_sorted): gate canonicalizers sort
+    cells, and raw array cells are unsortable pandas-side."""
     emb = table(spark, sf_dir, "embeddings")
     flat = emb.select(
         "vec_id",
@@ -281,8 +286,13 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("qv"),
     )
     return q.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("dim", "qv"))), lambda s: s.qv
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "qv"))),
+                lambda s: s.qv.cast("string"),
+            ),
+            ",",
+            "null",
         ).alias("qvec")
     )
 
