@@ -1540,14 +1540,18 @@ def fit_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WOE_BINS = 10
 
 
+_WOE_PS = [i / _WOE_BINS for i in range(1, _WOE_BINS)]
+
+
 @register(
     "fit_woe_binning",
     f"""
-    WITH r AS (
-      SELECT o_totalprice,
-             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
-             NTILE({_WOE_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
-      FROM orders),
+    WITH cuts AS (
+      SELECT quantile_cont(o_totalprice, {_WOE_PS}) AS cs FROM orders),
+    r AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y,
+             1 + len(list_filter(cs, c -> o_totalprice > c)) AS bin
+      FROM orders CROSS JOIN cuts),
     b AS (
       SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(y) AS BIGINT) AS n_pos,
@@ -1567,22 +1571,37 @@ _WOE_BINS = 10
 )
 def fit_woe_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weight-of-evidence / information-value readout for a numeric
-    feature vs a binary target: equal-frequency deciles (deterministic
-    NTILE tiebreak on the key), per-bin WOE = ln((pos_i/P)/(neg_i/N))
-    and its IV contribution — the classic credit-scoring / feature-
-    selection table. Zero-cell bins yield NULL WOE on both engines
-    (guarded CASE; DuckDB would otherwise error on ln(0) where Spark
-    nulls). The NTILE is one global-order window — fine for a feature
-    column that fits a single pass; at 100 TB the same table comes from
-    the equi-depth histogram's percentile cuts instead
-    (agg_equidepth_histogram) without a global sort."""
+    feature vs a binary target: equal-frequency decile bins from EXACT
+    percentile cutpoints, per-bin WOE = ln((pos_i/P)/(neg_i/N)) and its
+    IV contribution — the classic credit-scoring / feature-selection
+    table. Zero-cell bins yield NULL WOE on both engines (guarded CASE;
+    DuckDB would otherwise error on ln(0) where Spark nulls).
+
+    Scale shape (the agg_equidepth_histogram plan): ONE partial-
+    aggregated percentile pass produces the 9 cutpoints, which
+    broadcast back onto the rows; bin = 1 + |{cutpoints < x}| is a
+    per-row array filter, then one grouped aggregate. No global-order
+    window anywhere (the NTILE formulation this replaced sorted the
+    whole fact on one executor). Spark's exact `percentile` merges
+    per-partition value->count maps — memory O(distinct values), which
+    for a 2dp money column is bounded; at 100 TB quantize to cents
+    first or swap in approx_percentile with a documented error bound,
+    same plan shape. Cutpoint parity: Spark percentile and DuckDB
+    quantile_cont both interpolate at rank (n-1)p — measured bit-equal
+    on this column, and a value EQUAL to a cutpoint bins identically on
+    both engines (strict > on both sides)."""
     orders = table(spark, sf_dir, "orders")
-    r = orders.select(
-        "o_totalprice",
+    cuts = orders.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in _WOE_PS])
+        ).alias("cs")
+    )
+    r = orders.crossJoin(F.broadcast(cuts)).select(
         (F.col("o_orderpriority") == "1-URGENT").cast("long").alias("y"),
-        F.ntile(_WOE_BINS)
-        .over(Window.orderBy("o_totalprice", "o_orderkey"))
-        .alias("bin"),
+        (
+            F.lit(1)
+            + F.size(F.filter("cs", lambda c: F.col("o_totalprice") > c))
+        ).alias("bin"),
     )
     b = r.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
