@@ -134,3 +134,63 @@ def test_lineitem_fact_star_chain(spark):
     assert plan.count("BroadcastHashJoin") == 3
     for absent in ("part.parquet", "customer.parquet", "orders.parquet"):
         assert absent not in plan
+
+
+def test_trailing_window_routing_plan_and_guards(spark, tmp_path):
+    from ug_dwh_etl_spark.plans.semantic import (
+        compile_trailing_window,
+        materialize_rollup,
+    )
+
+    base = MetricSpec(
+        metrics=("revenue", "n_orders"),
+        dimensions=("order_date", "order_status"),
+    )
+    path = str(tmp_path / "daily")
+    materialize_rollup(base, spark, SF, path)
+
+    df = compile_trailing_window(
+        base, spark, SF, rollup=path, date_dim="order_date", window_days=7
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "orders.parquet" not in plan  # fact never rescanned
+    assert "daily" in plan  # answers from the rollup
+
+    # spot-check the fold: a day's 7d revenue == sum of that status's
+    # daily partials over the trailing 7 CALENDAR days
+    rows = df.collect()
+    daily = {
+        (r.order_date, r.order_status): (r.revenue, r.n_orders)
+        for r in spark.read.parquet(path).collect()
+    }
+    import datetime as dt
+
+    probe = rows[len(rows) // 2]
+    d0 = dt.date.fromisoformat(probe.order_date)
+    exp_n = sum(
+        daily.get(((d0 - dt.timedelta(days=k)).isoformat(), probe.order_status),
+                  (0.0, 0))[1]
+        for k in range(7)
+    )
+    assert probe.n_orders_7d == exp_n
+
+    with pytest.raises(ValueError, match="date grain"):
+        compile_trailing_window(
+            MetricSpec(metrics=("revenue",), dimensions=("order_status",)),
+            spark, SF, rollup=path,
+        )
+    with pytest.raises(ValueError, match="additive"):
+        compile_trailing_window(
+            MetricSpec(
+                metrics=("n_customers",), dimensions=("order_date",)
+            ),
+            spark, SF, rollup=path,
+        )
+    with pytest.raises(ValueError, match="filters"):
+        compile_trailing_window(
+            MetricSpec(
+                metrics=("revenue",), dimensions=("order_date",),
+                filters=("o_orderstatus = 'F'",),
+            ),
+            spark, SF, rollup=path,
+        )

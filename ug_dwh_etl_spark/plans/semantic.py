@@ -60,6 +60,7 @@ FACTS = {
             "nation_name": ("nation", "n_name"),
             "mktsegment": ("customer", "c_mktsegment"),
             "order_year": ("orders", None),  # derived — see _dim_col/_dim_sql
+            "order_date": ("orders", None),  # derived day grain (string)
             "order_priority": ("orders", "o_orderpriority"),
             "order_status": ("orders", "o_orderstatus"),
         },
@@ -218,12 +219,16 @@ def _tables_needed(spec: MetricSpec) -> list[str]:
 def _dim_col(spec: MetricSpec, name: str) -> Column:
     if name == "order_year":
         return F.year(F.to_date("o_orderdate")).cast("int")
+    if name == "order_date":
+        return F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd")
     return F.col(FACTS[spec.fact]["dimensions"][name][1])
 
 
 def _dim_sql(spec: MetricSpec, name: str) -> str:
     if name == "order_year":
         return "CAST(year(CAST(o_orderdate AS DATE)) AS INT)"
+    if name == "order_date":
+        return "strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d')"
     return FACTS[spec.fact]["dimensions"][name][1]
 
 
@@ -294,6 +299,119 @@ def materialize_rollup(
         raise ValueError("only unfiltered specs can be materialized for routing")
     compile_spec(spec, spark, sf_dir).write.mode("overwrite").parquet(out)
     return out
+
+
+# --- aggregate navigator, windowed-metric class ------------------------------
+# Trailing-N-day metrics are NOT additive across days, but they are
+# DECOMPOSABLE: trailing_N(day) folds the last N daily partials of an
+# additive metric. So a dashboard's "7-day revenue" routes to the daily
+# rollup exactly like a plain additive slice — the fact is never
+# rescanned; the window runs over a days x dims relation whose size is
+# bounded by the calendar, not the data. The fold per metric class
+# reuses the re-agg discipline (money re-sums cent-exact decimals).
+
+_TRAILING_EPOCH = "1990-01-01"
+
+
+def _trailing_fold(reagg, m: str, w) -> Column:
+    if reagg is _REAGG_MONEY:
+        return F.round(
+            F.sum(F.col(m).cast("decimal(18,2)")).over(w), 2
+        ).cast("double")
+    if reagg is _REAGG_DECIMAL:
+        return F.sum(F.col(m).cast("decimal(18,2)")).over(w).cast("double")
+    if reagg is _REAGG_COUNT:
+        return F.sum(F.col(m)).over(w).cast("long")
+    raise ValueError(f"metric {m} has no trailing-window fold rule")
+
+
+def _trailing_fold_sql(reagg, m: str) -> str:
+    if reagg is _REAGG_MONEY:
+        return f"CAST(ROUND(SUM(CAST({m} AS DECIMAL(18,2))) OVER w, 2) AS DOUBLE)"
+    if reagg is _REAGG_DECIMAL:
+        return f"CAST(SUM(CAST({m} AS DECIMAL(18,2))) OVER w AS DOUBLE)"
+    if reagg is _REAGG_COUNT:
+        return f"CAST(SUM({m}) OVER w AS BIGINT)"
+    raise ValueError(f"metric {m} has no trailing-window fold rule")
+
+
+def _validate_trailing(spec: MetricSpec, date_dim: str, window_days: int) -> None:
+    spec.validate()
+    if date_dim not in spec.dimensions:
+        raise ValueError(f"spec must slice by the date grain {date_dim!r}")
+    if not spec.additive:
+        raise ValueError("trailing-window routing needs all-additive metrics")
+    if spec.filters:
+        raise ValueError("trailing-window routing does not support fact filters")
+    if window_days < 1:
+        raise ValueError("window_days must be >= 1")
+
+
+def compile_trailing_window(
+    spec: MetricSpec,
+    spark: SparkSession,
+    sf_dir: str,
+    rollup: str,
+    date_dim: str = "order_date",
+    window_days: int = 7,
+) -> DataFrame:
+    """Route a trailing-N-day metric query to a DAY-GRAIN rollup: read
+    the materialized daily partials, and fold each metric over a
+    calendar RANGE frame ([day - N + 1, day], so gap days count as
+    zero) partitioned by the non-date dimensions. The fact table is
+    never scanned; the window's input is |days| x |dims| rows —
+    calendar-bounded regardless of fact size, so the per-partition sort
+    inside the window is a few thousand rows even at 100 TB."""
+    from pyspark.sql import Window
+
+    _validate_trailing(spec, date_dim, window_days)
+    base = spark.read.parquet(rollup)
+    missing = [
+        c for c in (*spec.dimensions, *spec.metrics) if c not in base.columns
+    ]
+    if missing:
+        raise ValueError(f"rollup lacks columns: {missing}")
+    other = [d for d in spec.dimensions if d != date_dim]
+    day_num = F.datediff(F.to_date(date_dim), F.lit(_TRAILING_EPOCH))
+    w = (
+        Window.partitionBy(*other)
+        .orderBy(day_num)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    model = FACTS[spec.fact]
+    cols = [F.col(d) for d in spec.dimensions] + [
+        _trailing_fold(model["metrics"][m][3], m, w).alias(
+            f"{m}_{window_days}d"
+        )
+        for m in spec.metrics
+    ]
+    return base.select(*cols)
+
+
+def trailing_oracle_for_spec(
+    spec: MetricSpec, date_dim: str = "order_date", window_days: int = 7
+) -> str:
+    """The trailing-window route's oracle: the SAME daily partials
+    (generated by oracle_for_spec) folded over the SAME calendar range
+    frame — one definition, both engines."""
+    _validate_trailing(spec, date_dim, window_days)
+    model = FACTS[spec.fact]
+    other = [d for d in spec.dimensions if d != date_dim]
+    part = ("PARTITION BY " + ", ".join(other) + " ") if other else ""
+    folds = ",\n           ".join(
+        f"{_trailing_fold_sql(model['metrics'][m][3], m)} AS {m}_{window_days}d"
+        for m in spec.metrics
+    )
+    dims = ", ".join(spec.dimensions)
+    return f"""
+    WITH daily AS ({oracle_for_spec(spec)})
+    SELECT {dims},
+           {folds}
+    FROM daily
+    WINDOW w AS ({part}ORDER BY date_diff('day', DATE '{_TRAILING_EPOCH}',
+                                          CAST({date_dim} AS DATE))
+                 RANGE BETWEEN {window_days - 1} PRECEDING AND CURRENT ROW)
+    """
 
 
 def oracle_for_spec(spec: MetricSpec) -> str:

@@ -15,6 +15,7 @@ from ug_dwh_etl_spark.plans.semantic import (
     MetricSpec,
     compile_spec,
     oracle_for_spec,
+    trailing_oracle_for_spec,
 )
 from ug_dwh_etl_spark.queries.registry import register
 
@@ -133,6 +134,48 @@ def semantic_rollup_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         metrics=("gross_revenue", "n_lines"), dimensions=("brand",), fact="lineitem"
     )
     return compile_spec(routed, spark, sf_dir, rollup=path)
+
+
+_TRAILING_BASE = MetricSpec(
+    metrics=("revenue", "n_orders"),
+    dimensions=("order_date", "order_status"),
+)
+
+
+@register(
+    "semantic_trailing_window_routed",
+    trailing_oracle_for_spec(_TRAILING_BASE, "order_date", 7),
+)
+def semantic_trailing_window_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGGREGATE NAVIGATOR for the WINDOWED-metric class: trailing-7-day
+    revenue and order count per (day, status), answered from the daily
+    rollup. Trailing sums are not additive across days but they are
+    DECOMPOSABLE — each is a calendar-range fold of daily additive
+    partials — so the router materializes the (order_date, order_status)
+    day-grain rollup once and the routed query folds a RANGE window
+    over it: the fact is scanned exactly once (materialization), the
+    window's input is calendar-bounded (|days| x |statuses| rows, a few
+    thousand regardless of fact size), and the oracle computes the same
+    daily partials + fold straight from the fact. This is the
+    dashboard-latency path for 'last-7-days' tiles at 100 TB: route to
+    the rollup, never rescan the fact (plan-asserted in
+    tests/test_semantic.py)."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.plans.semantic import (
+        compile_trailing_window,
+        materialize_rollup,
+    )
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"semantic_rollup_{os.getpid()}", "date_status"
+    )
+    materialize_rollup(_TRAILING_BASE, spark, sf_dir, path)
+    return compile_trailing_window(
+        _TRAILING_BASE, spark, sf_dir, rollup=path,
+        date_dim="order_date", window_days=7,
+    )
 
 
 @register("stream_semantic_revenue_by_region", oracle_for_spec(_REV_BY_REGION))
