@@ -132,9 +132,17 @@ def sql_pagerank(
     edges_sql: str,
     iterations: int = 3,
     damping: float = DAMPING,
+    round_to: int = 4,
 ) -> str:
     """The same fixed-iteration PageRank as unrolled ANSI SQL (DuckDB
-    oracle). ``edges_sql`` must select columns (src, dst)."""
+    oracle). ``edges_sql`` must select columns (src, dst).
+
+    ``round_to`` is per-fixture: the grid must be coarse enough that no
+    rank sits within float-noise of a half-grid boundary (the undirected
+    community graph's uniform tiny blocks produce small-denominator
+    rational ranks EXACTLY on the 4dp half-grid — e.g. 14.34925 at
+    sf0.001 — so its queries compare at 3dp; measured margins there are
+    >=2.6e-7, ~1e7x the cross-engine noise)."""
     d = damping
     parts = [
         f"edges AS ({edges_sql})",
@@ -156,9 +164,168 @@ def sql_pagerank(
         + ",\n    ".join(parts)
         + f"""
     SELECT n.node,
-           ROUND({1.0 - d!r} + {d!r} * COALESCE(i{iterations}.inflow, 0.0), 4) AS rank
+           ROUND({1.0 - d!r} + {d!r} * COALESCE(i{iterations}.inflow, 0.0),
+                 {round_to}) AS rank
     FROM nodes n LEFT JOIN i{iterations} ON n.node = i{iterations}.node"""
     )
+
+
+def pagerank_incremental(
+    edges_base: DataFrame,
+    edges_full: DataFrame,
+    iterations: int = 3,
+    damping: float = DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+    loop_partitions: int | None = None,
+) -> DataFrame:
+    """Maintain fixed-iteration PageRank under an EDGE DELTA without
+    re-iterating the whole graph: incremental view maintenance of the
+    same dataflow ``pagerank`` runs.
+
+    The reference re-ingests full rank snapshots daily
+    (`Audisto/audisto.py:147-159`) after its inlink crawl replaces the
+    edge table (`sf_inlink_bulk_data.py:104`); the warehouse-native twin
+    keeps yesterday's per-iteration inflow state and pushes only the
+    CHANGES through the 3-step dataflow:
+
+      Δ₁(v)      = Σ_{(u,v) changed} (w_new − w_old)
+      Δᵢ₊₁(v)   = Σ_{(u,v) unchanged} w · d·Δᵢ(u)                [frontier]
+                 + Σ_{(u,v) changed} (w_new·rf_i(u) − w_old·rb_i(u))
+      rank(v)    = (1−d) + d·(inflow_base(v) ⊕ Δ_n(v))
+
+    where a contribution (u,v,w=1/outdeg(u)) is "changed" when the edge
+    is new OR u's out-degree changed (its weight moved). The per-
+    iteration work is sized by the CHANGED set and the dirty frontier
+    (Δᵢ's support), not |E|: the unchanged-edge join probes the
+    persisted src-partitioned contribution table with a broadcast of
+    the frontier — no full-graph shuffle per iteration (at cluster
+    scale, bucket the contribution table by src so the probe also
+    prunes its scan, and swap the broadcast for a co-located join when
+    the frontier outgrows it). Results equal a cold ``pagerank`` over
+    ``edges_full`` up to float-summation order (~1e-15), far inside the
+    4dp comparison grid — the oracle IS the cold full recompute.
+
+    Here the base inflows are rebuilt from ``edges_base`` (the fixture
+    has no cross-run store); in production they persist from the prior
+    run, so per-day cost is the delta phase only."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    spark = edges_base.sparkSession
+    prev_parts = None
+    if loop_partitions is not None:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
+    try:
+        d = damping
+        rank_of = lambda c: F.lit(1.0 - d) + F.lit(d) * F.coalesce(c, F.lit(0.0))  # noqa: E731
+        eb = edges_base.persist()
+        ef = edges_full.persist()
+
+        def contribs(edges: DataFrame) -> DataFrame:
+            deg = out_degrees(edges, src)
+            return edges.join(deg, src).select(
+                F.col(src).alias("c_src"),
+                F.col(dst).alias("c_dst"),
+                (F.lit(1.0) / F.col("outdeg")).alias("w"),
+            )
+
+        ceb = contribs(eb).repartition("c_src").persist()
+        # changed contributions: full-outer on the edge key, keep rows
+        # whose weight moved (new edge, or src out-degree changed)
+        j = contribs(ef).alias("f").join(
+            ceb.alias("b"),
+            (F.col("f.c_src") == F.col("b.c_src"))
+            & (F.col("f.c_dst") == F.col("b.c_dst")),
+            "full_outer",
+        )
+        chg = (
+            j.select(
+                F.coalesce("f.c_src", "b.c_src").alias("c_src"),
+                F.coalesce("f.c_dst", "b.c_dst").alias("c_dst"),
+                F.coalesce("b.w", F.lit(0.0)).alias("w_old"),
+                F.coalesce("f.w", F.lit(0.0)).alias("w_new"),
+            )
+            .filter(F.col("w_old") != F.col("w_new"))
+            .persist()
+        )
+        unchanged = ceb.join(
+            chg.select("c_src", "c_dst"), ["c_src", "c_dst"], "left_anti"
+        ).persist()
+
+        # "yesterday's stored state": the base run's per-iteration inflows
+        inflow_b = [
+            ceb.groupBy(F.col("c_dst").alias("node")).agg(
+                F.sum("w").alias("inflow")
+            )
+        ]
+        for _ in range(iterations - 1):
+            p = inflow_b[-1]
+            inflow_b.append(
+                ceb.join(p, ceb.c_src == p.node, "left")
+                .select(
+                    F.col("c_dst").alias("node"),
+                    (rank_of(F.col("inflow")) * F.col("w")).alias("flow"),
+                )
+                .groupBy("node")
+                .agg(F.sum("flow").alias("inflow"))
+            )
+        inflow_b = [x.localCheckpoint(eager=True) for x in inflow_b]
+
+        deltas = [
+            chg.groupBy(F.col("c_dst").alias("node")).agg(
+                F.sum(F.col("w_new") - F.col("w_old")).alias("dinf")
+            )
+        ]
+        for i in range(iterations - 1):
+            di = deltas[-1].localCheckpoint(eager=True)
+            # frontier term: unchanged edges out of dirty nodes
+            t1 = unchanged.join(F.broadcast(di), unchanged.c_src == di.node).select(
+                F.col("c_dst").alias("node"),
+                (F.lit(d) * F.col("dinf") * F.col("w")).alias("dflow"),
+            )
+            # changed-edge term: re-evaluate under old and new rank
+            ib = inflow_b[i].select(
+                F.col("node").alias("bn"), F.col("inflow").alias("binf")
+            )
+            cs = chg.join(F.broadcast(di), chg.c_src == di.node, "left").join(
+                ib, F.col("c_src") == F.col("bn"), "left"
+            )
+            rb = rank_of(F.col("binf"))
+            rf = rb + F.lit(d) * F.coalesce(F.col("dinf"), F.lit(0.0))
+            t2 = cs.select(
+                F.col("c_dst").alias("node"),
+                (F.col("w_new") * rf - F.col("w_old") * rb).alias("dflow"),
+            )
+            deltas.append(
+                t1.unionByName(t2).groupBy("node").agg(F.sum("dflow").alias("dinf"))
+            )
+
+        nodes = (
+            ef.select(F.col(src).alias("node"))
+            .union(ef.select(F.col(dst).alias("node")))
+            .distinct()
+        )
+        lb = inflow_b[-1].select(
+            F.col("node").alias("bn"), F.col("inflow").alias("binf")
+        )
+        ld = deltas[-1].select(F.col("node").alias("dn"), "dinf")
+        merged = lb.join(ld, F.col("bn") == F.col("dn"), "full_outer").select(
+            F.coalesce("bn", "dn").alias("node"),
+            (
+                F.coalesce("binf", F.lit(0.0)) + F.coalesce("dinf", F.lit(0.0))
+            ).alias("inflow"),
+        )
+        result = nodes.join(merged, "node", "left").select(
+            "node", rank_of(F.col("inflow")).alias("rank")
+        )
+        result = result.localCheckpoint(eager=True)
+        for c in (unchanged, chg, ceb, ef, eb):
+            c.unpersist()
+        return result
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def connected_components(

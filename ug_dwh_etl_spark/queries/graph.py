@@ -12,6 +12,7 @@ import pyspark.sql.functions as F
 
 from ug_dwh_etl_spark.operators.graph import (
     pagerank,
+    pagerank_incremental,
     sql_bfs,
     sql_label_propagation,
     sql_connected_components,
@@ -41,6 +42,69 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranks = pagerank(_edges(spark, sf_dir), iterations=3, loop_partitions=16)
     return ranks.select("node", F.round("rank", 4).alias("rank"))
+
+
+# IVM fixture: the UNDIRECTED view of the block-structured community
+# graph (10 disjoint blocks, see _COMMUNITY_EDGES_SQL) — every node has
+# out-edges, so rank deltas genuinely propagate hop by hop, and a delta
+# confined to one block stays confined (the realistic crawl shape: a
+# daily link delta touches one site section, not every page's degree).
+_IVM_BLOCK = "l_suppkey % 10 = l_partkey % 10"
+_IVM_DELTA = "(l_orderkey % 20 = 0 AND l_suppkey % 10 = 0)"
+_IVM_FULL_SQL = f"""
+    SELECT DISTINCT src, dst FROM (
+      SELECT 's' || l_suppkey::VARCHAR AS src,
+             'p' || l_partkey::VARCHAR AS dst
+      FROM lineitem WHERE {_IVM_BLOCK}
+      UNION ALL
+      SELECT 'p' || l_partkey::VARCHAR, 's' || l_suppkey::VARCHAR
+      FROM lineitem WHERE {_IVM_BLOCK})
+"""
+
+
+def _ivm_edges(spark: SparkSession, sf_dir: str, base_only: bool) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(F.expr(_IVM_BLOCK))
+    if base_only:
+        li = li.filter(~F.expr(_IVM_DELTA))
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    return (
+        li.select(s.alias("src"), p.alias("dst"))
+        .unionByName(li.select(p.alias("src"), s.alias("dst")))
+        .distinct()
+    )
+
+
+@register(
+    "graph_pagerank_incremental",
+    sql_pagerank(_IVM_FULL_SQL, iterations=3, round_to=3),
+)
+def graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank maintained under an EDGE DELTA by incremental view
+    maintenance (operators/graph.py:pagerank_incremental): yesterday's
+    graph lacks the block-0 links contributed by 5% of orders; today's
+    crawl adds them (the reference replaces its inlink edge table
+    daily, `sf_inlink_bulk_data.py:104`, then re-ingests full rank
+    snapshots, `Audisto/audisto.py:147-159` — here the engine UPDATES
+    the ranks instead of recomputing). Only changed contributions and
+    the dirty frontier flow through the 3-step dataflow, and because
+    the delta is confined to one of the graph's 10 disjoint blocks,
+    that is ~1/10th of the edges per iteration (measured in SCALE.md
+    §pagerank-ivm) — a block-local delta never touches the other
+    blocks' state. The ORACLE is the cold full recompute over the
+    unioned edges, so the gate proves incremental == from-scratch.
+    Compared at 3dp, not the pagerank-default 4dp: this fixture's
+    uniform tiny blocks yield small-denominator rational ranks EXACTLY
+    on the 4dp half-grid (14.34925 at sf0.001), where even cold Spark
+    vs DuckDB flips; measured 3dp margins are >=2.6e-7 at both SFs,
+    ~1e7x the float-order noise."""
+    ranks = pagerank_incremental(
+        _ivm_edges(spark, sf_dir, base_only=True),
+        _ivm_edges(spark, sf_dir, base_only=False),
+        iterations=3,
+        loop_partitions=16,
+    )
+    return ranks.select("node", F.round("rank", 3).alias("rank"))
 
 
 @register(
