@@ -772,6 +772,12 @@ def stream_incremental_neardup(
     ).parquet(sh_path)
 
     collected: list = []
+    # guard the result-sized collect: a pathological batch (e.g. a crawl
+    # of near-identical boilerplate) could emit O(batch x corpus) pairs;
+    # cap what the driver materializes per batch and fail loudly rather
+    # than OOM silently — a production sink would spill pairs to a table
+    # instead of collecting at all
+    max_pairs_per_batch = 1_000_000
 
     def handle(batch_df: DataFrame, _bid: int) -> None:
         batch = batch_df.filter(F.col("doc_id") % 10 == 0)
@@ -783,7 +789,14 @@ def stream_incremental_neardup(
             "text",
             0.5,
         )
-        collected.extend(pairs.collect())
+        got = pairs.limit(max_pairs_per_batch + 1).collect()
+        if len(got) > max_pairs_per_batch:
+            raise RuntimeError(
+                f"micro-batch emitted >{max_pairs_per_batch} near-dup pairs "
+                "— refusing the driver-side materialization; route pairs to "
+                "a table sink for batches this degenerate"
+            )
+        collected.extend(got)
         # expose the real micro-batch work to the plan audit (foreachBatch
         # bypasses run_stream_to_memory's StreamingQuery.explain capture)
         global LAST_BATCH_PLAN
