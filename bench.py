@@ -257,6 +257,7 @@ HEADLINE = [
     "semantic_trailing_window_routed",
     "graph_pagerank_incremental",
     "fit_woe_binning",
+    "er_pairs_block_capped",
 ]
 
 

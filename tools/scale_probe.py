@@ -29,7 +29,15 @@ from ug_dwh_etl_spark.queries import QUERIES  # noqa: E402
 from ug_dwh_etl_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
-WORK = "/tmp/scale_probe"
+# SCALE_PROBE_EXPAND_PART: the ER family blocks on `part`, which the
+# default probe treats as an unexpanded dim. "brandshift" expands part
+# with per-copy shifted brand values (more blocks, same block-size
+# distribution — more entities in more namespaces, the benign growth
+# mode); "same" expands part WITHOUT shifting blocking keys (blocks
+# fatten x factor — the degenerate-key growth mode block purging
+# exists for). Each mode gets its own work dir.
+EXPAND_PART = os.environ.get("SCALE_PROBE_EXPAND_PART")
+WORK = "/tmp/scale_probe" + (f"_part_{EXPAND_PART}" if EXPAND_PART else "")
 FACTORS = tuple(
     int(x) for x in os.environ.get("SCALE_PROBE_FACTORS", "1,4,16").split(",")
 )
@@ -89,16 +97,25 @@ def build(spark, factor: int) -> str:
     # events stores TIMESTAMP(NANOS): read it as raw int64 (the same
     # convention queries.registry.table uses) so the copy round-trips
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    for name in DIMS:
+    facts = dict(FACTS)
+    dims = list(DIMS)
+    if EXPAND_PART:
+        dims.remove("part")
+        facts["part"] = ("p_partkey",)
+    for name in dims:
         df = spark.read.parquet(f"{BASE}/{name}.parquet")
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
-    for name, keys in FACTS.items():
+    for name, keys in facts.items():
         df = spark.read.parquet(f"{BASE}/{name}.parquet")
         copies = []
         for i in range(factor):
             c = df
             for k in keys:
                 c = c.withColumn(k, (F.col(k) + F.lit(i * SHIFT)).cast(df.schema[k].dataType))
+            if name == "part" and EXPAND_PART == "brandshift" and i > 0:
+                c = c.withColumn(
+                    "p_brand", F.concat(F.col("p_brand"), F.lit(f"#{i}"))
+                )
             copies.append(c)
         expanded = copies[0]
         for c in copies[1:]:

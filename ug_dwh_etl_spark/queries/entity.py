@@ -243,3 +243,112 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(type_mode, "cluster_id").select(
         "cluster_id", "n_members", "canonical_name", "mode_type", "max_price"
     )
+
+
+# --- block purging: the cap that keeps blocked ER linear ---------------------
+# A blocking key can DEGENERATE as data grows: this fixture's
+# (brand, type) key saturates at 150 distinct blocks, so block size —
+# and the in-block quadratic scoring — grows linearly with the corpus
+# (165-member blocks at sf0.1 vs 24 at sf0.01). Block purging drops
+# over-cap blocks from a pass entirely: an oversized block means the
+# key has stopped discriminating there, and its pairs are recovered
+# exactly when they ALSO collide on a still-selective pass — the
+# multi-pass recall contract. Cap chosen to bind at sf0.01+ on the
+# (brand, type) pass while leaving (brand, size) untouched.
+_BLOCK_CAP = 16
+
+
+def candidate_pairs_capped_from(part: DataFrame, cap: int = _BLOCK_CAP) -> DataFrame:
+    """Multi-pass candidate generation with per-pass BLOCK PURGING:
+    blocks larger than ``cap`` contribute no pairs from that pass. The
+    over-cap block list is a grouped count filtered to <= cap — block-
+    key-sized, broadcast back onto both join sides, so the purge adds
+    no shuffle and the in-block self-join fan-out is bounded by cap²
+    per block regardless of corpus size (measured in SCALE.md §er)."""
+    per_pass = []
+    for i, (k1, k2) in enumerate(_PASSES, start=1):
+        ok = (
+            part.groupBy(F.col(k1).alias("_k1"), F.col(k2).alias("_k2"))
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= cap)
+            .select("_k1", "_k2")
+        )
+        a = part.select(
+            F.col("p_partkey").alias("id_a"),
+            F.col(k1).alias("_k1"),
+            F.col(k2).alias("_k2"),
+            F.col("p_name").alias("_name_a"),
+        ).join(F.broadcast(ok), ["_k1", "_k2"])
+        b = part.select(
+            F.col("p_partkey").alias("id_b"),
+            F.col(k1).alias("_k1"),
+            F.col(k2).alias("_k2"),
+            F.col("p_name").alias("_name_b"),
+        )
+        per_pass.append(
+            a.join(b, ["_k1", "_k2"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                F.levenshtein("_name_a", "_name_b").cast("long").alias("dist"),
+                F.lit(i).alias("pass_id"),
+            )
+            .filter(F.col("dist") <= _LEV_MAX)
+        )
+    allp = per_pass[0].unionByName(per_pass[1])
+    return allp.groupBy("id_a", "id_b").agg(
+        F.min("dist").alias("dist"),
+        F.count_distinct("pass_id").alias("n_passes"),
+    )
+
+
+def _capped_pairs_sql(cap: int = _BLOCK_CAP) -> str:
+    sels = []
+    for i, (k1, k2) in enumerate(_PASSES, start=1):
+        sels.append(
+            f"""
+  pc{i} AS (
+    SELECT {k1} AS k1, {k2} AS k2 FROM part
+    GROUP BY {k1}, {k2} HAVING COUNT(*) <= {cap}),
+  p{i} AS (
+    SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+           {i} AS pass_id
+    FROM part a
+    JOIN pc{i} c ON a.{k1} = c.k1 AND a.{k2} = c.k2
+    JOIN part b ON a.{k1} = b.{k1} AND a.{k2} = b.{k2}
+                AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= {_LEV_MAX})"""
+        )
+    return (
+        ",".join(sels)
+        + """,
+  allp AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2),
+  pairs AS (
+    SELECT id_a, id_b, MIN(dist) AS dist,
+           CAST(COUNT(DISTINCT pass_id) AS BIGINT) AS n_passes
+    FROM allp GROUP BY id_a, id_b)"""
+    )
+
+
+@register(
+    "er_pairs_block_capped",
+    f"""
+    WITH {_capped_pairs_sql()}
+    SELECT id_a, id_b, dist, n_passes FROM pairs
+    """,
+)
+def er_pairs_block_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`er_multipass_pairs` with BLOCK PURGING (cap {cap}): the
+    degenerate-block guard every production blocked ER needs — see
+    candidate_pairs_capped_from. At this fixture's sf0.1 the purge
+    drops the saturated (brand, type) pass almost entirely while the
+    (brand, size) pass keeps recall; the capped/uncapped growth curves
+    and the recall given up are measured in SCALE.md §er."""
+    return candidate_pairs_capped_from(table(spark, sf_dir, "part"))
+
+
+er_pairs_block_capped.__doc__ = er_pairs_block_capped.__doc__.replace(
+    "{cap}", str(_BLOCK_CAP)
+)
