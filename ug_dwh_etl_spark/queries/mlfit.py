@@ -1721,3 +1721,105 @@ def fit_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rmse",
         )
     )
+
+
+# --- one gradient-boosting round: the best regression stump ----------------------
+
+
+@register(
+    "fit_boost_stump",
+    """
+    WITH perx AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM perx),
+    cum AS (
+      SELECT x AS threshold,
+             SUM(n) OVER (ORDER BY x) AS nl,
+             SUM(s) OVER (ORDER BY x) AS sl
+      FROM perx),
+    sc AS (
+      SELECT threshold, CAST(nl AS BIGINT) AS n_left,
+             ROUND((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                    + CAST(ts - sl AS DOUBLE) * CAST(ts - sl AS DOUBLE)
+                      / (tn - nl))
+                   / (CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / tn), 6)
+               AS score,
+             ROUND(CAST(sl AS DOUBLE) / nl, 6) AS gamma_left,
+             ROUND(CAST(ts - sl AS DOUBLE) / (tn - nl), 6) AS gamma_right
+      FROM cum CROSS JOIN tot WHERE nl < tn)
+    SELECT threshold, n_left, score, gamma_left, gamma_right,
+           threshold = (SELECT MIN(threshold) FROM sc
+                        WHERE score = (SELECT MAX(score) FROM sc)) AS is_best
+    FROM sc
+    """,
+)
+def fit_boost_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE GRADIENT-BOOSTING ROUND, warehouse-native: fit the best
+    regression STUMP (x <= t split) to the residuals of the constant
+    model. Variance reduction is shift-invariant, so the best split on
+    residuals equals the best split on y itself and the whole search is
+    ONE grouped aggregate: per-distinct-x counts and decimal-exact
+    y-sums (x = l_quantity, a DOMAIN-BOUNDED integer, <= 50 distinct),
+    a cumulative fold over that <=50-row relation (the only window —
+    bounded by the feature's domain, never by data; continuous features
+    first quantize to the fit_woe_binning cutpoint grid), and the split
+    score sl^2/nl + sr^2/nr evaluated per threshold. Leaf values are
+    the per-side residual means shifted back (= per-side y means here).
+    The score is NORMALIZED by the constant-model term ts^2/tn (a
+    dimensionless between/total sum-of-squares ratio ~1.x): raw scores
+    are ~1e14 here, where one ulp of cross-engine double noise is 0.03
+    and survives any rounding — normalizing puts 6dp rounding ~1e9
+    above the noise floor without moving the argmax (positive constant
+    divisor). The best row is flagged with the 6dp-before-argmax discipline
+    (score rounded, ties to the smallest threshold) so both engines
+    agree on the winner; emitting the full candidate curve makes the
+    search auditable, not just its argmax."""
+    li = table(spark, sf_dir, "lineitem")
+    perx = li.groupBy(F.col("l_quantity").cast("long").alias("x")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    )
+    tot = perx.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    cum = perx.select(
+        F.col("x").alias("threshold"),
+        F.sum("n").over(w).alias("nl"),
+        F.sum("s").over(w).alias("sl"),
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    sc = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("tn"))
+        .select(
+            "threshold",
+            F.col("nl").cast("long").alias("n_left"),
+            F.round(
+                (
+                    d(F.col("sl")) * d(F.col("sl")) / F.col("nl")
+                    + d(F.col("ts") - F.col("sl")) * d(F.col("ts") - F.col("sl"))
+                    / (F.col("tn") - F.col("nl"))
+                )
+                / (d(F.col("ts")) * d(F.col("ts")) / F.col("tn")),
+                6,
+            ).alias("score"),
+            F.round(d(F.col("sl")) / F.col("nl"), 6).alias("gamma_left"),
+            F.round(
+                d(F.col("ts") - F.col("sl")) / (F.col("tn") - F.col("nl")), 6
+            ).alias("gamma_right"),
+        )
+    )
+    best = sc.agg(
+        F.min_by(
+            "threshold", F.struct((-F.col("score")).alias("ns"), F.col("threshold"))
+        ).alias("bt")
+    )
+    return sc.crossJoin(F.broadcast(best)).select(
+        "threshold",
+        "n_left",
+        "score",
+        "gamma_left",
+        "gamma_right",
+        (F.col("threshold") == F.col("bt")).alias("is_best"),
+    )

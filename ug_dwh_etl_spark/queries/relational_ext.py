@@ -2810,3 +2810,164 @@ def ivm_left_outer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+# --- snapshot diff / CDC audit ----------------------------------------------------
+# Deterministic two-snapshot fixture from one table (the repo's masking
+# convention, cf. dq_impute_group_median): "yesterday" lacks the
+# orderkey%20==0 rows and still carries the pre-upgrade priority on
+# orderkey%7==0 rows; "today" lacks the %20==10 rows. Both engines
+# derive the identical snapshots, so the OPERATOR under test — the
+# row-fingerprint diff — is what's compared.
+
+
+@register(
+    "dq_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus,
+                           CASE WHEN o_orderkey % 7 = 0 THEN '5-LOW'
+                                ELSE o_orderpriority END,
+                           o_orderdate)) AS fp
+      FROM orders WHERE o_orderkey % 20 <> 0),
+    new AS (
+      SELECT o_orderkey AS k,
+             md5(concat_ws('|', o_orderstatus, o_orderpriority, o_orderdate)) AS fp
+      FROM orders WHERE o_orderkey % 20 <> 10),
+    d AS (
+      SELECT CASE WHEN old.fp IS NULL THEN 'added'
+                  WHEN new.fp IS NULL THEN 'removed'
+                  WHEN old.fp <> new.fp THEN 'changed'
+                  ELSE 'unchanged' END AS change_type
+      FROM old FULL OUTER JOIN new ON old.k = new.k),
+    c AS (SELECT change_type, CAST(COUNT(*) AS BIGINT) AS n
+          FROM d GROUP BY change_type)
+    SELECT change_type, n,
+           ROUND(n * 1.0 / (SELECT SUM(n) FROM c), 6) AS share
+    FROM c
+    """,
+)
+def dq_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SNAPSHOT DIFF / CDC audit: classify every key across two table
+    snapshots as added / removed / changed / unchanged by comparing ONE
+    row fingerprint per side (md5 over the delimiter-joined business
+    columns) instead of N column equalities — the audit a daily
+    `if_exists="replace"` snapshot feed needs before trusting the swap
+    (the reference replaces dimension snapshots blind,
+    `sf_html_data.py:185`, `sf_inlink_bulk_data.py:104`; this is the
+    guard that catches a 40%-changed upstream before it goes live).
+
+    Scale: one full-outer hash join on the key with map-side-combined
+    class counts — linear, no window; fingerprints keep the shuffled
+    comparison payload at 32 bytes per row no matter how wide the
+    table. Strings-only fingerprint input: cross-engine md5 equality
+    needs identical bytes, and double->string formatting is not
+    contract-stable across engines (numeric columns would first be cast
+    to fixed-scale decimals in production)."""
+    orders = table(spark, sf_dir, "orders")
+    old_prio = F.when(F.col("o_orderkey") % 7 == 0, F.lit("5-LOW")).otherwise(
+        F.col("o_orderpriority")
+    )
+    old = orders.filter(F.col("o_orderkey") % 20 != 0).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(F.concat_ws("|", F.col("o_orderstatus"), old_prio, F.col("o_orderdate")))
+        .alias("fp_old"),
+    )
+    new = orders.filter(F.col("o_orderkey") % 20 != 10).select(
+        F.col("o_orderkey").alias("k"),
+        F.md5(
+            F.concat_ws(
+                "|", F.col("o_orderstatus"), F.col("o_orderpriority"), F.col("o_orderdate")
+            )
+        ).alias("fp_new"),
+    )
+    d = old.join(new, "k", "full_outer").select(
+        F.when(F.col("fp_old").isNull(), "added")
+        .when(F.col("fp_new").isNull(), "removed")
+        .when(F.col("fp_old") != F.col("fp_new"), "changed")
+        .otherwise("unchanged")
+        .alias("change_type")
+    )
+    c = d.groupBy("change_type").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("t"))
+    return c.crossJoin(F.broadcast(tot)).select(
+        "change_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("t"), 6).alias("share"),
+    )
+
+
+# --- Neyman allocation: the stratified-sampling DESIGN step ------------------------
+_NEYMAN_BUDGET = 1000
+
+
+@register(
+    "sample_neyman_allocation",
+    f"""
+    WITH s AS (
+      SELECT c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n_pop,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS sm,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))
+                 * CAST(o_totalprice AS DECIMAL(18,2))) AS ssq
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1),
+    v AS (
+      SELECT segment, n_pop,
+             sqrt((CAST(ssq AS DOUBLE)
+                   - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE) / n_pop) / n_pop)
+               AS sd
+      FROM s),
+    t AS (SELECT SUM(n_pop * sd) AS z FROM v)
+    SELECT segment, n_pop, ROUND(sd, 4) AS sd,
+           ROUND(n_pop * sd / z, 6) AS alloc_share,
+           CAST(floor({_NEYMAN_BUDGET} * n_pop * sd / z + 0.5) AS BIGINT)
+             AS n_sample
+    FROM v CROSS JOIN t
+    """,
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEYMAN (optimal) ALLOCATION for stratified sampling: split a
+    fixed sample budget across strata proportionally to N_h * sigma_h —
+    variable strata get more of the budget than proportional allocation
+    would give, minimizing the stratified estimator's variance for the
+    budget (the design step BEFORE sample_stratified draws rows; a
+    100 TB corpus survey plans its draw exactly like this). One grouped
+    aggregate per stratum: counts and DECIMAL-EXACT sum + sum-of-squares
+    (order-independent; the only doubles are the final sd and shares),
+    then the 5-row allocation math against the broadcast normalizer.
+    Integer sample sizes use explicit floor(x + 0.5) so both engines
+    round identically."""
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    s = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pop"),
+            F.sum(dec).alias("sm"),
+            F.sum(dec * dec).alias("ssq"),
+        )
+    )
+    d = lambda c: c.cast("double")  # noqa: E731
+    v = s.select(
+        "segment",
+        "n_pop",
+        F.sqrt(
+            (d(F.col("ssq")) - d(F.col("sm")) * d(F.col("sm")) / F.col("n_pop"))
+            / F.col("n_pop")
+        ).alias("sd"),
+    )
+    t = v.agg(F.sum(F.col("n_pop") * F.col("sd")).alias("z"))
+    return v.crossJoin(F.broadcast(t)).select(
+        "segment",
+        "n_pop",
+        F.round("sd", 4).alias("sd"),
+        F.round(F.col("n_pop") * F.col("sd") / F.col("z"), 6).alias("alloc_share"),
+        F.floor(
+            F.lit(_NEYMAN_BUDGET) * F.col("n_pop") * F.col("sd") / F.col("z") + 0.5
+        )
+        .cast("long")
+        .alias("n_sample"),
+    )

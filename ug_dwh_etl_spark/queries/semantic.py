@@ -178,6 +178,21 @@ def semantic_trailing_window_routed(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+@register(
+    "stream_semantic_trailing_window",
+    trailing_oracle_for_spec(_TRAILING_BASE, "order_date", 7),
+)
+def stream_semantic_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of semantic_trailing_window_routed: the orders
+    stream maintains the day-grain rollup incrementally (streaming
+    state = |days| x |statuses| keys, calendar-bounded), and the
+    trailing-7d fold runs over the maintained rollup — the live
+    'last 7 days' dashboard tile. SAME oracle as the batch route."""
+    from ug_dwh_etl_spark.streaming.jobs import stream_semantic_trailing_window
+
+    return stream_semantic_trailing_window(spark, sf_dir)
+
+
 @register("stream_semantic_revenue_by_region", oracle_for_spec(_REV_BY_REGION))
 def stream_semantic_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of semantic_revenue_by_region_segment: the SAME

@@ -871,3 +871,46 @@ def stream_semantic_revenue_by_region(spark: SparkSession, sf_dir: str) -> DataF
         *[_dim_col(spec, d).alias(d) for d in spec.dimensions]
     ).agg(*[model["metrics"][m][0]().alias(m) for m in spec.metrics])
     return run_stream_to_memory(agg, "complete")
+
+
+def stream_semantic_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``semantic_trailing_window_routed``: the orders
+    stream MAINTAINS the day-grain rollup incrementally (the governed
+    metric folds run as streaming aggregates — state is |days| x
+    |statuses| keys, calendar-bounded), and the dashboard's trailing-7d
+    fold runs over the maintained rollup after the stream drains —
+    exactly what a live 'last 7 days' tile does: the fact stream never
+    rescans, the window touches only the tiny maintained table. Same
+    oracle as the batch route, so the streaming dashboard and the
+    warehouse SQL can never disagree."""
+    from ug_dwh_etl_spark.plans.semantic import (
+        FACTS,
+        _dim_col,
+        _trailing_fold,
+        _TRAILING_EPOCH,
+    )
+    from ug_dwh_etl_spark.queries.semantic import _TRAILING_BASE as spec
+    from pyspark.sql import Window
+
+    model = FACTS[spec.fact]
+    schema = spark.read.parquet(f"{sf_dir}/{spec.fact}.parquet").schema
+    df = stream_table_source(spark, sf_dir, spec.fact, schema)
+    rollup = run_stream_to_memory(
+        df.groupBy(*[_dim_col(spec, d).alias(d) for d in spec.dimensions]).agg(
+            *[model["metrics"][m][0]().alias(m) for m in spec.metrics]
+        ),
+        "complete",
+    )
+    other = [d for d in spec.dimensions if d != "order_date"]
+    w = (
+        Window.partitionBy(*other)
+        .orderBy(F.datediff(F.to_date("order_date"), F.lit(_TRAILING_EPOCH)))
+        .rangeBetween(-6, 0)
+    )
+    return rollup.select(
+        *[F.col(d) for d in spec.dimensions],
+        *[
+            _trailing_fold(model["metrics"][m][3], m, w).alias(f"{m}_7d")
+            for m in spec.metrics
+        ],
+    )
