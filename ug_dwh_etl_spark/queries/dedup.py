@@ -1436,3 +1436,134 @@ def dedup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick["doc_id"].alias("survivor_id"),
         pick["alpha_ratio"].alias("survivor_alpha"),
     )
+
+
+# --- b-bit minhash (Li & Koenig): 1-bit signatures, 16x smaller again ---------------
+
+
+def _bbit_minhash_sql() -> str:
+    full_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH)
+    )
+    bit_sum = " + ".join(
+        f"(CASE WHEN (a.mh{i} & 1) = (b.mh{i} & 1) THEN 1 ELSE 0 END)"
+        for i in range(N_MINHASH)
+    )
+    return f"""
+    WITH {_lsh_pairs_ctes()},
+    exh AS (SELECT DISTINCT doc_id, h AS sh FROM hashed),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM exh GROUP BY doc_id),
+    inter AS (
+      SELECT p.id_a, p.id_b, COUNT(*) AS inter
+      FROM pairs p
+        JOIN exh a ON a.doc_id = p.id_a
+        JOIN exh b ON b.doc_id = p.id_b AND b.sh = a.sh
+      GROUP BY p.id_a, p.id_b
+    ),
+    est AS (
+      SELECT p.id_a, p.id_b,
+             ({full_sum}) / {float(N_MINHASH)} AS est_full,
+             GREATEST(2.0 * (({bit_sum}) / {float(N_MINHASH)}) - 1.0, 0.0)
+               AS est_1bit
+      FROM pairs p
+        JOIN sig a ON a.doc_id = p.id_a
+        JOIN sig b ON b.doc_id = p.id_b
+    )
+    SELECT e.id_a, e.id_b,
+           ROUND(e.est_full, 6) AS est_full,
+           ROUND(e.est_1bit, 6) AS est_1bit,
+           ROUND(COALESCE(i.inter / (sa.sz + sb.sz - i.inter), 0.0), 6)
+             AS exact_jaccard
+    FROM est e
+      LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      JOIN sizes sa ON sa.doc_id = e.id_a
+      JOIN sizes sb ON sb.doc_id = e.id_b
+    """
+
+
+@register("dedup_bbit_minhash", _bbit_minhash_sql())
+def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B-BIT MINHASH audit (b=1, Li & Koenig 2010): store only the
+    LOWEST BIT of each minhash component — the signature shrinks 64x vs
+    bigint components (16 perms fit in 2 bytes), the storage shape a
+    100 TB dedup index wants. Non-matching minhashes still agree on the
+    low bit half the time, so the unbiased estimator debiases the
+    agreement rate: J = 2*A - 1 (clamped at 0), vs the full-width
+    estimate A_full. Emitted per LSH candidate pair next to the EXACT
+    shingle Jaccard so the audit measures exactly what the 64x
+    compression costs in estimator variance — same candidates-only cost
+    shape as dedup_minhash_accuracy (never all pairs). Parity bit via
+    `& 1` (two's-complement low bit — identical for negative bigints on
+    both engines)."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        minhash_lsh_pairs,
+        minhash_signatures,
+        spread,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    sig = minhash_signatures(docs, "doc_id", "text")
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(N_MINHASH)],
+    )
+    full_sum = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    bit_sum = sum(
+        F.when(
+            F.col(f"a{i}").bitwiseAND(F.lit(1)) == F.col(f"b{i}").bitwiseAND(F.lit(1)),
+            1,
+        ).otherwise(0)
+        for i in range(N_MINHASH)
+    )
+    est = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (full_sum / float(N_MINHASH)).alias("est_full"),
+            F.greatest(
+                2.0 * (bit_sum / float(N_MINHASH)) - 1.0, F.lit(0.0)
+            ).alias("est_1bit"),
+        )
+    )
+    shh = doc_shingle_hashes(spread(docs), "doc_id", "text")
+    sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
+    b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("sha") == F.col("shb"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sz_a = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    exact = F.coalesce(
+        F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        F.lit(0.0),
+    )
+    return (
+        est.join(inter, ["id_a", "id_b"], "left")
+        .join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round("est_full", 6).alias("est_full"),
+            F.round("est_1bit", 6).alias("est_1bit"),
+            F.round(exact, 6).alias("exact_jaccard"),
+        )
+    )

@@ -1823,3 +1823,136 @@ def fit_boost_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gamma_right",
         (F.col("threshold") == F.col("bt")).alias("is_best"),
     )
+
+
+# --- multinomial Naive Bayes: in-warehouse train + eval ------------------------------
+
+
+@register(
+    "fit_naive_bayes_langid",
+    """
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(string_split_regex(lower(text), '[^a-z]+')) AS term
+      FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    train AS (SELECT * FROM tok2 WHERE doc_id % 5 <> 0),
+    cnt AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS c
+            FROM train GROUP BY 1, 2),
+    totl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS tot
+             FROM train GROUP BY 1),
+    vsz AS (SELECT CAST(COUNT(DISTINCT term) AS BIGINT) AS v FROM train),
+    prior AS (
+      SELECT lang,
+             ln(COUNT(DISTINCT doc_id) * 1.0
+                / (SELECT COUNT(DISTINCT doc_id) FROM train)) AS lp
+      FROM train GROUP BY 1),
+    tdocs AS (SELECT doc_id, lang AS true_lang FROM documents
+              WHERE doc_id % 5 = 0),
+    tt AS (
+      SELECT t.doc_id, t.term FROM tok2 t
+      JOIN (SELECT DISTINCT term FROM train) v ON v.term = t.term
+      WHERE t.doc_id % 5 = 0),
+    body AS (
+      SELECT tt.doc_id, l.lang,
+             SUM(ln(COALESCE(c.c, 0) + 1.0))
+               - COUNT(*) * ln(l.tot + vsz.v) AS b
+      FROM tt
+        CROSS JOIN vsz
+        JOIN totl l ON TRUE
+        LEFT JOIN cnt c ON c.lang = l.lang AND c.term = tt.term
+      GROUP BY tt.doc_id, l.lang, l.tot, vsz.v),
+    scored AS (
+      SELECT d.doc_id, d.true_lang, p.lang,
+             ROUND(COALESCE(b.b, 0.0) + p.lp, 6) AS score
+      FROM tdocs d
+        CROSS JOIN prior p
+        LEFT JOIN body b ON b.doc_id = d.doc_id AND b.lang = p.lang),
+    pred AS (
+      SELECT doc_id, true_lang, lang AS pred_lang,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, lang) AS rk
+      FROM scored)
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred WHERE rk = 1
+    GROUP BY true_lang, pred_lang
+    """,
+)
+def fit_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES language classifier, trained AND
+    evaluated in-warehouse: token counts per (lang, term) with Laplace
+    smoothing fit on 80% of docs (doc_id % 5 != 0), held-out confusion
+    matrix on the rest — the learned-model upgrade of the heuristic
+    `text_langid`, and the shape any token-count classifier (spam,
+    quality tiers, topic routing) takes at 100 TB: training is ONE
+    grouped count over the token relation, scoring is a vocab-join +
+    per-(doc, class) sum — no iteration, model size = |vocab| x
+    |classes|. OOV test tokens are dropped (standard NB practice;
+    smoothing covers in-vocab/unseen-in-class). Scores are ROUNDED TO
+    6DP BEFORE THE ARGMAX with ties broken on class name — the
+    cross-engine argmax discipline (sum-of-ln fold order differs
+    between engines at ~1e-14) — and zero-in-vocab-token docs fall back
+    to the prior-only argmax via the (test-doc x class) grid."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.lower("text"), "[^a-z]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    train = tok.filter(F.col("doc_id") % 5 != 0)
+    cnt = train.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("c"))
+    totl = train.groupBy("lang").agg(F.count(F.lit(1)).alias("tot"))
+    vocab = train.select("term").distinct()
+    vsz = vocab.agg(F.count(F.lit(1)).alias("v"))
+    ndocs = train.agg(F.count_distinct("doc_id").alias("ntd"))
+    prior = (
+        train.groupBy("lang")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .crossJoin(F.broadcast(ndocs))
+        .select("lang", F.log(F.col("nd") * 1.0 / F.col("ntd")).alias("lp"))
+    )
+    tdocs = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    tt = (
+        tok.filter(F.col("doc_id") % 5 == 0)
+        .join(vocab, "term")
+        .select("doc_id", "term")
+    )
+    body = (
+        tt.crossJoin(F.broadcast(vsz))
+        .crossJoin(F.broadcast(totl.select(F.col("lang"), F.col("tot"))))
+        .join(
+            cnt.select(F.col("lang").alias("_l"), F.col("term").alias("_t"), "c"),
+            (F.col("lang") == F.col("_l")) & (F.col("term") == F.col("_t")),
+            "left",
+        )
+        .groupBy("doc_id", "lang", "tot", "v")
+        .agg(
+            (
+                F.sum(F.log(F.coalesce(F.col("c"), F.lit(0)) + 1.0))
+                - F.count(F.lit(1)) * F.log(F.col("tot") + F.col("v"))
+            ).alias("b")
+        )
+        .select("doc_id", "lang", "b")
+    )
+    scored = (
+        tdocs.crossJoin(F.broadcast(prior))
+        .join(body, ["doc_id", "lang"], "left")
+        .select(
+            "doc_id",
+            "true_lang",
+            "lang",
+            F.round(F.coalesce(F.col("b"), F.lit(0.0)) + F.col("lp"), 6).alias(
+                "score"
+            ),
+        )
+    )
+    pred = scored.groupBy("doc_id", "true_lang").agg(
+        F.min_by(
+            "lang", F.struct((-F.col("score")).alias("ns"), F.col("lang"))
+        ).alias("pred_lang")
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
