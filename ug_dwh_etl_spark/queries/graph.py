@@ -13,6 +13,7 @@ import pyspark.sql.functions as F
 from ug_dwh_etl_spark.operators.graph import (
     pagerank,
     pagerank_incremental,
+    strongly_connected_components,
     sql_bfs,
     sql_label_propagation,
     sql_connected_components,
@@ -986,3 +987,78 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         cur = nxt
     und.unpersist()
     return out
+
+
+# --- strongly connected components over the directed community graph ---------------
+# Directed fixture with real cycles: supplier -> part for every
+# community lineitem; part -> supplier only for high-quantity lines
+# (the "prominent placement links back" rule). Back-edges close cycles,
+# so SCCs range from singletons (parts with no back-edge) to large
+# mutually-reachable cores — all confined to the 10 disjoint blocks.
+_SCC_EDGES_SQL = """
+    SELECT DISTINCT src, dst FROM (
+      SELECT 's' || l_suppkey::VARCHAR AS src,
+             'p' || l_partkey::VARCHAR AS dst
+      FROM lineitem WHERE l_suppkey % 10 = l_partkey % 10
+      UNION ALL
+      SELECT 'p' || l_partkey::VARCHAR, 's' || l_suppkey::VARCHAR
+      FROM lineitem
+      WHERE l_suppkey % 10 = l_partkey % 10 AND l_quantity > 25)
+"""
+
+
+def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
+    )
+    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+    fwd = li.select(s.alias("src"), p.alias("dst"))
+    back = li.filter(F.col("l_quantity") > 25).select(
+        p.alias("src"), s.alias("dst")
+    )
+    return fwd.unionByName(back).distinct()
+
+
+@register(
+    "graph_scc",
+    f"""
+    WITH RECURSIVE e AS ({_SCC_EDGES_SQL}),
+    n AS (SELECT DISTINCT node FROM
+          (SELECT src AS node FROM e UNION SELECT dst FROM e)),
+    reach(a, b) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+    mutual AS (
+      SELECT r1.a AS u, r1.b AS v
+      FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a),
+    scc AS (
+      SELECT n.node,
+             LEAST(n.node, COALESCE(MIN(m.v), n.node)) AS scc_id
+      FROM n LEFT JOIN mutual m ON m.u = n.node
+      GROUP BY n.node)
+    SELECT scc_id, CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM scc GROUP BY scc_id
+    """,
+)
+def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONGLY connected components of the directed community link
+    graph (supplier->part always, part->supplier only for
+    high-quantity lines — back-edges close real cycles). Computed by
+    the Orzan coloring scheme (operators/graph.py:
+    strongly_connected_components): per round, forward- and backward-
+    min-label propagation to a verified fixpoint inside each color
+    class; fwd_min == bwd_min settles a whole SCC, the rest re-color by
+    the (fwd_min, bwd_min) pair. The directed twin of
+    graph_components_converged — mutual reachability, not mere
+    connectivity: a part that links back joins its suppliers' core; one
+    that doesn't is a singleton even though it is REACHED by everyone.
+    The oracle closes reachability with a recursive CTE and takes the
+    mutual-min per node — O(pairs-within-blocks), viable at gate scale
+    precisely because the fixture's blocks bound it; the Spark side
+    never materializes closure pairs (state is |V| labels)."""
+    comp = strongly_connected_components(
+        _scc_edges(spark, sf_dir), loop_partitions=8
+    )
+    return comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
