@@ -1,0 +1,177 @@
+"""Round-7 additions: PageRank IVM, SCC coloring, block-purged ER,
+boosting stump, snapshot diff, Neyman allocation, b-bit minhash,
+Naive Bayes langid, trailing-window streaming twin."""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges(spark, rows):
+    return spark.createDataFrame(rows, "src string, dst string")
+
+
+def test_pagerank_incremental_equals_cold(spark):
+    """IVM result must match a cold recompute on the unioned edges to
+    float precision — including a delta that adds a brand-new node and
+    changes an existing node's out-degree."""
+    from ug_dwh_etl_spark.operators.graph import pagerank, pagerank_incremental
+
+    base = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a")])
+    full = _edges(
+        spark,
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("a", "e"), ("e", "b")],
+    )
+    cold = {r.node: r.rank for r in pagerank(full, iterations=3).collect()}
+    inc = {
+        r.node: r.rank
+        for r in pagerank_incremental(base, full, iterations=3).collect()
+    }
+    assert set(cold) == set(inc)
+    for n in cold:
+        assert math.isclose(cold[n], inc[n], rel_tol=0, abs_tol=1e-9), n
+
+
+def test_scc_coloring_exact_on_known_graph(spark):
+    """Two 3-cycles bridged one-way + a dangling sink: SCCs must be the
+    two cycles and the singleton, with scc_id = min member."""
+    from ug_dwh_etl_spark.operators.graph import strongly_connected_components
+
+    e = _edges(
+        spark,
+        [
+            ("a", "b"), ("b", "c"), ("c", "a"),        # SCC {a,b,c}
+            ("c", "x"),                                  # one-way bridge
+            ("x", "y"), ("y", "z"), ("z", "x"),        # SCC {x,y,z}
+            ("z", "sink"),                               # singleton
+        ],
+    )
+    got = {
+        r.node: r.scc_id
+        for r in strongly_connected_components(e).collect()
+    }
+    assert got == {
+        "a": "a", "b": "a", "c": "a",
+        "x": "x", "y": "x", "z": "x",
+        "sink": "sink",
+    }
+
+
+def test_er_block_purge_drops_oversized_blocks(spark):
+    """A block over the cap must contribute no pairs from that pass,
+    while under-cap blocks keep their pairs."""
+    from ug_dwh_etl_spark.queries.entity import (
+        candidate_pairs_capped_from,
+        candidate_pairs_from,
+    )
+
+    rows = [
+        # big block: brand B1 / type T / size 1 — 4 members (> cap 3)
+        (1, "alpha", "B1", "T", 1),
+        (2, "alphb", "B1", "T", 1),
+        (3, "alphc", "B1", "T", 1),
+        (4, "alphd", "B1", "T", 1),
+        # small block: brand B2 — 2 members, within cap
+        (5, "beta1", "B2", "T", 2),
+        (6, "beta2", "B2", "T", 2),
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_name string, p_brand string, p_type string, p_size long"
+    )
+    uncapped = candidate_pairs_from(part).count()
+    capped = {
+        (r.id_a, r.id_b) for r in candidate_pairs_capped_from(part, cap=3).collect()
+    }
+    assert uncapped > len(capped)
+    assert capped == {(5, 6)}  # only the small block survives both passes
+
+
+def test_boost_stump_flags_unique_best_and_sane_leaves(spark):
+    from ug_dwh_etl_spark.queries.mlfit import fit_boost_stump
+
+    rows = fit_boost_stump(spark, SF).collect()
+    assert sum(1 for r in rows if r.is_best) == 1
+    best = next(r for r in rows if r.is_best)
+    assert best.score == max(r.score for r in rows)
+    for r in rows:
+        assert r.gamma_left > 0 and r.gamma_right > 0
+        assert r.score >= 0.999999  # >= the constant model, up to rounding
+
+
+def test_snapshot_diff_classes_match_the_masking_rules(spark):
+    from ug_dwh_etl_spark.queries.relational_ext import dq_snapshot_diff
+    from ug_dwh_etl_spark.queries.registry import table
+
+    got = {r.change_type: r.n for r in dq_snapshot_diff(spark, SF).collect()}
+    o = table(spark, SF, "orders")
+    n_added = o.filter(F.col("o_orderkey") % 20 == 0).count()
+    n_removed = o.filter(F.col("o_orderkey") % 20 == 10).count()
+    # changed = present in both, %7==0, and the priority actually differs
+    n_changed = o.filter(
+        (F.col("o_orderkey") % 20 != 0)
+        & (F.col("o_orderkey") % 20 != 10)
+        & (F.col("o_orderkey") % 7 == 0)
+        & (F.col("o_orderpriority") != "5-LOW")
+    ).count()
+    assert got.get("added", 0) == n_added
+    assert got.get("removed", 0) == n_removed
+    assert got.get("changed", 0) == n_changed
+
+
+def test_neyman_allocation_sums_to_budget_and_favors_variance(spark):
+    from ug_dwh_etl_spark.queries.relational_ext import (
+        _NEYMAN_BUDGET,
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, SF).collect()
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-4
+    # floor(x+.5) per stratum: total within rounding slack of the budget
+    assert abs(sum(r.n_sample for r in rows) - _NEYMAN_BUDGET) <= len(rows)
+    for r in rows:
+        assert r.n_sample >= 0 and r.sd > 0
+
+
+def test_bbit_minhash_debiased_tracks_full_estimate(spark):
+    """On identical docs both estimators must say 1.0; the 1-bit
+    estimate stays within its (coarser) grid of the full estimate."""
+    from ug_dwh_etl_spark.queries.dedup import dedup_bbit_minhash
+
+    rows = dedup_bbit_minhash(spark, SF).collect()
+    assert rows, "LSH candidates expected at sf0.001"
+    for r in rows:
+        assert 0.0 <= r.est_1bit <= 1.0
+        if r.est_full == 1.0:
+            assert r.est_1bit == 1.0  # all bits agree when all values do
+
+
+def test_naive_bayes_beats_chance_on_heldout(spark):
+    from ug_dwh_etl_spark.queries.mlfit import fit_naive_bayes_langid
+
+    rows = fit_naive_bayes_langid(spark, SF).collect()
+    total = sum(r.n for r in rows)
+    correct = sum(r.n for r in rows if r.true_lang == r.pred_lang)
+    n_langs = len({r.true_lang for r in rows})
+    assert total > 0
+    assert correct / total > 1.0 / max(n_langs, 2)
+
+
+def test_stream_trailing_window_matches_batch_route(spark):
+    from ug_dwh_etl_spark.queries.semantic import (
+        semantic_trailing_window_routed,
+        stream_semantic_trailing_window,
+    )
+
+    batch = {
+        (r.order_date, r.order_status): (r.revenue_7d, r.n_orders_7d)
+        for r in semantic_trailing_window_routed(spark, SF).collect()
+    }
+    stream = {
+        (r.order_date, r.order_status): (r.revenue_7d, r.n_orders_7d)
+        for r in stream_semantic_trailing_window(spark, SF).collect()
+    }
+    assert batch == stream
