@@ -258,6 +258,13 @@ HEADLINE = [
     "graph_pagerank_incremental",
     "fit_woe_binning",
     "er_pairs_block_capped",
+    "graph_scc",
+    "stream_semantic_trailing_window",
+    "fit_boost_stump",
+    "dq_snapshot_diff",
+    "sample_neyman_allocation",
+    "dedup_bbit_minhash",
+    "fit_naive_bayes_langid",
 ]
 
 

@@ -186,6 +186,23 @@ EXPECTED_NESTED_LOOP = {
     "text_bigram_perplexity",
     # 1-row distinct-hour-count frame broadcast onto the 5-row type stats
     "events_fano_burstiness",
+    # 1-row exact-pair-count frames joined into the recall audit row
+    "sim_quantize_binary_recall",
+    # 1-row fold-total sufficient-statistics frame broadcast onto the
+    # 5-row per-fold complements
+    "fit_kfold_cv_ols",
+    # 1-row COUNT(DISTINCT state) frame broadcast for the uniform start
+    "events_markov_stationary",
+    # 1-row 9-percentile cutpoint frame broadcast onto the fact scan
+    "fit_woe_binning",
+    # 1-row totals + 1-row best-threshold frames on the <=50-row curve
+    "fit_boost_stump",
+    # 1-row vocab-size frame + |classes|-row prior/total grids (4 rows)
+    "fit_naive_bayes_langid",
+    # 1-row class-total frame broadcast onto the 4-row diff summary
+    "dq_snapshot_diff",
+    # 1-row allocation-normalizer frame broadcast onto the 5 strata
+    "sample_neyman_allocation",
 }
 STREAM = re.compile(r"^stream_")
 
