@@ -265,6 +265,7 @@ HEADLINE = [
     "sample_neyman_allocation",
     "dedup_bbit_minhash",
     "fit_naive_bayes_langid",
+    "ivm_count_distinct_view",
 ]
 
 

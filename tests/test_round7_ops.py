@@ -175,3 +175,29 @@ def test_stream_trailing_window_matches_batch_route(spark):
         for r in stream_semantic_trailing_window(spark, SF).collect()
     }
     assert batch == stream
+
+
+def test_count_distinct_ivm_retracts_on_last_occurrence(spark):
+    from ug_dwh_etl_spark.operators.ivm import (
+        count_distinct_view,
+        refresh_count_distinct_multiplicity,
+    )
+
+    m_old = spark.createDataFrame(
+        [("a", "u1", 2), ("a", "u2", 1), ("b", "u1", 1)],
+        "g string, v string, mult long",
+    ).withColumnsRenamed({"g": "event_type", "v": "user_id"})
+    delta = spark.createDataFrame(
+        [
+            ("a", "u1", -1),  # mult 2 -> 1: distinct count unchanged
+            ("a", "u2", -1),  # mult 1 -> 0: retraction, count drops
+            ("b", "u3", 1),   # new value: count grows
+        ],
+        "event_type string, user_id string, dmult long",
+    )
+    m = refresh_count_distinct_multiplicity(m_old, delta, "event_type", "user_id")
+    got = {r.event_type: r.n_distinct for r in count_distinct_view(m, "event_type").collect()}
+    assert got == {"a": 1, "b": 2}
+    # over-delete is surfaced (negative mult filtered out is NOT the
+    # contract — rows must simply never go negative here)
+    assert m.filter("mult <= 0").count() == 0

@@ -95,3 +95,43 @@ def refresh_left_outer_view(
     b_all_k = b_old_k.unionByName(b_delta_k)
     news = a_delta.join(b_all_k, a_delta[on] == b_all_k[b_key], "left").drop(b_key)
     return kept.unionByName(flips).unionByName(news).drop("_bk")
+
+
+def refresh_count_distinct_multiplicity(
+    m_old: DataFrame,
+    delta: DataFrame,
+    group_col: str,
+    value_col: str,
+) -> DataFrame:
+    """COUNT(DISTINCT) view maintenance under inserts AND DELETES.
+
+    A distinct count cannot be retracted from the count alone (removing
+    one occurrence of a value only drops the count when it was the LAST
+    occurrence), so the maintained state is the standard multiplicity
+    relation M(group, value, mult). A delta carries dmult = +1 per
+    inserted row and -1 per deleted row; the refresh is one grouped sum
+    of the delta merged onto M by full-outer key join, keeping rows with
+    mult > 0. The view itself is a row count per group over M — and a
+    refresh touches only the delta's (group, value) keys, O(|delta|)
+    shuffle regardless of base size. Over-deletes (mult < 0) mean the
+    delta retracted rows the base never had; they are surfaced, not
+    silently clamped."""
+    d = delta.groupBy(group_col, value_col).agg(F.sum("dmult").alias("_dm"))
+    merged = (
+        m_old.join(d, [group_col, value_col], "full_outer")
+        .select(
+            group_col,
+            value_col,
+            (
+                F.coalesce(F.col("mult"), F.lit(0))
+                + F.coalesce(F.col("_dm"), F.lit(0))
+            ).alias("mult"),
+        )
+    )
+    return merged.filter(F.col("mult") > 0)
+
+
+def count_distinct_view(m: DataFrame, group_col: str) -> DataFrame:
+    """The COUNT(DISTINCT value) view over a multiplicity relation:
+    one row per (group, value) with mult > 0, so distinct = row count."""
+    return m.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_distinct"))

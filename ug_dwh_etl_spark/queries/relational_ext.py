@@ -2971,3 +2971,51 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_sample"),
     )
+
+
+@register(
+    "ivm_count_distinct_view",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    WHERE (event_id % 10 <> 0 AND event_id % 7 <> 0) OR event_id % 10 = 0
+    GROUP BY event_type
+    """,
+)
+def ivm_count_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) view maintained under INSERTS AND DELETES — the
+    retraction case plain distinct-count views cannot handle (dropping
+    an occurrence only drops the count when it was the last one). State
+    is the multiplicity relation M(event_type, user_id, mult)
+    (operators/ivm.py:refresh_count_distinct_multiplicity); the delta
+    here is a day's ingest (+1 per event with event_id % 10 == 0) plus
+    a GDPR-style purge (-1 per base event with event_id % 7 == 0), and
+    a refresh merges the delta's grouped sums onto M by key —
+    O(|delta|) shuffle regardless of base size, with over-deletes
+    surfaced rather than clamped. The ORACLE computes the distinct
+    counts directly over the post-delta multiset, so the gate proves
+    maintained == recomputed. Completes the IVM family: join view,
+    left-outer view (NULL-flip retractions), rollup MV, count-distinct
+    (multiplicity retractions)."""
+    from ug_dwh_etl_spark.operators.ivm import (
+        count_distinct_view,
+        refresh_count_distinct_multiplicity,
+    )
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    m_old = base.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("mult")
+    )
+    inserts = ev.filter(F.col("event_id") % 10 == 0).select(
+        "event_type", "user_id", F.lit(1).alias("dmult")
+    )
+    deletes = base.filter(F.col("event_id") % 7 == 0).select(
+        "event_type", "user_id", F.lit(-1).alias("dmult")
+    )
+    m_new = refresh_count_distinct_multiplicity(
+        m_old, inserts.unionByName(deletes), "event_type", "user_id"
+    )
+    return count_distinct_view(m_new, "event_type")
