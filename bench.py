@@ -266,6 +266,7 @@ HEADLINE = [
     "dedup_bbit_minhash",
     "fit_naive_bayes_langid",
     "ivm_count_distinct_view",
+    "history_bitemporal_asof",
 ]
 
 

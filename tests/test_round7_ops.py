@@ -201,3 +201,33 @@ def test_count_distinct_ivm_retracts_on_last_occurrence(spark):
     # over-delete is surfaced (negative mult filtered out is NOT the
     # contract — rows must simply never go negative here)
     assert m.filter("mult <= 0").count() == 0
+
+
+def test_bitemporal_belief_divergence_is_exactly_the_late_corrections(spark):
+    """revenue(late T) - revenue(early T) per status must equal 10.00 x
+    the corrections recorded between the two snapshots (same valid
+    cutoff) — the restatement landing, nothing else moving."""
+    from ug_dwh_etl_spark.queries.history import (
+        _BT_SNAPSHOTS,
+        _BT_VALID,
+        history_bitemporal_asof,
+    )
+    from ug_dwh_etl_spark.queries.registry import table
+
+    rows = history_bitemporal_asof(spark, SF).collect()
+    early = {r.o_orderstatus: r.revenue for r in rows if r.snapshot_t == _BT_SNAPSHOTS[0]}
+    late = {r.o_orderstatus: r.revenue for r in rows if r.snapshot_t == _BT_SNAPSHOTS[1]}
+    o = table(spark, SF, "orders")
+    lateonly = (
+        o.filter(
+            (F.col("o_orderkey") % 7 == 0)
+            & (F.to_date("o_orderdate") <= F.lit(_BT_VALID).cast("date"))
+            & (F.date_add(F.to_date("o_orderdate"), 30) > F.lit(_BT_SNAPSHOTS[0]).cast("date"))
+        )
+        .groupBy("o_orderstatus")
+        .count()
+        .collect()
+    )
+    expected_diff = {r.o_orderstatus: 10.0 * r["count"] for r in lateonly}
+    for status in late:
+        assert abs((late[status] - early[status]) - expected_diff.get(status, 0.0)) < 1e-6

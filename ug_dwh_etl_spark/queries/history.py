@@ -1052,3 +1052,102 @@ def history_scd3(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("metric") != F.col("prev_metric"))
         ).alias("changed"),
     )
+
+
+# --- bitemporal as-of: what did we BELIEVE at T about the state at V ----------------
+# Version fixture from one table: every order's v1 is recorded on its
+# order date; orders with o_orderkey % 7 == 0 get a v2 CORRECTION
+# (price + 10.00, same valid_from — a restatement) recorded 30 days
+# later. Two transaction-time snapshots over one valid-time cutoff
+# show the restatement landing: the early snapshot still believes v1
+# for corrections not yet recorded; the late snapshot believes v2.
+_BT_VALID = "1995-07-01"
+_BT_SNAPSHOTS = ("1995-08-01", "1998-01-01")
+
+
+@register(
+    "history_bitemporal_asof",
+    f"""
+    WITH v1 AS (
+      SELECT o_orderkey AS k, CAST(o_orderdate AS DATE) AS valid_from,
+             CAST(o_orderdate AS DATE) AS tx_date, 1 AS version,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+             o_orderstatus AS status
+      FROM orders),
+    v2 AS (
+      SELECT k, valid_from, tx_date + INTERVAL 30 DAY AS tx_date,
+             2 AS version, price + CAST(10.00 AS DECIMAL(18,2)) AS price,
+             status
+      FROM v1 WHERE k % 7 = 0),
+    versions AS (SELECT * FROM v1 UNION ALL SELECT * FROM v2),
+    snapshots AS (SELECT unnest({list(_BT_SNAPSHOTS)}) AS t),
+    elig AS (
+      SELECT s.t, v.k, v.version, v.price, v.status
+      FROM snapshots s JOIN versions v
+        ON v.tx_date <= CAST(s.t AS DATE)
+       AND v.valid_from <= DATE '{_BT_VALID}'),
+    pick AS (SELECT t, k, MAX(version) AS mv FROM elig GROUP BY t, k),
+    cur AS (
+      SELECT e.t, e.status, e.price
+      FROM elig e JOIN pick p
+        ON p.t = e.t AND p.k = e.k AND p.mv = e.version)
+    SELECT t AS snapshot_t, status AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(price), 2) AS DOUBLE) AS revenue
+    FROM cur GROUP BY 1, 2
+    """,
+)
+def history_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITEMPORAL as-of read: reconstruct what the warehouse BELIEVED
+    at transaction time T about the state at valid time V — the audit
+    question an append-with-corrections history table must answer (the
+    reference's daily appends record tx time implicitly as crawl_date;
+    restatements make the two time axes diverge). Per (snapshot, key):
+    the max-version row among those recorded by T and valid by V; the
+    early snapshot still carries pre-correction prices, the late one
+    the restated ones — same keys, different belief. Cost shape: the
+    snapshot join is a broadcast against a 2-row relation, the picker
+    is one grouped MAX + an equi-join back (no window over the fact),
+    and money stays decimal until the rounded edge. The correction is
+    +10.00 exactly (no multiplicative restatement: a x0.9 correction
+    lands on .xx5 third decimals where cross-engine double rounding
+    diverges — the fill_cast divergence note, SURVEY §5)."""
+    o = table(spark, sf_dir, "orders")
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.to_date("o_orderdate").alias("valid_from"),
+        F.to_date("o_orderdate").alias("tx_date"),
+        F.lit(1).alias("version"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    v2 = v1.filter(F.col("k") % 7 == 0).select(
+        "k",
+        "valid_from",
+        F.date_add("tx_date", 30).alias("tx_date"),
+        F.lit(2).alias("version"),
+        (F.col("price") + F.lit(10.00).cast("decimal(18,2)")).alias("price"),
+        "status",
+    )
+    versions = v1.unionByName(v2)
+    snaps = spark.createDataFrame([(t,) for t in _BT_SNAPSHOTS], "t string")
+    elig = versions.join(
+        F.broadcast(snaps),
+        (F.col("tx_date") <= F.to_date("t"))
+        & (F.col("valid_from") <= F.lit(_BT_VALID).cast("date")),
+    ).select("t", "k", "version", "price", "status")
+    pick = (
+        elig.groupBy("t", "k")
+        .agg(F.max("version").alias("mv"))
+        .withColumnsRenamed({"t": "_pt", "k": "_pk"})
+    )
+    cur = elig.join(
+        pick,
+        (F.col("t") == F.col("_pt"))
+        & (F.col("k") == F.col("_pk"))
+        & (F.col("version") == F.col("mv")),
+    ).select("t", "status", "price")
+    return cur.groupBy(F.col("t").alias("snapshot_t"), F.col("status").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("price"), 2).cast("double").alias("revenue"),
+    )
