@@ -267,6 +267,7 @@ HEADLINE = [
     "fit_naive_bayes_langid",
     "ivm_count_distinct_view",
     "history_bitemporal_asof",
+    "fit_tree_depth2",
 ]
 
 

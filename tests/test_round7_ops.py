@@ -231,3 +231,25 @@ def test_bitemporal_belief_divergence_is_exactly_the_late_corrections(spark):
     expected_diff = {r.o_orderstatus: 10.0 * r["count"] for r in lateonly}
     for status in late:
         assert abs((late[status] - early[status]) - expected_diff.get(status, 0.0)) < 1e-6
+
+
+def test_tree_depth2_refines_the_stump(spark):
+    """Each side's best second-level split must (weakly) improve on the
+    constant model of that side, and the root threshold must separate
+    the sides' candidate thresholds."""
+    from ug_dwh_etl_spark.queries.mlfit import fit_boost_stump, fit_tree_depth2
+
+    stump = fit_boost_stump(spark, SF).collect()
+    t0 = next(r.threshold for r in stump if r.is_best)
+    rows = fit_tree_depth2(spark, SF).collect()
+    sides = {r.side for r in rows}
+    # a side whose subset has a single distinct x has no candidate
+    # split and legitimately emits no curve (happens at sf0.001 where
+    # the root splits at the minimum quantity)
+    assert sides and sides <= {"L", "R"}
+    for side in sides:
+        side_rows = [r for r in rows if r.side == side]
+        assert sum(1 for r in side_rows if r.is_best) == 1
+        assert all(r.score >= 0.999999 for r in side_rows)
+    assert all(r.threshold < t0 for r in rows if r.side == "L")
+    assert all(r.threshold >= t0 for r in rows if r.side == "R")

@@ -203,6 +203,11 @@ EXPECTED_NESTED_LOOP = {
     "dq_snapshot_diff",
     # 1-row allocation-normalizer frame broadcast onto the 5 strata
     "sample_neyman_allocation",
+    # 1-row totals/root-threshold frames on the <=50-row per-side curves
+    "fit_tree_depth2",
+    # 2-row transaction-snapshot spine theta-joined (broadcast) onto the
+    # version relation
+    "history_bitemporal_asof",
 }
 STREAM = re.compile(r"^stream_")
 

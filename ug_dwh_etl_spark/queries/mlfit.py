@@ -1956,3 +1956,156 @@ def fit_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+# --- depth-2 regression tree: recurse the stump once, same aggregates ----------------
+
+
+@register(
+    "fit_tree_depth2",
+    """
+    WITH perx AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT SUM(n) AS tn, SUM(s) AS ts FROM perx),
+    cum AS (
+      SELECT x AS threshold,
+             SUM(n) OVER (ORDER BY x) AS nl,
+             SUM(s) OVER (ORDER BY x) AS sl
+      FROM perx),
+    sc AS (
+      SELECT threshold,
+             ROUND((CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / nl
+                    + CAST(ts - sl AS DOUBLE) * CAST(ts - sl AS DOUBLE)
+                      / (tn - nl))
+                   / (CAST(ts AS DOUBLE) * CAST(ts AS DOUBLE) / tn), 6)
+               AS score
+      FROM cum CROSS JOIN tot WHERE nl < tn),
+    root AS (SELECT MIN(threshold) AS t0 FROM sc
+             WHERE score = (SELECT MAX(score) FROM sc)),
+    -- second level: the SAME aggregate keyed by which side of t0 a row
+    -- falls on; each side searches its own thresholds
+    perx2 AS (
+      SELECT CASE WHEN CAST(l_quantity AS BIGINT) <= root.t0
+                  THEN 'L' ELSE 'R' END AS side,
+             CAST(l_quantity AS BIGINT) AS x, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS s
+      FROM lineitem CROSS JOIN root GROUP BY 1, 2),
+    tot2 AS (SELECT side, SUM(n) AS tn, SUM(s) AS ts FROM perx2 GROUP BY 1),
+    cum2 AS (
+      SELECT side, x AS threshold,
+             SUM(n) OVER (PARTITION BY side ORDER BY x) AS nl,
+             SUM(s) OVER (PARTITION BY side ORDER BY x) AS sl
+      FROM perx2),
+    sc2 AS (
+      SELECT c.side, c.threshold,
+             ROUND((CAST(c.sl AS DOUBLE) * CAST(c.sl AS DOUBLE) / c.nl
+                    + CAST(t.ts - c.sl AS DOUBLE) * CAST(t.ts - c.sl AS DOUBLE)
+                      / (t.tn - c.nl))
+                   / (CAST(t.ts AS DOUBLE) * CAST(t.ts AS DOUBLE) / t.tn), 6)
+               AS score,
+             ROUND(CAST(c.sl AS DOUBLE) / c.nl, 6) AS gamma_left,
+             ROUND(CAST(t.ts - c.sl AS DOUBLE) / (t.tn - c.nl), 6)
+               AS gamma_right
+      FROM cum2 c JOIN tot2 t ON t.side = c.side WHERE c.nl < t.tn),
+    best2 AS (
+      SELECT side, MIN(threshold) AS bt FROM sc2 s
+      WHERE score = (SELECT MAX(score) FROM sc2 x WHERE x.side = s.side)
+      GROUP BY side)
+    SELECT s.side, s.threshold, s.score, s.gamma_left, s.gamma_right,
+           s.threshold = b.bt AS is_best
+    FROM sc2 s JOIN best2 b ON b.side = s.side
+    """,
+)
+def fit_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEPTH-2 REGRESSION TREE in exactly two scans: the root split is
+    fit_boost_stump's argmax (first scan); the second scan re-keys the
+    SAME domain-bounded aggregate by which side of the root threshold a
+    row falls on, and each side searches its own candidate curve — the
+    level-wise tree-growing schedule every distributed GBDT uses
+    (XGBoost/LightGBM histogram mode: one pass per LEVEL, never per
+    node). Emits both sides' full curves with per-side
+    6dp-before-argmax best flags; scores carry the stump's
+    constant-model normalization (per side), keeping 6dp rounding far
+    above double noise. All windows run on the <=50-row (side x
+    threshold) relation — domain-bounded, never data-bounded."""
+    li = table(spark, sf_dir, "lineitem")
+    d = lambda c: c.cast("double")  # noqa: E731
+
+    def curve(perx: DataFrame, part_cols: list[str]) -> DataFrame:
+        tot = perx.groupBy(*part_cols).agg(
+            F.sum("n").alias("tn"), F.sum("s").alias("ts")
+        ) if part_cols else perx.agg(F.sum("n").alias("tn"), F.sum("s").alias("ts"))
+        w = (
+            Window.partitionBy(*part_cols).orderBy("x")
+            if part_cols
+            else Window.orderBy("x")
+        ).rowsBetween(Window.unboundedPreceding, 0)
+        cum = perx.select(
+            *part_cols,
+            F.col("x").alias("threshold"),
+            F.sum("n").over(w).alias("nl"),
+            F.sum("s").over(w).alias("sl"),
+        )
+        joined = (
+            cum.join(F.broadcast(tot), part_cols)
+            if part_cols
+            else cum.crossJoin(F.broadcast(tot))
+        )
+        score = F.round(
+            (
+                d(F.col("sl")) * d(F.col("sl")) / F.col("nl")
+                + d(F.col("ts") - F.col("sl")) * d(F.col("ts") - F.col("sl"))
+                / (F.col("tn") - F.col("nl"))
+            )
+            / (d(F.col("ts")) * d(F.col("ts")) / F.col("tn")),
+            6,
+        )
+        return joined.filter(F.col("nl") < F.col("tn")).select(
+            *part_cols,
+            "threshold",
+            score.alias("score"),
+            F.round(d(F.col("sl")) / F.col("nl"), 6).alias("gamma_left"),
+            F.round(
+                d(F.col("ts") - F.col("sl")) / (F.col("tn") - F.col("nl")), 6
+            ).alias("gamma_right"),
+        )
+
+    perx = li.groupBy(F.col("l_quantity").cast("long").alias("x")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+    )
+    sc = curve(perx, [])
+    root = sc.agg(
+        F.min_by(
+            "threshold", F.struct((-F.col("score")).alias("ns"), F.col("threshold"))
+        ).alias("t0")
+    )
+    perx2 = (
+        li.crossJoin(F.broadcast(root))
+        .groupBy(
+            F.when(F.col("l_quantity").cast("long") <= F.col("t0"), "L")
+            .otherwise("R")
+            .alias("side"),
+            F.col("l_quantity").cast("long").alias("x"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("s"),
+        )
+    )
+    sc2 = curve(perx2, ["side"])
+    best2 = sc2.groupBy("side").agg(
+        F.min_by(
+            "threshold", F.struct((-F.col("score")).alias("ns"), F.col("threshold"))
+        ).alias("bt")
+    )
+    return sc2.join(F.broadcast(best2), "side").select(
+        "side",
+        "threshold",
+        "score",
+        "gamma_left",
+        "gamma_right",
+        (F.col("threshold") == F.col("bt")).alias("is_best"),
+    )
