@@ -268,6 +268,8 @@ HEADLINE = [
     "ivm_count_distinct_view",
     "history_bitemporal_asof",
     "fit_tree_depth2",
+    "stream_cdc_count_distinct",
+    "dq_reconciliation_totals",
 ]
 
 

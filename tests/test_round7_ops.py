@@ -253,3 +253,28 @@ def test_tree_depth2_refines_the_stump(spark):
         assert all(r.score >= 0.999999 for r in side_rows)
     assert all(r.threshold < t0 for r in rows if r.side == "L")
     assert all(r.threshold >= t0 for r in rows if r.side == "R")
+
+
+def test_cdc_stream_matches_batch_ivm(spark):
+    from ug_dwh_etl_spark.queries.relational_ext import (
+        ivm_count_distinct_view,
+        stream_cdc_count_distinct,
+    )
+
+    batch = {r.event_type: r.n_distinct for r in ivm_count_distinct_view(spark, SF).collect()}
+    stream = {r.event_type: r.n_distinct for r in stream_cdc_count_distinct(spark, SF).collect()}
+    assert batch == stream
+
+
+def test_reconciliation_classes_partition_the_orders(spark):
+    from ug_dwh_etl_spark.queries.relational_ext import dq_reconciliation_totals
+    from ug_dwh_etl_spark.queries.registry import table
+
+    rows = dq_reconciliation_totals(spark, SF).collect()
+    assert sum(r.n for r in rows) == table(spark, SF, "orders").count()
+    assert all(r.total_abs_drift >= 0 for r in rows)
+    m = {r.klass: r for r in rows}
+    if "match" in m:
+        # per-order |drift| < 0.01 for matches, so the class total is
+        # bounded by n * 0.01
+        assert m["match"].total_abs_drift <= m["match"].n * 0.01 + 1e-9

@@ -3019,3 +3019,116 @@ def ivm_count_distinct_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         m_old, inserts.unionByName(deletes), "event_type", "user_id"
     )
     return count_distinct_view(m_new, "event_type")
+
+
+@register(
+    "stream_cdc_count_distinct",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events
+    WHERE (event_id % 10 <> 0 AND event_id % 7 <> 0) OR event_id % 10 = 0
+    GROUP BY event_type
+    """,
+)
+def stream_cdc_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ivm_count_distinct_view: the CDC feed
+    maintains the multiplicity state as an append-only DELTA LOG
+    (O(batch) per micro-batch, no state rewrite — the LSM shape), and
+    the view folds base + log at read time. The fold is commutative,
+    so micro-batch arrival order cannot matter; SAME oracle as the
+    batch twin (streaming/jobs.py:stream_cdc_count_distinct)."""
+    from ug_dwh_etl_spark.streaming.jobs import stream_cdc_count_distinct
+
+    return stream_cdc_count_distinct(spark, sf_dir)
+
+
+# --- cross-table reconciliation: the header-vs-lines invariant ----------------------
+
+
+@register(
+    "dq_reconciliation_totals",
+    """
+    WITH rec AS (
+      SELECT l_orderkey AS k,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))
+                 * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+               AS recomputed
+      FROM lineitem GROUP BY 1),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(o.o_totalprice AS DECIMAL(18,2)) AS header_total,
+             rec.recomputed,
+             CASE WHEN rec.recomputed IS NULL THEN 'no_lines'
+                  WHEN ABS(CAST(rec.recomputed - CAST(o.o_totalprice AS DECIMAL(18,2))
+                            AS DOUBLE)) < 0.01 THEN 'match'
+                  WHEN ABS(CAST(rec.recomputed - CAST(o.o_totalprice AS DECIMAL(18,2))
+                            AS DOUBLE))
+                       < CAST(o.o_totalprice AS DOUBLE) * 0.01 THEN 'small_drift'
+                  ELSE 'mismatch' END AS klass
+      FROM orders o LEFT JOIN rec ON rec.k = o.o_orderkey)
+    SELECT klass, CAST(COUNT(*) AS BIGINT) AS n,
+           -- drift accumulates as EXACT decimal (order-independent),
+           -- double only at the edge
+           CAST(ROUND(SUM(ABS(COALESCE(recomputed - header_total,
+                                       CAST(0 AS DECIMAL(18,2))))), 2)
+                AS DOUBLE) AS total_abs_drift
+    FROM j GROUP BY klass
+    """,
+)
+def dq_reconciliation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-TABLE RECONCILIATION: recompute each order header's total
+    from its lines (extendedprice x (1+tax) x (1-discount), the TPC-H
+    pricing identity) in EXACT decimals and classify every order as
+    match / small_drift (<1% of header) / mismatch / no_lines — the
+    header-vs-detail invariant audit every warehouse load needs before
+    trusting either table (the reference loads bookings headers and
+    crawl details through separate pipelines with nothing checking they
+    agree). One grouped decimal aggregate over lines + one left join to
+    headers, both shuffles on the order key; classification thresholds
+    compare exact-decimal differences cast to double only inside ABS
+    (no half-cent rounding ambiguity because nothing is rounded before
+    comparison)."""
+    li = table(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(18,2)")
+    rec = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.sum(
+            dec("l_extendedprice")
+            * (one + dec("l_tax"))
+            * (one - dec("l_discount"))
+        ).alias("recomputed")
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", dec("o_totalprice").alias("header_total")
+    )
+    diff = (F.col("recomputed") - F.col("header_total")).cast("double")
+    j = o.join(rec, o["o_orderkey"] == rec["k"], "left").select(
+        "header_total",
+        "recomputed",
+        F.when(F.col("recomputed").isNull(), "no_lines")
+        .when(F.abs(diff) < 0.01, "match")
+        .when(
+            F.abs(diff) < F.col("header_total").cast("double") * 0.01,
+            "small_drift",
+        )
+        .otherwise("mismatch")
+        .alias("klass"),
+    )
+    zero = F.lit(0).cast("decimal(18,2)")
+    return j.groupBy("klass").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(
+                F.abs(
+                    F.coalesce(
+                        F.col("recomputed") - F.col("header_total"), zero
+                    )
+                )
+            ),
+            2,
+        )
+        .cast("double")
+        .alias("total_abs_drift"),
+    )

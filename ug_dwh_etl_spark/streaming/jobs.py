@@ -914,3 +914,88 @@ def stream_semantic_trailing_window(spark: SparkSession, sf_dir: str) -> DataFra
             for m in spec.metrics
         ],
     )
+
+
+def stream_cdc_count_distinct(
+    spark: SparkSession, sf_dir: str, state_root: str | None = None
+) -> DataFrame:
+    """Streaming twin of ``ivm_count_distinct_view``: a CDC feed
+    maintains the COUNT(DISTINCT) view's multiplicity state as a
+    DELTA LOG. Yesterday's state (the base multiset's per-(type, user)
+    counts) is materialized once; each micro-batch derives its inserts
+    (+1, the day's ingest rows) and deletes (-1, the purge rows) and
+    APPENDS its grouped dmult rows to the log — O(batch) per batch, no
+    state rewrite (the LSM shape; a real deployment compacts the log
+    into the base periodically, exactly like ``compact_history``). The
+    view folds base + log at read time: multiplicities are summed, rows
+    with mult > 0 counted per group. The fold is commutative, so
+    arrival order across micro-batches cannot matter — proven by the
+    SAME oracle as the batch twin, however the stream happens to be
+    split."""
+    import os
+    import tempfile
+    import uuid
+
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    if state_root is None:
+        state_root = os.path.join(
+            tempfile.gettempdir(), f"cdc_cd_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        )
+    base_path = os.path.join(state_root, "base")
+    log_path = os.path.join(state_root, "log")
+
+    ev = read_events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    base = ev.filter(F.col("event_id") % 10 != 0)
+    base.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("mult")
+    ).write.mode("overwrite").parquet(base_path)
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = stream_table_source(spark, sf_dir, "events", schema)
+
+    def handle(batch_df: DataFrame, _bid: int) -> None:
+        inserts = batch_df.filter(F.col("event_id") % 10 == 0).select(
+            "event_type", "user_id", F.lit(1).alias("dmult")
+        )
+        deletes = batch_df.filter(
+            (F.col("event_id") % 10 != 0) & (F.col("event_id") % 7 == 0)
+        ).select("event_type", "user_id", F.lit(-1).alias("dmult"))
+        delta = (
+            inserts.unionByName(deletes)
+            .groupBy("event_type", "user_id")
+            .agg(F.sum("dmult").cast("long").alias("dmult"))
+        )
+        # expose the real micro-batch work to the plan audit
+        # (foreachBatch bypasses run_stream_to_memory's plan capture)
+        global LAST_BATCH_PLAN
+        try:
+            LAST_BATCH_PLAN = (
+                "== Physical Plan ==\n"
+                + delta._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception:
+            pass
+        delta.write.mode("append").parquet(log_path)
+
+    with _checkpoint_dir(None, "ckpt_cdc_cd_") as ckpt:
+        q = (
+            raw.writeStream.foreachBatch(handle)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    m = spark.read.parquet(base_path)
+    if os.path.exists(log_path):  # no batch produced delta rows otherwise
+        m = m.unionByName(
+            spark.read.parquet(log_path).withColumnsRenamed({"dmult": "mult"})
+        )
+    return (
+        m.groupBy("event_type", "user_id")
+        .agg(F.sum("mult").alias("mult"))
+        .filter(F.col("mult") > 0)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_distinct"))
+    )
