@@ -270,6 +270,8 @@ HEADLINE = [
     "fit_tree_depth2",
     "stream_cdc_count_distinct",
     "dq_reconciliation_totals",
+    "events_ab_fdr_bh",
+    "corpus_dsir_select",
 ]
 
 

@@ -278,3 +278,31 @@ def test_reconciliation_classes_partition_the_orders(spark):
         # per-order |drift| < 0.01 for matches, so the class total is
         # bounded by n * 0.01
         assert m["match"].total_abs_drift <= m["match"].n * 0.01 + 1e-9
+
+
+def test_fdr_bh_is_no_less_conservative_than_naive(spark):
+    from ug_dwh_etl_spark.queries.events import events_ab_fdr_bh
+
+    rows = events_ab_fdr_bh(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0 + 1e-9
+        # BH at q can never reject a test naive thresholding at q keeps
+        if r.rejected_bh:
+            assert r.rejected_naive
+
+
+def test_dsir_selects_k_and_prefers_target_like_docs(spark):
+    from ug_dwh_etl_spark.queries.textstats import _DSIR_K, corpus_dsir_select
+    from ug_dwh_etl_spark.queries.registry import table
+
+    rows = corpus_dsir_select(spark, SF).collect()
+    sel = [r for r in rows if r.selected]
+    assert len(sel) >= min(_DSIR_K, len(rows))  # ties at the k-th key all in
+    langs = {
+        r.doc_id: r.lang for r in table(spark, SF, "documents").select("doc_id", "lang").collect()
+    }
+    # selected docs must be enriched in the target language vs the corpus
+    share_sel = sum(1 for r in sel if langs[r.doc_id] == "en") / len(sel)
+    share_all = sum(1 for v in langs.values() if v == "en") / len(langs)
+    assert share_sel > share_all

@@ -208,6 +208,10 @@ EXPECTED_NESTED_LOOP = {
     # 2-row transaction-snapshot spine theta-joined (broadcast) onto the
     # version relation
     "history_bitemporal_asof",
+    # 1-row BH-threshold frame broadcast onto the ~120-row test family
+    "events_ab_fdr_bh",
+    # 1-row LM-totals + top-K-threshold frames broadcast onto the scan
+    "corpus_dsir_select",
 }
 STREAM = re.compile(r"^stream_")
 

@@ -2749,3 +2749,145 @@ def events_match_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runs.join(purch, ["user_id", "next_rn"]).select(
         "user_id", "start_ts", "end_ts", "n_views"
     )
+
+
+# --- multiple testing: Benjamini-Hochberg FDR over a test family ---------------------
+_FDR_Q = 0.1
+
+
+def _norm_sf2(z: str) -> str:
+    """Two-sided normal p-value 2*(1 - Phi(|z|)) as ONE expression
+    string evaluated verbatim on BOTH engines — the Zelen & Severo
+    polynomial (Abramowitz & Stegun 26.2.17, |error| < 7.5e-8). Same
+    text, same IEEE arithmetic, so the only cross-engine surface is
+    exp()'s last ulp — 1e9 below the 6dp rounding grid."""
+    t = f"(1.0 / (1.0 + 0.2316419 * abs({z})))"
+    poly = (
+        f"({t} * (0.319381530 + {t} * (-0.356563782 + {t} * (1.781477937 "
+        f"+ {t} * (-1.821255978 + {t} * 1.330274429)))))"
+    )
+    pdf = f"(0.3989422804014327 * exp(-0.5 * abs({z}) * abs({z})))"
+    return f"(2.0 * {pdf} * {poly})"
+
+
+@register(
+    "events_ab_fdr_bh",
+    f"""
+    WITH cell AS (
+      SELECT event_type,
+             CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+             user_id % 2 AS arm,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2)))
+               AS ss
+      FROM events GROUP BY 1, 2, 3),
+    wide AS (
+      SELECT a.event_type, a.hr,
+             a.n AS na, CAST(a.s AS DOUBLE) AS sa, CAST(a.ss AS DOUBLE) AS ssa,
+             b.n AS nb, CAST(b.s AS DOUBLE) AS sb, CAST(b.ss AS DOUBLE) AS ssb
+      FROM cell a JOIN cell b
+        ON a.event_type = b.event_type AND a.hr = b.hr
+       AND a.arm = 0 AND b.arm = 1
+      WHERE a.n >= 2 AND b.n >= 2),
+    zt AS (
+      SELECT event_type, hr,
+             (sa / na - sb / nb)
+             / sqrt((ssa / na - (sa / na) * (sa / na)) / na
+                    + (ssb / nb - (sb / nb) * (sb / nb)) / nb) AS z
+      FROM wide),
+    pt AS (
+      SELECT event_type, hr, ROUND(z, 4) AS z,
+             ROUND({_norm_sf2('z')}, 6) AS p
+      FROM zt),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY p, event_type, hr) AS rk,
+             COUNT(*) OVER () AS m
+      FROM pt),
+    thr AS (
+      SELECT COALESCE(MAX(p), -1.0) AS pstar
+      FROM ranked WHERE p <= rk * {_FDR_Q} / m)
+    SELECT event_type, hr, z, p,
+           p <= (SELECT pstar FROM thr) AS rejected_bh,
+           p <= {_FDR_Q} AS rejected_naive
+    FROM ranked
+    """,
+)
+def events_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BENJAMINI-HOCHBERG FDR control over a FAMILY of A/B tests — one
+    Welch z-test per (event_type, hour) cell (arm = user_id parity, a
+    deterministic randomization), then the BH step-up rule: reject all
+    tests with p <= p_(k*) where k* is the largest rank with
+    p_(k) <= k*q/m. Running many dashboard tests daily without FDR
+    control manufactures false discoveries; emitting rejected_bh next
+    to rejected_naive shows exactly which naive 'wins' the correction
+    revokes. Scale shape: per-cell moments are ONE decimal-exact
+    grouped aggregate over the event log (map-side combined); tests,
+    ranks, and the threshold live on the (types x hours) relation —
+    domain-bounded (~120 rows), so the rank window never sees data
+    scale. The p-value is a shared expression string (normal-CDF
+    polynomial, A&S 26.2.17) evaluated verbatim on both engines."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,2)")
+    cell = ev.groupBy(
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        (F.col("user_id") % 2).alias("arm"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec).alias("s"),
+        F.sum(dec * dec).alias("ss"),
+    )
+    a = cell.filter("arm = 0 AND n >= 2").select(
+        "event_type", "hr",
+        F.col("n").alias("na"),
+        F.col("s").cast("double").alias("sa"),
+        F.col("ss").cast("double").alias("ssa"),
+    )
+    b = cell.filter("arm = 1 AND n >= 2").select(
+        F.col("event_type").alias("et2"), F.col("hr").alias("hr2"),
+        F.col("n").alias("nb"),
+        F.col("s").cast("double").alias("sb"),
+        F.col("ss").cast("double").alias("ssb"),
+    )
+    wide = a.join(
+        b, (a["event_type"] == b["et2"]) & (a["hr"] == b["hr2"])
+    )
+    zc = (
+        (F.col("sa") / F.col("na") - F.col("sb") / F.col("nb"))
+        / F.sqrt(
+            (F.col("ssa") / F.col("na")
+             - (F.col("sa") / F.col("na")) * (F.col("sa") / F.col("na")))
+            / F.col("na")
+            + (F.col("ssb") / F.col("nb")
+               - (F.col("sb") / F.col("nb")) * (F.col("sb") / F.col("nb")))
+            / F.col("nb")
+        )
+    )
+    pt = wide.select(
+        "event_type", "hr", zc.alias("z0")
+    ).select(
+        "event_type",
+        "hr",
+        F.round("z0", 4).alias("z"),
+        F.round(F.expr(_norm_sf2("z0")), 6).alias("p"),
+    )
+    w = Window.orderBy("p", "event_type", "hr")
+    ranked = pt.select(
+        "*",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("m"),
+    )
+    thr = ranked.filter(
+        F.col("p") <= F.col("rk") * _FDR_Q / F.col("m")
+    ).agg(F.coalesce(F.max("p"), F.lit(-1.0)).alias("pstar"))
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "event_type",
+        "hr",
+        "z",
+        "p",
+        (F.col("p") <= F.col("pstar")).alias("rejected_bh"),
+        (F.col("p") <= _FDR_Q).alias("rejected_naive"),
+    )

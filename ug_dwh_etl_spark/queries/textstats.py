@@ -2534,3 +2534,118 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("ppl"), 4).alias("avg_perplexity"),
         )
     )
+
+
+# --- DSIR-style importance resampling (Xie et al. 2023) ------------------------------
+_DSIR_K = 100
+_DSIR_INV_TEMP = 10.0  # 1/T: temper the weights so they dominate the
+# Gumbel noise (sd ~1.28); raw unigram log-ratios on this fixture span
+# ~±0.5, far under the noise floor — tempering is standard practice in
+# importance resampling when the proposal is close to the target
+
+
+@register(
+    "corpus_dsir_select",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest({H.sql_tokens('text')}) AS term
+      FROM documents),
+    tok2 AS (SELECT * FROM tok WHERE term <> ''),
+    raw AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cr FROM tok2 GROUP BY 1),
+    tgt AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS ct
+            FROM tok2 WHERE lang = 'en' GROUP BY 1),
+    tots AS (
+      SELECT (SELECT SUM(cr) FROM raw) AS tr,
+             (SELECT COALESCE(SUM(ct), 0) FROM tgt) AS tt,
+             (SELECT COUNT(*) FROM raw) AS v),
+    lr AS (
+      SELECT r.term,
+             ln((COALESCE(t.ct, 0) + 1.0) / (tots.tt + tots.v))
+             - ln((r.cr + 1.0) / (tots.tr + tots.v)) AS lw
+      FROM raw r LEFT JOIN tgt t ON t.term = r.term CROSS JOIN tots),
+    scored AS (
+      SELECT d.doc_id,
+             ROUND(SUM(lr.lw), 6) AS logw,
+             ROUND(-ln(-ln((({H.sql_md5_long("doc_id::VARCHAR || '|dsir'")})
+                            + 0.5) / 1152921504606846976.0)), 6) AS g
+      FROM tok2 d JOIN lr ON lr.term = d.term
+      GROUP BY d.doc_id),
+    keyed AS (SELECT doc_id, logw,
+                     10.0 * logw + g AS k FROM scored),
+    thr AS (
+      SELECT MIN(k) AS kmin FROM
+        (SELECT k FROM keyed ORDER BY k DESC, doc_id LIMIT {_DSIR_K}))
+    SELECT doc_id, logw,
+           k >= (SELECT kmin FROM thr) AS selected
+    FROM keyed
+    """,
+)
+def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style DATA SELECTION via importance resampling (Xie et al.
+    2023): weight every document by how much more likely its tokens are
+    under the TARGET domain's unigram LM (here the English slice) than
+    under the raw-corpus LM — log w(x) = sum_t [ln p_tgt(t) - ln
+    p_raw(t)], add-1 smoothed over the corpus vocabulary — then draw K
+    docs WITHOUT replacement by the Gumbel-top-k trick (key = log w +
+    Gumbel noise from the deterministic md5 uniform; ties at the k-th
+    key all selected). This is the principled upgrade of hard domain
+    filters for assembling a 100 TB pretraining mix: one token scan
+    builds both LMs, scoring is a vocab join + per-doc sum, and
+    selection is a TakeOrderedAndProject threshold, never a global
+    sort of the corpus. Gumbel keys fold ROUNDED logw and noise (6dp),
+    tempered by 1/T = 10 so the domain signal dominates the noise, and
+    cross-engine selection is exact."""
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(H.tokens(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    raw = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = tok.filter(F.col("lang") == "en").groupBy("term").agg(
+        F.count(F.lit(1)).alias("ct")
+    )
+    tots = raw.agg(
+        F.sum("cr").alias("tr"), F.count(F.lit(1)).alias("v")
+    ).crossJoin(
+        F.broadcast(
+            tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("tt"))
+        )
+    )
+    lr = (
+        raw.join(tgt, "term", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "term",
+            (
+                F.log(
+                    (F.coalesce(F.col("ct"), F.lit(0)) + 1.0)
+                    / (F.col("tt") + F.col("v"))
+                )
+                - F.log((F.col("cr") + 1.0) / (F.col("tr") + F.col("v")))
+            ).alias("lw"),
+        )
+    )
+    u = (
+        H.md5_long(F.concat(F.col("doc_id").cast("string"), F.lit("|dsir")))
+        + 0.5
+    ) / float(2**60)
+    scored = (
+        tok.join(lr, "term")
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("lw"), 6).alias("logw"))
+        .select(
+            "doc_id",
+            "logw",
+            (
+                F.lit(_DSIR_INV_TEMP) * F.col("logw")
+                + F.round(-F.log(-F.log(u)), 6)
+            ).alias("k"),
+        )
+    )
+    thr = (
+        scored.orderBy(F.col("k").desc(), "doc_id")
+        .limit(_DSIR_K)
+        .agg(F.min("k").alias("kmin"))
+    )
+    return scored.crossJoin(F.broadcast(thr)).select(
+        "doc_id", "logw", (F.col("k") >= F.col("kmin")).alias("selected")
+    )
