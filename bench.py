@@ -272,6 +272,7 @@ HEADLINE = [
     "dq_reconciliation_totals",
     "events_ab_fdr_bh",
     "corpus_dsir_select",
+    "events_ab_mannwhitney",
 ]
 
 

@@ -306,3 +306,15 @@ def test_dsir_selects_k_and_prefers_target_like_docs(spark):
     share_sel = sum(1 for r in sel if langs[r.doc_id] == "en") / len(sel)
     share_all = sum(1 for v in langs.values() if v == "en") / len(langs)
     assert share_sel > share_all
+
+
+def test_mannwhitney_p_and_significance_are_consistent(spark):
+    """p in [0,1], and the significance flag is exactly the |z|>1.96
+    rule (the exact-U arithmetic itself is proven by the DuckDB oracle
+    gate at two SFs)."""
+    from ug_dwh_etl_spark.queries.events import events_ab_mannwhitney
+
+    rows = events_ab_mannwhitney(spark, SF).collect()
+    assert rows and all(0.0 <= r.p <= 1.0 + 1e-9 for r in rows)
+    for r in rows:
+        assert r.significant == (abs(r.z) > 1.96)

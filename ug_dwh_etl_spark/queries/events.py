@@ -2891,3 +2891,105 @@ def events_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p") <= F.col("pstar")).alias("rejected_bh"),
         (F.col("p") <= _FDR_Q).alias("rejected_naive"),
     )
+
+
+@register(
+    "events_ab_mannwhitney",
+    f"""
+    WITH pv AS (
+      SELECT event_type, value AS v,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS ca,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS cb
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, ca, cb, ca + cb AS c,
+             COALESCE(SUM(ca + cb) OVER (PARTITION BY event_type ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+      FROM pv),
+    agg AS (
+      SELECT event_type,
+             CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb,
+             CAST(SUM(ca * (2 * less + c + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+      FROM w GROUP BY 1),
+    zt AS (
+      SELECT event_type, na, nb,
+             (r2a - na * (na + 1) - na * nb)
+             / (2.0 * sqrt((CAST(na AS DOUBLE) * nb / 12.0)
+                * ((na + nb + 1) - CAST(ties AS DOUBLE)
+                   / ((na + nb) * (na + nb - 1.0))))) AS z
+      FROM agg)
+    SELECT event_type, na, nb, ROUND(z, 4) AS z,
+           ROUND({_norm_sf2('z')}, 6) AS p,
+           ABS(z) > 1.96 AS significant
+    FROM zt
+    """,
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANN-WHITNEY U — the nonparametric A/B test (arm = user_id
+    parity) for metrics where the z-test's normality assumption fails
+    (heavy-tailed spend, bounded scores). Rank arithmetic stays EXACT
+    INTEGER to the last step: per (type, value) arm counts, tie-average
+    ranks via 2*rank = 2*preceding + c + 1 (so no .5 fractions), the
+    rank-sum doubled (r2a), and the tie-corrected normal approximation
+    z = (2U - n_a*n_b) / (2*sigma) — both engines divide the SAME
+    integers, so only the final z/p are floats. Scale shape: one
+    grouped count per (type, value) — the cumulative window runs over
+    DISTINCT VALUES (2dp-quantized, domain-bounded: 18k distinct at
+    100k rows and saturating), never over events; BIGINT rank sums are
+    exact to ~3e9 rows per type (switch the sums to DECIMAL(38,0)
+    beyond). p-values share the A&S normal-CDF expression with
+    events_ab_fdr_bh."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    pv = ev.groupBy("event_type", F.col("value").alias("v")).agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("ca"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("cb"),
+    )
+    wless = Window.partitionBy("event_type").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w = pv.select(
+        "event_type",
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(wless), F.lit(0)
+        ).alias("less"),
+    )
+    agg = w.groupBy("event_type").agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("less") + F.col("c") + 1)).alias("r2a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+    )
+    zc = (
+        F.col("r2a") - F.col("na") * (F.col("na") + 1) - F.col("na") * F.col("nb")
+    ) / (
+        2.0
+        * F.sqrt(
+            (F.col("na").cast("double") * F.col("nb") / 12.0)
+            * (
+                (F.col("na") + F.col("nb") + 1)
+                - F.col("ties").cast("double")
+                / ((F.col("na") + F.col("nb"))
+                   * (F.col("na") + F.col("nb") - 1.0))
+            )
+        )
+    )
+    return agg.select("event_type", "na", "nb", zc.alias("z0")).select(
+        "event_type",
+        "na",
+        "nb",
+        F.round("z0", 4).alias("z"),
+        F.round(F.expr(_norm_sf2("z0")), 6).alias("p"),
+        (F.abs(F.col("z0")) > 1.96).alias("significant"),
+    )
