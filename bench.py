@@ -273,6 +273,8 @@ HEADLINE = [
     "events_ab_fdr_bh",
     "corpus_dsir_select",
     "events_ab_mannwhitney",
+    "events_top_paths",
+    "events_ratio_jackknife",
 ]
 
 

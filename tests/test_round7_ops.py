@@ -318,3 +318,20 @@ def test_mannwhitney_p_and_significance_are_consistent(spark):
     assert rows and all(0.0 <= r.p <= 1.0 + 1e-9 for r in rows)
     for r in rows:
         assert r.significant == (abs(r.z) > 1.96)
+
+
+def test_top_paths_rank_contract_and_jackknife_ci(spark):
+    from ug_dwh_etl_spark.queries.events import (
+        events_ratio_jackknife,
+        events_top_paths,
+    )
+
+    paths = events_top_paths(spark, SF).collect()
+    assert 0 < len(paths) <= 20
+    ns = [r.n for r in sorted(paths, key=lambda r: r.rk)]
+    assert ns == sorted(ns, reverse=True)  # rank follows count desc
+
+    jk = events_ratio_jackknife(spark, SF).collect()
+    assert len(jk) == 1
+    r = jk[0]
+    assert r.ci_lo <= r.ratio <= r.ci_hi and r.jk_se > 0

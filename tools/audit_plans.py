@@ -212,6 +212,8 @@ EXPECTED_NESTED_LOOP = {
     "events_ab_fdr_bh",
     # 1-row LM-totals + top-K-threshold frames broadcast onto the scan
     "corpus_dsir_select",
+    # 1-row bucket-totals frame broadcast onto the 20 jackknife buckets
+    "events_ratio_jackknife",
 }
 STREAM = re.compile(r"^stream_")
 

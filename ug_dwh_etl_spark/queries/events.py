@@ -2993,3 +2993,160 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr(_norm_sf2("z0")), 6).alias("p"),
         (F.abs(F.col("z0")) > 1.96).alias("significant"),
     )
+
+
+@register(
+    "events_top_paths",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('second', LAG(ts) OVER w, ts) > 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+      FROM flagged),
+    paths AS (
+      SELECT user_id, sid,
+             array_to_string(list(event_type ORDER BY ts, event_id)[1:4], '>')
+               AS path
+      FROM sess GROUP BY 1, 2),
+    pc AS (SELECT path, CAST(COUNT(*) AS BIGINT) AS n FROM paths GROUP BY 1),
+    r AS (SELECT path, n,
+                 ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rk
+          FROM pc)
+    SELECT path, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOP USER PATHS: the 20 most common session-opening event-type
+    sequences (first 4 events per 30-min-gap session) — the path-mining
+    readout behind every 'how do users actually move' product question,
+    and the Markov/transition family's raw-sequence complement (the
+    transition matrix marginalizes order beyond one hop; paths keep
+    it). Scale shape: sessionization is the one per-user window over
+    the log; paths collapse to a path-string relation bounded by
+    |types|^4 (625 here), where the top-k rank window runs — never over
+    events. Path assembly sorts each session's collected (ts, id, type)
+    structs, so ties break identically on both engines."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    ns = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.select(
+        "user_id", "ts", "event_id", "event_type", ns.alias("ns")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.sum("ns").over(w).alias("sid"),
+    )
+    paths = sess.groupBy("user_id", "sid").agg(
+        F.array_join(
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                4,
+            ),
+            ">",
+        ).alias("path")
+    )
+    pc = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    rk = F.row_number().over(Window.orderBy(F.col("n").desc(), "path"))
+    return (
+        pc.select("path", "n", rk.cast("long").alias("rk"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+_JK_BUCKETS = 20
+
+
+@register(
+    "events_ratio_jackknife",
+    f"""
+    WITH b AS (
+      SELECT user_id % {_JK_BUCKETS} AS bucket,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS u
+      FROM events GROUP BY 1),
+    tot AS (SELECT SUM(s) AS st, SUM(u) AS ut,
+                   CAST(COUNT(*) AS BIGINT) AS nb FROM b),
+    loo AS (
+      SELECT CAST(tot.st - b.s AS DOUBLE) / (tot.ut - b.u) AS r
+      FROM b CROSS JOIN tot),
+    jk AS (
+      SELECT (SELECT CAST(st AS DOUBLE) / ut FROM tot) AS ratio,
+             AVG(r) AS rbar,
+             (SELECT nb FROM tot) AS nb,
+             SUM(r * r) AS srr, SUM(r) AS sr
+      FROM loo)
+    SELECT CAST((SELECT ut FROM tot) AS BIGINT) AS n_users,
+           ROUND(ratio, 6) AS ratio,
+           ROUND(sqrt((nb - 1.0) / nb * (srr - sr * sr / nb)), 6) AS jk_se,
+           ROUND(ratio - 1.96 * sqrt((nb - 1.0) / nb * (srr - sr * sr / nb)), 6)
+             AS ci_lo,
+           ROUND(ratio + 1.96 * sqrt((nb - 1.0) / nb * (srr - sr * sr / nb)), 6)
+             AS ci_hi
+    FROM jk
+    """,
+)
+def events_ratio_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE-ONE-BUCKET JACKKNIFE for a RATIO metric (total value per
+    distinct user): the standard error engine behind big-tech A/B
+    readouts — per-user buckets (user_id % 20, so bucket distinct-user
+    counts ADD exactly), leave-one-bucket-out ratio replicates from the
+    bucket totals, and Var_jk = (B-1)/B * sum (r_b - rbar)^2. A plain
+    variance formula is WRONG for ratios (numerator and denominator
+    co-vary); the jackknife handles it with one grouped pass + 20-row
+    arithmetic. Bucket sums are decimal-exact; the replicates are the
+    only doubles and fold within the 6dp grid."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    b = ev.groupBy((F.col("user_id") % _JK_BUCKETS).alias("bucket")).agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+        F.count_distinct("user_id").alias("u"),
+    )
+    tot = b.agg(
+        F.sum("s").alias("st"),
+        F.sum("u").alias("ut"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    loo = b.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("st") - F.col("s")).cast("double")
+            / (F.col("ut") - F.col("u"))
+        ).alias("r"),
+        F.col("st"),
+        F.col("ut"),
+        F.col("nb"),
+    )
+    jk = loo.groupBy("st", "ut", "nb").agg(
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum("r").alias("sr"),
+    )
+    ratio = F.col("st").cast("double") / F.col("ut")
+    se = F.sqrt(
+        (F.col("nb") - 1.0)
+        / F.col("nb")
+        * (F.col("srr") - F.col("sr") * F.col("sr") / F.col("nb"))
+    )
+    return jk.select(
+        F.col("ut").cast("long").alias("n_users"),
+        F.round(ratio, 6).alias("ratio"),
+        F.round(se, 6).alias("jk_se"),
+        F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
+        F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
+    )
