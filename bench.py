@@ -275,6 +275,7 @@ HEADLINE = [
     "events_ab_mannwhitney",
     "events_top_paths",
     "events_ratio_jackknife",
+    "stream_stream_full_outer",
 ]
 
 

@@ -335,3 +335,14 @@ def test_top_paths_rank_contract_and_jackknife_ci(spark):
     assert len(jk) == 1
     r = jk[0]
     assert r.ci_lo <= r.ratio <= r.ci_hi and r.jk_se > 0
+
+
+def test_full_outer_stream_covers_both_orphan_sides(spark):
+    from ug_dwh_etl_spark.queries.streaming import q_stream_stream_full_outer
+
+    rows = q_stream_stream_full_outer(spark, SF).collect()
+    assert rows
+    # the family contract: the full join surfaces BOTH orphan classes
+    assert sum(r.n_view_only for r in rows) > 0
+    assert sum(r.n_purchase_only for r in rows) > 0
+    assert sum(r.n_matched for r in rows) > 0

@@ -498,3 +498,38 @@ def q_stream_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_incremental_neardup
 
     return stream_incremental_neardup(spark, sf_dir)
+
+
+@register(
+    "stream_stream_full_outer",
+    """
+    WITH cut AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'view'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL 4 HOUR AS c),
+    j AS (
+      SELECT v.user_id AS vu, v.ts AS vts, p.user_id AS pu, p.ts AS pts
+      FROM (SELECT user_id, ts FROM events WHERE event_type = 'view') v
+      FULL JOIN (SELECT user_id, ts FROM events
+                 WHERE event_type = 'purchase') p
+        ON v.user_id = p.user_id AND p.ts >= v.ts
+       AND p.ts <= v.ts + INTERVAL 1 HOUR)
+    SELECT COALESCE(vu, pu) AS user_id,
+           CAST(COUNT(CASE WHEN vts IS NOT NULL AND pts IS NOT NULL
+                           THEN 1 END) AS BIGINT) AS n_matched,
+           CAST(COUNT(CASE WHEN pts IS NULL THEN 1 END) AS BIGINT)
+             AS n_view_only,
+           CAST(COUNT(CASE WHEN vts IS NULL THEN 1 END) AS BIGINT)
+             AS n_purchase_only
+    FROM j CROSS JOIN cut
+    WHERE (vts IS NULL OR vts <= c) AND (pts IS NULL OR pts <= c)
+    GROUP BY COALESCE(vu, pu)
+    """,
+)
+def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both-side watermark-evicted NULL padding checked against the batch
+    # FULL JOIN — completes the stream-stream family (inner/left/full)
+    from ug_dwh_etl_spark.streaming.jobs import stream_stream_full_outer_join
+
+    return stream_stream_full_outer_join(spark, sf_dir)

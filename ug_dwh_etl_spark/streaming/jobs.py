@@ -999,3 +999,71 @@ def stream_cdc_count_distinct(
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_distinct"))
     )
+
+
+def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER watermarked stream-stream join — the last member of
+    the join family (inner / left / full): views that converted, views
+    that provably didn't, AND purchases no view can claim (the orphan
+    side a left join silently drops — attribution leakage made
+    visible). NULL-padded rows emit at state-eviction time on BOTH
+    sides, so the oracle-exact comparison bounds emissions by the same
+    static cutoff on whichever timestamp a row carries (matched rows
+    with a too-new purchase are excluded on both engines alike); the
+    cutoff is ONE scalar computed from the batch fixture before the
+    stream starts, same rationale as the left-outer twin."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    cutoff = (
+        ev.agg(
+            F.least(
+                F.max(F.when(F.col("event_type") == "view", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).alias("m")
+        )
+        .selectExpr("m - INTERVAL 4 HOURS AS c")
+        .first()["c"]
+    )
+    views = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select("user_id", F.col("ts").alias("view_ts"))
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = views.join(
+        purchases,
+        (views.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= views.view_ts)
+        & (purchases.purchase_ts <= views.view_ts + F.expr("INTERVAL 1 HOUR")),
+        "full_outer",
+    )
+    out = run_stream_to_memory(joined, "append")
+    bounded = out.filter(
+        (F.col("view_ts").isNull() | (F.col("view_ts") <= F.lit(cutoff)))
+        & (F.col("purchase_ts").isNull() | (F.col("purchase_ts") <= F.lit(cutoff)))
+    )
+    return bounded.groupBy(
+        F.coalesce(F.col("user_id"), F.col("p_user_id")).alias("user_id")
+    ).agg(
+        F.count(
+            F.when(
+                F.col("view_ts").isNotNull() & F.col("purchase_ts").isNotNull(),
+                F.lit(1),
+            )
+        ).alias("n_matched"),
+        F.count(F.when(F.col("purchase_ts").isNull(), F.lit(1))).alias(
+            "n_view_only"
+        ),
+        F.count(F.when(F.col("view_ts").isNull(), F.lit(1))).alias(
+            "n_purchase_only"
+        ),
+    )
