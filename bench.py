@@ -273,7 +273,7 @@ HEADLINE = [
     "events_ab_fdr_bh",
     "corpus_dsir_select",
     "events_ab_mannwhitney",
-    "events_top_paths",
+    "events_session_opening_paths",
     "events_ratio_jackknife",
     "stream_stream_full_outer",
 ]

@@ -323,10 +323,10 @@ def test_mannwhitney_p_and_significance_are_consistent(spark):
 def test_top_paths_rank_contract_and_jackknife_ci(spark):
     from ug_dwh_etl_spark.queries.events import (
         events_ratio_jackknife,
-        events_top_paths,
+        events_session_opening_paths,
     )
 
-    paths = events_top_paths(spark, SF).collect()
+    paths = events_session_opening_paths(spark, SF).collect()
     assert 0 < len(paths) <= 20
     ns = [r.n for r in sorted(paths, key=lambda r: r.rk)]
     assert ns == sorted(ns, reverse=True)  # rank follows count desc

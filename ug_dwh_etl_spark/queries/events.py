@@ -2996,7 +2996,7 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_top_paths",
+    "events_session_opening_paths",
     """
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
@@ -3021,7 +3021,7 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT path, n, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 20
     """,
 )
-def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_session_opening_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TOP USER PATHS: the 20 most common session-opening event-type
     sequences (first 4 events per 30-min-gap session) — the path-mining
     readout behind every 'how do users actually move' product question,
