@@ -276,6 +276,7 @@ HEADLINE = [
     "events_session_opening_paths",
     "events_ratio_jackknife",
     "stream_stream_full_outer",
+    "graph_anf_neighborhood",
 ]
 
 

@@ -346,3 +346,14 @@ def test_full_outer_stream_covers_both_orphan_sides(spark):
     assert sum(r.n_view_only for r in rows) > 0
     assert sum(r.n_purchase_only for r in rows) > 0
     assert sum(r.n_matched for r in rows) > 0
+
+
+def test_anf_neighborhood_grows_then_saturates(spark):
+    from ug_dwh_etl_spark.queries.graph import graph_anf_neighborhood
+
+    rows = {r.k: r.avg_reach_est for r in graph_anf_neighborhood(spark, SF).collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    # sketch unions are monotone: reach estimates never shrink with k
+    assert rows[0] <= rows[1] <= rows[2] <= rows[3]
+    # the undirected block graph saturates within its block by k=3
+    assert rows[3] > rows[0]

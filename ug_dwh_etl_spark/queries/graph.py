@@ -1062,3 +1062,165 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         _scc_edges(spark, sf_dir), loop_partitions=8
     )
     return comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
+
+
+# --- approximate neighborhood function (ANF / HyperANF shape) -----------------------
+# Flajolet-Martin bitmask sketches propagated by bitwise-OR joins:
+# B_k(u) = B_{k-1}(u) | OR over neighbors' B_{k-1}(v), so after k hops
+# B_k(u) sketches the set of nodes within distance k. All integer bit
+# arithmetic — deterministic given the md5 hash, hence EXACTLY
+# oracle-able despite being an approximation algorithm.
+_ANF_R = 8  # FM replicas averaged per node
+_ANF_HOPS = 3
+_ANF_PHI = 0.77351  # Flajolet-Martin bias correction
+
+
+def _anf_pos_case(x: str) -> str:
+    """Position of the lowest SET bit of x (geometric under a uniform
+    hash), capped at 32. log2 of an exact power of two is exact on both
+    engines (verified 2^0..2^62) — and ~50x faster than a 32-arm
+    searched CASE, which DuckDB evaluates as one vector pass PER ARM
+    (measured 55us/row for the ladder form)."""
+    return (
+        f"(CASE WHEN ({x}) = 0 THEN 32 ELSE "
+        f"LEAST(CAST(log2(CAST(({x}) & -({x}) AS DOUBLE)) AS BIGINT), 32)"
+        f" END)"
+    )
+
+
+def _anf_mask_case(p: str) -> str:
+    return (
+        f"(CASE WHEN ({p}) >= 32 THEN 0"
+        f" ELSE CAST(pow(2.0, ({p})) AS BIGINT) END)"
+    )
+
+
+def _anf_fz_case(m: str) -> str:
+    """Position of the lowest ZERO bit of mask m (the FM R statistic):
+    (~m) & (m+1) isolates it as a power of two; masks hold <= 32 bits
+    so the operand is always a positive exact power."""
+    return f"CAST(log2(CAST((~({m})) & (({m}) + 1) AS DOUBLE)) AS BIGINT)"
+
+
+def _anf_sk0_cols() -> list[str]:
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    cols = []
+    for r in range(_ANF_R):
+        h = H.sql_md5_long(f"node || '|anf{r}'")
+        cols.append(f"{_anf_mask_case(_anf_pos_case(h))} AS b{r}")
+    return cols
+
+
+def _anf_est(prefix: str) -> str:
+    rsum = " + ".join(_anf_fz_case(f"{prefix}b{r}") for r in range(_ANF_R))
+    return f"pow(2.0, ({rsum}) / {float(_ANF_R)}) / {_ANF_PHI}"
+
+
+def _anf_sql() -> str:
+    parts = [
+        f"edges AS ({_IVM_FULL_SQL})",
+        "nodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM edges"
+        " UNION SELECT dst FROM edges))",
+        f"b0 AS MATERIALIZED (SELECT node, {', '.join(_anf_sk0_cols())} FROM nodes)",
+    ]
+    for k in range(1, _ANF_HOPS + 1):
+        ors = ", ".join(f"bit_or(b.b{r}) AS b{r}" for r in range(_ANF_R))
+        merged = ", ".join(
+            f"p.b{r} | COALESCE(n.b{r}, 0) AS b{r}" for r in range(_ANF_R)
+        )
+        # MATERIALIZED: each b_k is referenced twice downstream (n_{k+1}
+        # and b_{k+1}); without the hint DuckDB inlines the chain and
+        # re-evaluates it exponentially (measured 61s -> <2s at sf0.001)
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT e.src AS node, {ors} FROM edges e"
+            f" JOIN b{k - 1} b ON b.node = e.dst GROUP BY e.src)"
+        )
+        parts.append(
+            f"b{k} AS MATERIALIZED (SELECT p.node, {merged} FROM b{k - 1} p"
+            f" LEFT JOIN n{k} n ON n.node = p.node)"
+        )
+    ests = []
+    for k in range(_ANF_HOPS + 1):
+        ests.append(
+            f"SELECT {k} AS k, CAST(COUNT(*) AS BIGINT) AS n_nodes,"
+            f" ROUND(AVG({_anf_est('')}), 4) AS avg_reach_est FROM b{k}"
+        )
+    return "WITH " + ",\n    ".join(parts) + "\n    " + "\n    UNION ALL ".join(ests)
+
+
+@register("graph_anf_neighborhood", _anf_sql())
+def graph_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPROXIMATE NEIGHBORHOOD FUNCTION (ANF, Palmer et al.; the
+    HyperANF shape with FM bitmasks): per hop k, the average number of
+    nodes reachable within k — the scalable way to read a 100 TB
+    graph's effective diameter, where exact per-node reachability is
+    O(V*E). Each node carries 8 Flajolet-Martin bitmask replicas
+    (deterministic md5 bit positions); one hop = one bitwise-OR
+    aggregate over the edge relation + a left-join merge — sketch
+    unions are idempotent/commutative INTEGER ops, so the whole
+    approximation is bit-exact across engines and the oracle unrolls
+    the same dataflow. Estimates use the classic 2^avg(R)/0.77351
+    readout (R = lowest zero bit). Cost shape: O(E) shuffle per hop
+    carrying 8 longs per node — state never grows with reach size,
+    which is the entire point vs materializing reachable sets."""
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        return _anf_run(spark, sf_dir, H)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def _anf_run(spark: SparkSession, sf_dir: str, H) -> DataFrame:
+    edges = _ivm_edges(spark, sf_dir, base_only=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    hashed = nodes.select(
+        "node",
+        *[
+            H.md5_long(F.concat(F.col("node"), F.lit(f"|anf{r}"))).alias(f"h{r}")
+            for r in range(_ANF_R)
+        ],
+    )
+    b = hashed.selectExpr(
+        "node",
+        *[
+            f"{_anf_mask_case(_anf_pos_case(f'h{r}'))} AS b{r}"
+            for r in range(_ANF_R)
+        ],
+    ).localCheckpoint(eager=True)
+    frames = [b]
+    for _ in range(_ANF_HOPS):
+        nbr = (
+            edges.join(b, edges["dst"] == b["node"])
+            .groupBy(F.col("src").alias("nd"))
+            .agg(*[F.expr(f"bit_or(b{r})").alias(f"n{r}") for r in range(_ANF_R)])
+        )
+        b = (
+            b.join(nbr, b["node"] == nbr["nd"], "left")
+            .select(
+                "node",
+                *[
+                    F.expr(f"b{r} | COALESCE(n{r}, 0)").alias(f"b{r}")
+                    for r in range(_ANF_R)
+                ],
+            )
+            .localCheckpoint(eager=True)
+        )
+        frames.append(b)
+    # one stacked aggregate instead of four: the estimate expression is
+    # a large generated CASE ladder, and compiling it once (over the
+    # k-tagged union) instead of per hop cuts codegen time
+    stacked = frames[0].select(F.lit(0).alias("k"), "*")
+    for k, fr in enumerate(frames[1:], start=1):
+        stacked = stacked.unionByName(fr.select(F.lit(k).alias("k"), "*"))
+    return stacked.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.round(F.avg(F.expr(_anf_est(""))), 4).alias("avg_reach_est"),
+    ).localCheckpoint(eager=True)
