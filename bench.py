@@ -277,6 +277,7 @@ HEADLINE = [
     "events_ratio_jackknife",
     "stream_stream_full_outer",
     "graph_anf_neighborhood",
+    "fit_gmm_em_step",
 ]
 
 

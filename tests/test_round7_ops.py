@@ -357,3 +357,13 @@ def test_anf_neighborhood_grows_then_saturates(spark):
     assert rows[0] <= rows[1] <= rows[2] <= rows[3]
     # the undirected block graph saturates within its block by k=3
     assert rows[3] > rows[0]
+
+
+def test_gmm_em_step_is_a_valid_mixture_update(spark):
+    from ug_dwh_etl_spark.queries.mlfit import fit_gmm_em_step
+
+    rows = {r.component: r for r in fit_gmm_em_step(spark, SF).collect()}
+    assert set(rows) == {1, 2}
+    assert abs(rows[1].weight + rows[2].weight - 1.0) < 1e-6
+    assert rows[1].mu < rows[2].mu  # init order preserved after one step
+    assert rows[1].sigma > 0 and rows[2].sigma > 0

@@ -214,6 +214,8 @@ EXPECTED_NESTED_LOOP = {
     "corpus_dsir_select",
     # 1-row bucket-totals frame broadcast onto the 20 jackknife buckets
     "events_ratio_jackknife",
+    # 1-row quartile-init frame broadcast onto the E-step scan
+    "fit_gmm_em_step",
 }
 STREAM = re.compile(r"^stream_")
 

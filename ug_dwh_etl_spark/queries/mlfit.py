@@ -2109,3 +2109,107 @@ def fit_tree_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "gamma_right",
         (F.col("threshold") == F.col("bt")).alias("is_best"),
     )
+
+
+# --- one EM step for a 2-component Gaussian mixture --------------------------------
+
+
+def _gmm_resp(x: str, mu1: str, mu2: str, s: str) -> str:
+    """Responsibility of component 1 under equal weights, as ONE shared
+    expression string: r = 1/(1 + exp(((x-mu1)^2 - (x-mu2)^2)/(2 s^2)))
+    — algebraically N1/(N1+N2) with the normalizers cancelled, so the
+    only libm surface is a single exp()."""
+    dd = (
+        f"((({x}) - ({mu1})) * (({x}) - ({mu1}))"
+        f" - (({x}) - ({mu2})) * (({x}) - ({mu2})))"
+        f" / (2.0 * ({s}) * ({s}))"
+    )
+    return f"(1.0 / (1.0 + exp({dd})))"
+
+
+@register(
+    "fit_gmm_em_step",
+    f"""
+    WITH init AS (
+      SELECT quantile_cont(o_totalprice, 0.25) AS mu1,
+             quantile_cont(o_totalprice, 0.75) AS mu2
+      FROM orders),
+    init2 AS (SELECT mu1, mu2, (mu2 - mu1) / 2.0 AS s FROM init),
+    e AS (
+      SELECT CAST(o_totalprice AS DECIMAL(18,2)) AS x,
+             CAST(ROUND({_gmm_resp('o_totalprice', 'mu1', 'mu2', 's')}, 6)
+                  AS DECIMAL(9,6)) AS r
+      FROM orders CROSS JOIN init2),
+    m AS (
+      SELECT SUM(r) AS n1, SUM((1 - r)) AS n2,
+             SUM(r * x) AS sx1, SUM((1 - r) * x) AS sx2,
+             -- x*x bounded to DECIMAL(24,4) first: unbounded decimal
+             -- multiplication chains overflow DuckDB's 38-digit width
+             SUM(r * CAST(x * x AS DECIMAL(24,4))) AS sq1,
+             SUM((1 - r) * CAST(x * x AS DECIMAL(24,4))) AS sq2,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM e)
+    SELECT c.component,
+           ROUND(CAST(c.nk AS DOUBLE) / n, 6) AS weight,
+           ROUND(CAST(c.sxk AS DOUBLE) / CAST(c.nk AS DOUBLE), 4) AS mu,
+           ROUND(sqrt(CAST(c.sqk AS DOUBLE) / CAST(c.nk AS DOUBLE)
+                      - (CAST(c.sxk AS DOUBLE) / CAST(c.nk AS DOUBLE))
+                        * (CAST(c.sxk AS DOUBLE) / CAST(c.nk AS DOUBLE))), 4)
+             AS sigma
+    FROM m, LATERAL (VALUES (1, n1, sx1, sq1), (2, n2, sx2, sq2))
+             AS c(component, nk, sxk, sqk)
+    """,
+)
+def fit_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE EM STEP for a 2-component Gaussian mixture over order totals
+    — the latent-variable member of the in-warehouse fit family
+    (k-means is its hard-assignment limit; this is the soft version).
+    Deterministic init from exact quartiles (mu = q25/q75, shared sigma
+    = IQR/2, equal weights); the E-step responsibility reduces to one
+    logistic of the squared-distance difference (normalizers cancel
+    under equal weights), and — the cross-engine trick — is QUANTIZED
+    to 6dp and cast DECIMAL(9,6) before the M-step, so every M-step
+    accumulator (sum r, sum r*x, sum r*x^2 with x DECIMAL(18,2)) is an
+    EXACT decimal sum: fold order cannot move the result, and the two
+    components' statistics are complementary by construction
+    (r2 = 1 - r exactly). One corpus scan for the E+M pass, one
+    percentile pass for init; the only doubles are the final
+    weight/mu/sigma readouts."""
+    orders = table(spark, sf_dir, "orders")
+    init = orders.agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("mu1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("mu2"),
+    ).select("mu1", "mu2", ((F.col("mu2") - F.col("mu1")) / 2.0).alias("s"))
+    e = orders.crossJoin(F.broadcast(init)).select(
+        F.col("o_totalprice").cast("decimal(18,2)").alias("x"),
+        F.round(F.expr(_gmm_resp("o_totalprice", "mu1", "mu2", "s")), 6)
+        .cast("decimal(9,6)")
+        .alias("r"),
+    )
+    one = F.lit(1).cast("decimal(9,6)")
+    m = e.agg(
+        F.sum("r").alias("n1"),
+        F.sum(one - F.col("r")).alias("n2"),
+        F.sum(F.col("r") * F.col("x")).alias("sx1"),
+        F.sum((one - F.col("r")) * F.col("x")).alias("sx2"),
+        F.sum(
+            F.col("r") * (F.col("x") * F.col("x")).cast("decimal(24,4)")
+        ).alias("sq1"),
+        F.sum(
+            (one - F.col("r")) * (F.col("x") * F.col("x")).cast("decimal(24,4)")
+        ).alias("sq2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    rows = []
+    for comp, nk, sxk, sqk in ((1, "n1", "sx1", "sq1"), (2, "n2", "sx2", "sq2")):
+        mu = d(sxk) / d(nk)
+        rows.append(
+            m.select(
+                F.lit(comp).alias("component"),
+                F.round(d(nk) / F.col("n"), 6).alias("weight"),
+                F.round(mu, 4).alias("mu"),
+                F.round(F.sqrt(d(sqk) / d(nk) - mu * mu), 4).alias("sigma"),
+            )
+        )
+    return rows[0].unionByName(rows[1])
