@@ -278,6 +278,7 @@ HEADLINE = [
     "stream_stream_full_outer",
     "graph_anf_neighborhood",
     "fit_gmm_em_step",
+    "events_cuped_adjustment",
 ]
 
 

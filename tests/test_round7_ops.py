@@ -367,3 +367,14 @@ def test_gmm_em_step_is_a_valid_mixture_update(spark):
     assert abs(rows[1].weight + rows[2].weight - 1.0) < 1e-6
     assert rows[1].mu < rows[2].mu  # init order preserved after one step
     assert rows[1].sigma > 0 and rows[2].sigma > 0
+
+
+def test_cuped_strips_explained_variance_without_breaking_diff(spark):
+    from ug_dwh_etl_spark.queries.events import events_cuped_adjustment
+
+    r = events_cuped_adjustment(spark, SF).collect()[0]
+    assert 0.0 <= r.var_reduction_pct <= 100.0
+    # adjusted diff stays in the neighborhood of the raw diff — CUPED
+    # corrects pre-period imbalance, it does not invent effects
+    assert abs(r.diff_cuped - r.diff_raw) <= abs(r.theta) * 1000
+    assert r.n_users > 0

@@ -216,6 +216,8 @@ EXPECTED_NESTED_LOOP = {
     "events_ratio_jackknife",
     # 1-row quartile-init frame broadcast onto the E-step scan
     "fit_gmm_em_step",
+    # 1-row midpoint + moment/arm frames folded into the single report row
+    "events_cuped_adjustment",
 }
 STREAM = re.compile(r"^stream_")
 

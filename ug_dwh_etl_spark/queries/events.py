@@ -3150,3 +3150,138 @@ def events_ratio_jackknife(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ratio - 1.96 * se, 6).alias("ci_lo"),
         F.round(ratio + 1.96 * se, 6).alias("ci_hi"),
     )
+
+
+@register(
+    "events_cuped_adjustment",
+    """
+    WITH bounds AS (
+      -- midpoint on the EPOCH-SECONDS double scale: interval halving
+      -- is engine-specific, (mn + mx) / 2.0 on identical doubles is not
+      SELECT (MIN(epoch(ts)) + MAX(epoch(ts))) / 2.0 AS mid FROM events),
+    per_user AS (
+      SELECT user_id, user_id % 2 AS arm,
+             SUM(CASE WHEN epoch(ts) < mid
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS x,
+             SUM(CASE WHEN epoch(ts) >= mid
+                      THEN CAST(value AS DECIMAL(18,2))
+                      ELSE CAST(0 AS DECIMAL(18,2)) END) AS y
+      FROM events CROSS JOIN bounds GROUP BY 1, 2),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(CAST(x * x AS DECIMAL(30,4))) AS sxx,
+             SUM(CAST(x * y AS DECIMAL(30,4))) AS sxy,
+             SUM(CAST(y * y AS DECIMAL(30,4))) AS syy
+      FROM per_user),
+    th AS (
+      SELECT n,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+             / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               AS theta,
+             (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
+               AS var_y,
+             (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / n
+               AS var_x,
+             (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / n
+               AS cov_xy,
+             CAST(sx AS DOUBLE) / n AS mx
+      FROM mom),
+    arms AS (
+      SELECT arm, CAST(COUNT(*) AS BIGINT) AS na,
+             SUM(x) AS sxa, SUM(y) AS sya
+      FROM per_user GROUP BY 1)
+    SELECT th.n AS n_users,
+           ROUND(th.theta, 6) AS theta,
+           ROUND(100.0 * (th.cov_xy * th.cov_xy / th.var_x) / th.var_y, 4)
+             AS var_reduction_pct,
+           ROUND((SELECT CAST(sya AS DOUBLE) / na FROM arms WHERE arm = 0)
+                 - (SELECT CAST(sya AS DOUBLE) / na FROM arms WHERE arm = 1), 6)
+             AS diff_raw,
+           ROUND(((SELECT CAST(sya AS DOUBLE) / na FROM arms WHERE arm = 0)
+                  - th.theta * ((SELECT CAST(sxa AS DOUBLE) / na
+                                 FROM arms WHERE arm = 0) - th.mx))
+                 - ((SELECT CAST(sya AS DOUBLE) / na FROM arms WHERE arm = 1)
+                    - th.theta * ((SELECT CAST(sxa AS DOUBLE) / na
+                                   FROM arms WHERE arm = 1) - th.mx)), 6)
+             AS diff_cuped
+    FROM th
+    """,
+)
+def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013) — the industry-
+    standard A/B sensitivity boost: adjust each user's experiment-period
+    metric Y by their PRE-period metric X, Y' = Y - theta*(X - mean X)
+    with theta = cov(X,Y)/var(X), which strips the variance X explains
+    (var_reduction_pct = rho^2) without biasing the treatment diff.
+    Period split at the fixture's time midpoint; arm = user parity.
+    Scale shape: ONE grouped pass builds per-user (x, y) decimal-exact
+    sums; the second moments stay decimal (products bounded to
+    DECIMAL(30,4) — unbounded chains overflow DuckDB's width) so every
+    engine divides the SAME exact sums, and only theta / variances /
+    the final adjusted difference are doubles. The adjusted diff next
+    to the raw diff shows CUPED moving the point estimate only via the
+    arms' pre-period imbalance — the debiasing contract."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    sec = F.col("ts").cast("double")
+    bounds = ev.agg(((F.min(sec) + F.max(sec)) / 2.0).alias("mid"))
+    dec = F.col("value").cast("decimal(18,2)")
+    zero = F.lit(0).cast("decimal(18,2)")
+    pu = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id", (F.col("user_id") % 2).alias("arm"))
+        .agg(
+            F.sum(F.when(sec < F.col("mid"), dec).otherwise(zero)).alias("x"),
+            F.sum(F.when(sec >= F.col("mid"), dec).otherwise(zero)).alias("y"),
+        )
+    )
+    mom = pu.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(30,4)")).alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(30,4)")).alias("sxy"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(30,4)")).alias("syy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    th = mom.select(
+        "n",
+        (
+            (d("sxy") - d("sx") * d("sy") / F.col("n"))
+            / (d("sxx") - d("sx") * d("sx") / F.col("n"))
+        ).alias("theta"),
+        ((d("syy") - d("sy") * d("sy") / F.col("n")) / F.col("n")).alias("var_y"),
+        ((d("sxx") - d("sx") * d("sx") / F.col("n")) / F.col("n")).alias("var_x"),
+        ((d("sxy") - d("sx") * d("sy") / F.col("n")) / F.col("n")).alias("cov_xy"),
+        (d("sx") / F.col("n")).alias("mx"),
+    )
+    arms = pu.groupBy("arm").agg(
+        F.count(F.lit(1)).alias("na"),
+        F.sum("x").alias("sxa"),
+        F.sum("y").alias("sya"),
+    )
+    a0 = arms.filter("arm = 0").select(
+        (d("sya") / F.col("na")).alias("my0"), (d("sxa") / F.col("na")).alias("mx0")
+    )
+    a1 = arms.filter("arm = 1").select(
+        (d("sya") / F.col("na")).alias("my1"), (d("sxa") / F.col("na")).alias("mx1")
+    )
+    j = th.crossJoin(F.broadcast(a0)).crossJoin(F.broadcast(a1))
+    return j.select(
+        F.col("n").alias("n_users"),
+        F.round("theta", 6).alias("theta"),
+        F.round(
+            100.0 * (F.col("cov_xy") * F.col("cov_xy") / F.col("var_x"))
+            / F.col("var_y"),
+            4,
+        ).alias("var_reduction_pct"),
+        F.round(F.col("my0") - F.col("my1"), 6).alias("diff_raw"),
+        F.round(
+            (F.col("my0") - F.col("theta") * (F.col("mx0") - F.col("mx")))
+            - (F.col("my1") - F.col("theta") * (F.col("mx1") - F.col("mx"))),
+            6,
+        ).alias("diff_cuped"),
+    )
