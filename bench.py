@@ -279,6 +279,7 @@ HEADLINE = [
     "graph_anf_neighborhood",
     "fit_gmm_em_step",
     "events_cuped_adjustment",
+    "events_slo_burn_rate",
 ]
 
 

@@ -378,3 +378,23 @@ def test_cuped_strips_explained_variance_without_breaking_diff(spark):
     # corrects pre-period imbalance, it does not invent effects
     assert abs(r.diff_cuped - r.diff_raw) <= abs(r.theta) * 1000
     assert r.n_users > 0
+
+
+def test_slo_burn_alert_requires_both_windows(spark):
+    from ug_dwh_etl_spark.queries.events import (
+        _SLO_ERR_BUDGET,
+        events_slo_burn_rate,
+    )
+
+    rows = events_slo_burn_rate(spark, SF).collect()
+    assert rows
+    for r in rows:
+        exp = (r.err_rate_short >= 1.1 * _SLO_ERR_BUDGET) and (
+            r.err_rate_long >= _SLO_ERR_BUDGET
+        )
+        # rounded rates can sit exactly on the threshold; allow the
+        # boundary row either way but everything else must agree
+        if abs(r.err_rate_short - 1.1 * _SLO_ERR_BUDGET) > 1e-6 and abs(
+            r.err_rate_long - _SLO_ERR_BUDGET
+        ) > 1e-6:
+            assert r.alert == exp, r

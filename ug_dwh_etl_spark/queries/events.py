@@ -3285,3 +3285,76 @@ def events_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("diff_cuped"),
     )
+
+
+_SLO_ERR_BUDGET = 0.25  # tolerated error share; fixture error share ~1/5
+
+
+@register(
+    "events_slo_burn_rate",
+    f"""
+    WITH b AS (
+      SELECT CAST(floor(epoch(ts) / 300) AS BIGINT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY 1),
+    w AS (
+      SELECT bucket, n,
+             SUM(errs) OVER s AS e_short, SUM(n) OVER s AS n_short,
+             SUM(errs) OVER l AS e_long,  SUM(n) OVER l AS n_long
+      FROM b
+      WINDOW s AS (ORDER BY bucket RANGE BETWEEN 5 PRECEDING AND CURRENT ROW),
+             l AS (ORDER BY bucket RANGE BETWEEN 71 PRECEDING AND CURRENT ROW))
+    SELECT bucket, n,
+           ROUND(e_short * 1.0 / n_short, 6) AS err_rate_short,
+           ROUND(e_long * 1.0 / n_long, 6) AS err_rate_long,
+           (e_short * 1.0 / n_short) >= 1.1 * {_SLO_ERR_BUDGET}
+             AND (e_long * 1.0 / n_long) >= 1.0 * {_SLO_ERR_BUDGET} AS alert
+    FROM w
+    """,
+)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WINDOW SLO BURN-RATE alerting (the SRE-workbook rule): per
+    5-minute bucket, the error share over a SHORT trailing window
+    (30 min — catches fast burns) and a LONG one (6 h — suppresses
+    blips), alerting only when BOTH exceed their budget multiples —
+    the standard way to page on error budgets without flapping, here
+    over the event log's 'error' type. Scale shape: one grouped count
+    per bucket (map-side combined over the raw log); the trailing
+    RANGE windows run on the BUCKET relation — calendar-bounded
+    (288 buckets/day), never data-bounded — and integer-index RANGE
+    frames handle empty buckets correctly (they're absent, not zero,
+    exactly like the trailing-revenue navigator)."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, sf_dir)
+    b = ev.groupBy(
+        F.floor(F.col("ts").cast("double") / 300).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("long")
+        .alias("errs"),
+    )
+    s = Window.orderBy("bucket").rangeBetween(-5, 0)
+    l = Window.orderBy("bucket").rangeBetween(-71, 0)
+    w = b.select(
+        "bucket",
+        "n",
+        F.sum("errs").over(s).alias("e_short"),
+        F.sum("n").over(s).alias("n_short"),
+        F.sum("errs").over(l).alias("e_long"),
+        F.sum("n").over(l).alias("n_long"),
+    )
+    rs = F.col("e_short") * 1.0 / F.col("n_short")
+    rl = F.col("e_long") * 1.0 / F.col("n_long")
+    return w.select(
+        "bucket",
+        "n",
+        F.round(rs, 6).alias("err_rate_short"),
+        F.round(rl, 6).alias("err_rate_long"),
+        (
+            (rs >= 1.1 * _SLO_ERR_BUDGET) & (rl >= 1.0 * _SLO_ERR_BUDGET)
+        ).alias("alert"),
+    )
