@@ -280,6 +280,7 @@ HEADLINE = [
     "fit_gmm_em_step",
     "events_cuped_adjustment",
     "events_slo_burn_rate",
+    "dq_column_profile",
 ]
 
 

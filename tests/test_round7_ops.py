@@ -398,3 +398,12 @@ def test_slo_burn_alert_requires_both_windows(spark):
             r.err_rate_long - _SLO_ERR_BUDGET
         ) > 1e-6:
             assert r.alert == exp, r
+
+
+def test_column_profile_knows_the_key(spark):
+    from ug_dwh_etl_spark.queries.relational_ext import dq_column_profile
+
+    rows = {r.col: r for r in dq_column_profile(spark, SF).collect()}
+    assert rows["o_orderkey"].is_unique_key
+    assert not rows["o_orderstatus"].is_unique_key
+    assert all(r.null_share == 0.0 for r in rows.values())  # fixture is complete

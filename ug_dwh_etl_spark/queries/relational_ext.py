@@ -3132,3 +3132,72 @@ def dq_reconciliation_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_abs_drift"),
     )
+
+
+@register(
+    "dq_column_profile",
+    """
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS nn_k,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS nd_k,
+             CAST(COUNT(o_custkey) AS BIGINT) AS nn_c,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_c,
+             CAST(COUNT(o_orderstatus) AS BIGINT) AS nn_s,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_s,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS nn_t,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_t,
+             CAST(COUNT(o_orderdate) AS BIGINT) AS nn_d,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS nd_d,
+             CAST(COUNT(o_orderpriority) AS BIGINT) AS nn_p,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_p
+      FROM orders)
+    SELECT c.col, c.n_nonnull, c.n_distinct,
+           ROUND((a.n - c.n_nonnull) * 1.0 / a.n, 6) AS null_share,
+           ROUND(c.n_distinct * 1.0 / a.n, 6) AS distinct_ratio,
+           c.n_distinct = a.n AS is_unique_key
+    FROM a, LATERAL (VALUES
+      ('o_orderkey', nn_k, nd_k), ('o_custkey', nn_c, nd_c),
+      ('o_orderstatus', nn_s, nd_s), ('o_totalprice', nn_t, nd_t),
+      ('o_orderdate', nn_d, nd_d), ('o_orderpriority', nn_p, nd_p))
+      AS c(col, n_nonnull, n_distinct)
+    """,
+)
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLE PROFILING in one pass: per column, non-null count, exact
+    distinct count, null share, distinct ratio, and the unique-key
+    verdict — the first query anyone runs against an unfamiliar feed
+    (the reference ingests inferred-schema CSVs blind; this is the
+    profile that would catch a broken extract before the load). ONE
+    aggregate computes all 12 statistics (Spark plans multi-distinct
+    aggregates via expand — still a single scan), then the wide row
+    unpivots to column-per-row form. At 100 TB swap exact distinct for
+    approx_count_distinct per profile run, same shape. All-integer
+    output plus two exact-ratio roundings — no float surface."""
+    o = table(spark, sf_dir, "orders")
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.count(F.col(c)).alias(f"nn_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"nd_{c}"))
+    a = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nn_{c}, nd_{c}" for c in cols)
+    long = a.selectExpr(
+        "n",
+        f"stack({len(cols)}, {stack_expr}) AS (col, n_nonnull, n_distinct)",
+    )
+    return long.select(
+        "col",
+        "n_nonnull",
+        "n_distinct",
+        F.round((F.col("n") - F.col("n_nonnull")) * 1.0 / F.col("n"), 6).alias(
+            "null_share"
+        ),
+        F.round(F.col("n_distinct") * 1.0 / F.col("n"), 6).alias(
+            "distinct_ratio"
+        ),
+        (F.col("n_distinct") == F.col("n")).alias("is_unique_key"),
+    )
