@@ -933,17 +933,21 @@ def stream_cdc_count_distinct(
     SAME oracle as the batch twin, however the stream happens to be
     split."""
     import os
+    import shutil
     import tempfile
-    import uuid
 
     from ug_dwh_etl_spark.queries.registry import read_events
 
     if state_root is None:
-        state_root = os.path.join(
-            tempfile.gettempdir(), f"cdc_cd_{os.getpid()}_{uuid.uuid4().hex[:8]}"
-        )
+        # fixed per-process path (the semantic-rollup convention): repeated
+        # gate/bench runs reuse one directory instead of leaking a uuid dir
+        # per invocation. The delta LOG must start empty each run (it is
+        # append-only during the stream), so it is explicitly reset; the
+        # base is overwrite-mode already.
+        state_root = os.path.join(tempfile.gettempdir(), f"cdc_cd_{os.getpid()}")
     base_path = os.path.join(state_root, "base")
     log_path = os.path.join(state_root, "log")
+    shutil.rmtree(log_path, ignore_errors=True)
 
     ev = read_events(spark, sf_dir).select("event_id", "event_type", "user_id")
     base = ev.filter(F.col("event_id") % 10 != 0)
