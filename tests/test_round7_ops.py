@@ -407,3 +407,97 @@ def test_column_profile_knows_the_key(spark):
     assert rows["o_orderkey"].is_unique_key
     assert not rows["o_orderstatus"].is_unique_key
     assert all(r.null_share == 0.0 for r in rows.values())  # fixture is complete
+
+
+def test_pagerank_ivm_property_random_graphs(spark):
+    """Property: on random digraphs with a random edge delta —
+    including deltas that add nodes, change out-degrees, and duplicate
+    base edges — the IVM result equals the cold recompute to 1e-9."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ug_dwh_etl_spark.operators.graph import pagerank, pagerank_incremental
+
+    nodes = [f"n{i}" for i in range(8)]
+    edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes)).filter(
+        lambda e: e[0] != e[1]
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        base=st.lists(edge, min_size=1, max_size=14, unique=True),
+        extra=st.lists(edge, min_size=1, max_size=6, unique=True),
+    )
+    def check(base, extra):
+        full = sorted(set(base) | set(extra))
+        b = spark.createDataFrame(base, "src string, dst string")
+        f = spark.createDataFrame(full, "src string, dst string")
+        cold = {r.node: r.rank for r in pagerank(f, iterations=3).collect()}
+        inc = {
+            r.node: r.rank
+            for r in pagerank_incremental(b, f, iterations=3).collect()
+        }
+        assert set(cold) == set(inc)
+        for n in cold:
+            assert abs(cold[n] - inc[n]) < 1e-9, (n, cold[n], inc[n])
+
+    check()
+
+
+def test_scc_property_random_digraphs_vs_pure_python(spark):
+    """Property: the distributed coloring SCC equals a pure-Python
+    Tarjan-free reference (mutual-reachability closure) on random
+    digraphs — the exactness claim, independent of the SQL oracle."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from ug_dwh_etl_spark.operators.graph import strongly_connected_components
+
+    nodes = [f"n{i}" for i in range(7)]
+    edge = st.tuples(st.sampled_from(nodes), st.sampled_from(nodes)).filter(
+        lambda e: e[0] != e[1]
+    )
+
+    def py_scc(edges):
+        ns = sorted({x for e in edges for x in e})
+        adj = {n: set() for n in ns}
+        for s, d in edges:
+            adj[s].add(d)
+
+        def reach(start):
+            seen, stack = set(), [start]
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            return seen
+
+        r = {n: reach(n) for n in ns}
+        out = {}
+        for n in ns:
+            mutual = {m for m in r[n] if n in r[m]} | {n}
+            out[n] = min(mutual)
+        return out
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(edges=st.lists(edge, min_size=1, max_size=16, unique=True))
+    def check(edges):
+        got = {
+            r.node: r.scc_id
+            for r in strongly_connected_components(
+                spark.createDataFrame(edges, "src string, dst string")
+            ).collect()
+        }
+        assert got == py_scc(edges)
+
+    check()
