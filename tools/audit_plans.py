@@ -53,6 +53,8 @@ EXPECTED_NESTED_LOOP = {
     "sim_matryoshka_recall",
     # scalar-threshold broadcast cross-join (one-row agg)
     "q11_important_parts",
+    # 1-row minmax bounds onto the scan + 1-row AUC onto the 10-bin table
+    "fit_auc_roc",
     # 5-row key dim × date spine grid
     "history_gap_fill",
     # same 5-row-keys × date-spine grid, interpolation variant

@@ -1094,17 +1094,20 @@ def label_propagation(
             # min-of-struct aggregate — structs compare field-by-field,
             # so min(struct(-c, label)) IS the oracle's ROW_NUMBER pick
             # without the per-round partitioned sort a rank window pays
-            pick = (
+            # on a static undirected edge list every labeled node appears
+            # as some edge's `a`, so the argmax pick is TOTAL over the
+            # node set — the keep-own-label guard the docstring mentions
+            # can never fire, and the per-round left-join back onto the
+            # previous label table is pure overhead (one shuffle join per
+            # round saved; the unrolled oracle's COALESCE is equally inert)
+            labels = (
                 cnt.groupBy(F.col("nd").alias("node"))
                 .agg(
                     F.min(
                         F.struct((-F.col("c")).alias("nc"), F.col("label"))
                     ).alias("m")
                 )
-                .select("node", F.col("m.label").alias("new_label"))
-            )
-            labels = labels.join(pick, "node", "left").select(
-                "node", F.coalesce("new_label", "label").alias("label")
+                .select("node", F.col("m.label").alias("label"))
             )
         out = labels.select("node", F.col("label").alias("community"))
         out = out.localCheckpoint(eager=True)

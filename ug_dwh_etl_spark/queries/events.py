@@ -2893,6 +2893,39 @@ def events_ab_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doubled_rank_sums(
+    pv: DataFrame, part_cols: list[str], order_col: str
+) -> DataFrame:
+    """EXACT-INTEGER tie-average rank arithmetic shared by the
+    Mann-Whitney test and the ROC-AUC readout (fit_auc_roc): from a
+    per-distinct-value relation with arm counts ``ca``/``cb``, compute
+    per-partition ``na``/``nb``, the DOUBLED rank-sum of arm a
+    ``r2a = SUM(ca * (2*preceding + c + 1))`` (doubling keeps .5
+    tie-average fractions integral), and the tie correction
+    ``ties = SUM(c^3 - c)``. The cumulative window runs over DISTINCT
+    VALUES only — callers guarantee that relation is domain-bounded."""
+    wless = (
+        Window.partitionBy(*part_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = pv.select(
+        *part_cols,
+        "ca",
+        "cb",
+        (F.col("ca") + F.col("cb")).alias("c"),
+        F.coalesce(
+            F.sum(F.col("ca") + F.col("cb")).over(wless), F.lit(0)
+        ).alias("less"),
+    )
+    return w.groupBy(*part_cols).agg(
+        F.sum("ca").alias("na"),
+        F.sum("cb").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("less") + F.col("c") + 1)).alias("r2a"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
+    )
+
+
 @register(
     "events_ab_mannwhitney",
     f"""
@@ -2953,24 +2986,7 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("cb"),
     )
-    wless = Window.partitionBy("event_type").orderBy("v").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    w = pv.select(
-        "event_type",
-        "ca",
-        "cb",
-        (F.col("ca") + F.col("cb")).alias("c"),
-        F.coalesce(
-            F.sum(F.col("ca") + F.col("cb")).over(wless), F.lit(0)
-        ).alias("less"),
-    )
-    agg = w.groupBy("event_type").agg(
-        F.sum("ca").alias("na"),
-        F.sum("cb").alias("nb"),
-        F.sum(F.col("ca") * (2 * F.col("less") + F.col("c") + 1)).alias("r2a"),
-        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias("ties"),
-    )
+    agg = doubled_rank_sums(pv, ["event_type"], "v")
     zc = (
         F.col("r2a") - F.col("na") * (F.col("na") + 1) - F.col("na") * F.col("nb")
     ) / (

@@ -558,6 +558,28 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- label-propagation communities -----------------------------------------------
+def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 3-round LPA partition, materialized ONCE per process per
+    sf_dir (the semantic-rollup per-process-path convention,
+    queries/semantic.py) — graph_label_propagation and graph_modularity
+    both read the same parquet instead of each re-running the full
+    iterative dataflow. At 100 TB the community table is a |V|-row
+    artifact you compute once and join everywhere; recomputing it per
+    downstream query is the scale killer this removes."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.graph import label_propagation
+
+    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"lpa_partition_{os.getpid()}", key)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        lp = label_propagation(_edges(spark, sf_dir), rounds=3, loop_partitions=16)
+        lp.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 @register("graph_label_propagation", sql_label_propagation(_EDGES_SQL, rounds=3))
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection by deterministic synchronous label
@@ -569,11 +591,10 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, one per-node argmax window — everything |V|- or |E|-sized
     and keyed, never all-pairs. The bounded round count both defines
     the (otherwise oscillation-prone) synchronous result and keeps it
-    exactly unrollable as the oracle."""
-    from ug_dwh_etl_spark.operators.graph import label_propagation
-
-    lp = label_propagation(_edges(spark, sf_dir), rounds=3, loop_partitions=16)
-    return lp.select("node", "community")
+    exactly unrollable as the oracle. The partition itself is
+    materialized once per process (_lpa_communities) and shared with
+    graph_modularity."""
+    return _lpa_communities(spark, sf_dir).select("node", "community")
 
 
 # --- modularity of the LPA partition ---------------------------------------------
@@ -614,13 +635,12 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     come from one canonical-edge join against the (persisted,
     checkpointed) label table; degree sums from one group-by — both
     community-sized relations, with m a broadcast scalar. The partition
-    is recomputed via the SAME bounded-LPA dataflow as
-    graph_label_propagation (shared CTE generator on the oracle side),
-    so the two queries cannot drift."""
-    from ug_dwh_etl_spark.operators.graph import label_propagation
-
+    is READ from the per-process materialization graph_label_propagation
+    wrote (_lpa_communities; shared CTE generator on the oracle side),
+    so the two queries cannot drift AND the iterative dataflow runs
+    once per process, not once per downstream consumer."""
     edges = _edges(spark, sf_dir)
-    lab = label_propagation(edges, rounds=3, loop_partitions=16).select(
+    lab = _lpa_communities(spark, sf_dir).select(
         "node", F.col("community").alias("c")
     )
     und = (

@@ -238,6 +238,111 @@ def fit_logreg_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ROC-AUC + calibration readout for in-warehouse classifiers
+# ---------------------------------------------------------------------------
+_AUC_SQL = """
+    WITH base AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM base),
+    pv AS (SELECT d,
+                  CAST(SUM(y) AS BIGINT) AS ca,
+                  CAST(SUM(1 - y) AS BIGINT) AS cb
+           FROM base GROUP BY 1),
+    w AS (SELECT ca, cb, ca + cb AS c,
+                 COALESCE(SUM(ca + cb) OVER (ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS less
+          FROM pv),
+    agg AS (SELECT CAST(SUM(ca) AS BIGINT) AS npos,
+                   CAST(SUM(cb) AS BIGINT) AS nneg,
+                   CAST(SUM(ca * (2 * less + c + 1)) AS BIGINT) AS r2pos
+            FROM w),
+    auc AS (SELECT npos, nneg,
+                   ROUND((r2pos - npos * (npos + 1))
+                         / (2.0 * npos * nneg), 6) AS auc
+            FROM agg),
+    cal AS (
+      SELECT LEAST(((d - dmin) * 10) // (dmax - dmin), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(d - dmin) * 1.0
+                   / (COUNT(*) * ANY_VALUE(dmax - dmin)), 6) AS mean_pred,
+             ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS obs_rate
+      FROM base, bounds GROUP BY 1)
+    SELECT CAST(bin AS BIGINT) AS bin, n_orders, mean_pred, obs_rate,
+           npos, nneg, auc
+    FROM cal CROSS JOIN auc
+"""
+
+
+@register("fit_auc_roc", _AUC_SQL)
+def fit_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC + 10-bin RELIABILITY (calibration) table — the acceptance
+    readout the fit family (logistic Newton, Naive Bayes langid,
+    boosting stump, depth-2 tree) ships its models against. Model under
+    test: the monotone 1-feature scorer s = minmax(epoch_day(
+    o_orderdate)) predicting y = (o_orderstatus = 'F') — order age
+    genuinely discriminates fulfilment, so AUC is far from 0.5 and every
+    calibration bin is populated. AUC is computed as the Mann-Whitney
+    statistic AUC = U_pos/(n_pos*n_neg) via the SAME exact-integer
+    doubled-rank helper as events_ab_mannwhitney (queries/events.py
+    doubled_rank_sums): ranks depend only on score ORDER, so they run on
+    the raw integer day — no float enters until the final division of
+    identical BIGINTs. The calibration bin least(10*(d-dmin)//(dmax-
+    dmin), 9) and per-bin mean prediction are exact integer/rational
+    arithmetic too. Scale shape: one grouped count per distinct day; the
+    cumulative rank window runs over DISTINCT DAYS (calendar-bounded,
+    ~2.4k rows at any SF), never over orders; the AUC scalar broadcasts
+    into the 10-row calibration table. Reference parity: the reference
+    ships model fits with no acceptance metric (SURVEY.md §2 fit
+    family); this is the standard evaluation companion."""
+    from ug_dwh_etl_spark.queries.events import doubled_rank_sums
+
+    o = table(spark, sf_dir, "orders")
+    base = o.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+    )
+    pv = base.groupBy("d").agg(
+        F.sum("y").cast("long").alias("ca"),
+        F.sum(1 - F.col("y")).cast("long").alias("cb"),
+    )
+    agg = doubled_rank_sums(pv, [], "d")
+    auc = agg.select(
+        F.col("na").alias("npos"),
+        F.col("nb").alias("nneg"),
+        F.round(
+            (F.col("r2a") - F.col("na") * (F.col("na") + 1))
+            / (2.0 * F.col("na") * F.col("nb")),
+            6,
+        ).alias("auc"),
+    )
+    bounds = base.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    cal = (
+        base.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.least(
+                F.expr("((d - dmin) * 10) div (dmax - dmin)"),
+                F.lit(9).cast("long"),
+            ).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("d") - F.col("dmin"))
+                * 1.0
+                / (F.count(F.lit(1)) * F.first(F.col("dmax") - F.col("dmin"))),
+                6,
+            ).alias("mean_pred"),
+            F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("obs_rate"),
+        )
+    )
+    return cal.crossJoin(F.broadcast(auc)).select(
+        "bin", "n_orders", "mean_pred", "obs_rate", "npos", "nneg", "auc"
+    )
+
+
+# ---------------------------------------------------------------------------
 # MMR (maximal marginal relevance) diverse top-k selection
 # ---------------------------------------------------------------------------
 _MMR_QUERY_ID = 0
