@@ -1567,3 +1567,117 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(exact, 6).alias("exact_jaccard"),
         )
     )
+
+
+# --- semantic dedup inside IVF cells (SemDeDup shape) ------------------------------
+_SEMDEDUP_TAU = 0.4  # cosine threshold; 0.95+ in production — the synthetic
+# embeddings top out at 0.49 within-cell, so the fixture binds at 0.4
+
+
+def _semantic_cells_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        duck_cosine_sql,
+        sql_centroid_dist,
+    )
+
+    dists = ", ".join(
+        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
+    )
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    # av is referenced twice (both self-join sides) -> MATERIALIZED, or
+    # DuckDB re-inlines the whole 8-distance assignment per side
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
+    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
+    qual AS (
+      SELECT doc_id,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / length(text)::DOUBLE, 6) AS q
+      FROM documents),
+    av AS MATERIALIZED (
+      SELECT a.vec_id, a.e, a.cluster, qual.q
+      FROM a JOIN qual ON qual.doc_id = a.vec_id),
+    drops AS (
+      SELECT DISTINCT x.vec_id
+      FROM av x JOIN av y
+        ON y.cluster = x.cluster AND y.vec_id <> x.vec_id
+       AND (y.q > x.q OR (y.q = x.q AND y.vec_id < x.vec_id))
+      WHERE {duck_cosine_sql('x.e', 'y.e')} >= {_SEMDEDUP_TAU})
+    SELECT av.vec_id, CAST(av.cluster AS INT) AS cluster,
+           (drops.vec_id IS NULL) AS kept
+    FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id
+    """
+
+
+@register("dedup_semantic_cells", _semantic_cells_sql())
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup, Abbas et al. 2023) inside IVF cells:
+    the pretraining-standard pass that lexical dedup (MinHash/SimHash/
+    PPJoin) misses — same-meaning, different-words documents. Rule: a
+    document is DROPPED when some other member of its IVF cell is
+    cosine-similar above tau AND outranks it on the corpus quality
+    score (alpha_ratio DESC, doc_id ASC — the dedup_quality_survivors
+    ranking), so every near-dup neighborhood keeps exactly its best
+    exemplar and verdicts need no iteration. Scale shape: pairs are
+    generated ONLY inside a cell (the self-join is keyed on the cluster
+    id — one hash shuffle by cell, never corpus all-pairs), and the
+    per-cell fan-out is bounded by cell size, which the index OWNER
+    controls: K grows with corpus size so cells stay ~constant
+    (SCALE.md §semdedup measures the fan-out curve and the cap
+    discipline). tau is 0.95+ in production; the synthetic embeddings
+    top out at 0.49 within-cell, so the fixture binds at 0.4 to
+    exercise real drops. Reference: the reference corpus tooling has no
+    semantic pass (SURVEY.md LLM-ops gap list)."""
+    from ug_dwh_etl_spark.operators.dedup import spread
+    from ug_dwh_etl_spark.operators.similarity import cosine, ivf_assign
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    qual = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text").cast("double"),
+            6,
+        ).alias("q"),
+    )
+    av = (
+        ivf_assign(spread(emb))
+        .select("vec_id", "embedding", "cluster")
+        .join(qual, "vec_id")
+    )
+    x = av.select(
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("xe"),
+        F.col("cluster"),
+        F.col("q").alias("xq"),
+    )
+    y = av.select(
+        F.col("vec_id").alias("yid"),
+        F.col("embedding").alias("ye"),
+        F.col("cluster"),
+        F.col("q").alias("yq"),
+    )
+    drops = (
+        x.join(y, "cluster")
+        .filter(
+            (F.col("yid") != F.col("xid"))
+            & (
+                (F.col("yq") > F.col("xq"))
+                | ((F.col("yq") == F.col("xq")) & (F.col("yid") < F.col("xid")))
+            )
+        )
+        .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+        .select(F.col("xid").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return av.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )

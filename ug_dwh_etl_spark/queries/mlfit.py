@@ -241,11 +241,17 @@ def fit_logreg_newton_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROC-AUC + calibration readout for in-warehouse classifiers
 # ---------------------------------------------------------------------------
 _AUC_SQL = """
-    WITH base AS (
+    WITH raw AS (
       SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
-             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS u
       FROM orders),
-    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM base),
+    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM raw),
+    base AS (
+      SELECT d,
+             CASE WHEN u < ((d - dmin) * 10000) // (dmax - dmin)
+                  THEN 1 ELSE 0 END AS y
+      FROM raw, bounds),
     pv AS (SELECT d,
                   CAST(SUM(y) AS BIGINT) AS ca,
                   CAST(SUM(1 - y) AS BIGINT) AS cb
@@ -280,10 +286,14 @@ def fit_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROC-AUC + 10-bin RELIABILITY (calibration) table — the acceptance
     readout the fit family (logistic Newton, Naive Bayes langid,
     boosting stump, depth-2 tree) ships its models against. Model under
-    test: the monotone 1-feature scorer s = minmax(epoch_day(
-    o_orderdate)) predicting y = (o_orderstatus = 'F') — order age
-    genuinely discriminates fulfilment, so AUC is far from 0.5 and every
-    calibration bin is populated. AUC is computed as the Mann-Whitney
+    test: the monotone scorer s = minmax(epoch_day(o_orderdate)), with
+    labels DRAWN AT the scorer's own propensity — y = 1 iff the shared
+    deterministic md5 uniform (operators/hashing.py, the bootstrap/AQP
+    sampler) falls below s — so the model is PERFECTLY CALIBRATED by
+    construction (each reliability bin reads obs_rate ~ mean_pred, the
+    pattern a healthy model shows) and AUC sits at the theoretical
+    5/6 for a uniform score that equals the true propensity (any
+    mis-implementation of ranks or ties moves it). AUC is the Mann-Whitney
     statistic AUC = U_pos/(n_pos*n_neg) via the SAME exact-integer
     doubled-rank helper as events_ab_mannwhitney (queries/events.py
     doubled_rank_sums): ranks depend only on score ORDER, so they run on
@@ -298,10 +308,23 @@ def fit_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     family); this is the standard evaluation companion."""
     from ug_dwh_etl_spark.queries.events import doubled_rank_sums
 
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
     o = table(spark, sf_dir, "orders")
-    base = o.select(
+    raw = o.select(
         F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("y"),
+        (md5_long(F.col("o_orderkey").cast("string"), 8) % 10000).alias("u"),
+    )
+    bounds = raw.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    base = raw.crossJoin(F.broadcast(bounds)).select(
+        "d",
+        "dmin",
+        "dmax",
+        F.when(
+            F.col("u") < F.expr("((d - dmin) * 10000) div (dmax - dmin)"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
     )
     pv = base.groupBy("d").agg(
         F.sum("y").cast("long").alias("ca"),
@@ -317,9 +340,8 @@ def fit_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc"),
     )
-    bounds = base.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
     cal = (
-        base.crossJoin(F.broadcast(bounds))
+        base
         .groupBy(
             F.least(
                 F.expr("((d - dmin) * 10) div (dmax - dmin)"),

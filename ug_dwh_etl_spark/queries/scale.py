@@ -699,3 +699,63 @@ def privacy_generalize_qi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("generalized").alias("was_generalized"),
         )
     )
+
+
+# --- snapshot time travel (Iceberg-lite manifest table) ---------------------------
+@register(
+    "storage_time_travel",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate < DATE '1996-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME TRAVEL over the Iceberg-lite snapshot table
+    (operators/snapshot_table.py): three commits are staged once per
+    process — (1) OVERWRITE with pre-1995 orders, (2) APPEND the 1995
+    orders, (3) OVERWRITE with post-1996 orders (the 'current' state) —
+    and the query reads AS OF snapshot 2, a state the current table no
+    longer contains. The oracle reconstructs that exact state straight
+    from the orders history (o_orderdate < 1996), so a hash match
+    proves the manifest layer serves bygone snapshots bit-exactly. At
+    100 TB this is the audit/backfill path the reference's BigQuery
+    replace tables cannot answer (sf_html_data.py:185 destroys
+    history); commits are rename-atomic, so readers never see a torn
+    table (tested under concurrent overwrite in
+    tests/test_round8_ops.py)."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() is None:
+        t.commit_overwrite(o.filter(F.col("o_orderdate") < "1995-01-01"))
+        t.commit_append(
+            o.filter(
+                (F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            )
+        )
+        t.commit_overwrite(o.filter(F.col("o_orderdate") >= "1997-01-01"))
+    return (
+        t.read_as_of(spark, snapshot_id=2)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
