@@ -37,7 +37,20 @@ BASE = "/root/testdata/sf0.1"
 # fatten x factor — the degenerate-key growth mode block purging
 # exists for). Each mode gets its own work dir.
 EXPAND_PART = os.environ.get("SCALE_PROBE_EXPAND_PART")
-WORK = "/tmp/scale_probe" + (f"_part_{EXPAND_PART}" if EXPAND_PART else "")
+# SCALE_PROBE_GRAPHSHIFT=1: additionally shift lineitem's (l_suppkey,
+# l_partkey) per copy. The graph queries derive their node ids from
+# those two keys, which the default expansion leaves unchanged (the
+# round-7 SCALE.md note) — shifting them makes each copy a DISJOINT
+# ISOMORPHIC subgraph: node and edge counts grow ×factor, cycle
+# structure and diameter are preserved exactly (SHIFT % 10 == 0 and
+# SHIFT % 20 == 0 keep the %-based block/delta predicates intact), so
+# the probe measures the propagation loops, not just the distinct-scan.
+GRAPHSHIFT = os.environ.get("SCALE_PROBE_GRAPHSHIFT")
+WORK = (
+    "/tmp/scale_probe"
+    + (f"_part_{EXPAND_PART}" if EXPAND_PART else "")
+    + ("_graphshift" if GRAPHSHIFT else "")
+)
 FACTORS = tuple(
     int(x) for x in os.environ.get("SCALE_PROBE_FACTORS", "1,4,16").split(",")
 )
@@ -102,6 +115,8 @@ def build(spark, factor: int) -> str:
     if EXPAND_PART:
         dims.remove("part")
         facts["part"] = ("p_partkey",)
+    if GRAPHSHIFT:
+        facts["lineitem"] = ("l_orderkey", "l_suppkey", "l_partkey")
     for name in dims:
         df = spark.read.parquet(f"{BASE}/{name}.parquet")
         df.write.mode("overwrite").parquet(f"{out}/{name}.parquet")
@@ -125,7 +140,18 @@ def build(spark, factor: int) -> str:
     return out
 
 
-def _state_rows() -> int:
+def _state_rows(spark, name: str) -> int:
+    # the CDC view keeps its state in an on-disk delta log, not the
+    # state store — report the log's row count (the thing that must
+    # grow O(batch), not O(history))
+    if name == "stream_cdc_count_distinct":
+        import tempfile
+
+        log = os.path.join(tempfile.gettempdir(), f"cdc_cd_{os.getpid()}", "log")
+        try:
+            return spark.read.parquet(log).count()
+        except Exception:
+            return -1
     from ug_dwh_etl_spark.streaming import jobs
 
     p = jobs.LAST_PROGRESS
@@ -162,7 +188,7 @@ def main() -> None:
                 # memory sink); count() forces nothing extra but keeps the
                 # timing comparable to the batch noop write
                 fn(spark, dirs[f]).count()
-                states.append(_state_rows())
+                states.append(_state_rows(spark, name))
             else:
                 fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
             times.append(time.perf_counter() - t0)

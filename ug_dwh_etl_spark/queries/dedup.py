@@ -1681,3 +1681,119 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").cast("int").alias("cluster"),
         F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
     )
+
+
+_SEMDEDUP_ELITE = 32  # per-cell comparison budget for the capped twin
+
+
+def _semantic_cells_capped_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        duck_cosine_sql,
+        sql_centroid_dist,
+    )
+
+    dists = ", ".join(
+        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
+    )
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
+    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
+    qual AS (
+      SELECT doc_id,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / length(text)::DOUBLE, 6) AS q
+      FROM documents),
+    av AS MATERIALIZED (
+      SELECT a.vec_id, a.e, a.cluster, qual.q,
+             ROW_NUMBER() OVER (PARTITION BY a.cluster
+                                ORDER BY qual.q DESC, a.vec_id) AS rk
+      FROM a JOIN qual ON qual.doc_id = a.vec_id),
+    drops AS (
+      SELECT DISTINCT x.vec_id
+      FROM av x JOIN av y
+        ON y.cluster = x.cluster AND y.vec_id <> x.vec_id
+       AND y.rk <= {_SEMDEDUP_ELITE}
+       AND (y.q > x.q OR (y.q = x.q AND y.vec_id < x.vec_id))
+      WHERE {duck_cosine_sql('x.e', 'y.e')} >= {_SEMDEDUP_TAU})
+    SELECT av.vec_id, CAST(av.cluster AS INT) AS cluster,
+           (drops.vec_id IS NULL) AS kept
+    FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id
+    """
+
+
+@register("dedup_semantic_cells_capped", _semantic_cells_capped_sql())
+def dedup_semantic_cells_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_semantic_cells with a COMPARISON BUDGET — the bounded-growth
+    twin (the er_pairs_block_capped convention applied to SemDeDup).
+    Each member is compared only against its cell's top-{elite}
+    QUALITY-ranked members ('the elite'): a drop verdict needs a
+    higher-quality similar neighbor, and the highest-quality members
+    are all elite, so for cells <= {elite} the result is IDENTICAL to
+    the exact pass and for fatter cells it degrades gracefully (fewer
+    drops, never more) instead of going quadratic — per-cell work is
+    O(cell x {elite}), linear in the corpus for fixed K (measured in
+    SCALE.md §semdedup next to the exact pass's x16-at-4x growth).
+    The production posture: size K so cells sit near the budget, and
+    the capped pass IS the exact pass."""
+    from ug_dwh_etl_spark.operators.dedup import spread
+    from ug_dwh_etl_spark.operators.similarity import cosine, ivf_assign
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    qual = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text").cast("double"),
+            6,
+        ).alias("q"),
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("vec_id"))
+    av = (
+        ivf_assign(spread(emb))
+        .select("vec_id", "embedding", "cluster")
+        .join(qual, "vec_id")
+        .withColumn("rk", F.row_number().over(w))
+    )
+    x = av.select(
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("xe"),
+        F.col("cluster"),
+        F.col("q").alias("xq"),
+    )
+    elite = av.filter(F.col("rk") <= _SEMDEDUP_ELITE).select(
+        F.col("vec_id").alias("yid"),
+        F.col("embedding").alias("ye"),
+        F.col("cluster"),
+        F.col("q").alias("yq"),
+    )
+    drops = (
+        x.join(elite, "cluster")
+        .filter(
+            (F.col("yid") != F.col("xid"))
+            & (
+                (F.col("yq") > F.col("xq"))
+                | ((F.col("yq") == F.col("xq")) & (F.col("yid") < F.col("xid")))
+            )
+        )
+        .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+        .select(F.col("xid").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return av.join(drops, "vec_id", "left").select(
+        "vec_id",
+        F.col("cluster").cast("int").alias("cluster"),
+        F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+    )
+
+
+dedup_semantic_cells_capped.__doc__ = dedup_semantic_cells_capped.__doc__.replace(
+    "{elite}", str(_SEMDEDUP_ELITE)
+)
