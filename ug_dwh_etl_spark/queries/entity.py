@@ -157,16 +157,32 @@ def er_entity_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the true minimum member key regardless of chain diameter, so A~B,
     B~C lands A and C in one entity even though they never matched
     directly. The oracle closes reachability with a recursive CTE over
-    the identical pair set."""
-    from ug_dwh_etl_spark.operators.graph import connected_components_converged
-
-    pairs = _candidate_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components_converged(
-        pairs, src="id_a", dst="id_b", loop_partitions=16
-    )
+    the identical pair set. The (node, component) table is materialized
+    once per process (_er_components) and shared with er_golden_record
+    — at 100 TB the resolved-entity mapping is an artifact you compute
+    once and join everywhere, not per downstream query."""
+    comp = _er_components(spark, sf_dir)
     return comp.groupBy(F.col("component").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_members")
     )
+
+
+def _er_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The converged (node, component) closure of the multi-pass match
+    pairs, materialized ONCE per process per sf_dir (the per-process
+    parquet convention of queries/graph.py:_lpa_communities) — both ER
+    consumers read it instead of re-running blocking + in-block
+    levenshtein + the iterative closure."""
+    from ug_dwh_etl_spark.operators.graph import connected_components_converged
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        pairs = _candidate_pairs(spark, sf_dir).select("id_a", "id_b")
+        return connected_components_converged(
+            pairs, src="id_a", dst="id_b", loop_partitions=16
+        )
+
+    return materialize_once(spark, sf_dir, "er_components", build)
 
 
 @register(
@@ -206,14 +222,11 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One grouped aggregate over cluster membership; the mode needs one
     extra (cluster, value)-grained count — both shuffles are on the
-    cluster key, nothing pairwise survives past the clustering stage."""
-    from ug_dwh_etl_spark.operators.graph import connected_components_converged
-
+    cluster key, nothing pairwise survives past the clustering stage.
+    The closure itself is READ from the per-process materialization
+    (_er_components), shared with er_entity_clusters."""
     part = table(spark, sf_dir, "part")
-    pairs = _candidate_pairs(spark, sf_dir).select("id_a", "id_b")
-    comp = connected_components_converged(
-        pairs, src="id_a", dst="id_b", loop_partitions=16
-    )
+    comp = _er_components(spark, sf_dir)
     mem = comp.join(part, comp["node"] == part["p_partkey"]).select(
         F.col("component").alias("cluster_id"),
         "p_partkey",

@@ -32,11 +32,21 @@ _EDGES_SQL = """
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem")
-    return li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    ).distinct()
+    """The supplier→part link-graph edge table, materialized once per
+    process (registry.materialize_once): ~14 graph queries consume this
+    same relation — at 100 TB the edge table is an ingest artifact the
+    graph jobs share, not a distinct-scan each re-runs (and several
+    consumers reference it twice within one plan)."""
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem")
+        return li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        ).distinct()
+
+    return materialize_once(spark, sf_dir, "graph_edges", build)
 
 
 @register("graph_pagerank", sql_pagerank(_EDGES_SQL, iterations=3))
@@ -566,18 +576,17 @@ def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative dataflow. At 100 TB the community table is a |V|-row
     artifact you compute once and join everywhere; recomputing it per
     downstream query is the scale killer this removes."""
-    import hashlib
-    import os
-    import tempfile
-
     from ug_dwh_etl_spark.operators.graph import label_propagation
+    from ug_dwh_etl_spark.queries.registry import materialize_once
 
-    key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
-    path = os.path.join(tempfile.gettempdir(), f"lpa_partition_{os.getpid()}", key)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        lp = label_propagation(_edges(spark, sf_dir), rounds=3, loop_partitions=16)
-        lp.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+    return materialize_once(
+        spark,
+        sf_dir,
+        "lpa_partition",
+        lambda: label_propagation(
+            _edges(spark, sf_dir), rounds=3, loop_partitions=16
+        ),
+    )
 
 
 @register("graph_label_propagation", sql_label_propagation(_EDGES_SQL, rounds=3))
