@@ -170,3 +170,55 @@ def test_lpa_partition_shared_across_queries(spark):
     assert row.n_communities >= 1 and n1 > 0
     plan = G._lpa_communities(spark, SF)._jdf.queryExecution().executedPlan().toString()
     assert "Scan parquet" in plan and "Exchange" not in plan
+
+
+def test_scan_pruned_skips_files_and_loses_no_rows(spark, tmp_path):
+    t = _snaptable(tmp_path)
+    df = spark.range(1000).withColumn(
+        "k", F.format_string("%04d", F.col("id"))
+    )
+    t.commit_overwrite(df.repartitionByRange(10, "k"), stats_cols=("k",))
+    pruned, read, total = t.scan_pruned(spark, "k", "0100", "0199")
+    assert total == 10 and 1 <= read <= 2  # contiguous slice -> 1-2 files
+    got = sorted(r.id for r in pruned.filter(F.col("k").between("0100", "0199")).collect())
+    assert got == list(range(100, 200))
+    # fully-out-of-range scan prunes everything but keeps the schema
+    empty, read0, _ = t.scan_pruned(spark, "k", "9990", "9999")
+    assert read0 == 0 and empty.count() == 0 and "k" in empty.columns
+
+
+def test_scan_pruned_append_accumulates_stats(spark, tmp_path):
+    t = _snaptable(tmp_path)
+    t.commit_overwrite(
+        spark.range(100).withColumn("k", F.format_string("%04d", F.col("id"))),
+        stats_cols=("k",),
+    )
+    t.commit_append(
+        spark.range(5000, 5100).withColumn(
+            "k", F.format_string("%04d", F.col("id"))
+        ),
+        stats_cols=("k",),
+    )
+    df, read, total = t.scan_pruned(spark, "k", "5000", "5099")
+    assert read < total
+    assert df.filter(F.col("k") >= "5000").count() == 100
+
+
+def test_manifest_pruning_query_reads_fewer_files(spark):
+    """The registered query's table must actually prune: re-open the
+    per-process table it staged and verify the planning arithmetic."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.queries.scale import storage_manifest_pruning
+
+    storage_manifest_pruning(spark, SF).collect()
+    root = os.path.join(
+        tempfile.gettempdir(), f"snaptable_pruned_{os.getpid()}", "sf0.001"
+    )
+    t = SnapshotTable(root)
+    _, read, total = t.scan_pruned(
+        spark, "o_orderdate", "1995-06-01 00:00:00", "1995-12-31 23:59:59"
+    )
+    assert total == 8 and 0 < read < total

@@ -759,3 +759,64 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "storage_manifest_pruning",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1995-06-01' AND o_orderdate < DATE '1996-01-01'
+    GROUP BY 1
+    """,
+)
+def storage_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MANIFEST-STATS FILE PRUNING (Iceberg scan planning) over the
+    snapshot table: orders are committed range-clustered on o_orderdate
+    (repartitionByRange -> each parquet file holds a contiguous date
+    slice) with per-file min/max recorded in the manifest
+    (operators/snapshot_table.py:scan_pruned); the June-Dec-1995 scan
+    then plans from PURE MANIFEST ARITHMETIC — no data I/O — and opens
+    only the overlapping files, with the residual row filter on top.
+    The oracle computes the same aggregate from the raw orders
+    relation, so a hash match proves pruning dropped no rows; the
+    files-read < files-total assertion lives in
+    tests/test_round8_ops.py (the gate's result schema stays
+    data-only). This is the needle-in-100 TB read path: time travel
+    picks the snapshot, stats pruning picks the files, partition/rowgroup
+    pushdown does the rest."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_pruned_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() is None:
+        t.commit_overwrite(
+            o.repartitionByRange(8, "o_orderdate"),
+            stats_cols=("o_orderdate",),
+        )
+    lo, hi = "1995-06-01 00:00:00", "1995-12-31 23:59:59.999999"
+    df, _read, _total = t.scan_pruned(spark, "o_orderdate", lo, hi)
+    return (
+        df.filter(
+            (F.col("o_orderdate") >= "1995-06-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
