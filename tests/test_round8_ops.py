@@ -222,3 +222,48 @@ def test_manifest_pruning_query_reads_fewer_files(spark):
         spark, "o_orderdate", "1995-06-01 00:00:00", "1995-12-31 23:59:59"
     )
     assert total == 8 and 0 < read < total
+
+
+def test_commit_merge_upserts_and_keeps_history(spark, tmp_path):
+    t = _snaptable(tmp_path)
+    t.commit_overwrite(
+        spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)], "k int, v string, p double")
+    )
+    t.commit_merge(
+        spark.createDataFrame([(2, "b2", 25.0), (3, "c", 30.0)], "k int, v string, p double"),
+        key_cols=["k"],
+    )
+    now = {r.k: (r.v, r.p) for r in t.read_as_of(spark).collect()}
+    assert now == {1: ("a", 10.0), 2: ("b2", 25.0), 3: ("c", 30.0)}
+    # pre-merge state still time-travelable
+    before = {r.k: r.v for r in t.read_as_of(spark, 1).collect()}
+    assert before == {1: "a", 2: "b"}
+    assert t.manifest(2)["operation"] == "merge"
+
+
+def test_batch_id_commit_is_idempotent(spark, tmp_path):
+    t = _snaptable(tmp_path)
+    t.commit_overwrite(spark.range(3))
+    s = t.commit_append(spark.range(3, 6), batch_id=7)
+    s_replay = t.commit_append(spark.range(3, 6), batch_id=7)  # replayed
+    assert s == s_replay == t.latest_snapshot_id()
+    assert t.read_as_of(spark).count() == 6  # not 9
+
+
+def test_stream_ingest_lands_one_commit_per_microbatch(spark):
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.streaming.jobs import stream_snapshot_ingest
+
+    out = stream_snapshot_ingest(spark, SF)
+    n = sum(r.n_orders for r in out.collect())
+    assert n == spark.read.parquet(f"{SF}/orders.parquet").count()
+    root = os.path.join(
+        tempfile.gettempdir(), f"snap_ingest_{os.getpid()}", "sf0.001", "table"
+    )
+    snaps = SnapshotTable(root).snapshots()
+    assert len(snaps) == 8
+    assert all(m["operation"] == "append" for m in snaps)
+    assert sorted(m["batch_id"] for m in snaps) == list(range(8))

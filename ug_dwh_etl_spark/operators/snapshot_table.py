@@ -116,9 +116,22 @@ class SnapshotTable:
         return out
 
     def _commit(
-        self, df: DataFrame, operation: str, stats_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        operation: str,
+        stats_cols: tuple[str, ...] = (),
+        batch_id: int | None = None,
     ) -> int:
         parent = self.latest_snapshot_id()
+        if batch_id is not None and parent is not None:
+            # idempotent streaming commits: a replayed micro-batch (same
+            # source batch_id) must not double-land — the Iceberg +
+            # Structured Streaming exactly-once recipe (batch id recorded
+            # in the snapshot summary, skipped on replay)
+            for i in range(parent, 0, -1):
+                m = self.manifest(i)
+                if m.get("batch_id") == batch_id:
+                    return i
         new_id = 1 if parent is None else parent + 1
         rel_dir = os.path.join("data", f"s{new_id}-{uuid.uuid4().hex[:8]}")
         df.write.parquet(os.path.join(self.root, rel_dir))
@@ -140,6 +153,8 @@ class SnapshotTable:
             "data_dirs": dirs,
             "files": files,
         }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         # manifest then pointer, each via write-temp + atomic rename —
         # a reader that resolves the pointer always finds a complete
         # manifest whose data dirs are fully written
@@ -164,11 +179,40 @@ class SnapshotTable:
         return self._commit(df, "overwrite", stats_cols)
 
     def commit_append(
-        self, df: DataFrame, stats_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        batch_id: int | None = None,
     ) -> int:
         """The reference's ``if_exists='append'``: the new snapshot sees
-        the parent's data dirs plus the new one — no rewrite of old data."""
-        return self._commit(df, "append", stats_cols)
+        the parent's data dirs plus the new one — no rewrite of old data.
+        ``batch_id`` makes the commit idempotent for streaming replays."""
+        return self._commit(df, "append", stats_cols, batch_id)
+
+    def commit_merge(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """MERGE / upsert, copy-on-write: rows from ``df`` replace
+        current rows with the same key, untouched rows carry forward,
+        and the result lands as ONE new snapshot — readers switch from
+        the whole old table to the whole new one atomically, and the
+        pre-merge state stays time-travelable. This is the Iceberg
+        copy-on-write MERGE INTO shape (the sibling of
+        sinks.writers.merge_upsert, which rewrites a live path in
+        place); merge-on-read (delete files + compaction) is the
+        optimization a heavier write rate would add."""
+        if self.latest_snapshot_id() is None:
+            return self._commit(df, "merge", stats_cols)
+        current = self.read_as_of(df.sparkSession)
+        kept = current.join(
+            df.select(*key_cols).distinct(), key_cols, "left_anti"
+        )
+        return self._commit(
+            kept.unionByName(df), "merge", stats_cols
+        )
 
     # -- reads ---------------------------------------------------------------
     def read_as_of(

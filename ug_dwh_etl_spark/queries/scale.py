@@ -820,3 +820,68 @@ def storage_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "storage_merge_upsert",
+    """
+    WITH effective AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate < DATE '1996-01-01'
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderdate < DATE '1997-01-01')
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM effective GROUP BY o_orderstatus
+    """,
+)
+def storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on the snapshot table (copy-on-write upsert,
+    operators/snapshot_table.py:commit_merge): snapshot 1 lands the
+    pre-1996 orders; one merge then RESTATES the 1995 rows (price
+    +10.00 — additive, the cross-engine-safe restatement shape) and
+    INSERTS the 1996 orders in a single atomic commit. The query reads
+    the post-merge state; the oracle reconstructs it from the raw
+    orders relation (CASE on the restated year), so a hash match proves
+    the upsert touched exactly the matched keys — and the pre-merge
+    snapshot remains time-travelable (asserted in
+    tests/test_round8_ops.py). This is the reference's
+    if_exists='replace' upgraded to keyed upserts with history, the
+    piece BigQuery DML did for it (SURVEY.md K1/K2)."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_merge_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() is None:
+        t.commit_overwrite(o.filter(F.col("o_orderdate") < "1996-01-01"))
+        updates = o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        inserts = o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        t.commit_merge(updates.unionByName(inserts), key_cols=["o_orderkey"])
+    return (
+        t.read_as_of(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

@@ -533,3 +533,22 @@ def q_stream_stream_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_stream_full_outer_join
 
     return stream_stream_full_outer_join(spark, sf_dir)
+
+
+@register(
+    "stream_snapshot_ingest",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 8 micro-batches -> 8 idempotent atomic append commits; the oracle
+    # proves the manifest-layer read equals the plain batch table
+    from ug_dwh_etl_spark.streaming.jobs import stream_snapshot_ingest
+
+    return stream_snapshot_ingest(spark, sf_dir)

@@ -1071,3 +1071,73 @@ def stream_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame
             "n_purchase_only"
         ),
     )
+
+
+def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest INTO the Iceberg-lite snapshot table: the orders
+    stream lands one ATOMIC append commit per micro-batch (foreachBatch →
+    commit_append with the micro-batch id recorded in the manifest, so a
+    replayed batch is skipped — the exactly-once recipe), then the final
+    table is read back through the manifest layer and aggregated. The
+    fixture is staged as an 8-file directory with maxFilesPerTrigger=1,
+    so the run genuinely exercises 8 commits; readers concurrent with
+    the stream would always see a complete prefix of the commits (the
+    torn-read test's guarantee). At 100 TB this is the streaming
+    lakehouse landing path: micro-batch appends, snapshot isolation for
+    readers, no rewrite of old data."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"snap_ingest_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = os.path.join(work, "src")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        orders.repartition(8).write.mode("overwrite").parquet(src)
+    table = SnapshotTable(os.path.join(work, "table"))
+    if table.latest_snapshot_id() is None:
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def land(batch, batch_id):
+            table.commit_append(batch, batch_id=batch_id)
+            # expose the micro-batch work to the plan audit (foreachBatch
+            # bypasses run_stream_to_memory's explain capture — the
+            # incremental-neardup precedent above)
+            global LAST_BATCH_PLAN
+            try:
+                LAST_BATCH_PLAN = (
+                    "== Physical Plan ==\n"
+                    + batch._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                pass
+
+        with _checkpoint_dir(None, "ckpt_snap_ingest_") as ckpt:
+            (
+                stream.writeStream.foreachBatch(land)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+    return (
+        table.read_as_of(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
