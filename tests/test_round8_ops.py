@@ -267,3 +267,23 @@ def test_stream_ingest_lands_one_commit_per_microbatch(spark):
     assert len(snaps) == 8
     assert all(m["operation"] == "append" for m in snaps)
     assert sorted(m["batch_id"] for m in snaps) == list(range(8))
+
+
+def test_semantic_incremental_verdicts_only_for_batch(spark):
+    from ug_dwh_etl_spark.queries.dedup import dedup_semantic_incremental
+
+    rows = dedup_semantic_incremental(spark, SF).collect()
+    assert rows and all(r.vec_id % 10 == 0 for r in rows)
+    # a batch doc dropped by the index must have a strictly-better elite
+    # neighbor; spot-verify the rule on the exact pass: any batch doc the
+    # FULL exact pass keeps must also be kept by the index pass (the
+    # index is a subset of possible killers)
+    from ug_dwh_etl_spark.queries.dedup import dedup_semantic_cells
+
+    exact = {r.vec_id: r.kept for r in dedup_semantic_cells(spark, SF).collect()}
+    for r in rows:
+        if not exact[r.vec_id]:
+            continue  # exact pass dropped it (maybe by a batch member)
+        # exact keeps it -> no higher-quality similar neighbor anywhere,
+        # so the index pass must keep it too
+        assert r.kept, r.vec_id

@@ -1797,3 +1797,131 @@ def dedup_semantic_cells_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_semantic_cells_capped.__doc__ = dedup_semantic_cells_capped.__doc__.replace(
     "{elite}", str(_SEMDEDUP_ELITE)
 )
+
+
+def _semantic_incremental_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import (
+        N_CENTROIDS,
+        duck_cosine_sql,
+        sql_centroid_dist,
+    )
+
+    dists = ", ".join(
+        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
+    )
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
+    return f"""
+    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    d AS (SELECT vec_id, e, {dists} FROM base),
+    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
+    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
+    qual AS (
+      SELECT doc_id,
+             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                   / length(text)::DOUBLE, 6) AS q
+      FROM documents),
+    av AS MATERIALIZED (
+      SELECT a.vec_id, a.e, a.cluster, qual.q
+      FROM a JOIN qual ON qual.doc_id = a.vec_id),
+    elite AS MATERIALIZED (
+      SELECT * FROM (
+        SELECT av.*, ROW_NUMBER() OVER (PARTITION BY cluster
+                                        ORDER BY q DESC, vec_id) AS rk
+        FROM av WHERE vec_id % 10 <> 0)
+      WHERE rk <= {_SEMDEDUP_ELITE}),
+    batch AS (SELECT * FROM av WHERE vec_id % 10 = 0),
+    drops AS (
+      SELECT DISTINCT x.vec_id
+      FROM batch x JOIN elite y
+        ON y.cluster = x.cluster
+       AND (y.q > x.q OR (y.q = x.q AND y.vec_id < x.vec_id))
+      WHERE {duck_cosine_sql('x.e', 'y.e')} >= {_SEMDEDUP_TAU})
+    SELECT batch.vec_id, CAST(batch.cluster AS INT) AS cluster,
+           (drops.vec_id IS NULL) AS kept
+    FROM batch LEFT JOIN drops ON drops.vec_id = batch.vec_id
+    """
+
+
+@register("dedup_semantic_incremental", _semantic_incremental_sql())
+def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAILY-INGEST semantic dedup (the dedup_incremental_neardup
+    cadence applied to the SemDeDup pass): the incoming batch
+    (vec_id % 10 = 0) is assigned to IVF cells and compared ONLY against
+    a PERSISTED per-cell elite index built from the standing corpus —
+    the top-{elite} quality members per cell, written to parquet once
+    per process and read back, so no corpus embedding is rescanned at
+    ingest. Per-day cost is O(batch x {elite}); verdicts are
+    order-insensitive because they depend only on the standing index
+    (intra-batch duplicates settle at the next index refresh — the real
+    daily design). The oracle recomputes batch-vs-elite verdicts from
+    the unioned relations, proving the indexed lookup finds exactly
+    what a full pass against the corpus elite would."""
+    from ug_dwh_etl_spark.operators.dedup import spread
+    from ug_dwh_etl_spark.operators.similarity import cosine, ivf_assign
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    qual = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text").cast("double"),
+            6,
+        ).alias("q"),
+    )
+    av = (
+        ivf_assign(spread(emb))
+        .select("vec_id", "embedding", "cluster")
+        .join(qual, "vec_id")
+    )
+
+    def build_elite() -> DataFrame:
+        w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("vec_id"))
+        return (
+            av.filter(F.col("vec_id") % 10 != 0)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _SEMDEDUP_ELITE)
+            .select("vec_id", "embedding", "cluster", "q")
+        )
+
+    elite = materialize_once(spark, sf_dir, "semantic_elite", build_elite)
+    batch = av.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("xe"),
+        F.col("cluster"),
+        F.col("q").alias("xq"),
+    )
+    y = elite.select(
+        F.col("vec_id").alias("yid"),
+        F.col("embedding").alias("ye"),
+        F.col("cluster"),
+        F.col("q").alias("yq"),
+    )
+    drops = (
+        batch.join(y, "cluster")
+        .filter(
+            (F.col("yq") > F.col("xq"))
+            | ((F.col("yq") == F.col("xq")) & (F.col("yid") < F.col("xid")))
+        )
+        .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+        .select(F.col("xid").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        batch.select(F.col("xid").alias("vec_id"), "cluster")
+        .join(drops, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.col("cluster").cast("int").alias("cluster"),
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+        )
+    )
+
+
+dedup_semantic_incremental.__doc__ = dedup_semantic_incremental.__doc__.replace(
+    "{elite}", str(_SEMDEDUP_ELITE)
+)
