@@ -287,3 +287,20 @@ def test_semantic_incremental_verdicts_only_for_batch(spark):
         # exact keeps it -> no higher-quality similar neighbor anywhere,
         # so the index pass must keep it too
         assert r.kept, r.vec_id
+
+
+def test_stream_semantic_ingest_equals_batch_twin(spark):
+    """The union of per-micro-batch verdicts must equal the batch twin's
+    output exactly — split-insensitivity of index-only verdicts."""
+    from ug_dwh_etl_spark.queries.dedup import dedup_semantic_incremental
+    from ug_dwh_etl_spark.streaming.jobs import stream_semantic_dedup_ingest
+
+    batch = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in dedup_semantic_incremental(spark, SF).collect()
+    }
+    streamed = {
+        r.vec_id: (r.cluster, r.kept)
+        for r in stream_semantic_dedup_ingest(spark, SF).collect()
+    }
+    assert streamed == batch

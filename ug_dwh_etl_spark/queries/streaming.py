@@ -552,3 +552,18 @@ def q_stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_snapshot_ingest
 
     return stream_snapshot_ingest(spark, sf_dir)
+
+
+def _stream_semantic_ingest_oracle() -> str:
+    from ug_dwh_etl_spark.queries.dedup import _semantic_incremental_sql
+
+    return _semantic_incremental_sql()
+
+
+@register("stream_semantic_dedup_ingest", _stream_semantic_ingest_oracle())
+def q_stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-micro-batch verdicts against the persisted elite index; the
+    # SAME oracle as the batch twin proves split-insensitivity
+    from ug_dwh_etl_spark.streaming.jobs import stream_semantic_dedup_ingest
+
+    return stream_semantic_dedup_ingest(spark, sf_dir)

@@ -1141,3 +1141,134 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ``dedup_semantic_incremental``: the ingest
+    stream's batch docs (vec_id % 10 = 0) are IVF-assigned and verdicted
+    per micro-batch against the SAME persisted per-cell elite index the
+    batch twin materialized — a stream-static broadcast join per batch,
+    O(batch x elite) work, verdicts appended to a result log. Because a
+    verdict depends only on the doc and the standing index, the union of
+    per-batch outputs is EXACTLY the batch twin's output however the
+    stream is split — proven by registering the SAME oracle. The staged
+    source is an 8-file split with maxFilesPerTrigger=1, so the run
+    genuinely exercises 8 micro-batches."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.operators.similarity import cosine, ivf_assign
+    from ug_dwh_etl_spark.queries.dedup import (
+        _SEMDEDUP_ELITE,
+        _SEMDEDUP_TAU,
+    )
+    from ug_dwh_etl_spark.queries.registry import materialize_once, table
+    from pyspark.sql import Window
+
+    emb = table(spark, sf_dir, "embeddings")
+    docs = table(spark, sf_dir, "documents")
+    qual = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.round(
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
+            / F.length("text").cast("double"),
+            6,
+        ).alias("q"),
+    )
+
+    def build_elite():
+        w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("vec_id"))
+        return (
+            ivf_assign(emb)
+            .select("vec_id", "embedding", "cluster")
+            .join(qual, "vec_id")
+            .filter(F.col("vec_id") % 10 != 0)
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _SEMDEDUP_ELITE)
+            .select("vec_id", "embedding", "cluster", "q")
+        )
+
+    # the SAME per-process index as the batch twin (shared name)
+    elite = materialize_once(spark, sf_dir, "semantic_elite", build_elite)
+    y = F.broadcast(
+        elite.select(
+            F.col("vec_id").alias("yid"),
+            F.col("embedding").alias("ye"),
+            F.col("cluster"),
+            F.col("q").alias("yq"),
+        )
+    )
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"sem_ingest_{os.getpid()}",
+        os.path.basename(os.path.normpath(sf_dir)),
+    )
+    src = os.path.join(work, "src")
+    out = os.path.join(work, "verdicts")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        emb.repartition(8).write.mode("overwrite").parquet(src)
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+
+        def verdicts(batch, batch_id):
+            x = (
+                ivf_assign(batch.filter(F.col("vec_id") % 10 == 0))
+                .select("vec_id", "embedding", "cluster")
+                .join(qual, "vec_id")
+                .select(
+                    F.col("vec_id").alias("xid"),
+                    F.col("embedding").alias("xe"),
+                    F.col("cluster"),
+                    F.col("q").alias("xq"),
+                )
+            )
+            drops = (
+                x.join(y, "cluster")
+                .filter(
+                    (F.col("yq") > F.col("xq"))
+                    | (
+                        (F.col("yq") == F.col("xq"))
+                        & (F.col("yid") < F.col("xid"))
+                    )
+                )
+                .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+                .select(F.col("xid").alias("vec_id"))
+                .distinct()
+                .withColumn("_dropped", F.lit(True))
+            )
+            result = (
+                x.select(F.col("xid").alias("vec_id"), "cluster")
+                .join(drops, "vec_id", "left")
+                .select(
+                    "vec_id",
+                    F.col("cluster").cast("int").alias("cluster"),
+                    F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+                )
+            )
+            global LAST_BATCH_PLAN
+            try:
+                LAST_BATCH_PLAN = (
+                    "== Physical Plan ==\n"
+                    + result._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                pass
+            result.write.mode("append").parquet(out)
+
+        stream = (
+            spark.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        with _checkpoint_dir(None, "ckpt_sem_ingest_") as ckpt:
+            (
+                stream.writeStream.foreachBatch(verdicts)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        open(os.path.join(out, "_SUCCESS"), "a").close()
+    return spark.read.parquet(out).select("vec_id", "cluster", "kept")
