@@ -304,3 +304,40 @@ def test_stream_semantic_ingest_equals_batch_twin(spark):
         for r in stream_semantic_dedup_ingest(spark, SF).collect()
     }
     assert streamed == batch
+
+
+def test_pr_auc_matches_pure_python_reference(spark):
+    """AP from the block formulation must equal sklearn's step
+    definition computed naively in Python on the same (d, y) rows."""
+    from ug_dwh_etl_spark.queries.mlfit import _auc_base, fit_pr_auc
+
+    rows = [(r.d, r.y) for r in _auc_base(spark, SF).collect()]
+    # group into descending-score tie blocks
+    from collections import defaultdict
+
+    blocks = defaultdict(lambda: [0, 0])
+    for d, y in rows:
+        blocks[d][0] += y
+        blocks[d][1] += 1 - y
+    p_total = sum(v[0] for v in blocks.values())
+    tp = fp = 0
+    ap = 0.0
+    for d in sorted(blocks, reverse=True):
+        ca, cb = blocks[d]
+        tp += ca
+        fp += cb
+        ap += (ca / p_total) * (tp / (tp + fp))
+    got = fit_pr_auc(spark, SF).collect()[0]
+    assert abs(got.average_precision - ap) < 1e-5
+    assert got.average_precision > got.base_rate + 0.2  # real lift
+
+
+def test_calibration_report_values(spark):
+    from ug_dwh_etl_spark.queries.mlfit import _auc_base, fit_calibration_report
+
+    rows = [(r.d, r.y, r.dmin, r.dmax) for r in _auc_base(spark, SF).collect()]
+    brier = sum(((d - lo) / (hi - lo) - y) ** 2 for d, y, lo, hi in rows) / len(rows)
+    got = fit_calibration_report(spark, SF).collect()[0]
+    assert abs(got.brier - brier) < 1e-6
+    # propensity-drawn labels: ECE is sampling noise, far from miscalibrated
+    assert got.ece < 0.06 and got.max_gap < 0.15

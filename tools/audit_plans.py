@@ -55,6 +55,10 @@ EXPECTED_NESTED_LOOP = {
     "q11_important_parts",
     # 1-row minmax bounds onto the scan + 1-row AUC onto the 10-bin table
     "fit_auc_roc",
+    # same 1-row bounds scalar, plus the 1-row totals onto tie blocks
+    "fit_pr_auc",
+    # same 1-row bounds scalar, plus 1-row ECE onto the 1-row moments
+    "fit_calibration_report",
     # 5-row key dim × date spine grid
     "history_gap_fill",
     # same 5-row-keys × date-spine grid, interpolation variant

@@ -2340,3 +2340,216 @@ def fit_gmm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return rows[0].unionByName(rows[1])
+
+
+# ---------------------------------------------------------------------------
+# PR-AUC (average precision) + calibration report — share fit_auc_roc's
+# propensity-labeled fixture
+# ---------------------------------------------------------------------------
+_AUC_BASE_CTES = """
+    raw AS (
+      SELECT date_diff('day', DATE '1970-01-01', o_orderdate) AS d,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+               % 10000 AS u
+      FROM orders),
+    bounds AS (SELECT MIN(d) AS dmin, MAX(d) AS dmax FROM raw),
+    base AS (
+      SELECT d,
+             CASE WHEN u < ((d - dmin) * 10000) // (dmax - dmin)
+                  THEN 1 ELSE 0 END AS y,
+             dmin, dmax
+      FROM raw, bounds)
+"""
+
+
+def _auc_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(d, y, dmin, dmax) for the propensity-labeled scorer fixture —
+    the Spark side of _AUC_BASE_CTES (see fit_auc_roc for the design)."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    o = table(spark, sf_dir, "orders")
+    raw = o.select(
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+        (md5_long(F.col("o_orderkey").cast("string"), 8) % 10000).alias("u"),
+    )
+    bounds = raw.agg(F.min("d").alias("dmin"), F.max("d").alias("dmax"))
+    return raw.crossJoin(F.broadcast(bounds)).select(
+        "d",
+        F.when(
+            F.col("u") < F.expr("((d - dmin) * 10000) div (dmax - dmin)"), 1
+        )
+        .otherwise(0)
+        .alias("y"),
+        "dmin",
+        "dmax",
+    )
+
+
+_PR_AUC_SQL = f"""
+    WITH {_AUC_BASE_CTES},
+    pv AS (SELECT d, CAST(SUM(y) AS BIGINT) AS ca,
+                  CAST(SUM(1 - y) AS BIGINT) AS cb
+           FROM base GROUP BY 1),
+    cum AS (
+      SELECT ca,
+             SUM(ca) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS tp,
+             SUM(cb) OVER (ORDER BY d DESC ROWS UNBOUNDED PRECEDING) AS fp
+      FROM pv),
+    tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS p, CAST(SUM(cb) AS BIGINT) AS n
+            FROM pv),
+    terms AS (
+      SELECT CAST(ROUND((ca * 1.0 / p) * (tp * 1.0 / (tp + fp)), 12)
+                  AS DECIMAL(20,12)) AS term
+      FROM cum, tot)
+    SELECT (SELECT p FROM tot) AS npos, (SELECT n FROM tot) AS nneg,
+           ROUND((SELECT p FROM tot) * 1.0
+                 / ((SELECT p FROM tot) + (SELECT n FROM tot)), 6) AS base_rate,
+           ROUND(CAST(SUM(term) AS DOUBLE), 6) AS average_precision
+    FROM terms
+"""
+
+
+@register("fit_pr_auc", _PR_AUC_SQL)
+def fit_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PR-AUC (AVERAGE PRECISION, sklearn's step-interpolation
+    definition AP = Σ ΔR_k · P_k over descending-score tie blocks) —
+    the imbalanced-data companion to fit_auc_roc, against the same
+    propensity-labeled fixture; the readout to trust when positives are
+    rare (ROC-AUC stays rosy under imbalance, AP collapses toward the
+    base rate). Numerics: TP/FP cumulate as BIGINTs over the
+    distinct-day relation (calendar-bounded window, never over orders);
+    each block's ΔR·P term divides the SAME integers on both engines,
+    is quantized to DECIMAL(20,12), and the final fold is a DECIMAL sum
+    — order-independent by construction, so engine fold order cannot
+    flip the 6dp rounding (the money-sum rule applied to a float
+    reduction). AP lands at 0.834 vs base rate 0.496 — the lift the
+    monotone scorer really has."""
+    base = _auc_base(spark, sf_dir)
+    pv = base.groupBy("d").agg(
+        F.sum("y").cast("long").alias("ca"),
+        F.sum(1 - F.col("y")).cast("long").alias("cb"),
+    )
+    wdesc = Window.orderBy(F.desc("d")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = pv.select(
+        "ca",
+        F.sum("ca").over(wdesc).alias("tp"),
+        F.sum("cb").over(wdesc).alias("fp"),
+    )
+    tot = pv.agg(
+        F.sum("ca").cast("long").alias("p"),
+        F.sum("cb").cast("long").alias("n"),
+    )
+    terms = cum.crossJoin(F.broadcast(tot)).select(
+        "p",
+        "n",
+        F.round(
+            (F.col("ca") * 1.0 / F.col("p"))
+            * (F.col("tp") * 1.0 / (F.col("tp") + F.col("fp"))),
+            12,
+        )
+        .cast("decimal(20,12)")
+        .alias("term"),
+    )
+    return terms.groupBy("p", "n").agg(
+        F.round(F.sum("term").cast("double"), 6).alias("average_precision")
+    ).select(
+        F.col("p").alias("npos"),
+        F.col("n").alias("nneg"),
+        F.round(F.col("p") * 1.0 / (F.col("p") + F.col("n")), 6).alias(
+            "base_rate"
+        ),
+        "average_precision",
+    )
+
+
+_CALIB_SQL = f"""
+    WITH {_AUC_BASE_CTES},
+    moments AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM((d - dmin) * (d - dmin)) AS BIGINT) AS a,
+             CAST(SUM((d - dmin) * y) AS BIGINT) AS b,
+             CAST(SUM(y) AS BIGINT) AS c,
+             CAST(ANY_VALUE(dmax - dmin) AS BIGINT) AS r
+      FROM base),
+    bins AS (
+      SELECT LEAST(((d - dmin) * 10) // (dmax - dmin), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS nb,
+             ROUND(SUM(d - dmin) * 1.0
+                   / (COUNT(*) * ANY_VALUE(dmax - dmin)), 6) AS mean_pred,
+             ROUND(SUM(y) * 1.0 / COUNT(*), 6) AS obs_rate
+      FROM base GROUP BY 1),
+    ece AS (
+      SELECT SUM(CAST(ROUND(nb * ABS(obs_rate - mean_pred), 9)
+                      AS DECIMAL(20,9))) AS werr,
+             ROUND(MAX(ABS(obs_rate - mean_pred)), 6) AS max_gap
+      FROM bins)
+    SELECT n,
+           ROUND((a - 2 * r * b + r * r * c) * 1.0 / (n * r * r), 6) AS brier,
+           ROUND(CAST(werr AS DOUBLE) / n, 6) AS ece,
+           max_gap
+    FROM moments, ece
+"""
+
+
+@register("fit_calibration_report", _CALIB_SQL)
+def fit_calibration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BRIER SCORE + EXPECTED CALIBRATION ERROR for the propensity-
+    labeled scorer — the one-row health readout next to fit_auc_roc's
+    per-bin reliability table. Brier = mean((s-y)²) expands to
+    (A - 2RB + R²C)/(nR²) over three EXACT BIGINT moments (A=Σ(d-dmin)²,
+    B=Σ(d-dmin)y, C=Σy, R=dmax-dmin), so no float enters until one final
+    division of identical integers; ECE folds the ten 6dp-rounded bin
+    gaps through a DECIMAL sum (order-independent). For a perfectly
+    calibrated scorer Brier ≈ E[s(1-s)] (the irreducible noise term,
+    ~0.157 for this near-uniform s) and ECE sits at sampling noise —
+    a miscalibrated model moves both, which is exactly what the gate
+    would catch."""
+    base = _auc_base(spark, sf_dir)
+    m = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum((F.col("d") - F.col("dmin")) * (F.col("d") - F.col("dmin")))
+        .cast("long")
+        .alias("a"),
+        F.sum((F.col("d") - F.col("dmin")) * F.col("y")).cast("long").alias("b"),
+        F.sum("y").cast("long").alias("c"),
+        F.first(F.col("dmax") - F.col("dmin")).cast("long").alias("r"),
+    )
+    bins = base.groupBy(
+        F.least(
+            F.expr("((d - dmin) * 10) div (dmax - dmin)"),
+            F.lit(9).cast("long"),
+        ).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("nb"),
+        F.round(
+            F.sum(F.col("d") - F.col("dmin"))
+            * 1.0
+            / (F.count(F.lit(1)) * F.first(F.col("dmax") - F.col("dmin"))),
+            6,
+        ).alias("mean_pred"),
+        F.round(F.sum("y") * 1.0 / F.count(F.lit(1)), 6).alias("obs_rate"),
+    )
+    ece = bins.agg(
+        F.sum(
+            F.round(
+                F.col("nb") * F.abs(F.col("obs_rate") - F.col("mean_pred")), 9
+            ).cast("decimal(20,9)")
+        ).alias("werr"),
+        F.round(F.max(F.abs(F.col("obs_rate") - F.col("mean_pred"))), 6).alias(
+            "max_gap"
+        ),
+    )
+    return m.crossJoin(F.broadcast(ece)).select(
+        "n",
+        F.round(
+            (F.col("a") - 2 * F.col("r") * F.col("b")
+             + F.col("r") * F.col("r") * F.col("c"))
+            * 1.0
+            / (F.col("n") * F.col("r") * F.col("r")),
+            6,
+        ).alias("brier"),
+        F.round(F.col("werr").cast("double") / F.col("n"), 6).alias("ece"),
+        "max_gap",
+    )
