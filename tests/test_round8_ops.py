@@ -341,3 +341,35 @@ def test_calibration_report_values(spark):
     assert abs(got.brier - brier) < 1e-6
     # propensity-drawn labels: ECE is sampling noise, far from miscalibrated
     assert got.ece < 0.06 and got.max_gap < 0.15
+
+
+def test_kmv_tile_merge_equals_direct_sketch(spark):
+    """k smallest of the union of per-day k-smallest tiles must equal
+    the KMV computed directly on the unioned window — the tile-merge
+    property the trailing-window query relies on."""
+    import pyspark.sql.functions as F
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+    from ug_dwh_etl_spark.queries.events import _KMV_K, sketch_kmv_trailing_window
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, SF)
+    pairs = ev.select(
+        F.to_date("ts").alias("day"),
+        md5_long(F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))).alias("h"),
+    ).distinct()
+    days = sorted(r.day for r in pairs.select("day").distinct().collect())
+    target = days[-1]
+    lo = [d for d in days if (target - d).days <= 6]
+    direct = (
+        pairs.filter(F.col("day").isin(lo))
+        .select("h").distinct().orderBy("h").limit(_KMV_K).collect()
+    )
+    out = {r.day: r for r in sketch_kmv_trailing_window(spark, SF).collect()}
+    row = out[target.strftime("%Y-%m-%d")]
+    kth = max(r.h for r in direct)
+    import math
+    expect = len(direct) if len(direct) < _KMV_K else round((_KMV_K - 1) * float(1 << 60) / kth)
+    assert row.est_users == expect
+    # estimator accuracy: within 3/sqrt(k) of exact on every window
+    for r in out.values():
+        assert r.rel_err <= 3 / math.sqrt(_KMV_K), (r.day, r.rel_err)

@@ -87,6 +87,8 @@ EXPECTED_NESTED_LOOP = {
     "agg_equidepth_histogram",
     # trailing-week range join against the broadcast ~30-row day spine
     "events_dau_wau",
+    # same broadcast day-spine range join, tile + exact-audit sides
+    "sketch_kmv_trailing_window",
     # 1-row N/avgdl stats frame broadcast onto the probe-term postings
     "text_bm25_topdocs",
     # 8-row updated-centroid frame broadcast for the Lloyd reassign pass

@@ -3374,3 +3374,129 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rs >= 1.1 * _SLO_ERR_BUDGET) & (rl >= 1.0 * _SLO_ERR_BUDGET)
         ).alias("alert"),
     )
+
+
+# --- trailing-7d distinct users from daily KMV sketch tiles ----------------------
+@register(
+    "sketch_kmv_trailing_window",
+    f"""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             ('0x' || substr(md5(user_id::VARCHAR || '|kmv'), 1, 15))::BIGINT
+               AS h
+      FROM events),
+    tiles AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+        FROM pairs)
+      WHERE rk <= {_KMV_K}),
+    days AS (SELECT DISTINCT day FROM pairs),
+    win AS (
+      SELECT DISTINCT d.day, t.h
+      FROM days d
+        JOIN tiles t ON t.day BETWEEN d.day - INTERVAL 6 DAY AND d.day),
+    sk AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS c, MAX(h) AS kth
+      FROM (SELECT day, h,
+                   ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rk
+            FROM win)
+      WHERE rk <= {_KMV_K} GROUP BY day),
+    ex AS (
+      SELECT d.day, CAST(COUNT(DISTINCT p.h) AS BIGINT) AS exact_users
+      FROM days d
+        JOIN pairs p ON p.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+      GROUP BY d.day),
+    est AS (
+      SELECT sk.day,
+             CASE WHEN sk.c < {_KMV_K} THEN sk.c
+                  ELSE CAST(ROUND(({_KMV_K} - 1) * {_KMV_DOM} / sk.kth)
+                            AS BIGINT) END AS est_users,
+             ex.exact_users
+      FROM sk JOIN ex ON ex.day = sk.day)
+    SELECT strftime(day, '%Y-%m-%d') AS day, est_users, exact_users,
+           ROUND(ABS(est_users - exact_users) * 1.0 / exact_users, 4)
+             AS rel_err
+    FROM est
+    """,
+)
+def sketch_kmv_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAILING-7-DAY distinct users from DAILY KMV SKETCH TILES — the
+    sketch twin of events_dau_wau's exact rewrite, and the shape that
+    survives 100 TB: the log is scanned ONCE to build one k-row tile
+    per day (a per-partition top-k, k·8 bytes), and every trailing
+    window then MERGES 7 tiles (k smallest of their union IS the union's
+    KMV — the tile property that makes sketches additive across
+    calendar cells, same reason the semantic rollup router works).
+    Window cost is |days|·7k rows regardless of log size; the exact
+    recount rides along as the accuracy audit (rel_err ~1/sqrt(k)).
+    Estimator, k, hash, and the under-k exact-fallback follow
+    sketch_kmv_overlap; everything is deterministic integer hashing, so
+    estimates match the oracle bit-for-bit."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.to_date("ts").alias("day"),
+        md5_long(
+            F.concat(F.col("user_id").cast("string"), F.lit("|kmv"))
+        ).alias("h"),
+    ).distinct()
+    wday = Window.partitionBy("day").orderBy("h")
+    tiles = (
+        pairs.withColumn("rk", F.row_number().over(wday))
+        .filter(F.col("rk") <= _KMV_K)
+        .select("day", "h")
+    )
+    days = pairs.select("day").distinct()
+    win = (
+        tiles.alias("t")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("t.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("t.day") <= F.col("d.day")),
+        )
+        .select(F.col("d.day").alias("day"), "h")
+        .distinct()
+    )
+    sk = (
+        win.withColumn("rk", F.row_number().over(wday))
+        .filter(F.col("rk") <= _KMV_K)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.max("h").alias("kth"),
+        )
+    )
+    ex = (
+        pairs.alias("p")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("p.day") >= F.date_sub(F.col("d.day"), 6))
+            & (F.col("p.day") <= F.col("d.day")),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("p.h").alias("exact_users"))
+    )
+    est_users = F.when(F.col("c") < _KMV_K, F.col("c")).otherwise(
+        F.round(F.lit((_KMV_K - 1) * _KMV_DOM) / F.col("kth")).cast("long")
+    )
+    return (
+        sk.join(ex, "day")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            est_users.alias("est_users"),
+            "exact_users",
+        )
+        .select(
+            "day",
+            "est_users",
+            "exact_users",
+            F.round(
+                F.abs(F.col("est_users") - F.col("exact_users"))
+                * 1.0
+                / F.col("exact_users"),
+                4,
+            ).alias("rel_err"),
+        )
+    )
