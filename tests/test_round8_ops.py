@@ -373,3 +373,45 @@ def test_kmv_tile_merge_equals_direct_sketch(spark):
     # estimator accuracy: within 3/sqrt(k) of exact on every window
     for r in out.values():
         assert r.rel_err <= 3 / math.sqrt(_KMV_K), (r.day, r.rel_err)
+
+
+def test_lake_daily_ingest_compacts_and_expires(spark, tmp_path):
+    """30 daily ticks: table always equals the union of ingests, file
+    count stays bounded by compaction, history bounded by retention,
+    pruning still works after compaction rewrites."""
+    from ug_dwh_etl_spark.plans.lake_daily import lake_daily_ingest
+
+    t = _snaptable(tmp_path)
+    total = 0
+    for day in range(30):
+        inc = (
+            spark.range(day * 100, day * 100 + 100)
+            .withColumn("k", F.format_string("%06d", F.col("id")))
+        )
+        log = lake_daily_ingest(
+            spark, t, inc, stats_col="k", batch_id=day,
+            compact_above_files=12, keep_snapshots=5,
+        )
+        total += 100
+        assert t.read_as_of(spark).count() == total, (day, log)
+    # compaction bounded the live file count
+    live_files = len(t.manifest(t.latest_snapshot_id()).get("files", []))
+    assert live_files <= 16
+    # retention bounded the manifest log
+    snaps = t.snapshots()
+    assert len(snaps) <= 6
+    # a replayed day is skipped, not double-landed
+    replay = spark.range(0, 100).withColumn(
+        "k", F.format_string("%06d", F.col("id"))
+    )
+    lake_daily_ingest(
+        spark, t, replay, stats_col="k", batch_id=29,
+        compact_above_files=12, keep_snapshots=5,
+    )
+    assert t.read_as_of(spark).count() == total
+    # a WIDER retention horizon than what survives must also be safe
+    t.expire_snapshots(keep_from=max(1, t.latest_snapshot_id() - 20))
+    # stats pruning still functional on the compacted layout
+    df, read, tot = t.scan_pruned(spark, "k", "000100", "000199")
+    assert 0 < read <= tot
+    assert df.filter(F.col("k").between("000100", "000199")).count() == 100

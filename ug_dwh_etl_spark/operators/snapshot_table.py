@@ -71,11 +71,16 @@ class SnapshotTable:
             return json.load(f)
 
     def snapshots(self) -> list[dict]:
-        """All manifests, oldest first (the snapshot log)."""
+        """All SURVIVING manifests, oldest first (the snapshot log —
+        expired snapshots drop out of it)."""
         latest = self.latest_snapshot_id()
         if latest is None:
             return []
-        return [self.manifest(i) for i in range(1, latest + 1)]
+        out = []
+        for i in range(1, latest + 1):
+            if os.path.exists(self._manifest_path(i)):
+                out.append(self.manifest(i))
+        return out
 
     # -- commits -------------------------------------------------------------
     def _collect_file_stats(
@@ -129,6 +134,8 @@ class SnapshotTable:
             # Structured Streaming exactly-once recipe (batch id recorded
             # in the snapshot summary, skipped on replay)
             for i in range(parent, 0, -1):
+                if not os.path.exists(self._manifest_path(i)):
+                    continue  # expired — its batch is beyond the horizon
                 m = self.manifest(i)
                 if m.get("batch_id") == batch_id:
                     return i
@@ -273,7 +280,10 @@ class SnapshotTable:
         keep_from = min(keep_from, latest)
         live: set[str] = set()
         for i in range(keep_from, latest + 1):
-            live.update(self.manifest(i)["data_dirs"])
+            # a caller may pass a wider horizon than what survives from
+            # earlier, tighter expirations — missing manifests are fine
+            if os.path.exists(self._manifest_path(i)):
+                live.update(self.manifest(i)["data_dirs"])
         deleted = []
         for i in range(1, keep_from):
             path = self._manifest_path(i)
