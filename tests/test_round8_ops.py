@@ -415,3 +415,16 @@ def test_lake_daily_ingest_compacts_and_expires(spark, tmp_path):
     df, read, tot = t.scan_pruned(spark, "k", "000100", "000199")
     assert 0 < read <= tot
     assert df.filter(F.col("k").between("000100", "000199")).count() == 100
+
+
+def test_kmeans_converged_trace_is_monotone(spark):
+    from ug_dwh_etl_spark.queries.similarity import sim_kmeans_converged
+
+    rows = sorted(
+        sim_kmeans_converged(spark, SF).collect(), key=lambda r: r.iteration
+    )
+    assert [r.iteration for r in rows] == [1, 2, 3]
+    inertias = [r.inertia for r in rows]
+    assert inertias == sorted(inertias, reverse=True)  # non-increasing
+    assert rows[-1].n_moved <= rows[0].n_moved
+    assert all(1 <= r.n_clusters <= 8 for r in rows)

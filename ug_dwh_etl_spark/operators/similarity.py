@@ -855,3 +855,92 @@ def binary_knn_recall(
             F.round(F.col("n_match") / float(k), 6).alias(f"recall_at_{k}"),
         )
     )
+
+
+def kmeans_iterate(embeddings: DataFrame, rounds: int = 3) -> DataFrame:
+    """Lloyd's k-means ITERATED to a bounded round count with DYNAMIC
+    centroids — the multi-round extension of ``kmeans_step`` (which
+    fixes the seed centroids). Per round: per-cluster per-dim means
+    (one map-side-combined K×EMBED_DIM shuffle), rounded to 6dp so both
+    engines argmin over identical coordinates, eagerly checkpointed
+    (8-row frame — the iterative-lineage rule), then one broadcast
+    reassignment pass computing each vector's argmin over the K dynamic
+    centroids via the sequential-fold dot product. Emits the
+    convergence TRACE — (iteration, n_moved, inertia, n_clusters) — the
+    numbers an offline clustering job logs per round at 100 TB; cost is
+    rounds × (one scan + one K-row shuffle), shuffle width constant in
+    corpus size."""
+    spark = embeddings.sparkSession
+    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
+    with_d = embeddings.select(
+        "vec_id",
+        "embedding",
+        *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)],
+    )
+    best = F.least(*[F.col(c) for c in dcols])
+    cluster = None
+    for j in reversed(range(N_CENTROIDS)):
+        cond = F.col(dcols[j]) == best
+        cluster = (
+            F.when(cond, F.lit(j))
+            if cluster is None
+            else F.when(cond, F.lit(j)).otherwise(cluster)
+        )
+    assigned = with_d.select(
+        "vec_id", "embedding", best.alias("mind"), cluster.alias("cluster")
+    ).localCheckpoint(eager=True)
+
+    rows = []
+    for i in range(1, rounds + 1):
+        cents = (
+            assigned.groupBy(F.col("cluster").alias("cand"))
+            .agg(
+                F.array(
+                    *[
+                        F.round(F.avg(F.col("embedding")[d]), 6)
+                        for d in range(EMBED_DIM)
+                    ]
+                ).alias("c")
+            )
+            .localCheckpoint(eager=True)
+        )
+        re = assigned.select(
+            "vec_id", "embedding", F.col("cluster").alias("old_cluster")
+        ).crossJoin(F.broadcast(cents))
+        dist = (
+            dot("embedding", "embedding")
+            - 2.0 * dot(F.col("embedding"), F.col("c"))
+            + dot(F.col("c"), F.col("c"))
+        )
+        picked = (
+            re.withColumn("_dist", dist)
+            .groupBy("vec_id")
+            .agg(
+                F.min(F.struct(F.col("_dist"), F.col("cand"))).alias("m"),
+                F.first("embedding").alias("embedding"),
+                F.first("old_cluster").alias("old_cluster"),
+            )
+            .select(
+                "vec_id",
+                "embedding",
+                F.col("m._dist").alias("mind"),
+                F.col("m.cand").alias("cluster"),
+                "old_cluster",
+            )
+            .localCheckpoint(eager=True)
+        )
+        stats = picked.agg(
+            F.sum(
+                F.when(F.col("cluster") != F.col("old_cluster"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_moved"),
+            F.round(F.sum("mind"), 3).alias("inertia"),
+            F.count_distinct("cluster").cast("long").alias("n_clusters"),
+        ).select(F.lit(i).cast("long").alias("iteration"), "*")
+        rows.append(stats)
+        assigned = picked.select("vec_id", "embedding", "mind", "cluster")
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out

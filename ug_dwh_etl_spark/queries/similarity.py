@@ -1473,3 +1473,74 @@ def sim_quantize_binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_knn_recall(
         table(spark, sf_dir, "embeddings"), query_mod=97, k=3
     )
+
+
+def _kmeans_converged_sql(rounds: int = 3) -> str:
+    from ug_dwh_etl_spark.operators.similarity import EMBED_DIM
+
+    dists = ", ".join(
+        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
+    )
+    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
+    case = " ".join(f"WHEN d{j} = mind THEN {j}" for j in range(N_CENTROIDS))
+    avgs = ", ".join(
+        f"ROUND(AVG(e[{k + 1}]), 6) AS a{k}" for k in range(EMBED_DIM)
+    )
+    clist = "list_value(" + ", ".join(f"a{k}" for k in range(EMBED_DIM)) + ")"
+    parts = [
+        "base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)",
+        f"d0 AS (SELECT vec_id, e, {dists} FROM base)",
+        f"m0 AS (SELECT vec_id, e, {least} AS mind, * EXCLUDE (vec_id, e) FROM d0)",
+        f"a0 AS MATERIALIZED (SELECT vec_id, e, CASE {case} END AS cluster FROM m0)",
+    ]
+    stats = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(
+            f"g{i} AS MATERIALIZED (SELECT cluster AS cand, {clist} AS c FROM "
+            f"(SELECT cluster, {avgs} FROM a{p} GROUP BY cluster))"
+        )
+        parts.append(
+            f"""r{i} AS (
+      SELECT vec_id, e, old_cluster, cand, dist,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cand) AS rn
+      FROM (SELECT a.vec_id, a.e, a.cluster AS old_cluster, g.cand,
+                   list_dot_product(a.e, a.e) - 2 * list_dot_product(a.e, g.c)
+                     + list_dot_product(g.c, g.c) AS dist
+            FROM a{p} a CROSS JOIN g{i} g))"""
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, e, cand AS cluster, "
+            f"dist AS mind, old_cluster FROM r{i} WHERE rn = 1)"
+        )
+        stats.append(
+            f"""SELECT CAST({i} AS BIGINT) AS iteration,
+             CAST(SUM(CASE WHEN cluster <> old_cluster THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_moved,
+             ROUND(SUM(mind), 3) AS inertia,
+             CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters
+      FROM a{i}"""
+        )
+    return (
+        "WITH " + ",\n    ".join(parts) + "\n    "
+        + "\n    UNION ALL ".join(stats)
+    )
+
+
+@register("sim_kmeans_converged", _kmeans_converged_sql())
+def sim_kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's k-means run for 3 FULL rounds with DYNAMIC centroids —
+    the convergence trace (per round: reassignments moved, inertia,
+    surviving clusters) that sim_kmeans_step's single fixed-seed
+    iteration points at. Inertia must be non-increasing and n_moved
+    shrinking — the offline-clustering health log. Plan shape per
+    round: one K×EMBED_DIM map-side-combined mean shuffle (a few KB
+    regardless of corpus size, checkpointed — the iterative-lineage
+    rule), one broadcast reassignment scan with the sequential-fold
+    dot product, so iterating is rounds × scans with constant shuffle
+    width. Centroid coordinates are rounded to 6dp each round before
+    any distance, so both engines argmin over bit-identical values
+    (the shared cross-engine discipline of ivf_assign/kmeans_step)."""
+    from ug_dwh_etl_spark.operators.similarity import kmeans_iterate
+
+    return kmeans_iterate(table(spark, sf_dir, "embeddings"), rounds=3)
