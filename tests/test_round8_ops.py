@@ -428,3 +428,52 @@ def test_kmeans_converged_trace_is_monotone(spark):
     assert inertias == sorted(inertias, reverse=True)  # non-increasing
     assert rows[-1].n_moved <= rows[0].n_moved
     assert all(1 <= r.n_clusters <= 8 for r in rows)
+
+
+def test_snapshot_table_random_op_sequences_match_model(spark, tmp_path):
+    """Model-based check: any sequence of append/overwrite/merge/expire
+    must leave every SURVIVING snapshot readable and equal to a pure-
+    Python multiset model of the same operations. Deterministic seeded
+    sequences (one Spark job per step keeps this affordable — the
+    test_properties.py budget discipline)."""
+    import random
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    rng = random.Random(82)
+    for trial in range(3):
+        t = SnapshotTable(str(tmp_path / f"m{trial}"))
+        model: dict[int, dict[int, int]] = {}  # snapshot -> {key: payload}
+        state: dict[int, int] = {}
+        nxt = 0
+        for step in range(10):
+            op = rng.choice(["append", "overwrite", "merge", "merge", "expire"])
+            if op == "expire" and t.latest_snapshot_id():
+                keep = rng.randint(1, t.latest_snapshot_id())
+                t.expire_snapshots(keep_from=keep)
+                for sid in list(model):
+                    if sid < keep:
+                        del model[sid]
+                continue
+            keys = [nxt + i for i in range(rng.randint(1, 5))]
+            nxt += len(keys)
+            if op == "merge" and state:
+                # restate a random existing key alongside the new ones
+                keys.append(rng.choice(sorted(state)))
+            payload = {k: k * 10 + step for k in keys}
+            df = spark.createDataFrame(
+                [(k, v) for k, v in payload.items()], "k long, v long"
+            )
+            if op == "append" and t.latest_snapshot_id():
+                sid = t.commit_append(df)
+                state = {**state, **payload}
+            elif op == "merge" and t.latest_snapshot_id():
+                sid = t.commit_merge(df, key_cols=["k"])
+                state = {**state, **payload}
+            else:
+                sid = t.commit_overwrite(df)
+                state = dict(payload)
+            model[sid] = dict(state)
+        for sid, expect in model.items():
+            got = {r.k: r.v for r in t.read_as_of(spark, sid).collect()}
+            assert got == expect, (trial, sid)
