@@ -477,3 +477,19 @@ def test_snapshot_table_random_op_sequences_match_model(spark, tmp_path):
         for sid, expect in model.items():
             got = {r.k: r.v for r in t.read_as_of(spark, sid).collect()}
             assert got == expect, (trial, sid)
+
+
+def test_token_savings_consistent_with_verdicts(spark):
+    from ug_dwh_etl_spark.queries.dedup import (
+        dedup_semantic_cells,
+        dedup_token_savings,
+    )
+
+    rows = dedup_token_savings(spark, SF).collect()
+    n_dropped = sum(r.n_dropped for r in rows)
+    verdicts = dedup_semantic_cells(spark, SF).collect()
+    assert n_dropped == sum(1 for v in verdicts if not v.kept)
+    assert sum(r.n_docs for r in rows) == len(verdicts)
+    for r in rows:
+        assert 0 <= r.tokens_dropped <= r.tokens_total
+        assert abs(r.dropped_share - r.tokens_dropped / r.tokens_total) < 1e-6

@@ -1925,3 +1925,76 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 dedup_semantic_incremental.__doc__ = dedup_semantic_incremental.__doc__.replace(
     "{elite}", str(_SEMDEDUP_ELITE)
 )
+
+
+def _token_savings_sql() -> str:
+    from ug_dwh_etl_spark.operators.hashing import sql_tokens
+
+    # reuse the exact semantic verdict CTEs, then price the drops in
+    # tokens — the accounting a corpus owner reads before shipping
+    cells = _semantic_cells_sql().strip()
+    assert cells.startswith("WITH ")
+    return f"""
+    {cells.rstrip()}
+    """.replace(
+        """    SELECT av.vec_id, CAST(av.cluster AS INT) AS cluster,
+           (drops.vec_id IS NULL) AS kept
+    FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id""",
+        f"""    , verdicts AS (
+      SELECT av.vec_id, (drops.vec_id IS NULL) AS kept
+      FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id),
+    toks AS (
+      SELECT doc_id, source,
+             CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tok
+      FROM documents)
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN NOT v.kept THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dropped,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN NOT v.kept THEN t.n_tok ELSE 0 END) AS BIGINT)
+             AS tokens_dropped,
+           ROUND(SUM(CASE WHEN NOT v.kept THEN t.n_tok ELSE 0 END) * 1.0
+                 / SUM(t.n_tok), 6) AS dropped_share
+    FROM verdicts v JOIN toks t ON t.doc_id = v.vec_id
+    GROUP BY t.source""",
+    )
+
+
+@register("dedup_token_savings", _token_savings_sql())
+def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP IMPACT ACCOUNTING: the token mass the semantic pass removes,
+    per source — n_docs / n_dropped / tokens_total / tokens_dropped /
+    dropped_share. This is the report a corpus owner reads before
+    shipping a pretraining mix: dedup verdicts priced in TRAINING
+    TOKENS (the shared cross-engine tokenizer, operators/hashing.py
+    tokens()), broken down by source so a single over-duplicated feed
+    shows up instead of hiding in the corpus average. Composes the
+    exact dedup_semantic_cells verdicts with one token-count scan —
+    both corpus-sized relations joined on doc id, nothing pairwise."""
+    from ug_dwh_etl_spark.operators.hashing import tokens
+    from ug_dwh_etl_spark.queries.registry import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    verdicts = dedup_semantic_cells(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "kept"
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    dropped_tok = F.sum(F.when(~F.col("kept"), F.col("n_tok")).otherwise(0))
+    return (
+        verdicts.join(toks, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(~F.col("kept"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            dropped_tok.cast("long").alias("tokens_dropped"),
+            F.round(dropped_tok * 1.0 / F.sum("n_tok"), 6).alias(
+                "dropped_share"
+            ),
+        )
+    )
