@@ -214,8 +214,10 @@ def test_manifest_pruning_query_reads_fewer_files(spark):
     from ug_dwh_etl_spark.queries.scale import storage_manifest_pruning
 
     storage_manifest_pruning(spark, SF).collect()
+    from ug_dwh_etl_spark.queries.registry import sfdir_key
+
     root = os.path.join(
-        tempfile.gettempdir(), f"snaptable_pruned_{os.getpid()}", "sf0.001"
+        tempfile.gettempdir(), f"snaptable_pruned_{os.getpid()}", sfdir_key(SF)
     )
     t = SnapshotTable(root)
     _, read, total = t.scan_pruned(
@@ -260,8 +262,10 @@ def test_stream_ingest_lands_one_commit_per_microbatch(spark):
     out = stream_snapshot_ingest(spark, SF)
     n = sum(r.n_orders for r in out.collect())
     assert n == spark.read.parquet(f"{SF}/orders.parquet").count()
+    from ug_dwh_etl_spark.queries.registry import sfdir_key
+
     root = os.path.join(
-        tempfile.gettempdir(), f"snap_ingest_{os.getpid()}", "sf0.001", "table"
+        tempfile.gettempdir(), f"snap_ingest_{os.getpid()}", sfdir_key(SF), "table"
     )
     snaps = SnapshotTable(root).snapshots()
     assert len(snaps) == 8

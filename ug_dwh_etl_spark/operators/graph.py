@@ -1058,9 +1058,12 @@ def label_propagation(
     adopts the most frequent label among its neighbors, ties broken by
     the smallest label — the deterministic variant, so the fixed
     dataflow is exactly unrollable as the DuckDB oracle
-    (``sql_label_propagation``). Nodes keep their own label when a
-    round leaves them without neighbors (cannot happen on a static
-    edge list, but the guard keeps the operator total).
+    (``sql_label_propagation``). Totality relies on the input being a
+    STATIC edge list: every labeled node appears as some edge's ``a``
+    in the symmetrized relation, so the per-round argmax covers all
+    nodes (the former keep-own-label left-join guard was removed as
+    unreachable — a future variant with seedable/partial label tables
+    must reinstate it).
 
     Scale shape: per round, one join of the |V|-sized label table
     against the once-shuffled adjacency relation, one (node, label)

@@ -622,6 +622,32 @@ def ivfpq_topk(
     )
 
 
+def seed_assignment(embeddings: DataFrame, mind_col: str = "_mind") -> DataFrame:
+    """(vec_id, embedding, <mind_col>, cluster): argmin over the K seed-
+    centroid codegen distance folds, ties to the lowest cluster id — the
+    ONE home of the cross-engine tie-break chain that ivf_assign,
+    kmeans_step and kmeans_iterate all depend on (the reversed-when
+    cascade == the oracle's ``CASE WHEN d_j = min THEN j``)."""
+    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
+    with_d = embeddings.select(
+        "vec_id",
+        "embedding",
+        *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)],
+    )
+    best = F.least(*[F.col(c) for c in dcols])
+    cluster = None
+    for j in reversed(range(N_CENTROIDS)):
+        cond = F.col(dcols[j]) == best
+        cluster = (
+            F.when(cond, F.lit(j))
+            if cluster is None
+            else F.when(cond, F.lit(j)).otherwise(cluster)
+        )
+    return with_d.select(
+        "vec_id", "embedding", best.alias(mind_col), cluster.alias("cluster")
+    )
+
+
 def kmeans_step(embeddings: DataFrame) -> DataFrame:
     """One full Lloyd iteration of k-means from the fixed seed centroids,
     entirely in DataFrame ops: assign (argmin over K codegen distance
@@ -646,24 +672,7 @@ def kmeans_step(embeddings: DataFrame) -> DataFrame:
     """
     from pyspark.sql import Window
 
-    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
-    with_d = embeddings.select(
-        "vec_id",
-        "embedding",
-        *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)],
-    )
-    best = F.least(*[F.col(c) for c in dcols])
-    cluster = None
-    for j in reversed(range(N_CENTROIDS)):
-        cond = F.col(dcols[j]) == best
-        cluster = (
-            F.when(cond, F.lit(j))
-            if cluster is None
-            else F.when(cond, F.lit(j)).otherwise(cluster)
-        )
-    assigned = with_d.select(
-        "vec_id", "embedding", best.alias("_mind"), cluster.alias("cluster")
-    )
+    assigned = seed_assignment(embeddings)
 
     g = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vecs"),
@@ -870,25 +879,9 @@ def kmeans_iterate(embeddings: DataFrame, rounds: int = 3) -> DataFrame:
     numbers an offline clustering job logs per round at 100 TB; cost is
     rounds × (one scan + one K-row shuffle), shuffle width constant in
     corpus size."""
-    spark = embeddings.sparkSession
-    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
-    with_d = embeddings.select(
-        "vec_id",
-        "embedding",
-        *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)],
+    assigned = seed_assignment(embeddings, mind_col="mind").localCheckpoint(
+        eager=True
     )
-    best = F.least(*[F.col(c) for c in dcols])
-    cluster = None
-    for j in reversed(range(N_CENTROIDS)):
-        cond = F.col(dcols[j]) == best
-        cluster = (
-            F.when(cond, F.lit(j))
-            if cluster is None
-            else F.when(cond, F.lit(j)).otherwise(cluster)
-        )
-    assigned = with_d.select(
-        "vec_id", "embedding", best.alias("mind"), cluster.alias("cluster")
-    ).localCheckpoint(eager=True)
 
     rows = []
     for i in range(1, rounds + 1):

@@ -256,18 +256,27 @@ class SnapshotTable:
         sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"empty snapshot table at {self.root}")
-        files = self.manifest(sid).get("files", [])
+        m = self.manifest(sid)
+        files = m.get("files", [])
         if not files:
             return self.read_as_of(spark, sid), -1, -1
+        # data dirs from commits made WITHOUT stats_cols never appear in
+        # the files list — read them wholesale, never silently drop them
+        # (conservative = keep anything the stats can't prune)
+        covered = {os.path.dirname(f["file"]) for f in files}
+        unstated = [d for d in m["data_dirs"] if d not in covered]
         keep = []
         for f in files:
             mn, mx = f["stats"].get(col, (None, None))
             if mn is None or mx is None or (mx >= lo and mn <= hi):
                 keep.append(f["file"])
-        if not keep:  # every file pruned: empty frame, correct schema
-            return self.read_as_of(spark, sid).limit(0), 0, len(files)
-        df = spark.read.parquet(*[os.path.join(self.root, p) for p in keep])
-        return df, len(keep), len(files)
+        paths = [os.path.join(self.root, p) for p in keep] + [
+            os.path.join(self.root, d) for d in unstated
+        ]
+        total = len(files) + len(unstated)
+        if not paths:  # every file pruned: empty frame, correct schema
+            return self.read_as_of(spark, sid).limit(0), 0, total
+        return spark.read.parquet(*paths), len(keep) + len(unstated), total
 
     # -- maintenance ---------------------------------------------------------
     def expire_snapshots(self, keep_from: int) -> list[str]:

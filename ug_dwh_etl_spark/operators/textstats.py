@@ -55,6 +55,18 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def alpha_ratio_col(text_col: str) -> "F.Column":
+    """round(alpha_chars / len, 6) — THE corpus quality ranking used by
+    every survivorship rule (dedup_quality_survivors, the SemDeDup
+    family, the streaming ingest twin). One definition so the 'same
+    ranking as dedup_quality_survivors' promise cannot drift."""
+    return F.round(
+        F.length(F.regexp_replace(text_col, "[^a-zA-Z]", ""))
+        / F.length(text_col).cast("double"),
+        6,
+    )
+
+
 def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Character-class ratios + English-stopword ratio — the standard
     cheap quality signals (length, punctuation density, stopword density)

@@ -1574,10 +1574,13 @@ _SEMDEDUP_TAU = 0.4  # cosine threshold; 0.95+ in production — the synthetic
 # embeddings top out at 0.49 within-cell, so the fixture binds at 0.4
 
 
-def _semantic_cells_sql() -> str:
+def _ivf_qual_ctes() -> str:
+    """The shared oracle prefix of the SemDeDup family: IVF assignment
+    (base/d/m/a) + the alpha-ratio quality relation (qual) — ONE copy so
+    the three verdict oracles (_semantic_cells_sql, _capped, _incremental)
+    cannot drift apart. Callers append their own av/drops/select tails."""
     from ug_dwh_etl_spark.operators.similarity import (
         N_CENTROIDS,
-        duck_cosine_sql,
         sql_centroid_dist,
     )
 
@@ -1586,10 +1589,7 @@ def _semantic_cells_sql() -> str:
     )
     least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
     case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
-    # av is referenced twice (both self-join sides) -> MATERIALIZED, or
-    # DuckDB re-inlines the whole 8-distance assignment per side
-    return f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    return f"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     d AS (SELECT vec_id, e, {dists} FROM base),
     m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
     a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
@@ -1597,7 +1597,16 @@ def _semantic_cells_sql() -> str:
       SELECT doc_id,
              ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
                    / length(text)::DOUBLE, 6) AS q
-      FROM documents),
+      FROM documents)"""
+
+
+def _semantic_cells_sql() -> str:
+    from ug_dwh_etl_spark.operators.similarity import duck_cosine_sql
+
+    # av is referenced twice (both self-join sides) -> MATERIALIZED, or
+    # DuckDB re-inlines the whole 8-distance assignment per side
+    return f"""
+    {_ivf_qual_ctes()},
     av AS MATERIALIZED (
       SELECT a.vec_id, a.e, a.cluster, qual.q
       FROM a JOIN qual ON qual.doc_id = a.vec_id),
@@ -1637,13 +1646,10 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents")
+    from ug_dwh_etl_spark.operators.textstats import alpha_ratio_col
+
     qual = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-            / F.length("text").cast("double"),
-            6,
-        ).alias("q"),
+        F.col("doc_id").alias("vec_id"), alpha_ratio_col("text").alias("q")
     )
     av = (
         ivf_assign(spread(emb))
@@ -1687,27 +1693,10 @@ _SEMDEDUP_ELITE = 32  # per-cell comparison budget for the capped twin
 
 
 def _semantic_cells_capped_sql() -> str:
-    from ug_dwh_etl_spark.operators.similarity import (
-        N_CENTROIDS,
-        duck_cosine_sql,
-        sql_centroid_dist,
-    )
+    from ug_dwh_etl_spark.operators.similarity import duck_cosine_sql
 
-    dists = ", ".join(
-        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
-    )
-    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
-    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
     return f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    d AS (SELECT vec_id, e, {dists} FROM base),
-    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
-    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
-    qual AS (
-      SELECT doc_id,
-             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                   / length(text)::DOUBLE, 6) AS q
-      FROM documents),
+    {_ivf_qual_ctes()},
     av AS MATERIALIZED (
       SELECT a.vec_id, a.e, a.cluster, qual.q,
              ROW_NUMBER() OVER (PARTITION BY a.cluster
@@ -1746,13 +1735,10 @@ def dedup_semantic_cells_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents")
+    from ug_dwh_etl_spark.operators.textstats import alpha_ratio_col
+
     qual = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-            / F.length("text").cast("double"),
-            6,
-        ).alias("q"),
+        F.col("doc_id").alias("vec_id"), alpha_ratio_col("text").alias("q")
     )
     w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("vec_id"))
     av = (
@@ -1800,27 +1786,10 @@ dedup_semantic_cells_capped.__doc__ = dedup_semantic_cells_capped.__doc__.replac
 
 
 def _semantic_incremental_sql() -> str:
-    from ug_dwh_etl_spark.operators.similarity import (
-        N_CENTROIDS,
-        duck_cosine_sql,
-        sql_centroid_dist,
-    )
+    from ug_dwh_etl_spark.operators.similarity import duck_cosine_sql
 
-    dists = ", ".join(
-        f"{sql_centroid_dist('e', j)} AS d{j}" for j in range(N_CENTROIDS)
-    )
-    least = f"LEAST({', '.join(f'd{j}' for j in range(N_CENTROIDS))})"
-    case = " ".join(f"WHEN d{j} = m THEN {j}" for j in range(N_CENTROIDS))
     return f"""
-    WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    d AS (SELECT vec_id, e, {dists} FROM base),
-    m AS (SELECT vec_id, e, {least} AS m, * EXCLUDE (vec_id, e) FROM d),
-    a AS (SELECT vec_id, e, CASE {case} END AS cluster FROM m),
-    qual AS (
-      SELECT doc_id,
-             ROUND(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
-                   / length(text)::DOUBLE, 6) AS q
-      FROM documents),
+    {_ivf_qual_ctes()},
     av AS MATERIALIZED (
       SELECT a.vec_id, a.e, a.cluster, qual.q
       FROM a JOIN qual ON qual.doc_id = a.vec_id),
@@ -1864,13 +1833,10 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents")
+    from ug_dwh_etl_spark.operators.textstats import alpha_ratio_col
+
     qual = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-            / F.length("text").cast("double"),
-            6,
-        ).alias("q"),
+        F.col("doc_id").alias("vec_id"), alpha_ratio_col("text").alias("q")
     )
     av = (
         ivf_assign(spread(emb))
@@ -1934,12 +1900,16 @@ def _token_savings_sql() -> str:
     # tokens — the accounting a corpus owner reads before shipping
     cells = _semantic_cells_sql().strip()
     assert cells.startswith("WITH ")
+    verdict_tail = """    SELECT av.vec_id, CAST(av.cluster AS INT) AS cluster,
+           (drops.vec_id IS NULL) AS kept
+    FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id"""
+    # a reformat of _semantic_cells_sql's final SELECT must fail loudly
+    # here, not silently register the verdict query as this oracle
+    assert verdict_tail in cells, "semantic-cells oracle tail changed"
     return f"""
     {cells.rstrip()}
     """.replace(
-        """    SELECT av.vec_id, CAST(av.cluster AS INT) AS cluster,
-           (drops.vec_id IS NULL) AS kept
-    FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id""",
+        verdict_tail,
         f"""    , verdicts AS (
       SELECT av.vec_id, (drops.vec_id IS NULL) AS kept
       FROM av LEFT JOIN drops ON drops.vec_id = av.vec_id),

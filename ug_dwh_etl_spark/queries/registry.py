@@ -89,3 +89,12 @@ def materialize_once(
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def sfdir_key(sf_dir: str) -> str:
+    """Collision-proof per-sf_dir path segment for per-process work dirs
+    (sha1 of the FULL path — basename keying collides across scale-probe
+    mode dirs that share a leaf like 'x4')."""
+    import hashlib
+
+    return hashlib.sha1(sf_dir.encode()).hexdigest()[:12]

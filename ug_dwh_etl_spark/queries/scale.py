@@ -13,7 +13,7 @@ import pyspark.sql.functions as F
 
 from ug_dwh_etl_spark.operators.bucketing import bucketed_join, write_bucketed
 from ug_dwh_etl_spark.operators.skew import salted_agg
-from ug_dwh_etl_spark.queries.registry import register, table
+from ug_dwh_etl_spark.queries.registry import register, sfdir_key, table
 
 
 @register(
@@ -737,7 +737,7 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         tempfile.gettempdir(),
         f"snaptable_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        sfdir_key(sf_dir),
     )
     t = SnapshotTable(root)
     if t.latest_snapshot_id() is None:
@@ -797,7 +797,7 @@ def storage_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         tempfile.gettempdir(),
         f"snaptable_pruned_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        sfdir_key(sf_dir),
     )
     t = SnapshotTable(root)
     if t.latest_snapshot_id() is None:
@@ -805,7 +805,11 @@ def storage_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             o.repartitionByRange(8, "o_orderdate"),
             stats_cols=("o_orderdate",),
         )
-    lo, hi = "1995-06-01 00:00:00", "1995-12-31 23:59:59.999999"
+    # bounds chosen to compare correctly against BOTH string renderings
+    # a date-ish column can take ('1995-06-01' and '1995-06-01 00:00:00'):
+    # lo is date-only (a prefix of any same-day timestamp, so it sorts
+    # <= both forms), hi carries the day's max time (sorts >= both)
+    lo, hi = "1995-06-01", "1995-12-31 23:59:59.999999"
     df, _read, _total = t.scan_pruned(spark, "o_orderdate", lo, hi)
     return (
         df.filter(
@@ -861,7 +865,7 @@ def storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(
         tempfile.gettempdir(),
         f"snaptable_merge_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        sfdir_key(sf_dir),
     )
     t = SnapshotTable(root)
     if t.latest_snapshot_id() is None:

@@ -1091,18 +1091,25 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F  # noqa: F811
 
     from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.queries.registry import sfdir_key
 
     work = os.path.join(
         tempfile.gettempdir(),
         f"snap_ingest_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        sfdir_key(sf_dir),
     )
     src = os.path.join(work, "src")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         orders.repartition(8).write.mode("overwrite").parquet(src)
     table = SnapshotTable(os.path.join(work, "table"))
-    if table.latest_snapshot_id() is None:
+    # completion marker written only AFTER awaitTermination: a run that
+    # crashed mid-stream left commits but no marker, and the retry
+    # re-runs the whole stream — replayed batches dedupe on batch_id, so
+    # resuming from zero is safe and complete (guarding on
+    # latest_snapshot_id() would mistake a partial ingest for done)
+    done_marker = os.path.join(work, "_INGEST_DONE")
+    if not os.path.exists(done_marker):
         stream = (
             spark.readStream.schema(orders.schema)
             .option("maxFilesPerTrigger", "1")
@@ -1131,6 +1138,7 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
                 .awaitTermination()
             )
+        open(done_marker, "a").close()
     return (
         table.read_as_of(spark)
         .groupBy("o_orderstatus")
@@ -1164,18 +1172,19 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SEMDEDUP_ELITE,
         _SEMDEDUP_TAU,
     )
-    from ug_dwh_etl_spark.queries.registry import materialize_once, table
+    from ug_dwh_etl_spark.queries.registry import (
+        materialize_once,
+        sfdir_key,
+        table,
+    )
     from pyspark.sql import Window
 
     emb = table(spark, sf_dir, "embeddings")
     docs = table(spark, sf_dir, "documents")
+    from ug_dwh_etl_spark.operators.textstats import alpha_ratio_col
+
     qual = docs.select(
-        F.col("doc_id").alias("vec_id"),
-        F.round(
-            F.length(F.regexp_replace("text", "[^a-zA-Z]", ""))
-            / F.length("text").cast("double"),
-            6,
-        ).alias("q"),
+        F.col("doc_id").alias("vec_id"), alpha_ratio_col("text").alias("q")
     )
 
     def build_elite():
@@ -1204,13 +1213,23 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = os.path.join(
         tempfile.gettempdir(),
         f"sem_ingest_{os.getpid()}",
-        os.path.basename(os.path.normpath(sf_dir)),
+        sfdir_key(sf_dir),
     )
     src = os.path.join(work, "src")
     out = os.path.join(work, "verdicts")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         emb.repartition(8).write.mode("overwrite").parquet(src)
-    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+    # the completion sentinel must NOT be out/_SUCCESS: Spark's file
+    # committer creates that after the FIRST micro-batch append, so it
+    # cannot distinguish a finished run from a crashed one. A separate
+    # marker is written only after awaitTermination; a markerless (i.e.
+    # partial) verdict log is wiped before the retry re-runs the stream,
+    # since re-appending over partial output would duplicate batches.
+    done_marker = os.path.join(work, "_ALL_BATCHES_DONE")
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
 
         def verdicts(batch, batch_id):
             x = (
@@ -1270,5 +1289,5 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
                 .awaitTermination()
             )
-        open(os.path.join(out, "_SUCCESS"), "a").close()
+        open(done_marker, "a").close()
     return spark.read.parquet(out).select("vec_id", "cluster", "kept")
