@@ -335,6 +335,30 @@ def main() -> None:
     # headline query so a later diff can tell noise (t2 >> t, high
     # loadavg) from a real regression (t ~ t2, quiet) without re-running.
     headline_runs: dict[str, dict] = {}
+    # materialize_once accounting (round-8 verdict: memoized-artifact
+    # consumers reported the parquet-read time while whichever query ran
+    # first silently absorbed the build). Policy: every query timing is
+    # the WARM cost of its own plan — artifact builds are priced ONCE
+    # each under "artifact_builds", and "memoized_queries" marks which
+    # queries join a materialized artifact so round-over-round diffs
+    # know those timings exclude the build.
+    from ug_dwh_etl_spark.queries.registry import MATERIALIZE_EVENTS
+
+    memoized_queries: dict[str, list[str]] = {}
+
+    def _drain_events() -> tuple[list[str], bool]:
+        names = sorted({e["name"] for e in MATERIALIZE_EVENTS})
+        built = any(e["built"] for e in MATERIALIZE_EVENTS)
+        MATERIALIZE_EVENTS.clear()
+        return names, built
+
+    artifact_builds: dict[str, float] = {}
+
+    def _collect_builds() -> None:
+        for e in MATERIALIZE_EVENTS:
+            if e["built"]:
+                artifact_builds[e["name"]] = e["secs"]
+
     for name in HEADLINE:
         fn = QUERIES[name].fn
         la = round(os.getloadavg()[0], 2)
@@ -343,11 +367,16 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        _collect_builds()
+        arts, _ = _drain_events()
+        if arts:
+            memoized_queries[name] = arts
         timings[name] = round(min(runs), 3)
         headline_runs[name] = {
             "t": round(min(runs), 3),
             "t2": round(max(runs), 3),
             "loadavg": la,
+            **({"artifacts": arts} if arts else {}),
         }
 
     # EVERY remaining registered query gets a single timed run too
@@ -365,12 +394,27 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            elapsed = time.perf_counter() - t0
+            _collect_builds()
+            arts, built = _drain_events()
+            if built:
+                # this single run paid a materialize_once build — rerun
+                # for the warm cost; the build is priced in
+                # artifact_builds, not inside this query's timing
+                t0 = time.perf_counter()
+                entry.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                elapsed = time.perf_counter() - t0
+                _drain_events()
+            if arts:
+                memoized_queries[name] = arts
         except Exception as e:  # noqa: BLE001 — one bad query must not
             # abort the sweep and lose every already-measured timing
             errors.append(name)
             print(f"BENCH ERROR {name}: {type(e).__name__}: {str(e)[:200]}")
             continue
-        others[name] = round(time.perf_counter() - t0, 3)
+        others[name] = round(elapsed, 3)
 
     total = round(sum(timings.values()), 3)
     others_total = round(sum(others.values()), 3)
@@ -380,6 +424,15 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # timing policy: every per-query number is the WARM cost of that
+        # query's own plan (headline best-of-2 min; non-headline single
+        # run, rerun once if it paid a materialize_once build). Shared-
+        # artifact builds are priced exactly once, below — they are NOT
+        # inside any query's timing and NOT in the headline total.
+        "timing_policy": "warm per-query; materialize_once builds priced separately",
+        "artifact_builds": artifact_builds,
+        "artifact_builds_total_sec": round(sum(artifact_builds.values()), 3),
+        "memoized_queries": memoized_queries,
         # both headline runs + 1-min loadavg at query start: separates
         # machine noise from regressions in round-over-round diffs
         "headline_runs": headline_runs,
@@ -412,6 +465,9 @@ def main() -> None:
                 "n_queries": len(timings),
                 "n_all_queries": len(timings) + len(others),
                 "other_queries_total_sec": others_total,
+                "artifact_builds_total_sec": round(
+                    sum(artifact_builds.values()), 3
+                ),
                 "detail": "bench_detail.json",
                 "queries": slowest,
             }

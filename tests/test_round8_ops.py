@@ -484,14 +484,17 @@ def test_snapshot_table_random_op_sequences_match_model(spark, tmp_path):
 
 
 def test_token_savings_consistent_with_verdicts(spark):
+    # token_savings composes the CAPPED pass (the production default
+    # since round 9) — its per-source drop counts must reconcile with
+    # the capped verdict table it reads, row for row.
     from ug_dwh_etl_spark.queries.dedup import (
-        dedup_semantic_cells,
+        dedup_semantic_cells_capped,
         dedup_token_savings,
     )
 
     rows = dedup_token_savings(spark, SF).collect()
     n_dropped = sum(r.n_dropped for r in rows)
-    verdicts = dedup_semantic_cells(spark, SF).collect()
+    verdicts = dedup_semantic_cells_capped(spark, SF).collect()
     assert n_dropped == sum(1 for v in verdicts if not v.kept)
     assert sum(r.n_docs for r in rows) == len(verdicts)
     for r in rows:

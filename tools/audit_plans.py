@@ -13,6 +13,15 @@ signals and flags the anti-patterns that matter at 100 TB:
 - ``unpruned``    — a file scan reads a column that no operator outside
                     the scan references (column-pruning regression: the
                     scan pays I/O for bytes nothing consumes);
+- ``globalwindow``— a WindowExec with an EMPTY partition spec: Spark
+                    moves the window's whole input through ONE task
+                    (``Exchange SinglePartition`` → single-threaded
+                    Sort + running aggregate) — the serialization
+                    killer at 100 TB unless the input is a provably
+                    tiny post-aggregation relation (day/hour series,
+                    top-k lists), which is what
+                    ``EXPECTED_GLOBAL_WINDOW`` allow-lists, each with
+                    its justification;
 - exchange count  — shuffles in the plan (compare against the shape's
                     expected minimum, e.g. scan→agg = 1).
 
@@ -229,6 +238,45 @@ EXPECTED_NESTED_LOOP = {
 }
 STREAM = re.compile(r"^stream_")
 
+# Global (empty-partition-spec) windows over provably SMALL relations —
+# post-aggregation series (days/hours/classes), bounded top-k pools, or
+# per-round scalar state — where one task holding the whole input is the
+# point, not a bottleneck. Everything else must partition its windows
+# (see events_peak_concurrency's sharded prefix sum for the pattern).
+EXPECTED_GLOBAL_WINDOW: dict[str, str] = {}
+
+
+def _count_global_windows(plan: str) -> int:
+    """Window physical nodes whose partition spec is EMPTY. The node
+    prints as ``Window [exprs], [partitionSpec], [orderSpec]`` when
+    partitioned and ``Window [exprs], [orderSpec]`` when global, so a
+    2-group node whose second group carries sort directions (ASC/DESC)
+    is a global ordered window. (A partition-only window also prints 2
+    groups, but its second group is bare attributes — no directions.)"""
+    n = 0
+    for line in plan.split("\n"):
+        m = re.search(r"\bWindow(?:InPandas)? (?=\[)", line)
+        if not m:
+            continue
+        groups, depth, start = [], 0, None
+        for i in range(m.end(), len(line)):
+            c = line[i]
+            if c == "[":
+                if depth == 0:
+                    start = i
+                depth += 1
+            elif c == "]":
+                depth -= 1
+                if depth == 0:
+                    groups.append(line[start : i + 1])
+                    if len(groups) == 3:
+                        break
+        if len(groups) == 2 and re.search(r"\b(ASC|DESC)\b", groups[1]):
+            n += 1
+        elif len(groups) == 3 and groups[1] == "[]":
+            n += 1
+    return n
+
 
 _FILE_SCAN = re.compile(r"Scan (parquet|orc|csv|json|text|binaryFile)")
 
@@ -290,6 +338,9 @@ def _flags_for(name: str, plan: str) -> tuple[str, list[str]]:
         name not in EXPECTED_NESTED_LOOP
     ):
         flags.append("cartesian")
+    n_gw = _count_global_windows(plan)
+    if n_gw and name not in EXPECTED_GLOBAL_WINDOW:
+        flags.append(f"globalwindow:{n_gw}")
     arrow = sum(plan.count(t) for t in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"))
     summary = (
         f"exch={n_exchange:<2} bhj={n_bhj:<2} smj={n_smj:<2}"

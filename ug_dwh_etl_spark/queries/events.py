@@ -2504,13 +2504,18 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``_CONC_GAP_MIN`` — the events_sessionize rule), then run the classic +1/−1 interval
     sweep over session endpoints — the capacity-planning number (how
     many sessions were EVER live at once, and when). The sweep's
-    running sum is ordered over the ENDPOINT relation — two rows per
-    session, already thousands-fold smaller than events — which is the
-    same series-sized-window justification as the day-series operators;
-    at even larger scales the sweep becomes per-day partitioned with
-    carried-in offsets (the distributed prefix-sum pattern of
-    multimodal_shard_manifest). Ties process +1 before −1 so touching
-    sessions count as overlapping — identical in both engines."""
+    running sum is a TWO-LEVEL DISTRIBUTED PREFIX SUM (the
+    text_pack_sequences sharding pattern adapted to a globally-ordered
+    sweep): endpoints shard by calendar day — day shards partition the
+    global (t, delta) order, so per-shard prefix sums compose — each
+    shard runs a PARTITIONED running sum, and the carried-in offset per
+    shard is the running total of PRIOR shards' deltas, computed over
+    the day-aggregated relation (rows = distinct days, never
+    data-sized) and broadcast back onto the shards. No unpartitioned
+    WindowExec ever touches the endpoint relation, so the sweep
+    parallelizes across days at any scale. Ties process +1 before −1 so
+    touching sessions count as overlapping — identical in both
+    engines."""
     from pyspark.sql import Window
 
     ev = table(spark, sf_dir, "events")
@@ -2541,10 +2546,31 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     endpoints = sess.select(F.col("s_start").alias("t"), F.lit(1).alias("delta")).unionByName(
         sess.select(F.col("s_end").alias("t"), F.lit(-1).alias("delta"))
     )
-    wsweep = Window.orderBy(F.col("t"), F.desc("delta")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    # two-level prefix sum: day shards partition the (t, delta DESC)
+    # global order, so local running sums + prior-shard offsets ARE the
+    # global running sum — and every window below is partitioned (local
+    # sweep) or over the tiny day-aggregated relation (offsets).
+    sharded = endpoints.withColumn("shard", F.date_trunc("day", F.col("t")))
+    wlocal = (
+        Window.partitionBy("shard")
+        .orderBy(F.col("t"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sweep = endpoints.select("t", F.sum("delta").over(wsweep).alias("live"))
+    local = sharded.select(
+        "shard", "t", F.sum("delta").over(wlocal).alias("local_live")
+    )
+    woff = Window.orderBy("shard").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        sharded.groupBy("shard")
+        .agg(F.sum("delta").alias("shard_tot"))
+        .select(
+            "shard",
+            F.coalesce(F.sum("shard_tot").over(woff), F.lit(0)).alias("off"),
+        )
+    )
+    sweep = local.join(F.broadcast(offsets), "shard").select(
+        "t", (F.col("local_live") + F.col("off")).alias("live")
+    )
     n_sessions = sess.agg(F.count(F.lit(1)).alias("n_sessions"))
     peak = sweep.agg(F.max("live").alias("peak"))
     return (

@@ -63,6 +63,14 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# Every materialize_once call appends {"name", "built", "secs"} here —
+# bench.py reads this to (a) price each artifact BUILD as its own line
+# and (b) mark which queries consume memoized artifacts, so best-of-2
+# warm timings can't masquerade as the artifact's cost (round-8 verdict:
+# graph_label_propagation "0.087s" was a parquet read of a 9.8s build).
+MATERIALIZE_EVENTS: list[dict] = []
+
+
 def materialize_once(
     spark: SparkSession,
     sf_dir: str,
@@ -82,12 +90,23 @@ def materialize_once(
     import os
     import tempfile
 
+    import time
+
     key = hashlib.sha1(sf_dir.encode()).hexdigest()[:12]
     path = os.path.join(
         tempfile.gettempdir(), f"mat_{name}_{os.getpid()}", key
     )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    built = not os.path.exists(os.path.join(path, "_SUCCESS"))
+    t0 = time.perf_counter()
+    if built:
         build().write.mode("overwrite").parquet(path)
+    MATERIALIZE_EVENTS.append(
+        {
+            "name": name,
+            "built": built,
+            "secs": round(time.perf_counter() - t0, 3) if built else 0.0,
+        }
+    )
     return spark.read.parquet(path)
 
 
