@@ -240,10 +240,48 @@ STREAM = re.compile(r"^stream_")
 
 # Global (empty-partition-spec) windows over provably SMALL relations —
 # post-aggregation series (days/hours/classes), bounded top-k pools, or
-# per-round scalar state — where one task holding the whole input is the
-# point, not a bottleneck. Everything else must partition its windows
-# (see events_peak_concurrency's sharded prefix sum for the pattern).
-EXPECTED_GLOBAL_WINDOW: dict[str, str] = {}
+# the prior-partition-offsets relation of a distributed prefix sum —
+# where one task holding the whole input is the point, not a bottleneck.
+# Everything else must partition its windows (events_peak_concurrency's
+# day-sharded prefix sum and operators/ranking.py are the patterns).
+# Value = why the window's input is bounded.
+EXPECTED_GLOBAL_WINDOW: dict[str, str] = {
+    # --- distributed prefix-sum offset relations (rows = partitions/blocks/days)
+    "events_peak_concurrency": "prior-day offsets over the day-aggregated endpoint totals",
+    "multimodal_shard_manifest": "running block bases over the block-totals relation (1 row/block)",
+    "window_ntile_quartiles": "ranking.py offsets over per-partition counts (<= shuffle partitions rows)",
+    "window_percent_rank_top": "ranking.py offsets over per-partition counts",
+    "customer_gini": "ranking.py offsets over per-partition counts",
+    "orders_abc_classification": "ranking.py subtotal offsets over per-partition sums",
+    "parts_abc_analysis": "ranking.py subtotal offsets over per-partition sums",
+    # --- calendar-bounded series (days / hours / 5-min buckets)
+    "events_new_vs_returning": "cumulative users over the per-day aggregate (~365 rows/yr)",
+    "events_cusum_changepoint": "CUSUM over the day series",
+    "events_survival_km": "KM risk table is day-cardinality-sized",
+    "events_autocorrelation": "lag windows over the hourly series",
+    "events_ljung_box": "lag windows over the hourly series",
+    "events_pacf": "hourly series + 1-row Durbin-Levinson state",
+    "events_slo_burn_rate": "trailing RANGE windows over the 5-min bucket relation (288/day)",
+    "history_backtest_snaive": "seasonal-naive backtest over the day series",
+    "fit_pr_auc": "TP/FP cumulate over the distinct-DAY tie blocks, never over orders",
+    # --- bounded top-k / curve / domain relations
+    "events_top_paths": "rank over the already-limited top-10 paths",
+    "events_session_opening_paths": "path relation bounded by |types|^4 (625)",
+    "events_ab_fdr_bh": "BH rank over the ~120-row test family",
+    "sim_hybrid_rrf": "rank fusion over two top-k candidate lists",
+    "text_vocab_coverage": "rank+cumsum over the top-100 head (limit BEFORE window)",
+    "text_zipf_slope": "rank over the top-1000 head (limit BEFORE window)",
+    "text_encode_ids": "vocab-id rank over the top-K head (limit BEFORE window)",
+    "text_bm25_topdocs": "rank over the 20 TakeOrdered survivors",
+    "text_bpe_merges": "rank over the character-pair relation (<= |alphabet|^2)",
+    "text_bpe_apply_merge": "winner rank over the character-pair relation",
+    "text_ndcg_bm25": "DCG/IDCG position windows over <=10-row frames",
+    "fit_auc_roc": "ROC cumulates over the 10-bin table",
+    "fit_boost_stump": "threshold scan over the <=50-row candidate curve",
+    "fit_tree_depth2": "threshold scans over <=50-row per-side curves",
+    "dq_ks_doclength": "ECDF over the distinct-value relation (value-domain-sized)",
+    "skyline_orders": "suffix-max over months; cummax over the frontier-sized survivors",
+}
 
 
 def _count_global_windows(plan: str) -> int:

@@ -36,6 +36,7 @@ moved), exactly Iceberg's optimistic-commit loop.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -128,17 +129,32 @@ class SnapshotTable:
         batch_id: int | None = None,
     ) -> int:
         parent = self.latest_snapshot_id()
+        # batch-id LINEAGE (Iceberg-style snapshot-summary carry-forward):
+        # every manifest carries the full {batch_id: snapshot_id} map of
+        # its ancestry, so replay protection survives expire_snapshots —
+        # scanning only SURVIVING manifests would shrink the protection
+        # window to the retention horizon (e.g. lake_daily's 7 snapshots
+        # at 2 commits/tick protect only ~3-4 days of replays).
+        known: dict[str, int] = {}
+        if parent is not None:
+            pm = self.manifest(parent)
+            known = dict(pm.get("batch_ids", {}))
         if batch_id is not None and parent is not None:
             # idempotent streaming commits: a replayed micro-batch (same
             # source batch_id) must not double-land — the Iceberg +
             # Structured Streaming exactly-once recipe (batch id recorded
             # in the snapshot summary, skipped on replay)
-            for i in range(parent, 0, -1):
-                if not os.path.exists(self._manifest_path(i)):
-                    continue  # expired — its batch is beyond the horizon
-                m = self.manifest(i)
-                if m.get("batch_id") == batch_id:
-                    return i
+            if str(batch_id) in known:
+                return known[str(batch_id)]
+            if "batch_ids" not in pm:
+                # legacy table written before the lineage field: fall
+                # back to scanning what survives
+                for i in range(parent, 0, -1):
+                    if not os.path.exists(self._manifest_path(i)):
+                        continue  # expired — its batch is beyond the horizon
+                    m = self.manifest(i)
+                    if m.get("batch_id") == batch_id:
+                        return i
         new_id = 1 if parent is None else parent + 1
         rel_dir = os.path.join("data", f"s{new_id}-{uuid.uuid4().hex[:8]}")
         df.write.parquet(os.path.join(self.root, rel_dir))
@@ -153,12 +169,18 @@ class SnapshotTable:
             files.extend(
                 self._collect_file_stats(df.sparkSession, rel_dir, stats_cols)
             )
+        if batch_id is not None:
+            known[str(batch_id)] = new_id
         manifest = {
             "snapshot_id": new_id,
             "parent_id": parent,
             "operation": operation,
             "data_dirs": dirs,
             "files": files,
+            # full ancestry batch-id map — carried through EVERY commit
+            # (appends, overwrites, compactions) so expiry cannot shrink
+            # the replay-protection window
+            "batch_ids": known,
         }
         if batch_id is not None:
             manifest["batch_id"] = batch_id
@@ -273,10 +295,18 @@ class SnapshotTable:
         paths = [os.path.join(self.root, p) for p in keep] + [
             os.path.join(self.root, d) for d in unstated
         ]
-        total = len(files) + len(unstated)
+        # metrics count ACTUAL parquet files everywhere — a stats-less
+        # data dir holds many part files, and counting it as one unit
+        # would understate the pruning ratio (data results are the same
+        # either way; only the files_read/files_total report cares)
+        n_unstated = sum(
+            len(glob.glob(os.path.join(self.root, d, "*.parquet")))
+            for d in unstated
+        )
+        total = len(files) + n_unstated
         if not paths:  # every file pruned: empty frame, correct schema
             return self.read_as_of(spark, sid).limit(0), 0, total
-        return spark.read.parquet(*paths), len(keep) + len(unstated), total
+        return spark.read.parquet(*paths), len(keep) + n_unstated, total
 
     # -- maintenance ---------------------------------------------------------
     def expire_snapshots(self, keep_from: int) -> list[str]:

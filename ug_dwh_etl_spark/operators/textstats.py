@@ -369,11 +369,16 @@ def encode_token_ids(
         id_col, F.posexplode(H.tokens(F.col(text_col))).alias("pos0", "term")
     ).select(id_col, (F.col("pos0") + 1).alias("i"), "term")
     counts = terms.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # top-K FIRST (TakeOrderedAndProject — per-partition heaps), THEN
+    # the id-assignment rank over just those K rows: ids 1..K are the
+    # same rows either way, and the global window never sees the full
+    # vocabulary relation
     vocab = (
-        counts.withColumn(
+        counts.orderBy(F.desc("c"), F.asc("term"))
+        .limit(vocab_k)
+        .withColumn(
             "id", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("term")))
         )
-        .filter(F.col("id") <= vocab_k)
         .select("term", "id")
     )
     enc = terms.join(F.broadcast(vocab), "term", "left").withColumn(

@@ -1294,24 +1294,25 @@ def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue share down the sorted part list cuts A (first 50% of
     revenue), B (to 80%), C (tail) — the inventory-policy and
     hot-data-tiering primitive. The corpus-sized work is the per-part
-    rollup; the unpartitioned cumulative window then runs on the
-    PARTS-sized aggregate (aggregate first, window on the aggregate —
-    never window the fact table), with deterministic (revenue DESC,
-    partkey) ordering and DECIMAL sums so the running total is
-    order-exact. At 100 TB the parts relation is still single-window
-    friendly; if it weren't, the same cut falls out of a two-pass
-    percentile on the rollup."""
-    from pyspark.sql import Window as W
+    rollup; the cumulative revenue is the DISTRIBUTED running sum
+    (operators/ranking.py global_running_sum: range-repartition on the
+    (revenue DESC, partkey) order, partitioned local running sums,
+    broadcast prior-partition subtotals), with DECIMAL sums so the
+    running total is order-exact — parts are data-sized at 100 TB, so
+    no single window task ever holds the rollup."""
+    from ug_dwh_etl_spark.operators.ranking import global_running_sum
 
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
-    tot = rev.agg(F.sum("r").alias("t"))
-    w = W.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    ranked = global_running_sum(
+        rev,
+        [F.desc("r"), F.asc("l_partkey")],
+        "r",
+        out="cum",
+        total_out="t",
     )
-    ranked = rev.withColumn("cum", F.sum("r").over(w)).crossJoin(F.broadcast(tot))
     share = F.col("cum").cast("double") / F.col("t").cast("double")
     classed = ranked.select(
         "r",

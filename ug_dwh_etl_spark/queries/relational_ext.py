@@ -261,19 +261,26 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ntile with a unique (value, key) ordering so bucket assignment is
-    deterministic across engines; single global window then re-agg.
+    deterministic across engines — computed as a DISTRIBUTED rank
+    (operators/ranking.py: range-repartition, per-partition row_number,
+    broadcast prior-partition offsets) plus the closed-form NTILE bucket
+    formula, so no single-partition window ever sees the table. The
+    only remaining global window is the offsets running sum over the
+    per-partition-counts relation (rows = shuffle partitions)."""
+    from ug_dwh_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
 
-    Scale note: a global window is acceptable here because it runs over a
-    *dimension* table (customer), which stays orders of magnitude smaller
-    than the facts at 100 TB. For fact-scale exact global ranks, use the
-    two-pass pattern instead: sort, count rows per partition, broadcast
-    the running offsets, add per-partition row_number — no single-node
-    window. For bucketing only (no exact ranks), approx_percentile
-    boundaries + comparison assignment is one scan and no sort."""
-    cust = table(spark, sf_dir, "customer")
-    w = Window.orderBy("c_acctbal", "c_custkey")
+    cust = table(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    ranked = global_row_number(
+        cust, ["c_acctbal", "c_custkey"], out="i", total_out="n_total"
+    )
     return (
-        cust.select(F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+        ranked.select(
+            ntile_from_rank(F.col("i"), F.col("n_total"), 4).alias("quartile"),
+            "c_acctbal",
+        )
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n"),
@@ -296,13 +303,29 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_percent_rank_top(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer")
-    w = Window.orderBy(F.desc("c_acctbal"), "c_custkey")
+    """Top-percentile selection via the DISTRIBUTED rank
+    (operators/ranking.py) — percent_rank is (rank-1)/(n-1) given a
+    total order with no ties (the unique c_custkey tiebreak), so the
+    exact global rank plus the carried total count reproduce
+    PERCENT_RANK() without a single-partition window over the table."""
+    from ug_dwh_etl_spark.operators.ranking import global_row_number
+
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    ranked = global_row_number(
+        cust,
+        [F.desc("c_acctbal"), F.asc("c_custkey")],
+        out="i",
+        total_out="n_total",
+    )
+    pr = F.when(
+        F.col("n_total") > 1,
+        (F.col("i") - 1) / (F.col("n_total") - 1),
+    ).otherwise(F.lit(0.0))
     return (
-        cust.select(
+        ranked.select(
             "c_custkey",
             F.round("c_acctbal", 2).alias("bal"),
-            F.round(F.percent_rank().over(w), 6).alias("pr"),
+            F.round(pr, 6).alias("pr"),
         )
         .filter(F.col("pr") <= 0.01)
     )
@@ -1847,25 +1870,24 @@ def parts_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     the head covering 50% of cumulative revenue, B to 80%, C the tail —
     the inventory-management 80/20 cut. DECIMAL cumulative sums keep
     class boundaries order-exact across engines (a double running sum
-    flips boundary rows). The ranked window runs on the PART-cardinality
-    relation after one corpus shuffle; at true scale the global revenue
-    ordering would go through repartitionByRange on r rather than one
-    window partition — the distributed-sort form of the same plan."""
+    flips boundary rows). The cumulative sum is the DISTRIBUTED running
+    sum (operators/ranking.py global_running_sum — range-repartition on
+    the revenue order, partitioned local sums, broadcast prior-partition
+    subtotals): the part rollup is data-sized at 100 TB and never
+    serializes through one window task."""
+    from ug_dwh_etl_spark.operators.ranking import global_running_sum
+
     li = table(spark, sf_dir, "lineitem")
     rev = li.groupBy("l_partkey").agg(
         F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("r")
     )
-    w_cum = Window.orderBy(F.desc("r"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_all = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    ranked = rev.select(
+    ranked = global_running_sum(
+        rev,
+        [F.desc("r"), F.asc("l_partkey")],
         "r",
-        F.sum("r").over(w_cum).alias("cum_r"),
-        F.sum("r").over(w_all).alias("tot_r"),
-    )
+        out="cum_r",
+        total_out="tot_r",
+    ).select("r", "cum_r", "tot_r")
     classed = ranked.select(
         F.when(F.col("cum_r") <= F.col("tot_r") * 0.5, "A")
         .when(F.col("cum_r") <= F.col("tot_r") * 0.8, "B")
@@ -2294,19 +2316,19 @@ def customer_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative-share classes (G = 2·Σi·yᵢ/(n·Σy) − (n+1)/n over
     ascending-sorted revenues). Revenue sums stay DECIMAL end-to-end so
     the rank weighting is exact (no float partial-agg order); the rank
-    window runs on the per-customer rollup — group-sized, and at
-    cluster scale a range-partitioned rank (the same distributed
-    prefix-sum pattern as multimodal_shard_manifest) replaces the
-    single-reducer window with identical output."""
-    from pyspark.sql import Window
+    over the per-customer rollup is the DISTRIBUTED two-pass rank
+    (operators/ranking.py — range-repartition + local row_number +
+    broadcast offsets), because 'per-customer' is still data-sized at
+    100 TB and must never serialize through one window task."""
+    from ug_dwh_etl_spark.operators.ranking import global_row_number
 
     rev = (
         table(spark, sf_dir, "orders")
         .groupBy("o_custkey")
         .agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("y"))
     )
-    ranked = rev.select(
-        "y", F.row_number().over(Window.orderBy("y", "o_custkey")).alias("i")
+    ranked = global_row_number(rev, ["y", "o_custkey"], out="i").select(
+        "y", "i"
     )
     n = F.count(F.lit(1))
     return ranked.agg(

@@ -740,7 +740,15 @@ def storage_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         sfdir_key(sf_dir),
     )
     t = SnapshotTable(root)
-    if t.latest_snapshot_id() is None:
+    # guard on the EXPECTED FINAL snapshot id, not table-nonempty: a
+    # same-process retry after a crash mid-staging (e.g. after commit 1
+    # of 3) must restage from scratch, or read_as_of(2) reads the wrong
+    # state — so anything short of the full 3-commit history is wiped
+    if t.latest_snapshot_id() != 3:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
         t.commit_overwrite(o.filter(F.col("o_orderdate") < "1995-01-01"))
         t.commit_append(
             o.filter(
@@ -800,7 +808,14 @@ def storage_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         sfdir_key(sf_dir),
     )
     t = SnapshotTable(root)
-    if t.latest_snapshot_id() is None:
+    # staging-complete means snapshot 1 exists (single-commit staging;
+    # commits are rename-atomic, so a crash mid-commit leaves None and
+    # this restages — the expected-final-id guard convention)
+    if t.latest_snapshot_id() != 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
         t.commit_overwrite(
             o.repartitionByRange(8, "o_orderdate"),
             stats_cols=("o_orderdate",),
@@ -868,7 +883,14 @@ def storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         sfdir_key(sf_dir),
     )
     t = SnapshotTable(root)
-    if t.latest_snapshot_id() is None:
+    # expected-final-id guard: staging is 2 commits (overwrite + merge);
+    # a retry after a crash between them must wipe and restage, or the
+    # read below serves the pre-merge state
+    if t.latest_snapshot_id() != 2:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
         t.commit_overwrite(o.filter(F.col("o_orderdate") < "1996-01-01"))
         updates = o.filter(
             (F.col("o_orderdate") >= "1995-01-01")

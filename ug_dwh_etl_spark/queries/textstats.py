@@ -1654,12 +1654,13 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     naturalness screen for a training corpus (natural text slopes near
     -1; template/machine-generated corpora flatten or step). The
     corpus-sized work is the token explode + frequency aggregate (one
-    map-side-combined shuffle); the global rank window then runs on the
-    VOCABULARY relation (types, not tokens — ~100k rows at 100 TB), so
-    the single-partition ORDER BY is metadata-sized, and regr_* reduce
-    the 1000-row head to one row. Slope/R² rounded to 4: the regr
-    moment sums accumulate float error in engine-specific partial-agg
-    order."""
+    map-side-combined shuffle); the top-1000 head comes off a
+    TakeOrderedAndProject (per-partition heaps, no global sort), and
+    ONLY those 1000 rows pass through the rank window — restricting to
+    the top-N first loses nothing because ranks 1..1000 are the same
+    rows either way, and regr_* reduce the head to one row. Slope/R²
+    rounded to 4: the regr moment sums accumulate float error in
+    engine-specific partial-agg order."""
     docs = table(spark, sf_dir, "documents")
     freq = (
         docs.select(F.explode(H.tokens("text")).alias("w"))
@@ -1668,9 +1669,10 @@ def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    ranked = freq.withColumn(
+    top = freq.orderBy(F.desc("f"), F.asc("w")).limit(1000)
+    ranked = top.withColumn(
         "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("w")))
-    ).filter(F.col("r") <= 1000)
+    )
     lf, lr = F.log(F.col("f").cast("double")), F.log(F.col("r").cast("double"))
     return ranked.agg(
         F.count(F.lit(1)).alias("n_types"),

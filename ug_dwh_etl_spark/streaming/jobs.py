@@ -1102,13 +1102,25 @@ def stream_snapshot_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     if not os.path.exists(os.path.join(src, "_SUCCESS")):
         orders.repartition(8).write.mode("overwrite").parquet(src)
-    table = SnapshotTable(os.path.join(work, "table"))
+    table_dir = os.path.join(work, "table")
     # completion marker written only AFTER awaitTermination: a run that
     # crashed mid-stream left commits but no marker, and the retry
-    # re-runs the whole stream — replayed batches dedupe on batch_id, so
-    # resuming from zero is safe and complete (guarding on
-    # latest_snapshot_id() would mistake a partial ingest for done)
+    # re-runs the whole stream FROM A FRESH CHECKPOINT — so the partial
+    # table is WIPED first (the stream_semantic_dedup_ingest
+    # wipe-partial-output approach). Relying on batch_id replay dedup
+    # here would be wrong: FileStreamSource orders files by modification
+    # time, and an mtime tie among the 8 staged files can permute the
+    # file→batch assignment on the retry, making a skipped batch_id
+    # cover different rows than the committed one (guarding on
+    # latest_snapshot_id() would likewise mistake a partial ingest for
+    # done). batch_id dedup remains the guard for SAME-checkpoint
+    # replays, where the assignment is pinned by the offset log.
     done_marker = os.path.join(work, "_INGEST_DONE")
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+    table = SnapshotTable(table_dir)
     if not os.path.exists(done_marker):
         stream = (
             spark.readStream.schema(orders.schema)
