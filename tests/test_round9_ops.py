@@ -1,0 +1,170 @@
+"""Round-9 unit tests: the distributed global-rank operator family and
+the queries rewritten onto it, plus the snapshot-table batch-id lineage
+and the sharded concurrency sweep."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from ug_dwh_etl_spark.session import get_spark
+
+    s = get_spark("test-round9")
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def _run(spark, name):
+    from ug_dwh_etl_spark.queries import QUERIES
+
+    return QUERIES[name].fn(spark, SF)
+
+
+# --- operators/ranking.py --------------------------------------------------------
+
+
+def test_global_row_number_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from ug_dwh_etl_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 997).select(
+        (F.col("id") * 37 % 1009).alias("v"), F.col("id").alias("k")
+    )
+    got = {
+        (r.v, r.k): r.i
+        for r in global_row_number(df, ["v", "k"], out="i").collect()
+    }
+    want = {
+        (r.v, r.k): r.i
+        for r in df.select(
+            "v", "k", F.row_number().over(Window.orderBy("v", "k")).alias("i")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_global_row_number_desc_order_and_total(spark):
+    from ug_dwh_etl_spark.operators.ranking import global_row_number
+
+    df = spark.range(1, 101).select(F.col("id").alias("v"))
+    rows = global_row_number(
+        df, [F.desc("v")], out="i", total_out="n"
+    ).collect()
+    assert all(r.n == 100 for r in rows)
+    assert {r.v: r.i for r in rows} == {v: 101 - v for v in range(1, 101)}
+
+
+def test_global_running_sum_matches_global_window(spark):
+    from pyspark.sql import Window
+
+    from ug_dwh_etl_spark.operators.ranking import global_running_sum
+
+    df = spark.range(0, 500).select(
+        (F.col("id") * 13 % 251).alias("v"),
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("long").alias("x"),
+    )
+    got = {
+        r.k: (r.cum, r.tot)
+        for r in global_running_sum(
+            df, ["v", "k"], "x", out="cum", total_out="tot"
+        ).collect()
+    }
+    w = Window.orderBy("v", "k").rowsBetween(Window.unboundedPreceding, 0)
+    want_tot = sum(i % 7 for i in range(500))
+    want = {
+        r.k: (r.cum, want_tot)
+        for r in df.select("k", F.sum("x").over(w).alias("cum")).collect()
+    }
+    assert got == want
+
+
+def test_ntile_from_rank_matches_spark_ntile(spark):
+    from pyspark.sql import Window
+
+    from ug_dwh_etl_spark.operators.ranking import ntile_from_rank
+
+    # n=103, k=4 exercises uneven buckets (3 big of 26, 1 small of 25)
+    df = spark.range(1, 104).select(F.col("id").alias("v"))
+    w = Window.orderBy("v")
+    want = {
+        r.v: r.q for r in df.select("v", F.ntile(4).over(w).alias("q")).collect()
+    }
+    got = {
+        r.v: r.q
+        for r in df.select(
+            "v",
+            ntile_from_rank(F.col("v"), F.lit(103).cast("long"), 4).alias("q"),
+        ).collect()
+    }
+    assert got == want
+
+
+def test_exact_deciles_populations_balanced(spark):
+    rows = _run(spark, "agg_exact_deciles_orders").collect()
+    assert len(rows) == 10
+    counts = {r.decile: r.n for r in rows}
+    # NTILE balance: bucket sizes differ by at most 1
+    assert max(counts.values()) - min(counts.values()) <= 1
+    # deciles are ordered by price: each bucket's hi <= next bucket's lo
+    by_d = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(by_d, by_d[1:]):
+        assert a.hi <= b.lo
+
+
+# --- snapshot-table batch-id lineage ----------------------------------------------
+
+
+def test_batch_id_replay_protection_survives_expiry(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    one = spark.range(3).select(F.col("id").alias("k"))
+    for bid in range(1, 6):
+        t.commit_append(one, batch_id=bid)
+    # expire everything before the latest snapshot — the old manifests
+    # (and their batch_id fields) are gone
+    t.expire_snapshots(keep_from=5)
+    n_before = t.read_as_of(spark).count()
+    # replaying an EXPIRED batch must still be skipped: the latest
+    # manifest carries the full ancestry batch_ids map
+    sid = t.commit_append(one, batch_id=1)
+    assert sid <= 5
+    assert t.read_as_of(spark).count() == n_before
+
+
+def test_peak_concurrency_sharded_sweep_exact(spark):
+    # brute-force the interval sweep in python at sf0.001 and compare
+    row = _run(spark, "events_peak_concurrency").collect()[0]
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    ev = read_events(spark, SF).select("user_id", "ts").collect()
+    by_user: dict = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r.ts)
+    endpoints = []
+    n_sessions = 0
+    for ts_list in by_user.values():
+        ts_list.sort()
+        start = prev = ts_list[0]
+        for ts in ts_list[1:]:
+            if (ts - prev).total_seconds() > 1800:
+                endpoints += [(start, 1), (prev, -1)]
+                n_sessions += 1
+                start = ts
+            prev = ts
+        endpoints += [(start, 1), (prev, -1)]
+        n_sessions += 1
+    endpoints.sort(key=lambda e: (e[0], -e[1]))
+    live = peak = 0
+    for _, d in endpoints:
+        live += d
+        peak = max(peak, live)
+    assert row.n_sessions == n_sessions
+    assert row.peak_concurrency == peak

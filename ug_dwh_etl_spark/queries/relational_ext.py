@@ -290,6 +290,59 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact FACT-scale deciles via the distributed rank --------------------------
+@register(
+    "agg_exact_deciles_orders",
+    """
+    SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo, ROUND(MAX(o_totalprice), 2) AS hi,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS revenue
+    FROM (
+      SELECT NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile,
+             o_totalprice
+      FROM orders)
+    GROUP BY decile
+    """,
+)
+def agg_exact_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equal-frequency deciles over the orders FACT table — the
+    distribution cut approx_percentile can't promise (exact bucket
+    populations, exact boundary rows) computed WITHOUT a fact-sized
+    single-partition window: the distributed two-pass rank
+    (operators/ranking.py — range-repartition on (price, orderkey),
+    per-partition row_number, broadcast prior-partition offsets) plus
+    the closed-form NTILE formula. window_ntile_quartiles proves the
+    same shape on a dimension table; this one is registered
+    specifically as the FACT-scale witness — at 100 TB the plan is
+    identical: one range shuffle, one pid-local window, a
+    shuffle-partitions-sized broadcast."""
+    from ug_dwh_etl_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    ranked = global_row_number(
+        o, ["o_totalprice", "o_orderkey"], out="i", total_out="n_total"
+    )
+    return (
+        ranked.select(
+            ntile_from_rank(F.col("i"), F.col("n_total"), 10).alias("decile"),
+            "o_totalprice",
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 # --- percent_rank: top-percentile selection -------------------------------------
 @register(
     "window_percent_rank_top",
