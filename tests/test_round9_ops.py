@@ -168,3 +168,48 @@ def test_peak_concurrency_sharded_sweep_exact(spark):
         peak = max(peak, live)
     assert row.n_sessions == n_sessions
     assert row.peak_concurrency == peak
+
+
+# --- TWS typed-state trio: cross-API equivalence -----------------------------------
+
+
+def test_tws_map_state_matches_apply_in_pandas_twin(spark):
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_type_counts,
+        stream_user_type_counts_tws,
+    )
+
+    tws = {
+        r.user_id: (r.n_types, r.n_events)
+        for r in stream_user_type_counts_tws(spark, SF).collect()
+    }
+    old = {
+        r.user_id: (r.n_types, r.n_events)
+        for r in stream_user_type_counts(spark, SF).collect()
+    }
+    assert tws == old and len(tws) > 0
+
+
+def test_tws_list_state_median_matches_twin_and_batch(spark):
+    from ug_dwh_etl_spark.queries.registry import read_events
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_median,
+        stream_user_median_tws,
+    )
+
+    tws = {
+        r.user_id: (r.n_events, r.median_value)
+        for r in stream_user_median_tws(spark, SF).collect()
+    }
+    old = {
+        r.user_id: (r.n_events, r.median_value)
+        for r in stream_user_median(spark, SF).collect()
+    }
+    assert tws == old and len(tws) > 0
+    # brute-force one user against the raw events
+    uid = sorted(tws)[0]
+    vals = sorted(
+        int(round(r.value * 100))
+        for r in read_events(spark, SF).filter(F.col("user_id") == uid).collect()
+    )
+    assert tws[uid] == (len(vals), round(vals[(len(vals) - 1) // 2] / 100.0, 2))

@@ -161,6 +161,69 @@ def q_stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_user_type_counts_tws",
+    """
+    SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithStateInPandas MAP STATE: a per-user {event_type:
+    # count} keyed sub-store (containsKey/getValue/updateValue/iterator)
+    # — the second TWS surface after the ValueState totals twin, proving
+    # the map path of the Spark-4 stateful API against an exact batch
+    # oracle (distinct-type and event counts are monotone, so
+    # max-per-user is micro-batch-split-invariant). Same protobuf-shim
+    # fallback contract as stream_user_totals_tws: under a foreign
+    # session without the shim, the applyInPandasWithState twin (the
+    # map as two parallel state arrays) answers the same oracle.
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_type_counts,
+        stream_user_type_counts_tws,
+    )
+
+    try:
+        return stream_user_type_counts_tws(spark, sf_dir)
+    except Exception:
+        try:
+            import google.protobuf  # noqa: F401
+            raise  # protobuf was present: the failure is real, surface it
+        except ImportError:
+            return stream_user_type_counts(spark, sf_dir)
+
+
+@register(
+    "stream_user_median_tws",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(quantile_disc(value, 0.5) AS DOUBLE), 2) AS median_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # transformWithStateInPandas LIST STATE: exact per-user discrete
+    # median over the full value history (sorted[(n-1)//2], integer
+    # cents — the same indexing as DuckDB's quantile_disc(0.5), verified
+    # on odd/even/tie cases) — completes the TWS typed-state trio
+    # (ValueState totals, MapState type counts, ListState median). Same
+    # protobuf-shim fallback contract as the other TWS twins.
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_median,
+        stream_user_median_tws,
+    )
+
+    try:
+        return stream_user_median_tws(spark, sf_dir)
+    except Exception:
+        try:
+            import google.protobuf  # noqa: F401
+            raise  # protobuf was present: the failure is real, surface it
+        except ImportError:
+            return stream_user_median(spark, sf_dir)
+
+
+@register(
     "stream_sliding_2h",
     """
     WITH expanded AS (

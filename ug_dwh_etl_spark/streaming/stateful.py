@@ -156,6 +156,276 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- transformWithStateInPandas MAP STATE: per-user event-type counters --------
+#
+# The second TWS surface: MapState (a keyed sub-store inside each
+# grouping key's state) — the shape per-entity feature maps, per-device
+# metric registries, and CDC column-level merge state all take. The
+# ValueState query above proves the scalar path; this one proves the
+# map path: containsKey / getValue / updateValue / iterator against a
+# per-user {event_type: count} map, emitting the distinct-type count
+# and cumulative event count (both monotone, so max-per-user is
+# batch-split-invariant and the batch GROUP BY is the exact oracle).
+
+TYPES_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_types_cum", LongType()),
+        StructField("n_events_cum", LongType()),
+    ]
+)
+_TYPE_KEY_SCHEMA = StructType([StructField("event_type", StringType())])
+_TYPE_VAL_SCHEMA = StructType([StructField("c", LongType())])
+
+
+class UserTypeCountsProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", _TYPE_KEY_SCHEMA, _TYPE_VAL_SCHEMA
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for batch in rows:
+            for etype, c in batch["event_type"].value_counts().items():
+                prev = (
+                    self._counts.getValue((etype,))[0]
+                    if self._counts.containsKey((etype,))
+                    else 0
+                )
+                self._counts.updateValue((etype,), (prev + int(c),))
+        n_types, n_events = 0, 0
+        for _k, (c,) in self._counts.iterator():
+            n_types += 1
+            n_events += c
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_types_cum": [n_types],
+                "n_events_cum": [n_events],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_type_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user distinct-event-type and event counts on
+    ``transformWithStateInPandas`` MapState (RocksDB-backed, same
+    provider scoping as the ValueState twin)."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTypeCountsProcessor(),
+        outputStructType=TYPES_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_memory(updated, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    return out.groupBy("user_id").agg(
+        F.max("n_types_cum").alias("n_types"),
+        F.max("n_events_cum").alias("n_events"),
+    )
+
+
+# applyInPandasWithState twin of the map-state processor (the fallback
+# for sessions without the protobuf shim, and the cross-API equivalence
+# witness): the map lives as two parallel arrays in the state row —
+# the old API has no keyed sub-store, which is exactly the ergonomic
+# gap MapState closes.
+TYPES_STATE_SCHEMA = StructType(
+    [
+        StructField("types", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+    ]
+)
+
+
+def _update_user_type_counts(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    types, counts = state.get if state.exists else ([], [])
+    m = dict(zip(types, counts))
+    for batch in batches:
+        for etype, c in batch["event_type"].value_counts().items():
+            m[etype] = m.get(etype, 0) + int(c)
+    state.update((list(m.keys()), list(m.values())))
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_types_cum": [len(m)],
+            "n_events_cum": [sum(m.values())],
+        }
+    )
+
+
+def stream_user_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of stream_user_type_counts_tws —
+    same state model, same oracle."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "event_type")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_user_type_counts,
+        outputStructType=TYPES_OUTPUT_SCHEMA,
+        stateStructType=TYPES_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_types_cum").alias("n_types"),
+        F.max("n_events_cum").alias("n_events"),
+    )
+
+
+# --- transformWithStateInPandas LIST STATE: per-user exact running median ------
+#
+# The third TWS surface, completing the typed-state trio: ListState —
+# the shape for order-insensitive aggregates that genuinely need the
+# full value history (exact quantiles, Mann-Whitney rank state,
+# reservoir audits), where ValueState can't hold the data and MapState
+# keys mean nothing. Values accumulate as integer cents (appendList per
+# batch); each emit reports the DISCRETE median over everything seen —
+# sorted[(n-1)//2], which is DuckDB's quantile_disc(0.5) indexing — and
+# the row with the largest n per user (n is monotone) is the
+# complete-data answer, so the batch GROUP BY + quantile_disc oracle is
+# exact regardless of micro-batch chopping.
+
+MEDIAN_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_cum", LongType()),
+        StructField("median_cents", LongType()),
+    ]
+)
+_CENTS_SCHEMA = StructType([StructField("cents", LongType())])
+
+
+class UserMedianProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._vals = handle.getListState("cents", _CENTS_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for batch in rows:
+            cents = batch["value"].mul(100).round().astype("int64")
+            self._vals.appendList([(int(c),) for c in cents])
+        all_cents = sorted(c for (c,) in self._vals.get())
+        n = len(all_cents)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_cum": [n],
+                "median_cents": [all_cents[(n - 1) // 2]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def stream_user_median_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-user discrete median on ``transformWithStateInPandas``
+    ListState (RocksDB-backed, same provider scoping as the other TWS
+    twins); the final answer is the max-n emitted row per user."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserMedianProcessor(),
+        outputStructType=MEDIAN_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        out = run_stream_to_memory(updated, "update")
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+    # the complete-data row per user = the one with the largest n_cum
+    # (monotone); min-of-struct argmax, no window
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max(F.struct(F.col("n_cum"), F.col("median_cents"))).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_cum").alias("n_events"),
+            F.round(F.col("m.median_cents") / 100.0, 2).alias("median_value"),
+        )
+    )
+
+
+# applyInPandasWithState twin (fallback for sessions without the
+# protobuf shim): the value history lives as one array column in the
+# state row — workable, but re-written wholesale every batch, which is
+# exactly the append-amplification ListState's appendList avoids.
+MEDIAN_STATE_SCHEMA = StructType(
+    [StructField("cents", ArrayType(LongType()))]
+)
+
+
+def _update_user_median(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (user_id,) = key
+    (cents,) = state.get if state.exists else ([],)
+    cents = list(cents)
+    for batch in batches:
+        cents.extend(int(c) for c in batch["value"].mul(100).round().astype("int64"))
+    state.update((cents,))
+    s = sorted(cents)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "n_cum": [len(s)],
+            "median_cents": [s[(len(s) - 1) // 2]],
+        }
+    )
+
+
+def stream_user_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState twin of stream_user_median_tws — same
+    state model, same oracle."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_user_median,
+        outputStructType=MEDIAN_OUTPUT_SCHEMA,
+        stateStructType=MEDIAN_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    return (
+        out.groupBy("user_id")
+        .agg(
+            F.max(F.struct(F.col("n_cum"), F.col("median_cents"))).alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.n_cum").alias("n_events"),
+            F.round(F.col("m.median_cents") / 100.0, 2).alias("median_value"),
+        )
+    )
+
+
 # --- stateful EWMA (order-sensitive state, the recursion the batch twin
 # --- replaces with its closed form) -------------------------------------------
 
