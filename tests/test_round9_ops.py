@@ -213,3 +213,108 @@ def test_tws_list_state_median_matches_twin_and_batch(spark):
         for r in read_events(spark, SF).filter(F.col("user_id") == uid).collect()
     )
     assert tws[uid] == (len(vals), round(vals[(len(vals) - 1) // 2] / 100.0, 2))
+
+
+# --- merge-on-read (equality deletes + compaction) ---------------------------------
+
+
+def test_merge_on_read_equals_copy_on_write(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    base = spark.range(10).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    upd = spark.range(3, 6).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    ins = spark.range(20, 22).select(
+        F.col("id").alias("k"), F.lit(7).cast("long").alias("v")
+    )
+    cow = SnapshotTable(str(tmp_path / "cow"))
+    cow.commit_overwrite(base)
+    cow.commit_merge(upd.unionByName(ins), key_cols=["k"])
+    mor = SnapshotTable(str(tmp_path / "mor"))
+    mor.commit_overwrite(base)
+    mor_sid = mor.commit_merge_on_read(upd.unionByName(ins), key_cols=["k"])
+    want = {r.k: r.v for r in cow.read_as_of(spark).collect()}
+    got = {r.k: r.v for r in mor.read_as_of(spark).collect()}
+    assert got == want
+    # compaction folds the deletes in; the compacted read agrees and the
+    # pre-compaction MOR snapshot stays time-travelable
+    cid = mor.compact_deletes(spark)
+    assert cid == mor_sid + 1
+    assert not mor.manifest(cid)["deletes"]
+    assert {r.k: r.v for r in mor.read_as_of(spark).collect()} == want
+    assert {r.k: r.v for r in mor.read_as_of(spark, mor_sid).collect()} == want
+
+
+def test_merge_on_read_seq_scoping_reinsert(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(
+        spark.range(5).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    )
+    # MOR-update k=2: the delete (seq 2) must not touch the update row
+    # landed in the same commit
+    t.commit_merge_on_read(
+        spark.range(2, 3).select(F.col("id").alias("k"), F.lit(2).alias("v")),
+        key_cols=["k"],
+    )
+    got = {r.k: r.v for r in t.read_as_of(spark).collect()}
+    assert got == {0: 1, 1: 1, 2: 2, 3: 1, 4: 1}
+    # a LATER MOR-update of the same key supersedes the earlier one (its
+    # delete at seq 3 removes the seq-2 row; its own row survives)
+    t.commit_merge_on_read(
+        spark.range(2, 3).select(F.col("id").alias("k"), F.lit(3).alias("v")),
+        key_cols=["k"],
+    )
+    got = {r.k: r.v for r in t.read_as_of(spark).collect()}
+    assert got == {0: 1, 1: 1, 2: 3, 3: 1, 4: 1}
+
+
+def test_merge_on_read_scan_pruned_applies_deletes(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    base = spark.range(100).select(
+        F.col("id").alias("k"),
+        F.format_string("%04d", F.col("id")).alias("s"),
+        F.lit(1).alias("v"),
+    )
+    t.commit_overwrite(base.repartitionByRange(4, "s"), stats_cols=("s",))
+    t.commit_merge_on_read(
+        spark.range(10, 20).select(
+            F.col("id").alias("k"),
+            F.format_string("%04d", F.col("id")).alias("s"),
+            F.lit(9).alias("v"),
+        ),
+        key_cols=["k"],
+    )
+    df, n_read, n_total = t.scan_pruned(spark, "s", "0000", "0049")
+    rows = {r.k: r.v for r in df.filter(F.col("s") <= "0049").collect()}
+    assert rows == {k: (9 if 10 <= k < 20 else 1) for k in range(50)}
+    assert 0 < n_read <= n_total
+
+
+def test_expire_snapshots_removes_orphan_delete_dirs(spark, tmp_path):
+    import os
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    one = spark.range(4).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    t.commit_overwrite(one)
+    t.commit_merge_on_read(
+        spark.range(1, 2).select(F.col("id").alias("k"), F.lit(2).alias("v")),
+        key_cols=["k"],
+    )
+    del_dir = t.manifest(2)["deletes"][0]["dir"]
+    assert os.path.exists(os.path.join(t.root, del_dir))
+    t.compact_deletes(spark)  # snapshot 3, no deletes
+    deleted = t.expire_snapshots(keep_from=3)
+    assert del_dir in deleted
+    assert not os.path.exists(os.path.join(t.root, del_dir))
+    assert {r.k: r.v for r in t.read_as_of(spark).collect()} == {
+        0: 1, 1: 2, 2: 1, 3: 1,
+    }

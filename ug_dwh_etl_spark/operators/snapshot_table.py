@@ -2,9 +2,11 @@
 
 Layout (all paths under one table root):
 
-    <root>/data/s<N>-<uuid>/part-*.parquet   immutable data directories
-    <root>/manifests/v<N>.json               one manifest per snapshot
-    <root>/LATEST                            current-snapshot pointer
+    <root>/data/s<N>-<uuid>/part-*.parquet     immutable data directories
+    <root>/deletes/s<N>-<uuid>/part-*.parquet  equality-delete key files
+                                               (merge-on-read commits)
+    <root>/manifests/v<N>.json                 one manifest per snapshot
+    <root>/LATEST                              current-snapshot pointer
 
 A commit NEVER mutates existing files: it (1) writes a brand-new data
 directory, (2) writes manifest ``v<N>.json`` listing the FULL set of
@@ -127,6 +129,7 @@ class SnapshotTable:
         operation: str,
         stats_cols: tuple[str, ...] = (),
         batch_id: int | None = None,
+        delete_keys: tuple[DataFrame, list[str]] | None = None,
     ) -> int:
         parent = self.latest_snapshot_id()
         # batch-id LINEAGE (Iceberg-style snapshot-summary carry-forward):
@@ -160,11 +163,33 @@ class SnapshotTable:
         df.write.parquet(os.path.join(self.root, rel_dir))
         dirs: list[str] = []
         files: list[dict] = []
-        if operation == "append" and parent is not None:
+        # merge-on-read bookkeeping (Iceberg v2 sequence-number model):
+        # every data dir carries the snapshot id that ADDED it; every
+        # equality-delete dir carries the snapshot id that wrote it and
+        # applies only to data dirs with a SMALLER seq — so an update
+        # row landed in the same commit as its delete keys is never
+        # deleted by them, and a later re-insert of a deleted key
+        # survives older deletes.
+        dir_seqs: dict[str, int] = {}
+        deletes: list[dict] = []
+        carry = operation in ("append", "merge_on_read") and parent is not None
+        if carry:
             pm = self.manifest(parent)
             dirs.extend(pm["data_dirs"])
             files.extend(pm.get("files", []))
+            dir_seqs.update(pm.get("dir_seqs", {}))
+            deletes.extend(pm.get("deletes", []))
         dirs.append(rel_dir)
+        dir_seqs[rel_dir] = new_id
+        if delete_keys is not None:
+            kdf, key_cols = delete_keys
+            del_dir = os.path.join(
+                "deletes", f"s{new_id}-{uuid.uuid4().hex[:8]}"
+            )
+            kdf.select(*key_cols).distinct().write.parquet(
+                os.path.join(self.root, del_dir)
+            )
+            deletes.append({"dir": del_dir, "keys": list(key_cols), "seq": new_id})
         if stats_cols:
             files.extend(
                 self._collect_file_stats(df.sparkSession, rel_dir, stats_cols)
@@ -177,6 +202,8 @@ class SnapshotTable:
             "operation": operation,
             "data_dirs": dirs,
             "files": files,
+            "dir_seqs": dir_seqs,
+            "deletes": deletes,
             # full ancestry batch-id map — carried through EVERY commit
             # (appends, overwrites, compactions) so expiry cannot shrink
             # the replay-protection window
@@ -231,8 +258,8 @@ class SnapshotTable:
         pre-merge state stays time-travelable. This is the Iceberg
         copy-on-write MERGE INTO shape (the sibling of
         sinks.writers.merge_upsert, which rewrites a live path in
-        place); merge-on-read (delete files + compaction) is the
-        optimization a heavier write rate would add."""
+        place); :meth:`commit_merge_on_read` is the delete-file twin a
+        heavier write rate needs."""
         if self.latest_snapshot_id() is None:
             return self._commit(df, "merge", stats_cols)
         current = self.read_as_of(df.sparkSession)
@@ -243,18 +270,117 @@ class SnapshotTable:
             kept.unionByName(df), "merge", stats_cols
         )
 
+    def commit_merge_on_read(
+        self,
+        df: DataFrame,
+        key_cols: list[str],
+        stats_cols: tuple[str, ...] = (),
+    ) -> int:
+        """MERGE / upsert, MERGE-ON-READ (Iceberg v2 equality deletes):
+        instead of rewriting every file holding a matched key (the
+        copy-on-write ``commit_merge``), the commit writes only (1) the
+        incoming rows as a new data dir and (2) their keys as an
+        equality-DELETE file; readers anti-join the delete keys against
+        older data dirs at scan time. Write cost is O(increment) — the
+        posture a heavy update rate needs at 100 TB, where one hot key
+        per file would make copy-on-write rewrite the whole table daily.
+        The price is read amplification (one extra broadcast anti-join
+        per reader), bounded by calling :meth:`compact_deletes` on the
+        lake's maintenance cadence — exactly Iceberg's
+        rewrite_data_files loop. Same final relation as commit_merge by
+        construction (asserted cross-path in tests and by the
+        storage_merge_on_read query sharing storage_merge_upsert's
+        oracle)."""
+        if self.latest_snapshot_id() is None:
+            return self._commit(df, "merge_on_read", stats_cols)
+        return self._commit(
+            df,
+            "merge_on_read",
+            stats_cols,
+            delete_keys=(df, key_cols),
+        )
+
+    def compact_deletes(
+        self, spark: SparkSession, stats_cols: tuple[str, ...] = ()
+    ) -> int | None:
+        """Fold all outstanding equality deletes into the data (Iceberg's
+        rewrite_data_files): materialize the fully-applied current table
+        as ONE new snapshot with no delete files. Readers keep snapshot
+        isolation throughout (the rewrite lands as a normal commit);
+        older MOR snapshots stay time-travelable until expiry. No-op
+        (returns None) when nothing is deleted."""
+        sid = self.latest_snapshot_id()
+        if sid is None or not self.manifest(sid).get("deletes"):
+            return None
+        return self._commit(self.read_as_of(spark), "compact", stats_cols)
+
     # -- reads ---------------------------------------------------------------
+    def _read_with_deletes(
+        self,
+        spark: SparkSession,
+        m: dict,
+        paths_by_dir: dict[str, list[str]],
+    ) -> DataFrame:
+        """Assemble a read over ``paths_by_dir`` (rel data dir → absolute
+        paths to read from it) applying the manifest's equality deletes:
+        a delete file at seq S anti-joins only data dirs with seq < S.
+        Dirs are grouped by their applicable-delete set (distinct seqs
+        are few), each group anti-joins the BROADCAST union of its
+        delete keys once, and the groups union back — one scan of every
+        data file, delete files read manifest-count times. Broadcast is
+        the right default (delete files hold keys, not rows); a
+        deployment whose delete set outgrows the broadcast limit swaps
+        in a shuffle anti-join, which is the same plan minus the hint."""
+        import pyspark.sql.functions as F
+
+        deletes = m.get("deletes", [])
+        if not deletes:
+            paths = [p for ps in paths_by_dir.values() for p in ps]
+            return spark.read.parquet(*paths)
+        dir_seqs = m.get("dir_seqs", {})
+        groups: dict[tuple, list[str]] = {}
+        for d, paths in paths_by_dir.items():
+            seq = dir_seqs.get(d, 0)
+            applicable = tuple(
+                sorted(dd["dir"] for dd in deletes if dd["seq"] > seq)
+            )
+            groups.setdefault(applicable, []).extend(paths)
+        by_dir = {dd["dir"]: dd for dd in deletes}
+        out = None
+        for applicable, paths in sorted(groups.items()):
+            part = spark.read.parquet(*paths)
+            if applicable:
+                keys = None
+                key_cols = by_dir[applicable[0]]["keys"]
+                for dd_dir in applicable:
+                    assert by_dir[dd_dir]["keys"] == key_cols, (
+                        "mixed delete key sets in one table are unsupported"
+                    )
+                    k = spark.read.parquet(os.path.join(self.root, dd_dir))
+                    keys = k if keys is None else keys.unionByName(k)
+                part = part.join(
+                    F.broadcast(keys.distinct()), key_cols, "left_anti"
+                )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def read_as_of(
         self, spark: SparkSession, snapshot_id: int | None = None
     ) -> DataFrame:
         """The table as of ``snapshot_id`` (default: current). Reads only
         the manifest's data dirs — at scale each dir is partition-pruned
-        parquet like any other table."""
+        parquet like any other table — and applies any merge-on-read
+        equality deletes (seq-scoped anti-joins, see
+        ``_read_with_deletes``)."""
         sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"empty snapshot table at {self.root}")
-        dirs = self.manifest(sid)["data_dirs"]
-        return spark.read.parquet(*[os.path.join(self.root, d) for d in dirs])
+        m = self.manifest(sid)
+        return self._read_with_deletes(
+            spark,
+            m,
+            {d: [os.path.join(self.root, d)] for d in m["data_dirs"]},
+        )
 
     def scan_pruned(
         self,
@@ -292,9 +418,16 @@ class SnapshotTable:
             mn, mx = f["stats"].get(col, (None, None))
             if mn is None or mx is None or (mx >= lo and mn <= hi):
                 keep.append(f["file"])
-        paths = [os.path.join(self.root, p) for p in keep] + [
-            os.path.join(self.root, d) for d in unstated
-        ]
+        # group kept paths by their data dir so merge-on-read deletes
+        # apply with the correct per-dir seq scoping (same read helper
+        # as read_as_of; a no-deletes manifest reads paths directly)
+        paths_by_dir: dict[str, list[str]] = {}
+        for p in keep:
+            paths_by_dir.setdefault(os.path.dirname(p), []).append(
+                os.path.join(self.root, p)
+            )
+        for d in unstated:
+            paths_by_dir.setdefault(d, []).append(os.path.join(self.root, d))
         # metrics count ACTUAL parquet files everywhere — a stats-less
         # data dir holds many part files, and counting it as one unit
         # would understate the pruning ratio (data results are the same
@@ -304,15 +437,23 @@ class SnapshotTable:
             for d in unstated
         )
         total = len(files) + n_unstated
-        if not paths:  # every file pruned: empty frame, correct schema
+        if not paths_by_dir:  # every file pruned: empty frame, correct schema
             return self.read_as_of(spark, sid).limit(0), 0, total
-        return spark.read.parquet(*paths), len(keep) + n_unstated, total
+        return (
+            self._read_with_deletes(spark, m, paths_by_dir),
+            len(keep) + n_unstated,
+            total,
+        )
 
     # -- maintenance ---------------------------------------------------------
     def expire_snapshots(self, keep_from: int) -> list[str]:
-        """Drop manifests < ``keep_from`` and delete data dirs no
-        surviving snapshot references (Iceberg's expire_snapshots).
-        Returns the deleted data dirs."""
+        """Drop manifests < ``keep_from`` and delete data AND
+        equality-delete dirs no surviving snapshot references (Iceberg's
+        expire_snapshots). Returns the deleted dirs."""
+
+        def _dirs(m: dict) -> list[str]:
+            return m["data_dirs"] + [dd["dir"] for dd in m.get("deletes", [])]
+
         latest = self.latest_snapshot_id()
         if latest is None or keep_from <= 1:
             return []
@@ -322,13 +463,13 @@ class SnapshotTable:
             # a caller may pass a wider horizon than what survives from
             # earlier, tighter expirations — missing manifests are fine
             if os.path.exists(self._manifest_path(i)):
-                live.update(self.manifest(i)["data_dirs"])
+                live.update(_dirs(self.manifest(i)))
         deleted = []
         for i in range(1, keep_from):
             path = self._manifest_path(i)
             if not os.path.exists(path):
                 continue
-            for d in self.manifest(i)["data_dirs"]:
+            for d in _dirs(self.manifest(i)):
                 if d not in live and os.path.exists(os.path.join(self.root, d)):
                     shutil.rmtree(os.path.join(self.root, d))
                     deleted.append(d)

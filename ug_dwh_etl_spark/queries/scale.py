@@ -911,3 +911,79 @@ def storage_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "storage_merge_on_read",
+    """
+    WITH effective AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderdate >= DATE '1995-01-01'
+                   AND o_orderdate < DATE '1996-01-01'
+                  THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderdate < DATE '1997-01-01')
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(price AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM effective GROUP BY o_orderstatus
+    """,
+)
+def storage_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME upsert as storage_merge_upsert, committed MERGE-ON-READ
+    (operators/snapshot_table.py:commit_merge_on_read — Iceberg v2
+    equality deletes): the merge writes only the incoming rows plus a
+    key-only delete file; the reader anti-joins the broadcast delete
+    keys against the seq-older data dirs at scan time. Registered
+    against the IDENTICAL oracle as the copy-on-write twin, so the gate
+    proves delete-file semantics == full-rewrite semantics row for row
+    — including the seq scoping that keeps the merge's own rows alive.
+    The staging then runs compact_deletes (Iceberg rewrite_data_files)
+    and the query reads the COMPACTED snapshot, so the fold-in path is
+    what the oracle certifies end-to-end; the pre-compaction MOR
+    snapshot stays time-travelable (tests assert both reads agree).
+    Write cost O(increment), read amplification bounded by maintenance
+    — the heavy-update posture copy-on-write cannot afford at 100 TB."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_mor_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    t = SnapshotTable(root)
+    # expected-final-id guard: staging is 3 commits (overwrite +
+    # merge-on-read + compaction); anything short restages from scratch
+    if t.latest_snapshot_id() != 3:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
+        t.commit_overwrite(o.filter(F.col("o_orderdate") < "1996-01-01"))
+        updates = o.filter(
+            (F.col("o_orderdate") >= "1995-01-01")
+            & (F.col("o_orderdate") < "1996-01-01")
+        ).withColumn("o_totalprice", F.col("o_totalprice") + 10.0)
+        inserts = o.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        t.commit_merge_on_read(
+            updates.unionByName(inserts), key_cols=["o_orderkey"]
+        )
+        t.compact_deletes(spark)
+    return (
+        t.read_as_of(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
