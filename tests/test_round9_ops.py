@@ -318,3 +318,35 @@ def test_expire_snapshots_removes_orphan_delete_dirs(spark, tmp_path):
     assert {r.k: r.v for r in t.read_as_of(spark).collect()} == {
         0: 1, 1: 2, 2: 1, 3: 1,
     }
+
+
+def test_lake_daily_mor_upsert_cadence(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.plans.lake_daily import lake_daily_ingest
+
+    t = SnapshotTable(str(tmp_path / "lake"))
+    model: dict[int, int] = {}
+    for day in range(1, 13):
+        # each day upserts keys [day, day+3] with value=day
+        inc = spark.range(day, day + 4).select(
+            F.col("id").alias("k"),
+            F.lit(day).cast("long").alias("v"),
+            F.format_string("%03d", F.col("id")).alias("s"),
+        )
+        log = lake_daily_ingest(
+            spark, t, inc, stats_col="s", batch_id=day, key_cols=["k"],
+            compact_above_deletes=3, keep_snapshots=8,
+        )
+        for k in range(day, day + 4):
+            model[k] = day
+        # outstanding delete files stay bounded by the trigger
+        latest = t.manifest(t.latest_snapshot_id())
+        assert len(latest.get("deletes", [])) <= 3 + 1
+        # replaying the same day's batch is a no-op
+        log2 = lake_daily_ingest(
+            spark, t, inc, stats_col="s", batch_id=day, key_cols=["k"],
+            compact_above_deletes=3, keep_snapshots=8,
+        )
+        assert log2["appended_snapshot"] <= log["appended_snapshot"]
+        got = {r.k: r.v for r in t.read_as_of(spark).collect()}
+        assert got == model, f"day {day}"

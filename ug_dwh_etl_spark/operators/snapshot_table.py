@@ -275,6 +275,7 @@ class SnapshotTable:
         df: DataFrame,
         key_cols: list[str],
         stats_cols: tuple[str, ...] = (),
+        batch_id: int | None = None,
     ) -> int:
         """MERGE / upsert, MERGE-ON-READ (Iceberg v2 equality deletes):
         instead of rewriting every file holding a matched key (the
@@ -292,11 +293,12 @@ class SnapshotTable:
         storage_merge_on_read query sharing storage_merge_upsert's
         oracle)."""
         if self.latest_snapshot_id() is None:
-            return self._commit(df, "merge_on_read", stats_cols)
+            return self._commit(df, "merge_on_read", stats_cols, batch_id)
         return self._commit(
             df,
             "merge_on_read",
             stats_cols,
+            batch_id,
             delete_keys=(df, key_cols),
         )
 

@@ -11,7 +11,12 @@ did implicitly for the reference:
   range-clustered overwrite commit (readers stay on the old snapshot
   until the single pointer swing, so maintenance never blocks reads);
 - **retention** — expire manifests older than the keep horizon and
-  delete data dirs no surviving snapshot references.
+  delete data dirs no surviving snapshot references;
+- **delete-file compaction** (round 9) — a MERGE-ON-READ upsert cadence
+  (``key_cols`` passed) accumulates equality-delete files instead of
+  rewriting data; when the outstanding count passes its threshold the
+  tick folds them in with ``compact_deletes``, bounding every reader's
+  anti-join tax at a constant.
 
 Every step is itself an atomic snapshot commit, so a crash mid-pipeline
 leaves a readable table at the previous snapshot — the same
@@ -32,18 +37,36 @@ def lake_daily_ingest(
     *,
     stats_col: str,
     batch_id: int | None = None,
+    key_cols: list[str] | None = None,
     compact_above_files: int = 16,
+    compact_above_deletes: int = 4,
     keep_snapshots: int = 7,
 ) -> dict:
-    """One daily tick: append the increment (idempotent when batch_id is
-    passed), compact if fragmented, expire old snapshots. Returns a
-    run-log dict (counts only — manifest-sized)."""
-    appended = table.commit_append(
-        increment, stats_cols=(stats_col,), batch_id=batch_id
-    )
-    files = len(table.manifest(appended).get("files", []))
+    """One daily tick: land the increment (APPEND by default; MERGE-ON-
+    READ upsert when ``key_cols`` is passed — idempotent either way when
+    batch_id is passed), compact if fragmented, expire old snapshots.
+    Returns a run-log dict (counts only — manifest-sized).
+
+    Two compaction triggers, matching the two ways a daily cadence
+    degrades reads: ``compact_above_files`` bounds small-file accretion
+    (appends), ``compact_above_deletes`` bounds the outstanding
+    equality-delete anti-joins a MOR upsert cadence accumulates
+    (Iceberg's rewrite_data_files policy knob)."""
+    if key_cols:
+        appended = table.commit_merge_on_read(
+            increment, key_cols, stats_cols=(stats_col,), batch_id=batch_id
+        )
+    else:
+        appended = table.commit_append(
+            increment, stats_cols=(stats_col,), batch_id=batch_id
+        )
+    m = table.manifest(appended)
+    files = len(m.get("files", []))
+    n_deletes = len(m.get("deletes", []))
     compacted = None
-    if files > compact_above_files:
+    if n_deletes > compact_above_deletes:
+        compacted = table.compact_deletes(spark, stats_cols=(stats_col,))
+    elif files > compact_above_files:
         live = table.read_as_of(spark, appended)
         compacted = table.commit_overwrite(
             live.repartitionByRange(max(2, files // 4), stats_col),
@@ -54,6 +77,7 @@ def lake_daily_ingest(
     return {
         "appended_snapshot": appended,
         "files_after_append": files,
+        "deletes_after_land": n_deletes,
         "compacted_snapshot": compacted,
         "expired_data_dirs": len(deleted),
         "latest": latest,
