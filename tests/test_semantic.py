@@ -154,7 +154,11 @@ def test_trailing_window_routing_plan_and_guards(spark, tmp_path):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "orders.parquet" not in plan  # fact never rescanned
-    assert "daily" in plan  # answers from the rollup
+    # answers from the rollup — asserted on inputFiles(), not the plan
+    # string: the scan's Location metadata is display-truncated at 100
+    # chars, so a long-enough tmp_path silently drops the dir name
+    infiles = df.inputFiles()
+    assert infiles and all("/daily" in f for f in infiles)
 
     # spot-check the fold: a day's 7d revenue == sum of that status's
     # daily partials over the trailing 7 CALENDAR days
