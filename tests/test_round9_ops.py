@@ -350,3 +350,26 @@ def test_lake_daily_mor_upsert_cadence(spark, tmp_path):
         assert log2["appended_snapshot"] <= log["appended_snapshot"]
         got = {r.k: r.v for r in t.read_as_of(spark).collect()}
         assert got == model, f"day {day}"
+
+
+def test_paragraph_dedup_keeps_each_paragraph_exactly_once(spark):
+    rows = _run(spark, "text_paragraph_dedup").collect()
+    total_paras = sum(r.n_paras for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    # kept count == distinct paragraph texts corpus-wide
+    from ug_dwh_etl_spark.operators import hashing as H
+    from ug_dwh_etl_spark.queries.registry import table as _table
+
+    docs = _table(spark, SF, "documents")
+    d = docs.select("doc_id", H.tokens(F.col("text")).alias("t")).withColumn(
+        "n", F.size("t")
+    ).filter(F.col("n") > 0)
+    paras = d.select(
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(10))).alias("start"), "t"
+    ).select(F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(10))).alias("p"))
+    n_distinct = paras.select("p").distinct().count()
+    n_total = paras.count()
+    assert total_paras == n_total
+    assert total_kept == n_distinct
+    assert total_kept <= total_paras
+    assert all(0 <= r.n_kept <= r.n_paras for r in rows)

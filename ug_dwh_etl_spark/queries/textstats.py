@@ -298,6 +298,82 @@ def text_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_paragraph_dedup",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+    paras AS (
+      SELECT doc_id, start,
+             array_to_string(list_slice(t, start, LEAST(start + 9, n)), ' ')
+               AS para
+      FROM (SELECT doc_id, t, n, unnest(generate_series(1, n, 10)) AS start
+            FROM nz)),
+    ranked AS (
+      SELECT doc_id, start, para,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY doc_id, start) AS rn
+      FROM paras)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_paras,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           md5(COALESCE(string_agg(CASE WHEN rn = 1 THEN para END,
+                                   ' ' ORDER BY start), '')) AS kept_md5
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORPUS-WIDE EXACT PARAGRAPH DEDUP, the C4 cleaning rule (Raffel
+    et al. 2020 discard repeated three-sentence spans; here the span is
+    a fixed 10-token paragraph, the fixture's structural stand-in): a
+    paragraph instance survives only where it FIRST appears in the
+    corpus ((doc_id, position) order — every later occurrence in any
+    document is removed), and each document is REBUILT from its
+    surviving paragraphs in position order, fingerprinted for the
+    cross-engine compare. Plan: one narrow paragraph explode, ONE hash
+    shuffle keyed by paragraph text for the first-occurrence window
+    (partitioned — a viral paragraph concentrates its copies in one
+    partition, where per-key salting + two-phase min is the known
+    mitigation), one doc_id regroup to reconstruct; everything |paras|-
+    sized, nothing pairwise. collect_list drops the null (removed)
+    entries, so reconstruction never materializes dropped text."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", H.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    paras = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(10))).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(10))).alias("para"),
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "start")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    kept_struct = F.when(
+        F.col("rn") == 1, F.struct(F.col("start"), F.col("para"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_paras"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x.para,
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+
+
+@register(
     "text_pack_sequences",
     f"""
     WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
