@@ -373,3 +373,23 @@ def test_paragraph_dedup_keeps_each_paragraph_exactly_once(spark):
     assert total_kept == n_distinct
     assert total_kept <= total_paras
     assert all(0 <= r.n_kept <= r.n_paras for r in rows)
+
+
+def test_exact_group_percentiles_ordered_and_bounded(spark):
+    rows = _run(spark, "agg_exact_group_percentiles").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r.p25 <= r.p50 <= r.p75 <= r.p99
+        assert r.n > 0
+
+
+def test_paragraph_savings_reconciles_with_dedup(spark):
+    sav = _run(spark, "dedup_paragraph_savings").collect()
+    ded = _run(spark, "text_paragraph_dedup").collect()
+    # removed paragraph instances across sources == paras - kept
+    assert sum(r.tokens_removed for r in sav) >= 0
+    n_removed_paras = sum(r.n_paras - r.n_kept for r in ded)
+    # every removed paragraph carries 1..10 tokens
+    tot_removed = sum(r.tokens_removed for r in sav)
+    assert n_removed_paras <= tot_removed <= 10 * n_removed_paras
+    assert sum(r.n_docs for r in sav) == len(ded)

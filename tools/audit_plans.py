@@ -254,6 +254,7 @@ EXPECTED_GLOBAL_WINDOW: dict[str, str] = {
     "customer_gini": "ranking.py offsets over per-partition counts",
     "orders_abc_classification": "ranking.py subtotal offsets over per-partition sums",
     "agg_exact_deciles_orders": "ranking.py offsets over per-partition counts",
+    "agg_exact_group_percentiles": "ranking.py offsets (plan references the rank twice: group bases + target join)",
     "parts_abc_analysis": "ranking.py subtotal offsets over per-partition sums",
     # --- calendar-bounded series (days / hours / 5-min buckets)
     "events_new_vs_returning": "cumulative users over the per-day aggregate (~365 rows/yr)",

@@ -343,6 +343,88 @@ def agg_exact_deciles_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- exact per-group percentiles at fact scale -----------------------------------
+@register(
+    "agg_exact_group_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(quantile_disc(l_extendedprice, 0.25) AS DOUBLE), 2) AS p25,
+           ROUND(CAST(quantile_disc(l_extendedprice, 0.50) AS DOUBLE), 2) AS p50,
+           ROUND(CAST(quantile_disc(l_extendedprice, 0.75) AS DOUBLE), 2) AS p75,
+           ROUND(CAST(quantile_disc(l_extendedprice, 0.99) AS DOUBLE), 2) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_exact_group_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-group percentiles (p25/p50/p75/p99 of extendedprice by
+    returnflag) over the FACT table — what approx_percentile
+    approximates, computed exactly with NO per-group value collection:
+    one distributed global rank over the (group, value, tiebreak) total
+    order (operators/ranking.py — group is the range prefix, so each
+    group occupies a contiguous rank span), the group's rank base and
+    size from one tiny groupBy, and the quantile rows selected by
+    within-group rank ceil(q·n) — DuckDB quantile_disc's exact indexing
+    (verified per group; at q=0.5 it coincides with the lower-median
+    floor((n−1)/2) form the stream_user_median_tws twin uses). Ties
+    land on the same sorted index, hence the same value, whatever the
+    tiebreak order. Cost at
+    100 TB: one range shuffle + one pid window + two broadcast joins —
+    group count and targets are metadata-sized."""
+    from ug_dwh_etl_spark.operators.ranking import global_row_number
+
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.col("l_extendedprice").alias("v"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = global_row_number(
+        li, ["g", "v", "l_orderkey", "l_linenumber"], out="i"
+    )
+    groups = ranked.groupBy("g").agg(
+        F.min("i").alias("i0"), F.count(F.lit(1)).alias("n")
+    )
+    qs = [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p99", 0.99)]
+    targets = groups.select(
+        "g",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("q"),
+                        (
+                            F.col("i0")
+                            + F.ceil(F.lit(frac) * F.col("n"))
+                            - 1
+                        ).alias("ti"),
+                    )
+                    for name, frac in qs
+                ]
+            )
+        ).alias("t"),
+    ).select(
+        F.col("g").alias("tg"),
+        "n",
+        F.col("t.q").alias("q"),
+        F.col("t.ti").alias("ti"),
+    )
+    hits = ranked.join(
+        F.broadcast(targets),
+        (F.col("i") == F.col("ti")) & (F.col("g") == F.col("tg")),
+    ).select(F.col("tg").alias("g"), "n", "q", "v")
+    return hits.groupBy("g").agg(
+        F.max("n").alias("n"),
+        *[
+            F.round(F.max(F.when(F.col("q") == name, F.col("v"))), 2).alias(name)
+            for name, _ in qs
+        ],
+    ).select(
+        F.col("g").alias("l_returnflag"), "n", "p25", "p50", "p75", "p99"
+    )
+
+
 # --- percent_rank: top-percentile selection -------------------------------------
 @register(
     "window_percent_rank_top",

@@ -374,6 +374,91 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_paragraph_savings",
+    f"""
+    WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t, len(t) AS n FROM tok WHERE len(t) > 0),
+    paras AS (
+      SELECT doc_id, start,
+             array_to_string(list_slice(t, start, LEAST(start + 9, n)), ' ')
+               AS para,
+             LEAST(10, n - start + 1) AS n_tok
+      FROM (SELECT doc_id, t, n, unnest(generate_series(1, n, 10)) AS start
+            FROM nz)),
+    ranked AS (
+      SELECT doc_id, n_tok,
+             ROW_NUMBER() OVER (PARTITION BY para
+                                ORDER BY doc_id, start) AS rn
+      FROM paras),
+    per_doc AS (
+      SELECT doc_id,
+             SUM(n_tok) AS tok_total,
+             SUM(CASE WHEN rn > 1 THEN n_tok ELSE 0 END) AS tok_removed
+      FROM ranked GROUP BY doc_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(p.tok_total) AS BIGINT) AS tokens_total,
+           CAST(SUM(p.tok_removed) AS BIGINT) AS tokens_removed,
+           ROUND(SUM(p.tok_removed) * 1.0 / SUM(p.tok_total), 6)
+             AS removed_share
+    FROM per_doc p JOIN documents d USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_paragraph_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPACT ACCOUNTING for the C4 paragraph pass (the
+    dedup_token_savings convention applied to text_paragraph_dedup):
+    the token mass the first-occurrence-wins paragraph dedup removes,
+    per source — the report that shows WHICH feed is pasting the same
+    boilerplate spans across documents. Same plan shape as the dedup
+    itself (one paragraph-keyed shuffle, one doc regroup) plus a
+    broadcast-sized source join; tokens are counted on the span
+    lengths, so the numbers are exactly the training tokens a
+    downstream packer would no longer see."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents")
+    d = (
+        docs.select("doc_id", H.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    paras = d.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("n"), F.lit(10))).alias("start"),
+        "t",
+        "n",
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(10))).alias("para"),
+        F.least(F.lit(10), F.col("n") - F.col("start") + 1)
+        .cast("long")
+        .alias("n_tok"),
+    )
+    w = Window.partitionBy("para").orderBy("doc_id", "start")
+    ranked = paras.withColumn("rn", F.row_number().over(w))
+    per_doc = ranked.groupBy("doc_id").agg(
+        F.sum("n_tok").alias("tok_total"),
+        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0)).alias(
+            "tok_removed"
+        ),
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok_total").cast("long").alias("tokens_total"),
+            F.sum("tok_removed").cast("long").alias("tokens_removed"),
+            F.round(
+                F.sum("tok_removed") * 1.0 / F.sum("tok_total"), 6
+            ).alias("removed_share"),
+        )
+    )
+
+
+@register(
     "text_pack_sequences",
     f"""
     WITH tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
