@@ -329,15 +329,19 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus ((doc_id, position) order — every later occurrence in any
     document is removed), and each document is REBUILT from its
     surviving paragraphs in position order, fingerprinted for the
-    cross-engine compare. Plan: one narrow paragraph explode, ONE hash
-    shuffle keyed by paragraph text for the first-occurrence window
-    (partitioned — a viral paragraph concentrates its copies in one
-    partition, where per-key salting + two-phase min is the known
-    mitigation), one doc_id regroup to reconstruct; everything |paras|-
-    sized, nothing pairwise. collect_list drops the null (removed)
-    entries, so reconstruction never materializes dropped text."""
-    from pyspark.sql import Window
-
+    cross-engine compare. Plan: one narrow paragraph explode, then ONLY
+    PARTIAL (map-side-combined) AGGREGATES — first-occurrence-wins is
+    exactly ``min(struct(doc_id, start))`` per paragraph, and the
+    aggregate's OUTPUT (one row per distinct paragraph, tagged with
+    where it first appeared) IS the kept set, so no join back onto the
+    |paras| relation and no data-keyed window ever runs: a paragraph
+    pasted into a billion documents is absorbed by map-side combine
+    (each task emits one candidate min) instead of landing a billion
+    rows in one window task. Docs are rebuilt by regrouping the
+    distinct-paragraph relation on its first-occurrence doc_id; docs
+    whose every paragraph first appeared elsewhere surface via a
+    doc-keyed left join with n_kept=0 and the empty-string md5 (the
+    oracle's COALESCE)."""
     docs = table(spark, sf_dir, "documents")
     d = (
         docs.select("doc_id", H.tokens(F.col("text")).alias("t"))
@@ -353,23 +357,37 @@ def text_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("start").cast("long").alias("start"),
         F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(10))).alias("para"),
     )
-    w = Window.partitionBy("para").orderBy("doc_id", "start")
-    ranked = paras.withColumn("rn", F.row_number().over(w))
-    kept_struct = F.when(
-        F.col("rn") == 1, F.struct(F.col("start"), F.col("para"))
+    totals = paras.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_paras"))
+    first_occ = paras.groupBy("para").agg(
+        F.min(F.struct("doc_id", "start")).alias("fo")
     )
-    return ranked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_paras"),
-        F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept_struct)),
-                    lambda x: x.para,
-                ),
-                " ",
-            )
-        ).alias("kept_md5"),
+    kept = (
+        first_occ.select(
+            F.col("fo.doc_id").alias("doc_id"),
+            F.col("fo.start").alias("start"),
+            "para",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("start", "para"))
+                        ),
+                        lambda x: x.para,
+                    ),
+                    " ",
+                )
+            ).alias("kept_md5"),
+        )
+    )
+    return totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5"),
     )
 
 
@@ -410,13 +428,16 @@ def dedup_paragraph_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_token_savings convention applied to text_paragraph_dedup):
     the token mass the first-occurrence-wins paragraph dedup removes,
     per source — the report that shows WHICH feed is pasting the same
-    boilerplate spans across documents. Same plan shape as the dedup
-    itself (one paragraph-keyed shuffle, one doc regroup) plus a
-    broadcast-sized source join; tokens are counted on the span
+    boilerplate spans across documents. Same skew-free plan shape as
+    the dedup itself (partial aggregates only — removed mass per doc is
+    total mass minus the mass of paragraphs whose ``min(struct(doc_id,
+    start, n_tok))`` first occurrence lands in that doc; no para-keyed
+    window or join, so a viral span is absorbed by map-side combine)
+    plus a doc-keyed source join; tokens are counted on the span
     lengths, so the numbers are exactly the training tokens a
-    downstream packer would no longer see."""
-    from pyspark.sql import Window
-
+    downstream packer would no longer see. n_tok rides as a trailing
+    struct field — (doc_id, start) is unique per row, so it never
+    influences the min but arrives with the winning row."""
     docs = table(spark, sf_dir, "documents")
     d = (
         docs.select("doc_id", H.tokens(F.col("text")).alias("t"))
@@ -436,13 +457,19 @@ def dedup_paragraph_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tok"),
     )
-    w = Window.partitionBy("para").orderBy("doc_id", "start")
-    ranked = paras.withColumn("rn", F.row_number().over(w))
-    per_doc = ranked.groupBy("doc_id").agg(
-        F.sum("n_tok").alias("tok_total"),
-        F.sum(F.when(F.col("rn") > 1, F.col("n_tok")).otherwise(0)).alias(
-            "tok_removed"
-        ),
+    totals = paras.groupBy("doc_id").agg(F.sum("n_tok").alias("tok_total"))
+    kept = (
+        paras.groupBy("para")
+        .agg(F.min(F.struct("doc_id", "start", "n_tok")).alias("fo"))
+        .groupBy(F.col("fo.doc_id").alias("doc_id"))
+        .agg(F.sum("fo.n_tok").alias("tok_kept"))
+    )
+    per_doc = totals.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "tok_total",
+        (
+            F.col("tok_total") - F.coalesce("tok_kept", F.lit(0))
+        ).alias("tok_removed"),
     )
     return (
         per_doc.join(docs.select("doc_id", "source"), "doc_id")
