@@ -284,6 +284,73 @@ HEADLINE = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# Quiet-run gate (round-9 verdict ask #3: "enforce, don't just record").
+#
+# The 1-min loadavg CANNOT be the gate on a local[32] bench: the bench's
+# own executor threads are runnable and drive loadavg toward the core
+# count while the run is healthy — r09's "101/203 runs at loadavg>6" was
+# largely the bench measuring itself. What actually corrupts a timing is
+# OTHER processes competing for cores, so the gate measures EXTERNAL
+# cpu directly: (/proc/stat busy-jiffies delta) minus (this process
+# tree's utime+stime delta, bench python + Spark JVM + Python workers),
+# divided by wall time = cores consumed by everything that is not us.
+# A run is quiet when external usage stays under the band (default 2.0
+# cores of 32); loud runs are retried up to SPARK_GRAFT_QUIET_RETRIES
+# times and rows that never got a quiet run carry "loaded": true.
+# ---------------------------------------------------------------------------
+_HZ = os.sysconf("SC_CLK_TCK")
+QUIET_EXT_CORES = float(os.environ.get("SPARK_GRAFT_QUIET_EXT_CORES", "2.0"))
+QUIET_RETRIES = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "2"))
+
+
+def _busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        vals = [int(x) for x in f.readline().split()[1:]]
+    return sum(vals) - vals[3] - vals[4]  # total minus idle+iowait
+
+
+def _tree_jiffies() -> int:
+    """utime+stime summed over this process and all its descendants
+    (the Spark JVM and its Python workers are children of the bench)."""
+    procs: dict[int, tuple[int, int]] = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat", "rb") as f:
+                s = f.read().decode("ascii", "replace")
+        except OSError:
+            continue  # raced a process exit
+        try:
+            rest = s[s.rindex(")") + 2 :].split()
+            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+        except (ValueError, IndexError):
+            continue
+    children: dict[int, list[int]] = {}
+    for pid, (ppid, _) in procs.items():
+        children.setdefault(ppid, []).append(pid)
+    total, stack = 0, [os.getpid()]
+    while stack:
+        p = stack.pop()
+        if p in procs:
+            total += procs[p][1]
+            stack.extend(children.get(p, []))
+    return total
+
+
+def timed_noop(fn, spark, sf_dir) -> tuple[float, float]:
+    """Run fn to full materialization; return (wall_sec, external_cores):
+    cores consumed by processes OUTSIDE this bench's tree during the run
+    — the signal that the timing was contaminated by machine load."""
+    b0, j0 = _busy_jiffies(), _tree_jiffies()
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    elapsed = time.perf_counter() - t0
+    ext = (_busy_jiffies() - b0) - (_tree_jiffies() - j0)
+    return elapsed, max(0.0, ext / _HZ / max(elapsed, 1e-3))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -362,20 +429,31 @@ def main() -> None:
     for name in HEADLINE:
         fn = QUERIES[name].fn
         la = round(os.getloadavg()[0], 2)
-        runs = []
+        # best-of-2, then up to QUIET_RETRIES extra attempts while the
+        # BEST run so far was externally loud — the gate enforces quiet
+        # timings instead of merely recording load for later archaeology
+        runs: list[tuple[float, float]] = []
         for _ in range(2):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+            runs.append(timed_noop(fn, spark, sf_dir))
+        best = min(runs)
+        retries = 0
+        while best[1] > QUIET_EXT_CORES and retries < QUIET_RETRIES:
+            time.sleep(1.0)  # let a transient spike pass
+            retries += 1
+            runs.append(timed_noop(fn, spark, sf_dir))
+            best = min(runs)
         _collect_builds()
         arts, _ = _drain_events()
         if arts:
             memoized_queries[name] = arts
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(best[0], 3)
         headline_runs[name] = {
-            "t": round(min(runs), 3),
-            "t2": round(max(runs), 3),
+            "t": round(best[0], 3),
+            "t2": round(max(r[0] for r in runs), 3),
             "loadavg": la,
+            "ext_cores": round(best[1], 2),
+            **({"retries": retries} if retries else {}),
+            **({"loaded": True} if best[1] > QUIET_EXT_CORES else {}),
             **({"artifacts": arts} if arts else {}),
         }
 
@@ -386,27 +464,36 @@ def main() -> None:
     # total stays best-of-2 over the stable HEADLINE list for
     # round-over-round comparability.
     others: dict[str, float] = {}
+    loud_queries: dict[str, float] = {}
     errors: list[str] = []
     headline_set = set(HEADLINE)
     for name, entry in QUERIES.items():
         if name in headline_set:
             continue
-        t0 = time.perf_counter()
         try:
-            entry.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            elapsed = time.perf_counter() - t0
+            elapsed, ext = timed_noop(entry.fn, spark, sf_dir)
             _collect_builds()
             arts, built = _drain_events()
             if built:
                 # this single run paid a materialize_once build — rerun
                 # for the warm cost; the build is priced in
                 # artifact_builds, not inside this query's timing
-                t0 = time.perf_counter()
-                entry.fn(spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                elapsed = time.perf_counter() - t0
+                elapsed, ext = timed_noop(entry.fn, spark, sf_dir)
                 _drain_events()
+            retries = 0
+            while ext > QUIET_EXT_CORES and retries < QUIET_RETRIES:
+                time.sleep(1.0)
+                retries += 1
+                e2, x2 = timed_noop(entry.fn, spark, sf_dir)
+                _drain_events()
+                if e2 < elapsed:
+                    elapsed, ext = e2, x2
+                elif x2 <= QUIET_EXT_CORES:
+                    # slower but quiet: the earlier faster run stands
+                    # (quiet contamination only inflates, never deflates)
+                    ext = min(ext, x2)
+            if ext > QUIET_EXT_CORES:
+                loud_queries[name] = round(ext, 2)
             if arts:
                 memoized_queries[name] = arts
         except Exception as e:  # noqa: BLE001 — one bad query must not
@@ -436,6 +523,13 @@ def main() -> None:
         # both headline runs + 1-min loadavg at query start: separates
         # machine noise from regressions in round-over-round diffs
         "headline_runs": headline_runs,
+        # quiet gate (enforced, not just recorded): a timing is quiet
+        # when external processes consumed <= this many cores during the
+        # run (loadavg can't gate a local[32] bench — our own executor
+        # threads dominate it); loud rows were retried QUIET_RETRIES
+        # times and still never saw a quiet run
+        "quiet_gate_ext_cores": QUIET_EXT_CORES,
+        "loud_queries": loud_queries,
         "loadavg_end": round(os.getloadavg()[0], 2),
         # single-run timings for every non-headline registered query —
         # full-registry regression visibility (headline stays best-of-2)
@@ -468,6 +562,8 @@ def main() -> None:
                 "artifact_builds_total_sec": round(
                     sum(artifact_builds.values()), 3
                 ),
+                "n_loud": len(loud_queries)
+                + sum(1 for r in headline_runs.values() if r.get("loaded")),
                 "detail": "bench_detail.json",
                 "queries": slowest,
             }
