@@ -378,6 +378,8 @@ def incremental_neardup(
     id_col: str,
     text_col: str,
     threshold: float = 0.5,
+    batch_bands: DataFrame | None = None,
+    batch_sh: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental NEAR-dup: verified near-duplicate pairs an incoming
     ``batch`` introduces, matched against a STORED LSH index — the daily
@@ -395,9 +397,19 @@ def incremental_neardup(
     exactly what a full-corpus LSH re-run would add. Verification is
     candidate-restricted exact Jaccard (``verify_pairs_jaccard``) over
     stored corpus shingles ∪ the batch's own shingles. Returns
-    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ ``threshold``."""
-    batch_bands = lsh_band_keys(batch, id_col, text_col).localCheckpoint(eager=False)
-    batch_sh = doc_shingle_hashes(spread(batch), id_col, text_col)
+    (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ ``threshold``.
+
+    ``batch_bands``/``batch_sh`` accept the batch's own band keys and
+    shingle hashes precomputed by the caller — the streaming ingest
+    computes them ONCE per micro-batch and reuses the same relations
+    for both this match and its index appends, instead of re-hashing
+    the batch text a second time."""
+    if batch_bands is None:
+        batch_bands = lsh_band_keys(batch, id_col, text_col).localCheckpoint(
+            eager=False
+        )
+    if batch_sh is None:
+        batch_sh = doc_shingle_hashes(spread(batch), id_col, text_col)
     bb = batch_bands.select(
         F.col(id_col).alias("_bid"), "band_id", "band_key"
     )

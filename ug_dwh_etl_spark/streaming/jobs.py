@@ -737,10 +737,13 @@ def stream_incremental_neardup(
     two-file split in tests/test_round6_ops.py).
 
     Per-batch cost is O(batch) signatures + index equi-joins; corpus
-    text is never rescanned. The emitted-pair collect is result-sized
-    (the pairs ARE the query output), not data-sized."""
+    text is never rescanned — and the batch's own band keys + shingle
+    hashes are computed ONCE per micro-batch (persisted), feeding both
+    the match and the index appends. The emitted-pair collect is
+    result-sized (the pairs ARE the query output), not data-sized."""
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from ug_dwh_etl_spark.operators.dedup import (
@@ -751,25 +754,46 @@ def stream_incremental_neardup(
     )
 
     docs_schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    seeded = False
     if index_root is None:
         # per-process path — same race rationale as the batch twin: a
         # concurrent process's overwrite must not delete files under
         # this run's scans (and this index also takes APPENDS during
-        # the run, so it can never be shared anyway)
+        # the run, so it can never be shared anyway). But the CONTENT
+        # seeds from the shared lsh_corpus_index artifacts (the batch
+        # twin's standing index) by file copy — recomputing the md5
+        # minhash signatures over the whole corpus per process was the
+        # #1 wall cost of this query (round-9 verdict ask #4), and in
+        # the daily model the index already exists before any ingest.
         index_root = os.path.join(
             tempfile.gettempdir(),
             f"lsh_stream_idx_{hashlib.md5(sf_dir.encode()).hexdigest()[:12]}"
             f"_{os.getpid()}",
         )
+        from ug_dwh_etl_spark.queries.dedup import lsh_corpus_index
+
+        art_bands, art_sh = lsh_corpus_index(spark, sf_dir)
+        bands_path = os.path.join(index_root, "bands")
+        sh_path = os.path.join(index_root, "shingles")
+        for art, dest in ((art_bands, bands_path), (art_sh, sh_path)):
+            shutil.rmtree(dest, ignore_errors=True)
+            os.makedirs(dest)
+            for i, src in enumerate(art.inputFiles()):
+                src_path = src.removeprefix("file:")
+                shutil.copy(src_path, os.path.join(dest, f"seed_{i}.parquet"))
+        seeded = True
     bands_path = os.path.join(index_root, "bands")
     sh_path = os.path.join(index_root, "shingles")
-    corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
-        F.col("doc_id") % 10 != 0
-    )
-    lsh_band_keys(corpus, "doc_id", "text").write.mode("overwrite").parquet(bands_path)
-    doc_shingle_hashes(spread(corpus), "doc_id", "text").write.mode(
-        "overwrite"
-    ).parquet(sh_path)
+    if not seeded:
+        corpus = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+            F.col("doc_id") % 10 != 0
+        )
+        lsh_band_keys(corpus, "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(bands_path)
+        doc_shingle_hashes(spread(corpus), "doc_id", "text").write.mode(
+            "overwrite"
+        ).parquet(sh_path)
 
     collected: list = []
     # guard the result-sized collect: a pathological batch (e.g. a crawl
@@ -781,6 +805,11 @@ def stream_incremental_neardup(
 
     def handle(batch_df: DataFrame, _bid: int) -> None:
         batch = batch_df.filter(F.col("doc_id") % 10 == 0)
+        # hash the batch text exactly once: the SAME persisted band-key
+        # and shingle relations feed the match below AND the index
+        # appends after it (pre-round-10 each was computed twice)
+        batch_bands = lsh_band_keys(batch, "doc_id", "text").persist()
+        batch_sh = doc_shingle_hashes(spread(batch), "doc_id", "text").persist()
         pairs = incremental_neardup(
             batch,
             spark.read.parquet(bands_path),
@@ -788,6 +817,8 @@ def stream_incremental_neardup(
             "doc_id",
             "text",
             0.5,
+            batch_bands=batch_bands,
+            batch_sh=batch_sh,
         )
         got = pairs.limit(max_pairs_per_batch + 1).collect()
         if len(got) > max_pairs_per_batch:
@@ -807,10 +838,10 @@ def stream_incremental_neardup(
             )
         except Exception:
             pass
-        lsh_band_keys(batch, "doc_id", "text").write.mode("append").parquet(bands_path)
-        doc_shingle_hashes(spread(batch), "doc_id", "text").write.mode(
-            "append"
-        ).parquet(sh_path)
+        batch_bands.write.mode("append").parquet(bands_path)
+        batch_sh.write.mode("append").parquet(sh_path)
+        batch_bands.unpersist()
+        batch_sh.unpersist()
 
     src = stream_table_source(spark, sf_dir, "documents", docs_schema)
     if max_files_per_trigger is not None:
@@ -1195,9 +1226,12 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     from ug_dwh_etl_spark.operators.textstats import alpha_ratio_col
 
+    # persist the quality relation: every micro-batch joins against it,
+    # and unpersisted it re-scans documents + re-runs the regex per
+    # batch — measured as the bulk of the per-batch second (round-10)
     qual = docs.select(
         F.col("doc_id").alias("vec_id"), alpha_ratio_col("text").alias("q")
-    )
+    ).persist()
 
     def build_elite():
         w = Window.partitionBy("cluster").orderBy(F.desc("q"), F.asc("vec_id"))
@@ -1243,6 +1277,15 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         shutil.rmtree(out, ignore_errors=True)
 
+        # loop-invariant Column expressions hoisted out of the handler:
+        # a Column binds by NAME, so the same objects apply to every
+        # micro-batch — rebuilding them per tick was ~0.4s of pure
+        # py4j/Catalyst construction per batch (round-10 profile)
+        better = (
+            (F.col("yq") > F.col("xq"))
+            | ((F.col("yq") == F.col("xq")) & (F.col("yid") < F.col("xid")))
+        ) & (F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+
         def verdicts(batch, batch_id):
             x = (
                 ivf_assign(batch.filter(F.col("vec_id") % 10 == 0))
@@ -1255,27 +1298,20 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("q").alias("xq"),
                 )
             )
-            drops = (
-                x.join(y, "cluster")
-                .filter(
-                    (F.col("yq") > F.col("xq"))
-                    | (
-                        (F.col("yq") == F.col("xq"))
-                        & (F.col("yid") < F.col("xid"))
-                    )
-                )
-                .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
-                .select(F.col("xid").alias("vec_id"))
-                .distinct()
-                .withColumn("_dropped", F.lit(True))
-            )
+            # verdict in ONE broadcast join + partial aggregate (was
+            # join → distinct → second join): drop x iff ANY same-cell
+            # elite member beats it on (quality, id) within tau — a
+            # left join keeps x rows whose cell has no elite (kept)
             result = (
-                x.select(F.col("xid").alias("vec_id"), "cluster")
-                .join(drops, "vec_id", "left")
+                x.join(y, "cluster", "left")
+                .groupBy(F.col("xid").alias("vec_id"), F.col("cluster"))
+                .agg(
+                    F.max(F.coalesce(better, F.lit(False))).alias("_dropped")
+                )
                 .select(
                     "vec_id",
                     F.col("cluster").cast("int").alias("cluster"),
-                    F.coalesce(~F.col("_dropped"), F.lit(True)).alias("kept"),
+                    (~F.col("_dropped")).alias("kept"),
                 )
             )
             global LAST_BATCH_PLAN
@@ -1302,4 +1338,5 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .awaitTermination()
             )
         open(done_marker, "a").close()
+    qual.unpersist()
     return spark.read.parquet(out).select("vec_id", "cluster", "kept")
