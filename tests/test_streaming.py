@@ -472,3 +472,170 @@ def test_stream_transition_matrix_equals_batch(spark):
         for r in QUERIES["stream_transition_matrix"].fn(spark, sf).collect()
     }
     assert stream == batch
+
+
+def test_session_timeout_tws_timer_closes_idle_session(spark, tmp_path):
+    """Event-time registerTimer end to end on a controlled corpus: the
+    idle user's session must close via TIMER (no later event exists for
+    them), the active user's trailing session must stay open, and a
+    mid-stream gap must close inline — same facts from the
+    transformWithState processor and the applyInPandasWithState
+    EventTimeTimeout twin (cross-API equivalence)."""
+    import pyspark.sql.functions as F
+
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_session_timeout,
+        stream_session_timeout_tws,
+    )
+
+    rows = [
+        # u1: one 2-event session, then idle for hours -> timer close
+        (1, "2024-01-01 10:00:00", 1),
+        (1, "2024-01-01 10:10:00", 2),
+        # u2: session A, >30min gap, session B ending at the stream max
+        #     -> A closes inline, B stays open (timer can't fire: the
+        #     watermark never passes B's expiry)
+        (2, "2024-01-01 11:00:00", 3),
+        (2, "2024-01-01 11:20:00", 4),
+        (2, "2024-01-01 21:20:00", 5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_id long"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    def us(s):
+        import datetime
+
+        return int(
+            datetime.datetime.fromisoformat(s + "+00:00").timestamp() * 1_000_000
+        )
+
+    expected = {
+        (1, us("2024-01-01 10:00:00"), us("2024-01-01 10:10:00"), 2),  # timer
+        (2, us("2024-01-01 11:00:00"), us("2024-01-01 11:20:00"), 2),  # inline
+    }
+    got_tws = {tuple(r) for r in stream_session_timeout_tws(spark, str(tmp_path)).collect()}
+    assert got_tws == expected
+    got_apws = {tuple(r) for r in stream_session_timeout(spark, str(tmp_path)).collect()}
+    assert got_apws == expected
+
+
+def test_tws_value_state_ttl_actually_expires(spark, tmp_path):
+    """Drive a SHORT TTL across two runs on ONE checkpoint and prove the
+    TTL'd ValueState really expires while the parallel non-TTL state
+    survives: run 1 ingests file A (u1 count 2), sleep past the ttl,
+    run 2 ingests file B — the TTL'd cumulative count must RESET to
+    file B's rows while the non-TTL 'ever' state still accumulates."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from ug_dwh_etl_spark.streaming.stateful import (
+        UserTotalsTTLProcessor,
+        _with_rocksdb,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("n_events_cum", LongType()),
+            StructField("total_value_cum", DoubleType()),
+        ]
+    )
+
+    src = tmp_path / "src"
+    os.makedirs(src)
+    ck = str(tmp_path / "ck")
+    out_dir = str(tmp_path / "out")
+
+    class Tagged(UserTotalsTTLProcessor):
+        """Emit BOTH states so the test can compare ttl vs non-ttl."""
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+            en, ec = self._ever.get() if self._ever.exists() else (0, 0)
+            for batch in rows:
+                k = len(batch)
+                c = int(batch["value"].mul(100).round().sum())
+                n, cents, en, ec = n + k, cents + c, en + k, ec + c
+            self._totals.update((n, cents))
+            self._ever.update((en, ec))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events_cum": [n], "total_value_cum": [en * 1.0]}
+            )
+
+    def run_once():
+        stream = spark.readStream.schema("user_id long, value double").parquet(
+            str(src)
+        )
+        upd = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=Tagged(ttl_ms=2_000),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="ProcessingTime",
+        )
+
+        def go():
+            # memory sink refuses checkpoint RECOVERY (run 2 reuses the
+            # run-1 checkpoint on purpose) -> land each micro-batch to a
+            # parquet log via foreachBatch and read that back
+            def land_batch(b, _bid):
+                b.write.mode("append").parquet(out_dir)
+
+            q = (
+                upd.writeStream.foreachBatch(land_batch)
+                .option("checkpointLocation", ck)
+                .trigger(availableNow=True)
+                .start()
+            )
+            deadline = time.time() + 120
+            saw = False
+            while q.isActive and time.time() < deadline:
+                if q.awaitTermination(0.25):
+                    break
+                p = q.lastProgress
+                if p and p["numInputRows"] > 0:
+                    saw = True
+                elif p and saw:
+                    break
+            q.stop()
+            q.awaitTermination()
+            return spark.read.parquet(out_dir).collect()
+
+        return _with_rocksdb(spark, go)
+
+    def land(name, rows):
+        # FileStreamSource lists FILES: stage via a tmp dir + move the
+        # part file (df.write.parquet would create a subdirectory)
+        tmp = tmp_path / ("tmp_" + name)
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.parquet(str(tmp))
+        part = next(p for p in os.listdir(tmp) if p.endswith(".parquet"))
+        os.replace(str(tmp / part), str(src / name))
+
+    land("a.parquet", [(1, 1.0), (1, 2.0)])
+    r1 = {r.user_id: (r.n_events_cum, r.total_value_cum) for r in run_once()}
+    assert r1[1] == (2, 2.0)  # ttl count 2, ever count 2
+
+    time.sleep(3)  # let the 2s TTL lapse between runs
+    land("b.parquet", [(1, 5.0)])
+    rows2 = run_once()
+    # the output log holds both runs' rows; the run-2 row is the one
+    # with the highest non-TTL 'ever' count (monotone by construction)
+    latest = max(
+        (r for r in rows2 if r.user_id == 1),
+        key=lambda r: r.total_value_cum,
+    )
+    # TTL'd state reset (1, not 3); non-TTL state accumulated (3 events)
+    assert (latest.n_events_cum, latest.total_value_cum) == (1, 3.0)

@@ -630,3 +630,96 @@ def q_stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFram
     from ug_dwh_etl_spark.streaming.jobs import stream_semantic_dedup_ingest
 
     return stream_semantic_dedup_ingest(spark, sf_dir)
+
+
+# --- transformWithState event-time timers + TTL (round 10) --------------------
+_SESSION_TIMEOUT_ORACLE = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+    flagged AS (
+      SELECT user_id, us,
+             CASE WHEN LAG(us) OVER w IS NULL
+                    OR us - LAG(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_s
+      FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+    sess AS (
+      SELECT user_id, us,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged),
+    agg AS (
+      SELECT user_id, sid,
+             MIN(us) AS session_start_us,
+             MAX(us) AS session_end_us,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM sess GROUP BY user_id, sid),
+    wm AS (SELECT MAX(us) // 1000 AS wm_ms FROM ev),
+    lasts AS (SELECT user_id, MAX(sid) AS last_sid FROM agg GROUP BY user_id)
+    SELECT a.user_id, a.session_start_us, a.session_end_us, a.n_events
+    FROM agg a JOIN lasts l USING (user_id), wm
+    WHERE a.sid < l.last_sid
+       OR a.session_end_us // 1000 + 1800001 < wm.wm_ms
+    """
+
+
+@register("stream_session_timeout_tws", _SESSION_TIMEOUT_ORACLE)
+def q_stream_session_timeout_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Event-time registerTimer sessionization (the Spark-4 stateful
+    # API's timer surface): one fact per CLOSED session — inline when a
+    # later event breaks the session, by TIMER when the watermark passes
+    # the idle horizon with no later event. The oracle recomputes the
+    # close set exactly: every non-last session closes; a user's last
+    # session closes iff its expiry (end + 30min + 1ms) is STRICTLY
+    # below the FINAL watermark — measured on this build, AvailableNow
+    # runs a trailing no-data micro-batch after the last data batch
+    # (noDataMicroBatches) whose eviction watermark is the global max
+    # event time, and a timer fires iff expiry < that watermark. Same
+    # protobuf-shim fallback contract as stream_user_totals_tws: under a
+    # foreign session the applyInPandasWithState EventTimeTimeout twin
+    # answers the same oracle.
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_session_timeout,
+        stream_session_timeout_tws,
+    )
+
+    try:
+        return stream_session_timeout_tws(spark, sf_dir)
+    except Exception:
+        try:
+            import google.protobuf  # noqa: F401
+
+            raise  # protobuf was present: the failure is real, surface it
+        except ImportError:
+            return stream_session_timeout(spark, sf_dir)
+
+
+@register(
+    "stream_user_totals_ttl_tws",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def q_stream_user_totals_ttl_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ValueState with a processing-time TTL (the last piece of the
+    # Spark-4 typed-state API after Value/Map/List + timers): the 1h
+    # horizon never expires inside a seconds-long AvailableNow run, so
+    # the exact totals oracle gates the whole TTL machinery (expiry
+    # bookkeeping on RocksDB) end-to-end; tests/test_streaming.py
+    # drives a SHORT ttl across two runs on one checkpoint and asserts
+    # real expiry (TTL'd state resets, parallel non-TTL state
+    # survives). Same fallback contract as stream_user_totals_tws.
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_running_totals,
+        stream_user_totals_ttl_tws,
+    )
+
+    try:
+        return stream_user_totals_ttl_tws(spark, sf_dir)
+    except Exception:
+        try:
+            import google.protobuf  # noqa: F401
+
+            raise
+        except ImportError:
+            return stream_user_running_totals(spark, sf_dir)

@@ -1022,3 +1022,351 @@ def stream_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("prob"),
     )
+
+
+# --- transformWithState EVENT-TIME TIMERS: idle-session timeout facts ---------
+#
+# The last uncovered corner of the Spark-4 stateful API after the
+# Value/Map/ListState trio: ``registerTimer`` in EventTime mode. The
+# reference's cron-append history model (sf_html_data.py:178 daily
+# append) needs exactly this shape for "session closed" facts — a fact
+# should land when the entity goes IDLE, not only when its next event
+# happens to arrive. Close rules:
+#   - inline: an arriving event with gap > 30min closes the standing
+#     session (batch-split-invariant — whichever micro-batch carries
+#     the event);
+#   - timer: a session with NO later event closes when the event-time
+#     watermark passes last_seen + 30min (+1ms, see below) — measured
+#     on this Spark: a timer fires iff expiry < watermark STRICTLY,
+#     and AvailableNow runs a trailing NO-DATA micro-batch after the
+#     last data batch (noDataMicroBatches, default on) whose eviction
+#     watermark is the global max event time — so the final close set
+#     is exactly {expiry < max event ts}, which is what the registered
+#     oracle recomputes.
+# The +1ms guard keeps an event at EXACTLY last+30min (same session by
+# the > gap rule) from racing its own session's close timer: chronology
+# of the staged time-bucket source then guarantees the event is
+# processed before any watermark ≥ its timestamp exists.
+#
+# handleExpiredTimer double-fire guard: a fired timer only emits when
+# its expiry matches the CURRENT state's last_seen — if the same batch
+# already processed newer events for the key (re-registering the
+# timer), the stale expiry mismatches and the close is skipped, making
+# the output identical whichever order Spark runs timers vs input rows.
+
+SESSION_OUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start_us", LongType()),
+        StructField("session_end_us", LongType()),
+        StructField("n_events", LongType()),
+    ]
+)
+_GAP_US = 1800 * 1_000_000
+_GAP_MS = 1800 * 1000
+_SESSION_COLS = ["user_id", "session_start_us", "session_end_us", "n_events"]
+
+
+class SessionTimeoutProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._s = handle.getValueState("sess", "start_us long, last_us long, n long")
+        self._h = handle
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        us: list[int] = []
+        for b in rows:
+            us.extend(int(v) for v in b["ts_us"])
+        us.sort()
+        start, last, n = (
+            self._s.get() if self._s.exists() else (None, None, 0)
+        )
+        closes = []
+        for t in us:
+            if last is not None and t - last > _GAP_US:
+                closes.append((key[0], start, last, n))
+                start, n = t, 0
+            if start is None:
+                start = t
+            n += 1
+            last = t
+        self._s.update((start, last, n))
+        for tm in self._h.listTimers():
+            self._h.deleteTimer(tm)
+        self._h.registerTimer(last // 1000 + _GAP_MS + 1)
+        if closes:
+            yield pd.DataFrame(closes, columns=_SESSION_COLS)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        if self._s.exists():
+            start, last, n = self._s.get()
+            if last // 1000 + _GAP_MS + 1 == expiredTimerInfo.getExpiryTimeInMs():
+                self._s.clear()
+                yield pd.DataFrame(
+                    [(key[0], start, last, n)], columns=_SESSION_COLS
+                )
+
+    def close(self) -> None:
+        pass
+
+
+def _stage_time_buckets(spark: SparkSession, sf_dir: str, n: int = 4) -> str:
+    """Stage events as ``n`` CHRONOLOGICAL time-bucket parquet files with
+    forced ascending mtimes (FileStreamSource orders by modification
+    time), so `maxFilesPerTrigger=1` yields a deterministic in-order
+    micro-batch sequence and the event-time watermark entering batch i
+    is exactly the max timestamp of buckets < i — the quantity the
+    DuckDB oracle recomputes. Bucket boundaries are pure min/max
+    arithmetic (no data-sized total-order window): bucket =
+    ((ts_us - min) * n) div (max - min + 1)."""
+    import os
+    import shutil
+    import tempfile
+
+    from ug_dwh_etl_spark.queries.registry import sfdir_key, table
+
+    work = os.path.join(
+        tempfile.gettempdir(), f"sess_timeout_{os.getpid()}", sfdir_key(sf_dir)
+    )
+    src = os.path.join(work, "src")
+    marker = os.path.join(work, "_STAGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        os.makedirs(src, exist_ok=True)
+        ev = table(spark, sf_dir, "events").select("user_id", "ts")
+        mn, mx = ev.agg(
+            F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))
+        ).first()
+        span = mx - mn + 1
+        bucket = F.expr(f"((unix_micros(ts) - {mn}L) * {n}) div {span}L")
+        for i in range(n):
+            tmp = os.path.join(work, f"tmp{i}")
+            ev.filter(bucket == i).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = next(
+                p for p in os.listdir(tmp) if p.endswith(".parquet")
+            )
+            dst = os.path.join(src, f"bucket{i}.parquet")
+            os.replace(os.path.join(tmp, part), dst)
+            os.utime(dst, (1_700_000_000 + i * 3600,) * 2)
+            shutil.rmtree(tmp)
+        open(marker, "a").close()
+    return src
+
+
+def _session_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = _stage_time_buckets(spark, sf_dir)
+    return (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+        .select("user_id", "ts", F.unix_micros("ts").alias("ts_us"))
+    )
+
+
+def _with_rocksdb(spark: SparkSession, run) -> DataFrame:
+    """transformWithState is only supported on the RocksDB state store;
+    scope the provider switch to the wrapped run (the stream_user_totals
+    _tws convention, factored for the timer/TTL queries)."""
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        return run()
+    finally:
+        if prev is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, prev)
+
+
+def stream_session_timeout_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time-timer sessionization over the staged chronological
+    stream: emits one (user, start, end, n_events) fact per CLOSED
+    session — inline on the session-breaking event, or via
+    ``registerTimer`` when the watermark passes the idle horizon. Open
+    sessions at end-of-stream are never emitted (their timers can't
+    fire: no batch runs after the last watermark advance)."""
+    ev = _session_stream(spark, sf_dir)
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionTimeoutProcessor(),
+        outputStructType=SESSION_OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    return _with_rocksdb(spark, lambda: run_stream_to_memory(updated, "append"))
+
+
+# --- applyInPandasWithState cross-check twin (EventTimeTimeout) ---------------
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _update_session_timeout(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame([(key[0], start, last, n)], columns=_SESSION_COLS)
+        return
+    us: list[int] = []
+    for b in batches:
+        us.extend(int(v) for v in b["ts_us"])
+    us.sort()
+    start, last, n = state.get if state.exists else (None, None, 0)
+    closes = []
+    for t in us:
+        if last is not None and t - last > _GAP_US:
+            closes.append((key[0], start, last, n))
+            start, n = t, 0
+        if start is None:
+            start = t
+        n += 1
+        last = t
+    state.update((start, last, n))
+    state.setTimeoutTimestamp(last // 1000 + _GAP_MS + 1)
+    if closes:
+        yield pd.DataFrame(closes, columns=_SESSION_COLS)
+
+
+def stream_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` twin of ``stream_session_timeout_tws``
+    (GroupStateTimeout.EventTimeTimeout / setTimeoutTimestamp instead of
+    registerTimer) — identical close semantics over the identical staged
+    source, so the two APIs cross-check each other and either answers
+    the same oracle."""
+    ev = _session_stream(spark, sf_dir)
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        _update_session_timeout,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    return run_stream_to_memory(updated, "append")
+
+
+# --- transformWithState TTL: value state with an expiry horizon ---------------
+class UserTotalsTTLProcessor(StatefulProcessor):
+    """UserTotalsProcessor with a TTL'd ValueState: any update re-arms
+    the expiry at processing-time + ttl. With the default 1h horizon
+    nothing expires inside a seconds-long AvailableNow run, so the
+    registered query answers the exact batch oracle while exercising
+    the TTL machinery end-to-end (secondary-index writes, expiry
+    bookkeeping on RocksDB); tests/test_streaming.py drives a SHORT ttl
+    across two runs on one checkpoint and asserts the state actually
+    expires (totals reset) while a parallel non-TTL state survives."""
+
+    def __init__(self, ttl_ms: int = 3_600_000) -> None:
+        self._ttl_ms = ttl_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
+        self._ever = handle.getValueState("ever", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        en, ecents = self._ever.get() if self._ever.exists() else (0, 0)
+        for batch in rows:
+            k = len(batch)
+            c = int(batch["value"].mul(100).round().sum())
+            n, cents = n + k, cents + c
+            en, ecents = en + k, ecents + c
+        self._totals.update((n, cents))
+        self._ever.update((en, ecents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events_cum": [n],
+                "total_value_cum": [cents / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _run_stream_drain_then_stop(
+    stream_df: DataFrame, output_mode: str, state_partitions: int = 8
+) -> DataFrame:
+    """Run a ProcessingTime-mode stream until the file source is drained,
+    then stop it and return the memory-sink result. State TTL forces
+    ``timeMode="ProcessingTime"``, and in that mode AvailableNow never
+    terminates on its own — the engine keeps scheduling no-data batches
+    forever so processing-time timers/TTL can keep evicting (measured:
+    9+ epochs over one already-drained file before the 60s cutoff). The
+    output is unaffected by when we stop: no-data batches call no
+    ``handleInputRows`` and this family registers no timers, so every
+    emission happens in data batches — we poll progress and stop after
+    the first no-data batch that follows the drained source."""
+    import tempfile
+    import time as _time
+    import uuid as _uuid
+
+    from ug_dwh_etl_spark.streaming.jobs import _checkpoint_dir
+
+    name = f"mem_{_uuid.uuid4().hex[:12]}"
+    spark = stream_df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        with _checkpoint_dir(None, f"ckpt_{name}_") as ckpt:
+            q = (
+                stream_df.writeStream.format("memory")
+                .queryName(name)
+                .outputMode(output_mode)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            deadline = _time.time() + 300
+            saw_data = False
+            while q.isActive and _time.time() < deadline:
+                if q.awaitTermination(0.25):
+                    break
+                p = q.lastProgress
+                if p is None:
+                    continue
+                if p["numInputRows"] > 0:
+                    saw_data = True
+                elif saw_data:
+                    break  # a no-data batch after data: source drained
+            q.stop()
+            q.awaitTermination()
+        return spark.table(name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+def stream_user_totals_ttl_tws(
+    spark: SparkSession, sf_dir: str, ttl_ms: int = 3_600_000
+) -> DataFrame:
+    """TTL variant of ``stream_user_totals_tws`` — same state model and
+    batch-split-invariant max-per-user reduction, same oracle; the
+    ValueState carries a processing-time TTL (the only timeMode Spark
+    allows TTL under: STATEFUL_PROCESSOR_INCORRECT_TIME_MODE_TO_ASSIGN_TTL
+    otherwise)."""
+    ev = read_events_stream(spark, sf_dir).select("user_id", "value")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsTTLProcessor(ttl_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="ProcessingTime",
+    )
+    out = _with_rocksdb(
+        spark, lambda: _run_stream_drain_then_stop(updated, "update")
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_events_cum").alias("n_events"),
+        F.round(F.max("total_value_cum"), 2).alias("total_value"),
+    )
