@@ -1,0 +1,142 @@
+"""Round-10 additions: merge-on-read delete-file pruning, batch-id
+lineage backfill for legacy manifests, and the reader guard hardening."""
+
+import json
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+
+def _kv(spark, lo, hi, v=1):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), F.lit(v).cast("long").alias("v")
+    )
+
+
+def test_delete_pruning_bypasses_untouched_files(spark, tmp_path):
+    """An equality delete whose key range can't intersect an old data
+    dir must NOT anti-join that dir: plan shows no LeftAnti at all when
+    every old file is provably disjoint, and the rows are identical to
+    the conservative read."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 100), stats_cols=("k",))
+    # upsert keys 200..209 — disjoint from [0, 99]
+    t.commit_merge_on_read(_kv(spark, 200, 210, v=7), key_cols=["k"], stats_cols=("k",))
+    df = t.read_as_of(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan, "disjoint delete still anti-joined"
+    got = {r.k: r.v for r in df.collect()}
+    assert len(got) == 110 and got[0] == 1 and got[205] == 7
+
+    # control: an OVERLAPPING delete must keep the anti-join and drop rows
+    t2 = SnapshotTable(str(tmp_path / "t2"))
+    t2.commit_overwrite(_kv(spark, 0, 100), stats_cols=("k",))
+    t2.commit_merge_on_read(_kv(spark, 50, 60, v=7), key_cols=["k"], stats_cols=("k",))
+    df2 = t2.read_as_of(spark)
+    plan2 = df2._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan2
+    got2 = {r.k: r.v for r in df2.collect()}
+    assert got2[55] == 7 and got2[0] == 1 and len(got2) == 100
+
+
+def test_delete_pruning_is_numeric_not_lexicographic(spark, tmp_path):
+    """Regression: the legacy string-cast stats order numerics
+    lexicographically ('10' < '9'), which would falsely prove a delete
+    of key 10 disjoint from a dir holding [9, 11] and resurrect the
+    deleted row. The typed-stats path must keep the anti-join."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 9, 12), stats_cols=("k",))  # keys 9,10,11
+    t.commit_merge_on_read(_kv(spark, 10, 11, v=7), key_cols=["k"], stats_cols=("k",))
+    got = {r.k: r.v for r in t.read_as_of(spark).collect()}
+    assert got == {9: 1, 10: 7, 11: 1}
+
+
+def test_delete_pruning_conservative_without_stats(spark, tmp_path):
+    """Commits made without stats_cols leave no typed bounds — the
+    reader must stay conservative (anti-join everything applicable) and
+    still produce the exact merged relation."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 10))
+    t.commit_merge_on_read(_kv(spark, 200, 203, v=7), key_cols=["k"])
+    df = t.read_as_of(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan  # no stats -> cannot prove disjoint
+    assert df.count() == 13
+
+
+def test_scan_pruned_composes_with_delete_pruning(spark, tmp_path):
+    """scan_pruned's per-file range pruning and the delete-file pruning
+    stack: a range read over the untouched old files carries no
+    anti-join, and rows survive exactly."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(
+        _kv(spark, 0, 100).withColumn("pad", F.format_string("%04d", F.col("k"))),
+        stats_cols=("pad", "k"),
+    )
+    t.commit_merge_on_read(
+        _kv(spark, 500, 510, v=7).withColumn(
+            "pad", F.format_string("%04d", F.col("k"))
+        ),
+        key_cols=["k"],
+        stats_cols=("pad", "k"),
+    )
+    df, read, total = t.scan_pruned(spark, "pad", "0010", "0019")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan
+    ks = sorted(r.k for r in df.filter(F.col("pad").between("0010", "0019")).collect())
+    assert ks == list(range(10, 20))
+    assert read < total
+
+
+def test_mixed_delete_key_sets_raise(spark, tmp_path):
+    """The mixed-key-set guard must survive `python -O` — a ValueError,
+    not a bare assert (round-9 ADVICE)."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(
+        _kv(spark, 0, 10).withColumn("k2", F.col("k") + 100)
+    )
+    t.commit_merge_on_read(
+        _kv(spark, 0, 2, v=7).withColumn("k2", F.col("k") + 100),
+        key_cols=["k"],
+    )
+    t.commit_merge_on_read(
+        _kv(spark, 2, 4, v=8).withColumn("k2", F.col("k") + 100),
+        key_cols=["k2"],
+    )
+    with pytest.raises(ValueError, match="mixed delete key sets"):
+        t.read_as_of(spark).collect()
+
+
+def test_legacy_manifest_batchid_backfill(spark, tmp_path):
+    """A table whose manifests predate the 'batch_ids' lineage field
+    must still dedup replays of PRE-migration batches after the first
+    new-format commit (round-9 ADVICE: the old fallback scan ran only
+    while the parent lacked the field, so a legacy batch could
+    double-land one commit later)."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    s1 = t.commit_append(_kv(spark, 0, 5), batch_id=7)
+    # strip the lineage field to simulate a legacy manifest
+    mp = t._manifest_path(s1)
+    m = json.load(open(mp))
+    del m["batch_ids"]
+    json.dump(m, open(mp, "w"))
+    # first NEW-format commit on the legacy table: must backfill batch 7
+    s2 = t.commit_append(_kv(spark, 5, 10), batch_id=8)
+    assert str(7) in t.manifest(s2)["batch_ids"]
+    # replaying the pre-migration batch must be a no-op returning s1
+    assert t.commit_append(_kv(spark, 0, 5), batch_id=7) == s1
+    assert t.latest_snapshot_id() == s2
+    assert t.read_as_of(spark).count() == 10

@@ -86,13 +86,36 @@ class SnapshotTable:
         return out
 
     # -- commits -------------------------------------------------------------
+    @staticmethod
+    def _json_stat(v):
+        """A min/max value as a JSON-safe, ORDER-CORRECT manifest entry:
+        ints/floats/strs ride natively (numeric comparisons stay
+        numeric — the string-cast legacy 'stats' field is lexicographic,
+        which mis-orders unpadded numerics and must never drive delete
+        pruning); datetimes/dates become ISO strings and Decimals become
+        floats (order-correct); anything else opts out (None → the
+        consumer treats the bound as unknown and stays conservative)."""
+        import datetime
+        import decimal
+
+        if v is None or isinstance(v, (int, float, str)) and not isinstance(v, bool):
+            return v
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return float(v)
+        return None
+
     def _collect_file_stats(
         self, spark: SparkSession, rel_dir: str, stats_cols: tuple[str, ...]
     ) -> list[dict]:
         """Per-FILE row counts and min/max for ``stats_cols`` — Iceberg's
         manifest column stats. One grouped aggregate over the freshly
         written dir keyed by input_file_name(); the collect is
-        manifest-sized (one row per data file)."""
+        manifest-sized (one row per data file). 'stats' keeps the legacy
+        stringly bounds (scan_pruned's documented contract); 'stats_t'
+        carries TYPED bounds for the delete-file pruning, where a
+        lexicographic compare of numeric keys would prune wrong files."""
         import pyspark.sql.functions as F
 
         abs_dir = os.path.join(self.root, rel_dir)
@@ -100,6 +123,8 @@ class SnapshotTable:
         for c in stats_cols:
             aggs.append(F.min(c).cast("string").alias(f"_min_{c}"))
             aggs.append(F.max(c).cast("string").alias(f"_max_{c}"))
+            aggs.append(F.min(c).alias(f"_tmin_{c}"))
+            aggs.append(F.max(c).alias(f"_tmax_{c}"))
         rows = (
             spark.read.parquet(abs_dir)
             .groupBy(F.input_file_name().alias("_file"))
@@ -112,15 +137,22 @@ class SnapshotTable:
             # normalize file:///.../<root>/<rel_dir>/part-x.parquet → repo-relative
             idx = fname.find(rel_dir)
             rel = fname[idx:] if idx >= 0 else fname
-            out.append(
-                {
-                    "file": rel,
-                    "rows": r._n,
-                    "stats": {
-                        c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
-                    },
-                }
-            )
+            entry = {
+                "file": rel,
+                "rows": r._n,
+                "stats": {
+                    c: [r[f"_min_{c}"], r[f"_max_{c}"]] for c in stats_cols
+                },
+            }
+            typed = {}
+            for c in stats_cols:
+                mn = self._json_stat(r[f"_tmin_{c}"])
+                mx = self._json_stat(r[f"_tmax_{c}"])
+                if mn is not None and mx is not None:
+                    typed[c] = [mn, mx]
+            if typed:
+                entry["stats_t"] = typed
+            out.append(entry)
         return out
 
     def _commit(
@@ -142,6 +174,19 @@ class SnapshotTable:
         if parent is not None:
             pm = self.manifest(parent)
             known = dict(pm.get("batch_ids", {}))
+            if "batch_ids" not in pm:
+                # legacy table written before the lineage field: BACKFILL
+                # the map from every surviving legacy manifest once, so
+                # the first new-format commit seeds the full lineage —
+                # scanning only when the parent lacks the field would
+                # stop running after that first commit and let a
+                # pre-migration batch replay double-land (round-9 ADVICE)
+                for i in range(parent, 0, -1):
+                    if not os.path.exists(self._manifest_path(i)):
+                        continue  # expired — its batch is beyond the horizon
+                    m = self.manifest(i)
+                    if "batch_id" in m:
+                        known.setdefault(str(m["batch_id"]), i)
         if batch_id is not None and parent is not None:
             # idempotent streaming commits: a replayed micro-batch (same
             # source batch_id) must not double-land — the Iceberg +
@@ -149,15 +194,6 @@ class SnapshotTable:
             # in the snapshot summary, skipped on replay)
             if str(batch_id) in known:
                 return known[str(batch_id)]
-            if "batch_ids" not in pm:
-                # legacy table written before the lineage field: fall
-                # back to scanning what survives
-                for i in range(parent, 0, -1):
-                    if not os.path.exists(self._manifest_path(i)):
-                        continue  # expired — its batch is beyond the horizon
-                    m = self.manifest(i)
-                    if m.get("batch_id") == batch_id:
-                        return i
         new_id = 1 if parent is None else parent + 1
         rel_dir = os.path.join("data", f"s{new_id}-{uuid.uuid4().hex[:8]}")
         df.write.parquet(os.path.join(self.root, rel_dir))
@@ -186,10 +222,32 @@ class SnapshotTable:
             del_dir = os.path.join(
                 "deletes", f"s{new_id}-{uuid.uuid4().hex[:8]}"
             )
-            kdf.select(*key_cols).distinct().write.parquet(
-                os.path.join(self.root, del_dir)
+            keys_rel = kdf.select(*key_cols).distinct()
+            keys_rel.write.parquet(os.path.join(self.root, del_dir))
+            # typed key-range stats for the delete file itself: readers
+            # skip the anti-join entirely for data files whose key range
+            # can't intersect any applicable delete (Iceberg's
+            # delete-file metrics) — one manifest-sized agg at write time
+            import pyspark.sql.functions as F
+
+            krow = keys_rel.agg(
+                *[F.min(c).alias(f"_mn_{c}") for c in key_cols],
+                *[F.max(c).alias(f"_mx_{c}") for c in key_cols],
+            ).collect()[0]
+            kstats = {}
+            for c in key_cols:
+                mn = self._json_stat(krow[f"_mn_{c}"])
+                mx = self._json_stat(krow[f"_mx_{c}"])
+                if mn is not None and mx is not None:
+                    kstats[c] = [mn, mx]
+            deletes.append(
+                {
+                    "dir": del_dir,
+                    "keys": list(key_cols),
+                    "seq": new_id,
+                    **({"stats_t": kstats} if kstats else {}),
+                }
             )
-            deletes.append({"dir": del_dir, "keys": list(key_cols), "seq": new_id})
         if stats_cols:
             files.extend(
                 self._collect_file_stats(df.sparkSession, rel_dir, stats_cols)
@@ -332,7 +390,14 @@ class SnapshotTable:
         data file, delete files read manifest-count times. Broadcast is
         the right default (delete files hold keys, not rows); a
         deployment whose delete set outgrows the broadcast limit swaps
-        in a shuffle anti-join, which is the same plan minus the hint."""
+        in a shuffle anti-join, which is the same plan minus the hint.
+
+        DELETE-FILE PRUNING (round 10): before grouping, every data path
+        whose typed key-range stats ('stats_t', collected at commit) are
+        DISJOINT from every applicable delete file's key range drops its
+        applicable set to () — those files bypass the anti-join entirely
+        and ride the plain-scan group (Iceberg's delete-file metrics
+        skip). Paths without typed stats stay conservative."""
         import pyspark.sql.functions as F
 
         deletes = m.get("deletes", [])
@@ -340,14 +405,20 @@ class SnapshotTable:
             paths = [p for ps in paths_by_dir.values() for p in ps]
             return spark.read.parquet(*paths)
         dir_seqs = m.get("dir_seqs", {})
+        by_dir = {dd["dir"]: dd for dd in deletes}
         groups: dict[tuple, list[str]] = {}
         for d, paths in paths_by_dir.items():
             seq = dir_seqs.get(d, 0)
             applicable = tuple(
                 sorted(dd["dir"] for dd in deletes if dd["seq"] > seq)
             )
-            groups.setdefault(applicable, []).extend(paths)
-        by_dir = {dd["dir"]: dd for dd in deletes}
+            for p in paths:
+                eff = applicable
+                if applicable and self._path_disjoint_from_deletes(
+                    m, d, p, [by_dir[a] for a in applicable]
+                ):
+                    eff = ()
+                groups.setdefault(eff, []).append(p)
         out = None
         for applicable, paths in sorted(groups.items()):
             part = spark.read.parquet(*paths)
@@ -355,9 +426,14 @@ class SnapshotTable:
                 keys = None
                 key_cols = by_dir[applicable[0]]["keys"]
                 for dd_dir in applicable:
-                    assert by_dir[dd_dir]["keys"] == key_cols, (
-                        "mixed delete key sets in one table are unsupported"
-                    )
+                    if by_dir[dd_dir]["keys"] != key_cols:
+                        # a bare assert here would vanish under python -O
+                        # and silently anti-join on the wrong key set
+                        raise ValueError(
+                            "mixed delete key sets in one table are "
+                            f"unsupported: {by_dir[dd_dir]['keys']} vs "
+                            f"{key_cols}"
+                        )
                     k = spark.read.parquet(os.path.join(self.root, dd_dir))
                     keys = k if keys is None else keys.unionByName(k)
                 part = part.join(
@@ -365,6 +441,68 @@ class SnapshotTable:
                 )
             out = part if out is None else out.unionByName(part)
         return out
+
+    def _path_disjoint_from_deletes(
+        self, m: dict, rel_dir: str, path: str, applicable: list[dict]
+    ) -> bool:
+        """True iff the manifest PROVES ``path`` (an absolute file or
+        whole-dir path under ``rel_dir``) shares no key with ANY of the
+        ``applicable`` delete files: for every delete there is at least
+        one key column where both sides carry typed bounds and the
+        ranges are disjoint (equality deletes match only when EVERY
+        column matches, so one provably-disjoint column kills the whole
+        delete). Missing stats on either side → False (conservative).
+        Pure manifest arithmetic — no data I/O; this is Iceberg's
+        delete-file metrics skip at scan planning."""
+        rel = path[path.find(rel_dir) :] if rel_dir in path else path
+        if rel == rel_dir:  # whole-dir read: bounds over ALL its files
+            entries = [
+                f
+                for f in m.get("files", [])
+                if f["file"].startswith(rel_dir + os.sep)
+            ]
+        else:  # single-file read: exactly its entry
+            entries = [f for f in m.get("files", []) if f["file"] == rel]
+        if not entries:
+            return False  # no stats recorded for this path
+        for dd in applicable:
+            dstats = dd.get("stats_t", {})
+            killed = False
+            for c in dd["keys"]:
+                if c not in dstats:
+                    continue
+                dmn, dmx = dstats[c]
+                bounds = []
+                for f in entries:
+                    t = f.get("stats_t", {}).get(c)
+                    if t is None:
+                        bounds = None
+                        break
+                    bounds.append(t)
+                if not bounds:
+                    continue  # some file lacks typed stats on c
+                fmn = min(b[0] for b in bounds)
+                fmx = max(b[1] for b in bounds)
+                if not self._comparable(fmn, dmn) or not self._comparable(
+                    fmx, dmx
+                ):
+                    continue
+                if fmx < dmn or fmn > dmx:
+                    killed = True
+                    break
+            if not killed:
+                return False  # this delete might intersect the path
+        return True
+
+    @staticmethod
+    def _comparable(a, b) -> bool:
+        """Only compare like with like: ints/floats against numbers,
+        strings against strings — a str/number comparison would raise,
+        and JSON round-trips can mix them for edge-case columns."""
+        num = (int, float)
+        if isinstance(a, num) and isinstance(b, num):
+            return True
+        return isinstance(a, str) and isinstance(b, str)
 
     def read_as_of(
         self, spark: SparkSession, snapshot_id: int | None = None
