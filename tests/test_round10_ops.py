@@ -140,3 +140,105 @@ def test_legacy_manifest_batchid_backfill(spark, tmp_path):
     assert t.commit_append(_kv(spark, 0, 5), batch_id=7) == s1
     assert t.latest_snapshot_id() == s2
     assert t.read_as_of(spark).count() == 10
+
+
+def _final_plan(df) -> str:
+    """The EXECUTED plan for this exact DataFrame (collect first so the
+    AdaptiveSparkPlan is final); under AQE, trim off the '== Initial
+    Plan ==' tail so assertions see only what actually ran."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_ranking_reuses_one_range_exchange_under_aqe_on_and_off(spark):
+    """Pin the invariant global_row_number's correctness rests on: the
+    local-rank branch and the offsets branch must read the SAME physical
+    range exchange (round-9 ADVICE — a planner change that re-executed
+    the range shuffle per branch with different partition assignment
+    would silently corrupt ranks). Assert exactly one materialized
+    range exchange + a ReusedExchange over it, AQE on AND off, and that
+    the ranks themselves are identical either way."""
+    from ug_dwh_etl_spark.operators.ranking import global_row_number
+
+    df = spark.range(100_000).select(
+        (F.col("id") % 97).alias("v"), F.col("id")
+    )
+    results = {}
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            out = global_row_number(df, ["v", "id"], out="i")
+            plan = _final_plan(out)
+            n_range = plan.count("+- Exchange rangepartitioning")
+            n_reused = plan.count("ReusedExchange")
+            assert n_range == 1, f"AQE={aqe}: {n_range} materialized range exchanges"
+            assert n_reused >= 1, f"AQE={aqe}: offsets branch does not reuse"
+            # the reuse must be OF the range exchange, not some other node
+            reused_lines = [
+                ln for ln in plan.splitlines() if "ReusedExchange" in ln
+            ]
+            assert any("rangepartitioning" in ln for ln in reused_lines)
+            results[aqe] = {r.id: r.i for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert results["true"] == results["false"]
+    # and the ranks are the exact total order
+    want = {
+        row.id: i + 1
+        for i, row in enumerate(
+            sorted(df.collect(), key=lambda r: (r.v, r.id))
+        )
+    }
+    assert results["true"] == want
+
+
+def test_exact_group_percentiles_single_range_exchange_and_aqe_stable(spark):
+    """The fact-scale exact-percentile query rides the same reuse
+    invariant (its ranks and offsets must see one partitioning): one
+    materialized range exchange in the executed plan, stable results
+    under AQE on/off (round-9 verdict ask #7)."""
+    from ug_dwh_etl_spark.queries.relational_ext import (
+        agg_exact_group_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    vals = {}
+    try:
+        for aqe in ("true", "false"):
+            spark.conf.set("spark.sql.adaptive.enabled", aqe)
+            out = agg_exact_group_percentiles(spark, sf)
+            plan = _final_plan(out)
+            assert plan.count("+- Exchange rangepartitioning") == 1, (
+                f"AQE={aqe}: range exchange not shared"
+            )
+            vals[aqe] = {
+                r.l_returnflag: (r.n, r.p25, r.p50, r.p75, r.p99)
+                for r in out.collect()
+            }
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert vals["true"] == vals["false"]
+
+
+def test_ntile_from_rank_exact_past_double_precision(spark):
+    """ntile_from_rank must use integral division: at counts past 2^53
+    the old double-division form mis-buckets by one (round-9 ADVICE).
+    Drive the closed form directly with a synthetic huge n."""
+    from ug_dwh_etl_spark.operators.ranking import ntile_from_rank
+
+    n = 9_007_199_254_740_995  # odd, > 2^53: double cannot represent it
+    k = 2
+    # ranks just below/at/above the bucket boundary ceil-split:
+    # first n%k=1 bucket holds n//k+1 rows -> boundary at n//k+1
+    b = n // k + 1
+    df = spark.createDataFrame(
+        [(b - 1,), (b,), (b + 1,)], "r long"
+    ).select(
+        "r",
+        ntile_from_rank(F.col("r"), F.lit(n).cast("long"), k).alias("t"),
+    )
+    got = {r.r: r.t for r in df.collect()}
+    assert got == {b - 1: 1, b: 1, b + 1: 2}

@@ -116,18 +116,28 @@ def global_running_sum(
     )
 
 
+def _idiv(a: Column, b: Column) -> Column:
+    """Exact integral division (SQL ``div``). NOT ``(a / b).cast`` — that
+    routes through DOUBLE and goes silently wrong past ~2^53/k, exactly
+    the row counts this module's 100 TB framing advertises (measured:
+    9007199254740995 / 2 cast long = ...498; div = ...497)."""
+    return F.call_function("div", a, b)
+
+
 def ntile_from_rank(rank: Column, n: Column, k: int) -> Column:
     """SQL NTILE(k) bucket (1-based) from an exact global rank and the
     total count — the first ``n % k`` buckets get ``n // k + 1`` rows,
     the rest ``n // k`` (identical to Spark's and DuckDB's NTILE given
     a deterministic total order). Closed-form, so the bucketing rides
-    the distributed rank instead of needing its own global window."""
+    the distributed rank instead of needing its own global window.
+    Pure integer arithmetic end to end (round-9 ADVICE)."""
     r = (rank - 1).cast("long")  # 0-based
-    base = (n / k).cast("long")  # floor: n, k non-negative
+    kc = F.lit(k).cast("long")
+    base = _idiv(n.cast("long"), kc)  # floor: n, k non-negative
     rem = n - base * k
     big_span = rem * (base + 1)
     return (
-        F.when(r < big_span, (r / (base + 1)).cast("long"))
-        .otherwise(rem + ((r - big_span) / F.greatest(base, F.lit(1))).cast("long"))
+        F.when(r < big_span, _idiv(r, base + 1))
+        .otherwise(rem + _idiv(r - big_span, F.greatest(base, F.lit(1))))
         + 1
     ).cast("int")
