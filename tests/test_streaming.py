@@ -639,3 +639,49 @@ def test_tws_value_state_ttl_actually_expires(spark, tmp_path):
     )
     # TTL'd state reset (1, not 3); non-TTL state accumulated (3 events)
     assert (latest.n_events_cum, latest.total_value_cum) == (1, 3.0)
+
+
+def test_bootstrap_initial_state_cross_api(spark):
+    """handleInitialState end to end: the TWS bootstrap handoff and its
+    broadcast-seeded applyInPandasWithState twin must both equal the
+    full-table batch totals for stream-active users — the state really
+    starts from the warehouse slice, not from zero."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_totals_bootstrap,
+        stream_user_totals_bootstrap_tws,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = read_events(spark, sf)
+    active = {
+        r.user_id
+        for r in ev.filter(F.col("event_id") % 3 == 0)
+        .select("user_id")
+        .distinct()
+        .collect()
+    }
+    want = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("total_value"),
+        )
+        .collect()
+        if r.user_id in active
+    }
+    got_tws = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stream_user_totals_bootstrap_tws(spark, sf).collect()
+    }
+    assert got_tws == want
+    got_apws = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stream_user_totals_bootstrap(spark, sf).collect()
+    }
+    assert got_apws == want

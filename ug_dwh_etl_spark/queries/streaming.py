@@ -723,3 +723,41 @@ def q_stream_user_totals_ttl_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
             raise
         except ImportError:
             return stream_user_running_totals(spark, sf_dir)
+
+
+@register(
+    "stream_user_totals_bootstrap_tws",
+    """
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_value
+    FROM events GROUP BY user_id
+    HAVING SUM(CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def q_stream_user_totals_bootstrap_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # handleInitialState (the last Spark-4 stateful-API hook after
+    # Value/Map/ListState + timers + TTL): the stream (event_id%3==0)
+    # starts from per-user state bootstrapped off the batch history
+    # (event_id%3!=0) — the warehouse->stream cutover handoff. Final
+    # totals for stream-active users equal the FULL-table aggregate
+    # exactly (users with only history rows never emit). Same fallback
+    # contract as the other TWS queries: the applyInPandasWithState
+    # twin seeds from a broadcast map instead (no initialState on that
+    # API) and answers the same oracle.
+    from ug_dwh_etl_spark.streaming.stateful import (
+        stream_user_totals_bootstrap,
+        stream_user_totals_bootstrap_tws,
+    )
+
+    try:
+        return stream_user_totals_bootstrap_tws(spark, sf_dir)
+    except Exception:
+        try:
+            import google.protobuf  # noqa: F401
+
+            raise
+        except ImportError:
+            return stream_user_totals_bootstrap(spark, sf_dir)

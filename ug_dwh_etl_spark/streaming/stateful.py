@@ -1370,3 +1370,134 @@ def stream_user_totals_ttl_tws(
         F.max("n_events_cum").alias("n_events"),
         F.round(F.max("total_value_cum"), 2).alias("total_value"),
     )
+
+
+# --- transformWithState INITIAL STATE: warehouse -> stream handoff ------------
+#
+# The last hook of the Spark-4 stateful API after Value/Map/ListState +
+# timers + TTL: ``handleInitialState`` bootstraps each key's state from
+# a BATCH relation before the first micro-batch — the backfill-then-
+# stream handoff every migration to streaming needs (the reference's
+# daily-append history IS that batch relation; a cutover day starts the
+# stream with totals seeded from the warehouse instead of replaying
+# years of history through the stream).
+
+
+class UserTotalsBootstrapProcessor(StatefulProcessor):
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        self._totals.update(
+            (
+                int(initialState["n"].iloc[0]),
+                int(initialState["cents"].iloc[0]),
+            )
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        n, cents = self._totals.get() if self._totals.exists() else (0, 0)
+        for batch in rows:
+            n += len(batch)
+            cents += int(batch["value"].mul(100).round().sum())
+        self._totals.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events_cum": [n],
+                "total_value_cum": [cents / 100.0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _bootstrap_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user (n, cents) over the 'warehouse history' slice
+    (event_id % 3 != 0) — the batch relation the stream seeds from.
+    Integer cents, same fold semantics as the processor."""
+    from ug_dwh_etl_spark.queries.registry import read_events
+
+    return (
+        read_events(spark, sf_dir)
+        .filter(F.col("event_id") % 3 != 0)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        )
+    )
+
+
+def stream_user_totals_bootstrap_tws(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running totals where the stream (event_id % 3 == 0) starts from
+    state BOOTSTRAPPED off the batch history (event_id % 3 != 0) via
+    ``initialState=`` + ``handleInitialState`` — final totals per
+    stream-active user equal the full-table batch aggregate exactly
+    (users with only history rows never emit: no input rows, no
+    output), which is the registered oracle."""
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 3 == 0
+    ).select("user_id", "value")
+    updated = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTotalsBootstrapProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+        initialState=_bootstrap_totals(spark, sf_dir).groupBy("user_id"),
+    )
+    out = _with_rocksdb(spark, lambda: run_stream_to_memory(updated, "update"))
+    return out.groupBy("user_id").agg(
+        F.max("n_events_cum").alias("n_events"),
+        F.round(F.max("total_value_cum"), 2).alias("total_value"),
+    )
+
+
+def stream_user_totals_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` twin of the bootstrap handoff (no
+    initial-state parameter exists on that API): the batch totals ride
+    a BROADCAST seed map and each key seeds itself on first sight —
+    key-count-sized broadcast, the documented trade for the fallback
+    path; same oracle, cross-checked in tests."""
+    seeds = {
+        r.user_id: (r.n, r.cents)
+        for r in _bootstrap_totals(spark, sf_dir).collect()
+    }
+    bseeds = spark.sparkContext.broadcast(seeds)
+
+    def update(key, batches, state):
+        (user_id,) = key
+        if state.exists:
+            n, cents = state.get
+        else:
+            n, cents = bseeds.value.get(user_id, (0, 0))
+        for batch in batches:
+            n += len(batch)
+            cents += int(batch["value"].mul(100).round().sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_events_cum": [n],
+                "total_value_cum": [cents / 100.0],
+            }
+        )
+
+    ev = read_events_stream(spark, sf_dir).filter(
+        F.col("event_id") % 3 == 0
+    ).select("user_id", "value")
+    updated = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_stream_to_memory(updated, "update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events_cum").alias("n_events"),
+        F.round(F.max("total_value_cum"), 2).alias("total_value"),
+    )
