@@ -1341,6 +1341,16 @@ def _run_stream_drain_then_stop(
                     saw_data = True
                 elif saw_data:
                     break  # a no-data batch after data: source drained
+            # expose progress + the executed micro-batch plan to the
+            # plan audit (run_stream_to_memory convention) BEFORE stop()
+            # drops the execution
+            from ug_dwh_etl_spark.streaming import jobs as _jobs
+
+            _jobs.LAST_PROGRESS = q.lastProgress
+            try:
+                _jobs.LAST_BATCH_PLAN = q._jsq.explainInternal(True)
+            except Exception:
+                _jobs.LAST_BATCH_PLAN = None
             q.stop()
             q.awaitTermination()
         return spark.table(name)
