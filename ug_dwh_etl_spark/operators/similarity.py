@@ -184,29 +184,18 @@ def centroids_df(spark) -> DataFrame:
 
 
 @functools.lru_cache(maxsize=1)
-def _ivf_assign_exprs():
-    """The K distance-fold Columns + argmin chain, built ONCE per
-    process: a Column binds by name, so the same expression objects
-    apply to every DataFrame, and rebuilding them per call (K×64-term
-    SQL parses through F.expr) measured ~0.2s of pure py4j/parser work
-    — per MICRO-BATCH in the streaming semantic-dedup ingest, where
-    ivf_assign runs inside foreachBatch (round-10 profile)."""
-    dcols = tuple(f"_d{j}" for j in range(N_CENTROIDS))
-    dists = tuple(
-        centroid_dist("embedding", j).alias(dcols[j])
-        for j in range(N_CENTROIDS)
-    )
-    best = F.least(*[F.col(c) for c in dcols])
-    cluster = None
-    # first j whose distance equals the min == argmin with low-id ties
-    for j in reversed(range(N_CENTROIDS)):
-        cond = F.col(dcols[j]) == best
-        cluster = (
-            F.when(cond, F.lit(j))
-            if cluster is None
-            else F.when(cond, F.lit(j)).otherwise(cluster)
-        )
-    return dcols, dists, cluster
+def _ivf_dist_trees():
+    """The K UN-ALIASED distance-fold expression trees, built ONCE per
+    process: rebuilding them per call (K×64-term SQL parses through
+    F.expr) measured ~0.2s of pure py4j/parser work — per MICRO-BATCH
+    in the streaming semantic-dedup ingest, where ivf_assign runs
+    inside foreachBatch (round-10 profile). Only the alias-free trees
+    are cached: ``.alias()`` mints an exprId, and REUSING an aliased
+    Column across plan branches (self-joins, the recall-curve sweep)
+    duplicates exprIds inside one plan — measured ~0.5s of extra
+    analyzer work on sim_ivf_recall_curve and a latent mis-resolution
+    hazard. Fresh aliases per call are 8 cheap py4j calls."""
+    return tuple(centroid_dist("embedding", j) for j in range(N_CENTROIDS))
 
 
 def ivf_assign(embeddings: DataFrame) -> DataFrame:
@@ -219,7 +208,18 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     fold once per comparison (the lambda-CSE trap — see
     operators/dedup.py perf notes; this exact shape measured 24x slower
     inlined)."""
-    dcols, dists, cluster = _ivf_assign_exprs()
+    dcols = [f"_d{j}" for j in range(N_CENTROIDS)]
+    dists = [t.alias(dcols[j]) for j, t in enumerate(_ivf_dist_trees())]
+    best = F.least(*[F.col(c) for c in dcols])
+    cluster = None
+    # first j whose distance equals the min == argmin with low-id ties
+    for j in reversed(range(N_CENTROIDS)):
+        cond = F.col(dcols[j]) == best
+        cluster = (
+            F.when(cond, F.lit(j))
+            if cluster is None
+            else F.when(cond, F.lit(j)).otherwise(cluster)
+        )
     with_d = embeddings.select("*", *dists)
     return with_d.withColumn("cluster", cluster).drop(*dcols)
 
