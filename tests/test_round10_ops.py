@@ -242,3 +242,59 @@ def test_ntile_from_rank_exact_past_double_precision(spark):
     )
     got = {r.r: r.t for r in df.collect()}
     assert got == {b - 1: 1, b: 1, b + 1: 2}
+
+
+def test_scan_point_bloom_skips_files(spark, tmp_path):
+    """Bloom point-lookup planning: 8 appends each holding a DISJOINT
+    high-cardinality key set (every file's [min,max] on a scattered
+    surrogate would overlap, but the blooms don't) — a point lookup
+    must read ~1 file, never lose rows, and a missing key must read
+    ~0 files (false positives allowed, bounded)."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    for i in range(8):
+        t.commit_append(
+            spark.range(i * 1000, (i + 1) * 1000)
+            .select(F.col("id").alias("k"), F.lit(i).alias("v"))
+            .coalesce(1),
+            bloom_cols=("k",),
+        )
+    df, read, total = t.scan_point(spark, "k", 4321)
+    assert total == 8
+    assert read <= 2, f"bloom failed to prune: read {read}/8"
+    rows = df.filter(F.col("k") == 4321).collect()
+    assert len(rows) == 1 and rows[0].v == 4  # 4321 lives in append #4
+    # absent key: every file may legitimately false-positive at ~2%,
+    # so allow a small number but not a full scan
+    _, read0, _ = t.scan_point(spark, "k", 777_777)
+    assert read0 <= 2
+    # conservative without blooms: a stats-less commit is always read
+    t.commit_append(
+        spark.range(50_000, 50_010).select(
+            F.col("k") if False else F.col("id").alias("k"), F.lit(9).alias("v")
+        ).coalesce(1)
+    )
+    df2, read2, total2 = t.scan_point(spark, "k", 50_005)
+    assert total2 == 9 and read2 >= 1
+    assert df2.filter(F.col("k") == 50_005).count() == 1
+
+
+def test_scan_point_composes_with_merge_on_read(spark, tmp_path):
+    """A bloom point read still applies sequence-scoped equality
+    deletes: upserting the needle's key must surface the NEW row."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_append(
+        _kv(spark, 0, 1000).coalesce(1), bloom_cols=("k",), stats_cols=("k",)
+    )
+    t.commit_merge_on_read(
+        _kv(spark, 500, 501, v=7).coalesce(1),
+        key_cols=["k"],
+        bloom_cols=("k",),
+        stats_cols=("k",),
+    )
+    df, read, total = t.scan_point(spark, "k", 500)
+    got = df.filter(F.col("k") == 500).collect()
+    assert [(r.k, r.v) for r in got] == [(500, 7)]

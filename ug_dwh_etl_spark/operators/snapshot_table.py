@@ -155,6 +155,56 @@ class SnapshotTable:
             out.append(entry)
         return out
 
+    # Bloom-filter manifest metrics (Iceberg puffin-style secondary
+    # stats): per-file bitmaps over a column's DISTINCT values, for
+    # point-lookup file skipping where min/max ranges are useless (a
+    # high-cardinality key scattered across files overlaps every range).
+    BLOOM_BITS = 16384  # 2 KB/file/col; ~2% FPP at ~2k distinct values
+    BLOOM_HASHES = 4
+
+    def _collect_file_blooms(
+        self, spark: SparkSession, rel_dir: str, bloom_cols: tuple[str, ...]
+    ) -> dict[str, dict[str, str]]:
+        """{file -> {col -> base64 bitmap}}. Bit positions come from
+        xxhash64(value, seed) % BITS computed SPARK-SIDE (so the lookup
+        side can reproduce them with the same engine hash); the collect
+        is (files x cols x set-bits)-bounded — manifest-sized."""
+        import base64
+        import pyspark.sql.functions as F
+
+        abs_dir = os.path.join(self.root, rel_dir)
+        df = spark.read.parquet(abs_dir)
+        out: dict[str, dict[str, str]] = {}
+        for c in bloom_cols:
+            pos = df.select(
+                F.input_file_name().alias("_file"), F.col(c).alias("_v")
+            ).distinct()
+            pos = pos.select(
+                "_file",
+                F.explode(
+                    F.array(
+                        *[
+                            F.pmod(
+                                F.xxhash64(F.col("_v"), F.lit(i)),
+                                F.lit(self.BLOOM_BITS),
+                            )
+                            for i in range(self.BLOOM_HASHES)
+                        ]
+                    )
+                ).alias("_bit"),
+            ).distinct()
+            rows = pos.groupBy("_file").agg(
+                F.collect_set("_bit").alias("_bits")
+            ).collect()
+            for r in rows:
+                idx = r._file.find(rel_dir)
+                rel = r._file[idx:] if idx >= 0 else r._file
+                bm = bytearray(self.BLOOM_BITS // 8)
+                for b in r._bits:
+                    bm[b // 8] |= 1 << (b % 8)
+                out.setdefault(rel, {})[c] = base64.b64encode(bytes(bm)).decode()
+        return out
+
     def _commit(
         self,
         df: DataFrame,
@@ -162,6 +212,7 @@ class SnapshotTable:
         stats_cols: tuple[str, ...] = (),
         batch_id: int | None = None,
         delete_keys: tuple[DataFrame, list[str]] | None = None,
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         parent = self.latest_snapshot_id()
         # batch-id LINEAGE (Iceberg-style snapshot-summary carry-forward):
@@ -252,6 +303,16 @@ class SnapshotTable:
             files.extend(
                 self._collect_file_stats(df.sparkSession, rel_dir, stats_cols)
             )
+        if bloom_cols:
+            blooms = self._collect_file_blooms(
+                df.sparkSession, rel_dir, bloom_cols
+            )
+            by_file = {f["file"]: f for f in files}
+            for rel, bmap in blooms.items():
+                if rel in by_file:
+                    by_file[rel]["bloom"] = bmap
+                else:
+                    files.append({"file": rel, "bloom": bmap})
         if batch_id is not None:
             known[str(batch_id)] = new_id
         manifest = {
@@ -285,23 +346,30 @@ class SnapshotTable:
         return new_id
 
     def commit_overwrite(
-        self, df: DataFrame, stats_cols: tuple[str, ...] = ()
+        self,
+        df: DataFrame,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """The reference's ``if_exists='replace'`` with history kept.
         ``stats_cols`` adds per-file min/max manifest stats for
-        ``scan_pruned``."""
-        return self._commit(df, "overwrite", stats_cols)
+        ``scan_pruned``; ``bloom_cols`` adds per-file Bloom bitmaps for
+        ``scan_point``."""
+        return self._commit(df, "overwrite", stats_cols, bloom_cols=bloom_cols)
 
     def commit_append(
         self,
         df: DataFrame,
         stats_cols: tuple[str, ...] = (),
         batch_id: int | None = None,
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """The reference's ``if_exists='append'``: the new snapshot sees
         the parent's data dirs plus the new one — no rewrite of old data.
         ``batch_id`` makes the commit idempotent for streaming replays."""
-        return self._commit(df, "append", stats_cols, batch_id)
+        return self._commit(
+            df, "append", stats_cols, batch_id, bloom_cols=bloom_cols
+        )
 
     def commit_merge(
         self,
@@ -334,6 +402,7 @@ class SnapshotTable:
         key_cols: list[str],
         stats_cols: tuple[str, ...] = (),
         batch_id: int | None = None,
+        bloom_cols: tuple[str, ...] = (),
     ) -> int:
         """MERGE / upsert, MERGE-ON-READ (Iceberg v2 equality deletes):
         instead of rewriting every file holding a matched key (the
@@ -351,13 +420,16 @@ class SnapshotTable:
         storage_merge_on_read query sharing storage_merge_upsert's
         oracle)."""
         if self.latest_snapshot_id() is None:
-            return self._commit(df, "merge_on_read", stats_cols, batch_id)
+            return self._commit(
+                df, "merge_on_read", stats_cols, batch_id, bloom_cols=bloom_cols
+            )
         return self._commit(
             df,
             "merge_on_read",
             stats_cols,
             batch_id,
             delete_keys=(df, key_cols),
+            bloom_cols=bloom_cols,
         )
 
     def compact_deletes(
@@ -578,6 +650,90 @@ class SnapshotTable:
         )
         total = len(files) + n_unstated
         if not paths_by_dir:  # every file pruned: empty frame, correct schema
+            return self.read_as_of(spark, sid).limit(0), 0, total
+        return (
+            self._read_with_deletes(spark, m, paths_by_dir),
+            len(keep) + n_unstated,
+            total,
+        )
+
+    def scan_point(
+        self,
+        spark: SparkSession,
+        col: str,
+        value,
+        snapshot_id: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """BLOOM-FILTER point-lookup scan planning (Iceberg's puffin
+        secondary-index shape): read only the files whose per-file Bloom
+        bitmap on ``col`` (written by ``bloom_cols=`` commits) has every
+        bit of ``value`` set. The needle's bit positions are computed
+        with the SAME engine hash (one 1-row Spark job — xxhash64 parity
+        with the write side by construction, no reimplementation drift).
+        Range stats can't help here: a high-cardinality key appears
+        across the whole value range, so every file's [min,max] overlaps
+        a point predicate — the bloom is what turns a needle-in-100 TB
+        equality lookup into a few file reads (~2% false-positive file
+        rate at the default sizing). Files without a bloom on ``col``
+        are conservatively kept; callers still apply the row filter.
+        Returns (df, files_read, files_total)."""
+        import base64
+        import pyspark.sql.functions as F
+
+        sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        m = self.manifest(sid)
+        files = m.get("files", [])
+        if not files:
+            return self.read_as_of(spark, sid), -1, -1
+        # one Row of BLOOM_HASHES positions, hashed by the engine itself
+        # — with the needle CAST to the column's actual type first:
+        # xxhash64 is type-sensitive (a Python int lands as IntegerType,
+        # but a bigint column hashed as long would never match, silently
+        # pruning every real file)
+        col_type = self.read_as_of(spark, sid).schema[col].dataType
+        needle = F.lit(value).cast(col_type)
+        row = (
+            spark.range(1)
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(needle, F.lit(i)),
+                        F.lit(self.BLOOM_BITS),
+                    ).alias(f"b{i}")
+                    for i in range(self.BLOOM_HASHES)
+                ]
+            )
+            .collect()[0]
+        )
+        positions = [row[f"b{i}"] for i in range(self.BLOOM_HASHES)]
+
+        def might_contain(b64: str) -> bool:
+            bm = base64.b64decode(b64)
+            return all(bm[p // 8] & (1 << (p % 8)) for p in positions)
+
+        covered = {os.path.dirname(f["file"]) for f in files}
+        unstated = [d for d in m["data_dirs"] if d not in covered]
+        keep = [
+            f["file"]
+            for f in files
+            if col not in f.get("bloom", {})
+            or might_contain(f["bloom"][col])
+        ]
+        paths_by_dir: dict[str, list[str]] = {}
+        for p in keep:
+            paths_by_dir.setdefault(os.path.dirname(p), []).append(
+                os.path.join(self.root, p)
+            )
+        for d in unstated:
+            paths_by_dir.setdefault(d, []).append(os.path.join(self.root, d))
+        n_unstated = sum(
+            len(glob.glob(os.path.join(self.root, d, "*.parquet")))
+            for d in unstated
+        )
+        total = len(files) + n_unstated
+        if not paths_by_dir:
             return self.read_as_of(spark, sid).limit(0), 0, total
         return (
             self._read_with_deletes(spark, m, paths_by_dir),

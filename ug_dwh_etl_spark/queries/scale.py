@@ -987,3 +987,75 @@ def storage_merge_on_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "storage_point_lookup_bloom",
+    """
+    WITH needle AS (
+      SELECT MIN(o_custkey) AS k FROM orders
+      WHERE o_custkey % 1000 = 7)
+    SELECT o.o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS total_price
+    FROM orders o JOIN needle n ON o.o_custkey = n.k
+    GROUP BY o.o_custkey
+    """,
+)
+def storage_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLOOM-FILTER POINT LOOKUP over the snapshot table (Iceberg's
+    puffin secondary-stats shape, operators/snapshot_table.py
+    scan_point): orders are committed hash-scattered on o_custkey — the
+    layout where per-file [min,max] range stats are USELESS for a point
+    predicate (every file spans nearly the whole key range, so range
+    pruning opens everything) — with per-file Bloom bitmaps over the
+    key recorded in the manifest at write time. The lookup hashes the
+    needle with the same engine hash (type-cast to the column type) and
+    opens only the files whose bitmap claims the key (~2% false-positive
+    file rate at the default 16 Kb/4-hash sizing). The oracle computes
+    the identical aggregate from the raw relation, so a hash match
+    proves the skip dropped no rows; the files_read << files_total
+    assertion lives in tests/test_round10_ops.py. At 100 TB this is the
+    "which shard holds this customer" path a support lookup or GDPR
+    locate takes — manifest arithmetic + a couple of file reads, never
+    a table scan."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_bloom_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() != 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
+        # hash-scatter: every file holds keys from the full range —
+        # exactly the layout that defeats range stats (the adversarial
+        # case for scan_pruned, the home game for scan_point)
+        t.commit_overwrite(
+            o.repartition(8, "o_custkey"), bloom_cols=("o_custkey",)
+        )
+    needle = (
+        o.filter(F.col("o_custkey") % 1000 == 7)
+        .agg(F.min("o_custkey"))
+        .collect()[0][0]
+    )
+    df, _read, _total = t.scan_point(spark, "o_custkey", needle)
+    return (
+        df.filter(F.col("o_custkey") == needle)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
