@@ -298,3 +298,49 @@ def test_scan_point_composes_with_merge_on_read(spark, tmp_path):
     df, read, total = t.scan_point(spark, "k", 500)
     got = df.filter(F.col("k") == 500).collect()
     assert [(r.k, r.v) for r in got] == [(500, 7)]
+
+
+def test_zorder_box_prunes_more_files_than_1d_clustering(spark, tmp_path):
+    """The point of Z-order, measured on the manifest: a predicate on
+    the SECOND clustered column prunes files under the Morton layout
+    and cannot prune at all under 1-D range clustering; the 2-D box
+    composes both axes. Exact filtered relations either way."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.operators.storage import zorder_frame
+
+    n = 40_000
+    df = spark.range(n).select(
+        (F.col("id") % 200).alias("x"),
+        (F.col("id") * 7919 % 365).alias("d"),
+        F.col("id").alias("v"),
+    )
+    z = SnapshotTable(str(tmp_path / "z"))
+    z.commit_overwrite(
+        zorder_frame(df, "x", "d", n_files=16), stats_cols=("x", "d")
+    )
+    c = SnapshotTable(str(tmp_path / "c"))
+    c.commit_overwrite(
+        df.repartitionByRange(16, "x").sortWithinPartitions("x"),
+        stats_cols=("x", "d"),
+    )
+    # the decisive case: a predicate on the NON-leading column only —
+    # the 1-D layout can never prune it (every x-sorted file spans the
+    # full d range), the Morton layout must
+    dbox = {"d": (100, 190)}
+    zdf, zread, ztot = z.scan_pruned_multi(spark, dbox)
+    cdf, cread, ctot = c.scan_pruned_multi(spark, dbox)
+    assert ztot == ctot == 16
+    assert cread == 16, "1-D layout unexpectedly pruned its trailing col"
+    assert zread < 16, f"zorder failed to prune on d: read {zread}/16"
+    pred = F.col("d").between(100, 190)
+    want = sorted(r.v for r in df.filter(pred).collect())
+    assert sorted(r.v for r in zdf.filter(pred).collect()) == want
+    assert sorted(r.v for r in cdf.filter(pred).collect()) == want
+    # and the 2-D box composes: both axes contribute skips and no rows
+    # are lost (zorder trades a coarser x for pruning power on BOTH)
+    box = {"x": (80, 120), "d": (100, 190)}
+    zdf2, zread2, _ = z.scan_pruned_multi(spark, box)
+    assert zread2 <= zread  # adding the x bound can only shrink the read
+    pred2 = F.col("x").between(80, 120) & F.col("d").between(100, 190)
+    want2 = sorted(r.v for r in df.filter(pred2).collect())
+    assert sorted(r.v for r in zdf2.filter(pred2).collect()) == want2

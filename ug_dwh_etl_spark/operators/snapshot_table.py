@@ -657,6 +657,69 @@ class SnapshotTable:
             total,
         )
 
+    def scan_pruned_multi(
+        self,
+        spark: SparkSession,
+        bounds: dict,
+        snapshot_id: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """Multi-column manifest BOX pruning: read only the files whose
+        TYPED [min, max] ('stats_t') overlaps ``bounds[col] = (lo, hi)``
+        on EVERY column — the read path a Z-ORDERED layout exists for
+        (each file owns a compact rectangle in the clustered dimensions,
+        so a 2-D box predicate excludes files on either axis; a 1-D
+        range-clustered layout can only ever prune on its leading
+        column). Typed comparisons, not the legacy string stats — a
+        lexicographic compare mis-orders unpadded numerics. A file
+        missing typed stats on a column is unprunable ON THAT COLUMN
+        but may still be excluded by another; pruning needs only one
+        provably-disjoint axis. Returns (df, files_read, files_total);
+        callers still apply the residual row filter."""
+        sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        m = self.manifest(sid)
+        files = m.get("files", [])
+        if not files:
+            return self.read_as_of(spark, sid), -1, -1
+
+        def pruned(f: dict) -> bool:
+            for c, (lo, hi) in bounds.items():
+                t = f.get("stats_t", {}).get(c)
+                if t is None:
+                    continue
+                fmn, fmx = t
+                if not self._comparable(fmn, lo) or not self._comparable(
+                    fmx, hi
+                ):
+                    continue
+                if fmx < lo or fmn > hi:
+                    return True  # disjoint on this axis: skip the file
+            return False
+
+        keep = [f["file"] for f in files if not pruned(f)]
+        covered = {os.path.dirname(f["file"]) for f in files}
+        unstated = [d for d in m["data_dirs"] if d not in covered]
+        paths_by_dir: dict[str, list[str]] = {}
+        for p in keep:
+            paths_by_dir.setdefault(os.path.dirname(p), []).append(
+                os.path.join(self.root, p)
+            )
+        for d in unstated:
+            paths_by_dir.setdefault(d, []).append(os.path.join(self.root, d))
+        n_unstated = sum(
+            len(glob.glob(os.path.join(self.root, d, "*.parquet")))
+            for d in unstated
+        )
+        total = len(files) + n_unstated
+        if not paths_by_dir:
+            return self.read_as_of(spark, sid).limit(0), 0, total
+        return (
+            self._read_with_deletes(spark, m, paths_by_dir),
+            len(keep) + n_unstated,
+            total,
+        )
+
     def scan_point(
         self,
         spark: SparkSession,

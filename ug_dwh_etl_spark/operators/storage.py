@@ -104,22 +104,20 @@ def zorder_interleave_sql(x: str, y: str, *, duck: bool) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def write_zordered(
+def zorder_frame(
     df: DataFrame,
-    path: str,
     x_col: str,
     y_col: str,
     n_files: int = 8,
     partition_col: str | None = None,
-) -> None:
-    """Write ``df`` Morton-clustered on two integer columns: normalize
-    each to the 16-bit grid against its observed min/max (a 1-row
-    broadcast aggregate — never a collect), interleave, then
-    repartitionByRange + sort on the key so each parquet file owns a
-    compact rectangle of (x, y) space and footer min/max stats prune
-    files for filters on EITHER column. The key is dropped before the
-    write; at 100 TB this is the weekly OPTIMIZE pass over hot
-    partitions, not a per-append cost."""
+) -> DataFrame:
+    """``df`` Morton-clustered on two integer columns, as a FRAME:
+    normalize each to the 16-bit grid against its observed min/max (a
+    1-row broadcast aggregate — never a collect), interleave,
+    repartitionByRange + sort on the key, drop the key. A plain write
+    of the result preserves the layout (one file per partition), so the
+    same frame feeds ``write_zordered`` and snapshot-table commits
+    (``storage_zorder_box_scan``) without re-deriving the keying."""
     import pyspark.sql.functions as F
 
     stats = df.agg(
@@ -144,12 +142,29 @@ def write_zordered(
         *df.columns, zorder_interleave_sql("_zx", "_zy", duck=False) + " AS _z"
     )
     range_cols = ([partition_col] if partition_col else []) + ["_z"]
-    writer = (
+    return (
         keyed.repartitionByRange(n_files, *range_cols)
         .sortWithinPartitions(*range_cols)
         .drop("_z")
-        .write.mode("overwrite")
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    n_files: int = 8,
+    partition_col: str | None = None,
+) -> None:
+    """Write ``df`` Morton-clustered on two integer columns (see
+    :func:`zorder_frame`) so each parquet file owns a compact rectangle
+    of (x, y) space and footer min/max stats prune files for filters on
+    EITHER column. At 100 TB this is the weekly OPTIMIZE pass over hot
+    partitions, not a per-append cost."""
+    writer = zorder_frame(
+        df, x_col, y_col, n_files, partition_col
+    ).write.mode("overwrite")
     if partition_col is not None:
         # keep the hive layout through the rewrite — retention and
         # partition pruning both depend on the {col}= directories

@@ -1059,3 +1059,80 @@ def storage_point_lookup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "storage_zorder_box_scan",
+    """
+    WITH b AS (SELECT MIN(o_custkey) AS cmn, MAX(o_custkey) AS cmx
+               FROM orders),
+    box AS (SELECT cmn + (cmx - cmn) * 2 // 5 AS clo,
+                   cmn + (cmx - cmn) * 3 // 5 AS chi
+            FROM b)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+             AS DOUBLE) AS total_price
+    FROM orders, box
+    WHERE o_custkey BETWEEN box.clo AND box.chi
+      AND o_orderdate >= DATE '1994-01-01'
+      AND o_orderdate <= DATE '1994-03-31'
+    """,
+)
+def storage_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER + MULTI-COLUMN MANIFEST PRUNING, end to end: orders are
+    committed Morton-clustered on (o_custkey, day) — each file owns a
+    compact RECTANGLE in customer x time space — with typed per-file
+    min/max for BOTH columns in the manifest; a 2-D box predicate (a
+    customer band in a quarter) then plans via
+    ``SnapshotTable.scan_pruned_multi``, which drops every file whose
+    rectangle is disjoint from the box on EITHER axis. A 1-D
+    range-clustered layout can only prune its leading column — the
+    box's time axis would touch every custkey-matching file; Z-order is
+    what makes BOTH filters file-skipping (Delta/Iceberg OPTIMIZE
+    ZORDER, built from plain integer arithmetic in
+    operators/storage.py). The oracle computes the identical aggregate
+    from the raw relation; the files_read(zorder) < files_read(1-D)
+    assertion lives in tests/test_round10_ops.py."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.operators.storage import zorder_frame
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "day", F.datediff("o_orderdate", F.lit("1990-01-01")).cast("long")
+    )
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_zorder_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() != 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
+        t.commit_overwrite(
+            zorder_frame(o, "o_custkey", "day", n_files=16),
+            stats_cols=("o_custkey", "day"),
+        )
+    cmn, cmx = o.agg(F.min("o_custkey"), F.max("o_custkey")).first()
+    clo = cmn + (cmx - cmn) * 2 // 5
+    chi = cmn + (cmx - cmn) * 3 // 5
+    import datetime
+
+    d0 = datetime.date(1990, 1, 1)
+    dlo = (datetime.date(1994, 1, 1) - d0).days
+    dhi = (datetime.date(1994, 3, 31) - d0).days
+    df, _read, _total = t.scan_pruned_multi(
+        spark, {"o_custkey": (clo, chi), "day": (dlo, dhi)}
+    )
+    return df.filter(
+        F.col("o_custkey").between(clo, chi) & F.col("day").between(dlo, dhi)
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("total_price"),
+    )
