@@ -344,3 +344,158 @@ def test_zorder_box_prunes_more_files_than_1d_clustering(spark, tmp_path):
     pred2 = F.col("x").between(80, 120) & F.col("d").between(100, 190)
     want2 = sorted(r.v for r in df.filter(pred2).collect())
     assert sorted(r.v for r in zdf2.filter(pred2).collect()) == want2
+
+
+# --- CDC / incremental reads -------------------------------------------------
+
+
+def test_read_incremental_scans_only_added_dirs(spark, tmp_path):
+    """Append-only incremental read returns exactly the rows the range's
+    commits added, and its plan touches none of the pre-existing data
+    dirs (the manifest picks the dirs — O(increment), not O(table))."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 100))          # s1: base
+    t.commit_append(_kv(spark, 100, 150, v=2))      # s2
+    t.commit_append(_kv(spark, 150, 170, v=3))      # s3
+    inc = t.read_incremental(spark, from_id=1, to_id=3)
+    got = {r.k: r.v for r in inc.collect()}
+    assert len(got) == 70 and got[100] == 2 and got[169] == 3
+    s1_dir = t.manifest(1)["data_dirs"][-1]
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    assert s1_dir not in plan, "incremental read scanned the base dir"
+    # empty range: empty frame, table schema
+    assert t.read_incremental(spark, from_id=3).count() == 0
+    # a rewrite inside the range must refuse, not silently mis-read
+    t.commit_overwrite(_kv(spark, 0, 10))           # s4
+    with pytest.raises(ValueError, match="not append-only"):
+        t.read_incremental(spark, from_id=1, to_id=4)
+
+
+def test_read_changes_append_and_mor(spark, tmp_path):
+    """Changelog over append + merge-on-read: appends surface as
+    inserts; a MOR upsert surfaces as inserts (new rows) plus deletes
+    (the pre-image rows resolved from the parent state), each tagged
+    with the committing snapshot."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 50))                 # s1
+    t.commit_append(_kv(spark, 50, 60, v=2))              # s2
+    t.commit_merge_on_read(_kv(spark, 40, 45, v=9), key_cols=["k"])  # s3
+    ch = t.read_changes(spark, from_id=1, to_id=3)
+    rows = [
+        ((r.k, r.v), r._change_type, r._commit_snapshot_id)
+        for r in ch.collect()
+    ]
+    ins2 = {kv for kv, typ, s in rows if s == 2 and typ == "insert"}
+    assert ins2 == {(k, 2) for k in range(50, 60)}
+    ins3 = {kv for kv, typ, s in rows if s == 3 and typ == "insert"}
+    del3 = {kv for kv, typ, s in rows if s == 3 and typ == "delete"}
+    assert ins3 == {(k, 9) for k in range(40, 45)}
+    assert del3 == {(k, 1) for k in range(40, 45)}, "pre-images wrong"
+    assert len(rows) == 20
+    # folding the changelog onto the s1 state reproduces the s3 state
+    base = {r.k: r.v for r in t.read_as_of(spark, 1).collect()}
+    for (k, v), typ, _ in rows:
+        if typ == "insert":
+            base[k] = v
+        elif base.get(k) == v:
+            del base[k]
+    want = {r.k: r.v for r in t.read_as_of(spark, 3).collect()}
+    assert base == want
+
+
+def test_read_changes_nets_rewrites(spark, tmp_path):
+    """A copy-on-write rewrite diffs as NET changes: carried-forward
+    rows cancel, so an overwrite that re-lands 90% of the table reports
+    only the 10% that changed — and a compaction reports nothing."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 100))                       # s1
+    # s2 rewrites the whole table but only changes keys 0..9 (v 1->5)
+    new = _kv(spark, 0, 10, v=5).unionByName(_kv(spark, 10, 100))
+    t.commit_overwrite(new)                                      # s2
+    ch = [
+        ((r.k, r.v), r._change_type)
+        for r in t.read_changes(spark, from_id=1, to_id=2).collect()
+    ]
+    assert {kv for kv, typ in ch if typ == "insert"} == {
+        (k, 5) for k in range(10)
+    }
+    assert {kv for kv, typ in ch if typ == "delete"} == {
+        (k, 1) for k in range(10)
+    }
+    # MOR upsert then compaction: the compact snapshot nets to empty
+    t.commit_merge_on_read(_kv(spark, 20, 25, v=7), key_cols=["k"])  # s3
+    t.compact_deletes(spark)                                         # s4
+    assert t.read_changes(spark, from_id=3, to_id=4).count() == 0
+    # and an expired snapshot inside the window raises, never mis-reads
+    t.expire_snapshots(keep_from=4)
+    with pytest.raises(ValueError, match="expired"):
+        t.read_changes(spark, from_id=1, to_id=4)
+
+
+# --- schema evolution --------------------------------------------------------
+
+
+def test_schema_evolution_rename_add_drop(spark, tmp_path):
+    """Metadata-only DDL: rename resolves old dirs through field ids,
+    add back-fills typed nulls on pre-existing dirs, drop hides the
+    physical column — and time travel to a pre-DDL snapshot still
+    serves the old shape. No data file is rewritten by any of it."""
+    import glob as _glob
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 10))                        # s1
+    files_before = sorted(_glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    t.rename_column("v", "val")                                  # s2
+    t.add_column("tag", "string")                                # s3
+    t.commit_append(
+        spark.range(10, 15).select(
+            F.col("id").alias("k"),
+            F.lit(2).cast("long").alias("val"),
+            F.lit("new").alias("tag"),
+        )
+    )                                                            # s4
+    files_after = sorted(_glob.glob(str(tmp_path / "t" / "data" / "**" / "*.parquet"), recursive=True))
+    assert files_before == [f for f in files_after if "s1-" in f], (
+        "schema DDL rewrote data files"
+    )
+    cur = t.read_as_of(spark)
+    assert cur.columns == ["k", "val", "tag"]
+    got = {r.k: (r.val, r.tag) for r in cur.collect()}
+    assert got[0] == (1, None), "old dir didn't project rename+null"
+    assert got[12] == (2, "new")
+    assert len(got) == 15
+    # time travel: the pre-rename snapshot still reads the old names
+    old = t.read_as_of(spark, 1)
+    assert old.columns == ["k", "v"]
+    # drop hides the column everywhere current, keeps it in history
+    t.drop_column("tag")                                         # s5
+    assert t.read_as_of(spark).columns == ["k", "val"]
+    assert t.read_as_of(spark, 4).columns == ["k", "val", "tag"]
+    # re-adding the name yields a FRESH field id: no value resurrection
+    t.add_column("tag", "string")                                # s6
+    assert [r.tag for r in t.read_as_of(spark).collect()] == [None] * 15
+
+
+def test_schema_evolution_composes_with_mor_deletes(spark, tmp_path):
+    """A key column renamed AFTER a merge-on-read commit: the delete
+    file keeps its write-time column name, the anti-join resolves the
+    current name through the recorded field ids."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(_kv(spark, 0, 20))                        # s1
+    t.commit_merge_on_read(_kv(spark, 5, 8, v=9), key_cols=["k"])  # s2
+    t.rename_column("k", "key_id")                               # s3
+    got = {r.key_id: r.v for r in t.read_as_of(spark).collect()}
+    assert len(got) == 20 and got[5] == 9 and got[0] == 1
+    # incremental read after the rename projects the new name too
+    inc = t.read_incremental(spark, from_id=2, to_id=3)
+    assert inc.columns == ["key_id", "v"] and inc.count() == 0

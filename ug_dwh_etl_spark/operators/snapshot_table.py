@@ -205,6 +205,45 @@ class SnapshotTable:
                 out.setdefault(rel, {})[c] = base64.b64encode(bytes(bm)).decode()
         return out
 
+    # -- schema evolution (Iceberg field-id model) -----------------------------
+    @staticmethod
+    def _merge_schema(
+        parent_schema: list[dict], df: DataFrame, last_id: int
+    ) -> tuple[list[dict], int]:
+        """Evolve the tracked schema for a data commit: df columns match
+        existing fields BY NAME (keeping their stable field ids — the
+        Iceberg rule that makes renames free), unseen names get fresh
+        ids above ``last_id``. Fields absent from ``df`` stay in the
+        schema (an append of a narrower frame must not drop columns;
+        use :meth:`drop_column` to remove one deliberately). Returns
+        (schema, new last_id) — ids are NEVER reused, even after a
+        drop, or a re-added name would resurrect dropped values out of
+        old data dirs (the Iceberg last-assigned-id rule)."""
+        schema = [dict(f) for f in parent_schema]
+        by_name = {f["name"]: f for f in schema}
+        for fld in df.schema.fields:
+            if fld.name not in by_name:
+                last_id += 1
+                schema.append(
+                    {
+                        "id": last_id,
+                        "name": fld.name,
+                        "type": fld.dataType.simpleString(),
+                    }
+                )
+        return schema, last_id
+
+    @staticmethod
+    def _last_field_id(m: dict | None) -> int:
+        """The high-water field id of a manifest: the recorded counter,
+        or (legacy manifests) the max id in the tracked schema."""
+        if m is None:
+            return 0
+        return m.get(
+            "last_field_id",
+            max((f["id"] for f in m.get("schema", [])), default=0),
+        )
+
     def _commit(
         self,
         df: DataFrame,
@@ -248,6 +287,27 @@ class SnapshotTable:
         new_id = 1 if parent is None else parent + 1
         rel_dir = os.path.join("data", f"s{new_id}-{uuid.uuid4().hex[:8]}")
         df.write.parquet(os.path.join(self.root, rel_dir))
+        # field-id schema tracking (Iceberg schema evolution): every
+        # manifest carries the CURRENT schema as [{id, name, type}] and a
+        # per-data-dir {field_id -> physical column name} map recording
+        # the names the dir's parquet files were written under — reads
+        # resolve ids, so a rename_column never rewrites data and an
+        # add_column back-fills nulls on old dirs. Legacy manifests
+        # without the field read on the plain (un-projected) path.
+        pm_schema = self.manifest(parent) if parent is not None else None
+        parent_schema: list[dict] = (
+            pm_schema.get("schema", []) if pm_schema is not None else []
+        )
+        schema, last_field_id = self._merge_schema(
+            parent_schema, df, self._last_field_id(pm_schema)
+        )
+        id_by_name = {f["name"]: f["id"] for f in schema}
+        dir_cols: dict[str, dict[str, str]] = {}
+        if parent is not None and operation in ("append", "merge_on_read"):
+            dir_cols.update(self.manifest(parent).get("dir_cols", {}))
+        dir_cols[rel_dir] = {
+            str(id_by_name[fld.name]): fld.name for fld in df.schema.fields
+        }
         dirs: list[str] = []
         files: list[dict] = []
         # merge-on-read bookkeeping (Iceberg v2 sequence-number model):
@@ -295,6 +355,10 @@ class SnapshotTable:
                 {
                     "dir": del_dir,
                     "keys": list(key_cols),
+                    # field ids of the key columns: a later rename of a key
+                    # column resolves the anti-join to the CURRENT name
+                    # while the delete parquet keeps its write-time names
+                    "key_ids": [id_by_name[c] for c in key_cols],
                     "seq": new_id,
                     **({"stats_t": kstats} if kstats else {}),
                 }
@@ -323,6 +387,9 @@ class SnapshotTable:
             "files": files,
             "dir_seqs": dir_seqs,
             "deletes": deletes,
+            "schema": schema,
+            "dir_cols": dir_cols,
+            "last_field_id": last_field_id,
             # full ancestry batch-id map — carried through EVERY commit
             # (appends, overwrites, compactions) so expiry cannot shrink
             # the replay-protection window
@@ -446,7 +513,210 @@ class SnapshotTable:
             return None
         return self._commit(self.read_as_of(spark), "compact", stats_cols)
 
+    # -- schema DDL (metadata-only commits — no data rewrite) ------------------
+    def _commit_meta(
+        self, operation: str, schema: list[dict], last_field_id: int | None = None
+    ) -> int:
+        """A commit that changes ONLY the tracked schema: the new
+        manifest carries the parent's data dirs, files, deletes and
+        batch lineage verbatim, plus the evolved schema — an O(manifest)
+        operation regardless of table size, which is the whole point of
+        field-id schema evolution at 100 TB (a rename that rewrote
+        parquet would be a full-table job)."""
+        parent = self.latest_snapshot_id()
+        if parent is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        pm = self.manifest(parent)
+        new_id = parent + 1
+        manifest = {
+            "snapshot_id": new_id,
+            "parent_id": parent,
+            "operation": operation,
+            "data_dirs": pm["data_dirs"],
+            "files": pm.get("files", []),
+            "dir_seqs": pm.get("dir_seqs", {}),
+            "deletes": pm.get("deletes", []),
+            "schema": schema,
+            "dir_cols": pm.get("dir_cols", {}),
+            "last_field_id": (
+                self._last_field_id(pm)
+                if last_field_id is None
+                else last_field_id
+            ),
+            "batch_ids": pm.get("batch_ids", {}),
+        }
+        for path, payload in (
+            (self._manifest_path(new_id), json.dumps(manifest, indent=1)),
+            (self._pointer(), str(new_id)),
+        ):
+            tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, path)
+        return new_id
+
+    def _current_schema(self) -> list[dict]:
+        sid = self.latest_snapshot_id()
+        if sid is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        schema = self.manifest(sid).get("schema")
+        if not schema:
+            raise ValueError(
+                "table predates schema tracking — run one data commit "
+                "before using schema DDL"
+            )
+        return [dict(f) for f in schema]
+
+    def rename_column(self, old: str, new: str) -> int:
+        """RENAME COLUMN as metadata: the field keeps its id, so every
+        existing data dir (written under the old physical name) resolves
+        through the id at read time — zero data rewritten, and time
+        travel to pre-rename snapshots still serves the old name
+        (Iceberg schema-evolution semantics; the reference's BigQuery
+        tables would require a full CREATE TABLE AS to rename)."""
+        schema = self._current_schema()
+        names = {f["name"] for f in schema}
+        if old not in names:
+            raise ValueError(f"no such column: {old}")
+        if new in names:
+            raise ValueError(f"column already exists: {new}")
+        for f in schema:
+            if f["name"] == old:
+                f["name"] = new
+        return self._commit_meta("rename_column", schema)
+
+    def add_column(self, name: str, spark_type: str) -> int:
+        """ADD COLUMN as metadata: existing dirs have no physical column
+        for the new field id, so reads back-fill typed nulls; only data
+        committed after this snapshot can carry values."""
+        schema = self._current_schema()
+        if name in {f["name"] for f in schema}:
+            raise ValueError(f"column already exists: {name}")
+        # fresh id from the table-level counter, NOT max(schema)+1 — a
+        # dropped field's id must stay retired or this re-add would
+        # resurrect its values out of old data dirs
+        next_id = self._last_field_id(self.manifest(self.latest_snapshot_id())) + 1
+        schema.append({"id": next_id, "name": name, "type": spark_type})
+        return self._commit_meta("add_column", schema, last_field_id=next_id)
+
+    def drop_column(self, name: str) -> int:
+        """DROP COLUMN as metadata: the field leaves the tracked schema
+        (reads stop projecting it) but the physical data stays — time
+        travel to pre-drop snapshots still sees the column, and a
+        re-add under the same name gets a FRESH field id, so it does
+        not resurrect dropped values (the Iceberg id rule)."""
+        schema = self._current_schema()
+        if name not in {f["name"] for f in schema}:
+            raise ValueError(f"no such column: {name}")
+        return self._commit_meta(
+            "drop_column", [f for f in schema if f["name"] != name]
+        )
+
     # -- reads ---------------------------------------------------------------
+    @staticmethod
+    def _needs_projection(m: dict, rel_dir: str) -> bool:
+        """True iff ``rel_dir``'s physical columns differ from the
+        manifest's current schema — a rename happened, a column was
+        added after the dir was written (null back-fill needed), or a
+        column was dropped (physical data to hide). Legacy dirs with no
+        recorded dir_cols read on the plain path."""
+        schema = m.get("schema")
+        if not schema:
+            return False
+        phys = (m.get("dir_cols") or {}).get(rel_dir)
+        if phys is None:
+            return False
+        if len(phys) != len(schema):
+            return True
+        return any(phys.get(str(f["id"])) != f["name"] for f in schema)
+
+    def _project_dir(
+        self, spark: SparkSession, m: dict, rel_dir: str, paths: list[str]
+    ) -> DataFrame:
+        """Read one data dir under the manifest's CURRENT schema:
+        physical columns resolve through their field ids (renames are
+        alias-only), fields the dir predates become typed nulls, and
+        dropped fields simply aren't selected — the projection is plan
+        metadata, so Parquet column pruning still reads only the
+        physical columns that survive it."""
+        import pyspark.sql.functions as F
+
+        df = spark.read.parquet(*paths)
+        schema = m.get("schema")
+        phys = (m.get("dir_cols") or {}).get(rel_dir)
+        if not schema or phys is None:
+            return df
+        cols = []
+        for f in schema:
+            p = phys.get(str(f["id"]))
+            if p is None:
+                cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            elif p == f["name"]:
+                cols.append(F.col(p))
+            else:
+                cols.append(F.col(p).alias(f["name"]))
+        return df.select(*cols)
+
+    @staticmethod
+    def _delete_current_keys(dd: dict, id_name: dict[str, str]) -> list[str]:
+        """The CURRENT names of a delete file's key columns, resolved
+        through their field ids (a key column renamed after the delete
+        was written anti-joins under its new name). Falls back to the
+        write-time name when the id is unknown (legacy entries)."""
+        if "key_ids" in dd:
+            return [
+                id_name.get(str(i), k)
+                for i, k in zip(dd["key_ids"], dd["keys"])
+            ]
+        return list(dd["keys"])
+
+    def _read_projected(
+        self,
+        spark: SparkSession,
+        m: dict,
+        paths_by_dir: dict[str, list[str]],
+    ) -> DataFrame:
+        """Schema-evolution read path: per-dir field-id projection, then
+        the same seq-scoped equality-delete anti-joins as the plain
+        path (delete keys resolved to current names). Per-dir reads —
+        physical schemas differ across dirs, so one multi-path scan
+        can't serve them; the unions are metadata-only."""
+        import pyspark.sql.functions as F
+
+        deletes = m.get("deletes", [])
+        dir_seqs = m.get("dir_seqs", {})
+        id_name = {str(f["id"]): f["name"] for f in m.get("schema", [])}
+        out = None
+        for d, paths in sorted(paths_by_dir.items()):
+            part = self._project_dir(spark, m, d, paths)
+            applicable = [
+                dd for dd in deletes if dd["seq"] > dir_seqs.get(d, 0)
+            ]
+            if applicable:
+                cur_keys = self._delete_current_keys(applicable[0], id_name)
+                keys = None
+                for dd in applicable:
+                    if self._delete_current_keys(dd, id_name) != cur_keys:
+                        raise ValueError(
+                            "mixed delete key sets in one table are "
+                            f"unsupported: {dd['keys']} vs {cur_keys}"
+                        )
+                    k = spark.read.parquet(os.path.join(self.root, dd["dir"]))
+                    k = k.select(
+                        *[
+                            F.col(o).alias(n)
+                            for o, n in zip(dd["keys"], cur_keys)
+                        ]
+                    )
+                    keys = k if keys is None else keys.unionByName(k)
+                part = part.join(
+                    F.broadcast(keys.distinct()), cur_keys, "left_anti"
+                )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def _read_with_deletes(
         self,
         spark: SparkSession,
@@ -472,6 +742,13 @@ class SnapshotTable:
         skip). Paths without typed stats stay conservative."""
         import pyspark.sql.functions as F
 
+        # schema-evolution dispatch: if ANY dir's physical columns
+        # diverge from the current schema, every dir must be read and
+        # projected individually (one multi-path parquet scan can't mix
+        # physical schemas) — otherwise the plain path below is both
+        # simpler and groups paths into fewer scans
+        if any(self._needs_projection(m, d) for d in paths_by_dir):
+            return self._read_projected(spark, m, paths_by_dir)
         deletes = m.get("deletes", [])
         if not deletes:
             paths = [p for ps in paths_by_dir.values() for p in ps]
@@ -593,6 +870,168 @@ class SnapshotTable:
             m,
             {d: [os.path.join(self.root, d)] for d in m["data_dirs"]},
         )
+
+    # -- incremental / CDC reads ----------------------------------------------
+    def _require_manifest(self, snapshot_id: int) -> dict:
+        if not os.path.exists(self._manifest_path(snapshot_id)):
+            raise ValueError(
+                f"snapshot {snapshot_id} has been expired — the "
+                "incremental-read window is lost; fall back to a full scan"
+            )
+        return self.manifest(snapshot_id)
+
+    def read_incremental(
+        self, spark: SparkSession, from_id: int, to_id: int | None = None
+    ) -> DataFrame:
+        """APPEND-ONLY incremental read (Iceberg's incremental scan):
+        the rows added in snapshots ``(from_id, to_id]``, served by
+        scanning ONLY the data dirs those commits added — pure manifest
+        arithmetic picks the dirs, no state diff, no read of pre-existing
+        data. This is the O(increment) feed for downstream consumers at
+        100 TB: a daily ETL that appends 0.1% of the table hands its
+        consumers 0.1% of the scan. Raises on a rewrite commit in the
+        range (overwrite/merge/compact change existing rows — use
+        :meth:`read_changes`); metadata-only schema commits are fine and
+        skipped. Reads resolve through the ``to_id`` manifest, so field
+        renames/additions in the range project to the final schema."""
+        to_id = self.latest_snapshot_id() if to_id is None else to_id
+        if to_id is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        added: list[str] = []
+        for s in range(from_id + 1, to_id + 1):
+            m = self._require_manifest(s)
+            op = m["operation"]
+            if op in ("rename_column", "add_column", "drop_column"):
+                continue
+            if op != "append":
+                raise ValueError(
+                    f"snapshot {s} is a {op!r} commit — the range is not "
+                    "append-only; use read_changes for a full changelog"
+                )
+            added.extend(
+                d for d, seq in m.get("dir_seqs", {}).items() if seq == s
+            )
+        m_to = self._require_manifest(to_id)
+        if not added:
+            return self._read_with_deletes(
+                spark,
+                m_to,
+                {d: [os.path.join(self.root, d)] for d in m_to["data_dirs"]},
+            ).limit(0)
+        # no delete file can apply to these dirs inside an append-only
+        # range (a delete at seq S only hits dirs with seq < S), so this
+        # is a plain scan of the added dirs + schema projection
+        return self._read_with_deletes(
+            spark, m_to, {d: [os.path.join(self.root, d)] for d in added}
+        )
+
+    def read_changes(
+        self, spark: SparkSession, from_id: int, to_id: int | None = None
+    ) -> DataFrame:
+        """CHANGELOG scan (Iceberg changelog / Delta Change Data Feed):
+        every row-level change committed in ``(from_id, to_id]``, tagged
+        with ``_change_type`` ('insert' | 'delete') and
+        ``_commit_snapshot_id``. Per-commit cost is proportional to the
+        change, not the table, wherever the manifest allows it:
+
+        - ``append``: the added dirs scan as inserts — O(increment).
+        - ``merge_on_read``: the added dirs are the inserts; the deleted
+          pre-images are the parent state SEMI-joined to the commit's
+          equality-delete keys (broadcast — delete files hold keys, not
+          rows) — O(increment + one pass over the parent state's
+          surviving files, itself delete-pruned).
+        - ``overwrite``/``merge``/``compact`` rewrite files, so the
+          changelog is the NETTED state diff (exceptAll both ways):
+          rows the rewrite carried forward unchanged cancel out — a
+          compaction correctly produces an EMPTY changelog even though
+          it rewrote every byte. This is the one O(table) case, exactly
+          as in Iceberg, where changelogs over rewrites need a diff.
+
+        An upstream consumer folds the result as ``+insert / -delete``
+        to maintain any distributive aggregate incrementally (see
+        storage_cdc_incremental_agg). Changelogs spanning a column
+        rename report each commit under its own write-time schema
+        (union with allowMissingColumns); spanning an expired snapshot
+        raises."""
+        import pyspark.sql.functions as F
+
+        to_id = self.latest_snapshot_id() if to_id is None else to_id
+        if to_id is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+
+        def tag(df: DataFrame, typ: str, s: int) -> DataFrame:
+            return df.select(
+                "*",
+                F.lit(typ).alias("_change_type"),
+                F.lit(s).cast("int").alias("_commit_snapshot_id"),
+            )
+
+        out = None
+        for s in range(from_id + 1, to_id + 1):
+            m = self._require_manifest(s)
+            op = m["operation"]
+            parent = m.get("parent_id")
+            if op in ("rename_column", "add_column", "drop_column"):
+                continue  # metadata-only: no row changed
+            if op in ("append", "merge_on_read"):
+                added = [
+                    d for d, seq in m.get("dir_seqs", {}).items() if seq == s
+                ]
+                delta = None
+                if added:
+                    ins = self._read_with_deletes(
+                        spark,
+                        m,
+                        {d: [os.path.join(self.root, d)] for d in added},
+                    )
+                    delta = tag(ins, "insert", s)
+                new_dd = [
+                    dd for dd in m.get("deletes", []) if dd["seq"] == s
+                ]
+                if new_dd and parent is not None:
+                    id_name = {
+                        str(f["id"]): f["name"] for f in m.get("schema", [])
+                    }
+                    cur_keys = self._delete_current_keys(new_dd[0], id_name)
+                    keys = None
+                    for dd in new_dd:
+                        k = spark.read.parquet(
+                            os.path.join(self.root, dd["dir"])
+                        )
+                        k = k.select(
+                            *[
+                                F.col(o).alias(n)
+                                for o, n in zip(dd["keys"], cur_keys)
+                            ]
+                        )
+                        keys = k if keys is None else keys.unionByName(k)
+                    dels = self.read_as_of(spark, parent).join(
+                        F.broadcast(keys.distinct()), cur_keys, "left_semi"
+                    )
+                    dels = tag(dels, "delete", s)
+                    delta = (
+                        dels if delta is None else delta.unionByName(dels)
+                    )
+            else:  # overwrite / merge / compact: netted state diff
+                new_state = self.read_as_of(spark, s)
+                if parent is None:
+                    delta = tag(new_state, "insert", s)
+                else:
+                    old_state = self.read_as_of(spark, parent)
+                    delta = tag(new_state.exceptAll(old_state), "insert", s)
+                    delta = delta.unionByName(
+                        tag(old_state.exceptAll(new_state), "delete", s)
+                    )
+            if delta is None:
+                continue
+            out = (
+                delta
+                if out is None
+                else out.unionByName(delta, allowMissingColumns=True)
+            )
+        if out is None:  # empty range: empty frame, current schema + tags
+            return tag(self.read_as_of(spark, to_id).limit(0), "insert", 0)
+        return out
 
     def scan_pruned(
         self,
