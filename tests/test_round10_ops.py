@@ -499,3 +499,239 @@ def test_schema_evolution_composes_with_mor_deletes(spark, tmp_path):
     # incremental read after the rename projects the new name too
     inc = t.read_incremental(spark, from_id=2, to_id=3)
     assert inc.columns == ["key_id", "v"] and inc.count() == 0
+
+
+# --- duplicated_substring_spans ------------------------------------------------
+
+
+def _spans(spark, rows, n=4):
+    from ug_dwh_etl_spark.operators.dedup import duplicated_substring_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = duplicated_substring_spans(df, "doc_id", "text", n)
+    return {
+        (r.doc_id, r.span_start, r.span_end, r.n_tokens)
+        for r in out.collect()
+    }
+
+
+def test_substring_spans_cross_doc_duplicate(spark):
+    # "a b c d" (4 tokens = n) appears in both docs at different offsets
+    rows = [
+        (1, "a b c d x y z w"),
+        (2, "p q a b c d r s"),
+    ]
+    assert _spans(spark, rows) == {(1, 1, 4, 4), (2, 3, 6, 4)}
+
+
+def test_substring_spans_merge_overlapping_grams(spark):
+    # a 6-token shared run yields 3 overlapping 4-grams per doc that
+    # must merge back into ONE maximal span covering all 6 tokens
+    rows = [
+        (1, "a b c d e f x y"),
+        (2, "z w a b c d e f"),
+    ]
+    assert _spans(spark, rows) == {(1, 1, 6, 6), (2, 3, 8, 6)}
+
+
+def test_substring_spans_self_repetition_counts(spark):
+    # the same 4-gram twice INSIDE one doc is a duplicate (boilerplate
+    # loops); two non-adjacent spans must NOT merge (gap > 0 between
+    # token 4 and token 9)
+    rows = [(1, "a b c d x y z w a b c d")]
+    assert _spans(spark, rows) == {(1, 1, 4, 4), (1, 9, 12, 4)}
+
+
+def test_substring_spans_adjacent_spans_merge(spark):
+    # duplicated grams at starts 1 and 5 with n=4 touch (span [1,4] and
+    # [5,8] are adjacent: start 5 == prev 1 + n) -> one span [1,8]
+    rows = [
+        (1, "a b c d e f g h"),
+        (2, "a b c d q r s t"),
+        (3, "w v e f g h u x"),
+    ]
+    got = _spans(spark, rows)
+    assert (1, 1, 8, 8) in got
+    assert (1, 1, 4, 4) not in got and (1, 5, 8, 4) not in got
+
+
+def test_substring_spans_short_and_unique_docs_empty(spark):
+    rows = [
+        (1, "a b c"),  # shorter than n -> no grams
+        (2, "unique tokens only here nothing repeats at all"),
+    ]
+    assert _spans(spark, rows) == set()
+
+
+def test_substring_savings_accounts_all_docs(spark):
+    from ug_dwh_etl_spark.queries.dedup import _SS_N  # noqa: F401
+
+    # sanity at fixture scale: denominators include gram-less docs
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    out = QUERIES["dedup_substring_savings"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.duplicated_share <= 1.0
+        assert r.tokens_duplicated <= r.tokens_total
+        assert r.n_docs_hit <= r.n_docs
+
+
+# --- write-audit-publish ---------------------------------------------------------
+
+
+def _mk(spark, vals):
+    return spark.createDataFrame([(v, f"r{v}") for v in vals], "k long, v string")
+
+
+def test_wap_staged_invisible_then_published(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wap1"))
+    t.commit_overwrite(_mk(spark, [1, 2]))
+    t.stage_append(_mk(spark, [3, 4]), branch="audit")
+    # main readers see only the published snapshot while staged
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1, 2}
+    # the branch read (the audit) sees published + staged
+    assert {r.k for r in t.read_as_of(spark, branch="audit").collect()} == {
+        1, 2, 3, 4,
+    }
+    head = t.publish_branch("audit")
+    assert t.latest_snapshot_id() == head == 2
+    assert t.branch_head("audit") is None
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1, 2, 3, 4}
+
+
+def test_wap_multi_commit_branch_publishes_dense_history(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wap2"))
+    t.commit_overwrite(_mk(spark, [1]))
+    t.stage_append(_mk(spark, [2]), branch="b")
+    t.stage_append(_mk(spark, [3]), branch="b")
+    assert t.branch_head("b") == 3
+    t.publish_branch("b")
+    ids = [m["snapshot_id"] for m in t.snapshots()]
+    assert ids == [1, 2, 3]
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1, 2, 3}
+    # incremental read over the published range works (dense ids)
+    got = {r.k for r in t.read_incremental(spark, from_id=1).collect()}
+    assert got == {2, 3}
+
+
+def test_wap_drop_branch_cleans_and_reuses_ids(spark, tmp_path):
+    import os
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    root = tmp_path / "wap3"
+    t = SnapshotTable(str(root))
+    t.commit_overwrite(_mk(spark, [1]))
+    t.stage_append(_mk(spark, [99]), branch="audit")
+    staged_dirs = [
+        d
+        for d, seq in t.manifest(2).get("dir_seqs", {}).items()
+        if seq == 2
+    ]
+    deleted = t.drop_branch("audit")
+    assert set(deleted) == set(staged_dirs)
+    assert not os.path.exists(str(root / "manifests" / "v2.json"))
+    assert t.branch_head("audit") is None
+    # the reclaimed id keeps published history dense after a clean retry
+    t.stage_append(_mk(spark, [2]), branch="audit")
+    assert t.branch_head("audit") == 2
+    t.publish_branch("audit")
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1, 2}
+
+
+def test_wap_publish_refuses_non_fast_forward(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wap4"))
+    t.commit_overwrite(_mk(spark, [1]))
+    t.stage_append(_mk(spark, [2]), branch="audit")
+    # a concurrent main commit invalidates the staged fast-forward;
+    # id allocation must also not collide with the staged manifest
+    t.commit_append(_mk(spark, [5]))
+    assert t.latest_snapshot_id() == 3
+    with pytest.raises(ValueError, match="does not descend"):
+        t.publish_branch("audit")
+    # main is intact
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1, 5}
+
+
+def test_wap_branch_on_empty_table(spark, tmp_path):
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "wap5"))
+    t.stage_append(_mk(spark, [1]), branch="init")
+    assert t.latest_snapshot_id() is None
+    t.publish_branch("init")
+    assert t.latest_snapshot_id() == 1
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1}
+
+
+def test_remove_orphan_files(spark, tmp_path):
+    import os
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    root = tmp_path / "gc"
+    t = SnapshotTable(str(root))
+    t.commit_overwrite(_mk(spark, [1, 2]))
+    t.stage_append(_mk(spark, [3]), branch="wip")  # staged = referenced
+    # fake a crashed writer: a data dir with no manifest
+    orphan = root / "data" / "s99-deadbeef"
+    os.makedirs(orphan)
+    (orphan / "part-00000.parquet").write_bytes(b"junk")
+    # grace window protects a just-written dir (the in-flight commit race)
+    assert t.remove_orphan_files() == []
+    deleted = t.remove_orphan_files(grace_seconds=0)
+    assert deleted == ["data/s99-deadbeef"]
+    assert not orphan.exists()
+    # referenced dirs (published AND staged) survived
+    assert {r.k for r in t.read_as_of(spark).collect()} == {1, 2}
+    assert {r.k for r in t.read_as_of(spark, branch="wip").collect()} == {
+        1, 2, 3,
+    }
+
+
+def test_stream_wap_ingest_blocks_junk(spark):
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.streaming.jobs import stream_wap_gated_ingest
+
+    sf = "/root/testdata/sf0.001"
+    out = stream_wap_gated_ingest(spark, sf)
+    got = {(r.o_orderstatus, r.n_orders) for r in out.collect()}
+    o = spark.read.parquet(f"{sf}/orders.parquet").filter(
+        F.col("o_orderdate") < "1997-01-01"
+    )
+    want = {
+        (r.o_orderstatus, r.n_orders)
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_epoch_shuffle_balanced_and_epoch_sensitive(spark):
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+
+    rows = QUERIES["corpus_epoch_shuffle"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    by_epoch = {}
+    for r in rows:
+        by_epoch.setdefault(r.epoch, []).append(r)
+    assert set(by_epoch) == {1, 2}
+    tot = {e: sum(r.n_docs for r in rs) for e, rs in by_epoch.items()}
+    # no doc lost between epochs
+    assert tot[1] == tot[2]
+    # the reshuffle actually reshuffles: shard checksums differ
+    cks = {e: sorted(r.h_checksum for r in rs) for e, rs in by_epoch.items()}
+    assert cks[1] != cks[2]

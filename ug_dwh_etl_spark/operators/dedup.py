@@ -646,3 +646,108 @@ def prefix_filter_pairs(
     return verify_pairs_jaccard(
         df, cands, id_col, text_col, threshold, shingle_hashes=sh
     )
+
+
+def duplicated_substring_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """(doc_id, span_start, span_end, n_tokens) — MAXIMAL DUPLICATED
+    TOKEN SPANS, the ExactSubstr dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"): a
+    position is duplicated when the ``n``-token gram starting there
+    occurs at >= 2 positions anywhere in the corpus (another document
+    OR the same one — self-repetition is how boilerplate loops show
+    up), and overlapping/adjacent duplicated grams merge into one
+    maximal span per document. Lee et al. build a corpus suffix array,
+    which is inherently a single-machine construction; the distributed
+    re-expression is stride-1 fixed-width grams, equivalent for spans
+    >= n tokens (every duplicated run of length L >= n is covered by
+    exactly its L-n+1 duplicated grams, which merge back into the run).
+
+    Plan, in shuffle order:
+    1. one narrow corpus scan -> explode start positions, then build
+       each gram as md5(concat_ws(slice(t, start, n))) PER OCCURRENCE
+       ROW — slice/concat_ws/md5 are plain codegen expressions, where
+       the seemingly-natural per-doc gram ARRAY (``shingles()``, a
+       higher-order ``transform``) runs interpreted, n ``element_at``
+       calls per gram: measured 204s -> 0.7s at sf0.1 for this exact
+       stage. The exploded rows carry the token array only inside the
+       pipelined codegen stage — it never reaches the shuffle, which
+       sees (doc_id, start, 32-byte md5) triples regardless of gram
+       width; md5 is collision-free in practice (2^64 birthday bound;
+       the oracle applies the same md5, so the compare is exact either
+       way).
+    2. duplicated grams = groupBy(gram).count() >= 2 — a PARTIAL
+       (map-side-combined) aggregate: a boilerplate gram pasted a
+       billion times arrives at the reducer as one candidate count per
+       task, not a billion rows.
+    3. flag occurrences by LEFT SEMI join on the gram hash. The viral
+       gram's occurrences do land in one join partition, but the work
+       there is a linear hash-probe pass-through (output 1 row per
+       occurrence row, no blowup), and AQE skew-join splits the
+       partition if it outgrows its siblings.
+    4. per-document interval merge (gap-and-islands over starts: new
+       island when start > prev + n, fixed width makes interval ends
+       monotone in starts) — the only window, keyed on doc_id, bounded
+       by a single document's length by construction.
+    """
+    from ug_dwh_etl_spark.operators import hashing as H
+
+    toks = (
+        spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"), H.tokens(F.col(text_col)).alias("t")
+        )
+        .withColumn("nt", F.size("t"))
+        .filter(F.col("nt") >= n)
+    )
+    occ = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.col("nt") - n + 1)).alias("start"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("start").cast("long").alias("start"),
+        F.md5(F.concat_ws(" ", F.slice("t", F.col("start"), F.lit(n)))).alias(
+            "g"
+        ),
+    )
+    dup = (
+        occ.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("g")
+    )
+    ds = occ.join(dup, "g", "left_semi")
+    w = Window.partitionBy("doc_id").orderBy("start")
+    isl = (
+        ds.withColumn("prev", F.lag("start").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("start") > F.col("prev") + n),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn(
+            "span_id",
+            F.sum("new_span").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("start").alias("span_start"),
+            (F.max("start") + n - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

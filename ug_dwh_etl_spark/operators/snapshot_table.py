@@ -73,6 +73,19 @@ class SnapshotTable:
         with open(self._manifest_path(snapshot_id)) as f:
             return json.load(f)
 
+    # -- branches (write-audit-publish) ---------------------------------------
+    def _branch_pointer(self, branch: str) -> str:
+        if not branch or not branch.replace("-", "").replace("_", "").isalnum():
+            raise ValueError(f"invalid branch name: {branch!r}")
+        return os.path.join(self.root, f"BRANCH-{branch}")
+
+    def branch_head(self, branch: str) -> int | None:
+        try:
+            with open(self._branch_pointer(branch)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return None
+
     def snapshots(self) -> list[dict]:
         """All SURVIVING manifests, oldest first (the snapshot log —
         expired snapshots drop out of it)."""
@@ -252,8 +265,17 @@ class SnapshotTable:
         batch_id: int | None = None,
         delete_keys: tuple[DataFrame, list[str]] | None = None,
         bloom_cols: tuple[str, ...] = (),
+        branch: str | None = None,
     ) -> int:
-        parent = self.latest_snapshot_id()
+        # a branch commit chains off the branch head (or current LATEST
+        # for a fresh branch) and lands its id in the BRANCH pointer —
+        # main readers resolve LATEST and never see it (write-audit-
+        # publish, the Iceberg branch model)
+        parent = None
+        if branch is not None:
+            parent = self.branch_head(branch)
+        if parent is None:
+            parent = self.latest_snapshot_id()
         # batch-id LINEAGE (Iceberg-style snapshot-summary carry-forward):
         # every manifest carries the full {batch_id: snapshot_id} map of
         # its ancestry, so replay protection survives expire_snapshots —
@@ -284,7 +306,21 @@ class SnapshotTable:
             # in the snapshot summary, skipped on replay)
             if str(batch_id) in known:
                 return known[str(batch_id)]
-        new_id = 1 if parent is None else parent + 1
+        # ids allocate above EVERY existing manifest, not just the
+        # parent: a commit landing while a (stale) branch holds higher
+        # staged ids must not collide with them
+        new_id = max(
+            parent or 0,
+            max(
+                (
+                    int(os.path.basename(p)[1:-5])
+                    for p in glob.glob(
+                        os.path.join(self.root, "manifests", "v*.json")
+                    )
+                ),
+                default=0,
+            ),
+        ) + 1
         rel_dir = os.path.join("data", f"s{new_id}-{uuid.uuid4().hex[:8]}")
         df.write.parquet(os.path.join(self.root, rel_dir))
         # field-id schema tracking (Iceberg schema evolution): every
@@ -400,9 +436,12 @@ class SnapshotTable:
         # manifest then pointer, each via write-temp + atomic rename —
         # a reader that resolves the pointer always finds a complete
         # manifest whose data dirs are fully written
+        pointer = (
+            self._pointer() if branch is None else self._branch_pointer(branch)
+        )
         for path, payload in (
             (self._manifest_path(new_id), json.dumps(manifest, indent=1)),
-            (self._pointer(), str(new_id)),
+            (pointer, str(new_id)),
         ):
             tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as f:
@@ -437,6 +476,105 @@ class SnapshotTable:
         return self._commit(
             df, "append", stats_cols, batch_id, bloom_cols=bloom_cols
         )
+
+    # -- write-audit-publish ---------------------------------------------------
+    def stage_append(
+        self,
+        df: DataFrame,
+        branch: str,
+        stats_cols: tuple[str, ...] = (),
+        batch_id: int | None = None,
+        bloom_cols: tuple[str, ...] = (),
+    ) -> int:
+        """An append that lands on ``branch`` instead of LATEST — the
+        WRITE step of write-audit-publish (the Iceberg WAP recipe: write
+        to a branch, run the DQ gate against the branch read, fast-
+        forward main only if it passes). Main readers never see staged
+        data; the reference's abort-on-bad-fetch shape
+        (`sf_html_data.py:95-105`) becomes gate-then-publish instead of
+        gate-then-hope, and a failed audit costs a :meth:`drop_branch`,
+        not a restore. Same single-writer contract as every commit."""
+        return self._commit(
+            df, "append", stats_cols, batch_id,
+            bloom_cols=bloom_cols, branch=branch,
+        )
+
+    def stage_overwrite(
+        self,
+        df: DataFrame,
+        branch: str,
+        stats_cols: tuple[str, ...] = (),
+        bloom_cols: tuple[str, ...] = (),
+    ) -> int:
+        """Overwrite staged on ``branch`` (see :meth:`stage_append`)."""
+        return self._commit(
+            df, "overwrite", stats_cols, bloom_cols=bloom_cols, branch=branch
+        )
+
+    def publish_branch(self, branch: str) -> int:
+        """The PUBLISH step: fast-forward LATEST to the branch head and
+        retire the branch pointer. Requires the head's parent chain to
+        reach the CURRENT LATEST — if another writer advanced main while
+        the branch was staged, publishing would silently drop that
+        commit, so it raises instead (the no-concurrent-writer invariant
+        made loud). Pointer swap is the same write-temp + atomic rename
+        as every commit: readers see the old or the new table, never a
+        torn one."""
+        head = self.branch_head(branch)
+        if head is None:
+            raise ValueError(f"no staged commits on branch {branch!r}")
+        latest = self.latest_snapshot_id()
+        sid: int | None = head
+        while sid is not None and sid != latest:
+            sid = self.manifest(sid).get("parent_id")
+        if sid != latest:
+            raise ValueError(
+                f"branch {branch!r} (head {head}) does not descend from "
+                f"LATEST={latest} — main advanced since staging; re-stage"
+            )
+        path = self._pointer()
+        tmp = path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            f.write(str(head))
+            f.flush()
+            os.fsync(f.fileno())
+        os.rename(tmp, path)
+        os.remove(self._branch_pointer(branch))
+        return head
+
+    def drop_branch(self, branch: str) -> list[str]:
+        """Abandon a staged branch: delete its pointer, its branch-only
+        manifests, and the data/delete dirs THOSE commits added (ids
+        above LATEST by construction — published snapshots are never
+        touched, and parent dirs a staged manifest merely references
+        stay put). Keeps the surviving-manifest id range dense, which
+        :meth:`snapshots` / :meth:`read_changes` rely on. Returns the
+        deleted dirs."""
+        head = self.branch_head(branch)
+        pointer = self._branch_pointer(branch)
+        if head is None:
+            if os.path.exists(pointer):
+                os.remove(pointer)
+            return []
+        latest = self.latest_snapshot_id() or 0
+        deleted: list[str] = []
+        sid: int | None = head
+        while sid is not None and sid > latest:
+            m = self.manifest(sid)
+            own = [
+                d for d, seq in m.get("dir_seqs", {}).items() if seq == sid
+            ] + [
+                dd["dir"] for dd in m.get("deletes", []) if dd.get("seq") == sid
+            ]
+            for d in own:
+                full = os.path.join(self.root, d)
+                if os.path.exists(full):
+                    shutil.rmtree(full)
+                    deleted.append(d)
+            os.remove(self._manifest_path(sid))
+            sid = m.get("parent_id")
+        os.remove(pointer)
+        return deleted
 
     def commit_merge(
         self,
@@ -854,13 +992,21 @@ class SnapshotTable:
         return isinstance(a, str) and isinstance(b, str)
 
     def read_as_of(
-        self, spark: SparkSession, snapshot_id: int | None = None
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
-        """The table as of ``snapshot_id`` (default: current). Reads only
-        the manifest's data dirs — at scale each dir is partition-pruned
-        parquet like any other table — and applies any merge-on-read
-        equality deletes (seq-scoped anti-joins, see
+        """The table as of ``snapshot_id`` (default: current — or the
+        head of ``branch``, the AUDIT read of write-audit-publish).
+        Reads only the manifest's data dirs — at scale each dir is
+        partition-pruned parquet like any other table — and applies any
+        merge-on-read equality deletes (seq-scoped anti-joins, see
         ``_read_with_deletes``)."""
+        if branch is not None and snapshot_id is None:
+            snapshot_id = self.branch_head(branch)
+            if snapshot_id is None:
+                raise ValueError(f"no staged commits on branch {branch!r}")
         sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
         if sid is None:
             raise ValueError(f"empty snapshot table at {self.root}")
@@ -1244,6 +1390,41 @@ class SnapshotTable:
         )
 
     # -- maintenance ---------------------------------------------------------
+    def remove_orphan_files(self, grace_seconds: float = 259200.0) -> list[str]:
+        """Delete data/delete dirs NO manifest references (Iceberg's
+        remove_orphan_files): the leftovers of a writer that crashed
+        between the data write and the manifest rename — the one gap
+        rename-atomicity leaves, invisible to readers but paid for in
+        storage forever. EVERY manifest file on disk counts as a
+        reference, published or not, so staged branch work is never
+        swept. ``grace_seconds`` (default 3 days, the Iceberg default)
+        skips dirs younger than the horizon — an IN-FLIGHT commit's data
+        dir exists before its manifest does, and a zero-grace sweep
+        racing it would delete data the about-to-land manifest
+        references (single-writer tables can pass 0). Returns deleted
+        dirs."""
+        import time
+
+        referenced: set[str] = set()
+        for path in glob.glob(os.path.join(self.root, "manifests", "v*.json")):
+            with open(path) as f:
+                m = json.load(f)
+            referenced.update(m.get("data_dirs", []))
+            referenced.update(dd["dir"] for dd in m.get("deletes", []))
+        deleted: list[str] = []
+        now = time.time()
+        for full in glob.glob(os.path.join(self.root, "data", "*")):
+            if not os.path.isdir(full):
+                continue
+            rel = os.path.join("data", os.path.basename(full))
+            if rel in referenced:
+                continue
+            if now - os.path.getmtime(full) < grace_seconds:
+                continue
+            shutil.rmtree(full)
+            deleted.append(rel)
+        return deleted
+
     def expire_snapshots(self, keep_from: int) -> list[str]:
         """Drop manifests < ``keep_from`` and delete data AND
         equality-delete dirs no surviving snapshot references (Iceberg's

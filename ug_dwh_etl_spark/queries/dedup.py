@@ -17,6 +17,7 @@ from ug_dwh_etl_spark.operators.dedup import (
     ROWS_PER_BAND,
     SIMHASH_BITS,
     dedup_exact,
+    duplicated_substring_spans,
     embedding_cosine_pairs,
     minhash_lsh_pairs,
     minhash_signatures,
@@ -1967,5 +1968,119 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dropped_tok * 1.0 / F.sum("n_tok"), 6).alias(
                 "dropped_share"
             ),
+        )
+    )
+
+
+# --- exact substring-span dedup (ExactSubstr, Lee et al. 2022) -------------------
+_SS_N = 8  # gram width in tokens; duplicated runs >= _SS_N tokens are found exactly
+
+_SS_OCC_CTES = f"""tok AS (SELECT doc_id, {H.sql_tokens('text')} AS t FROM documents),
+    nz AS (SELECT doc_id, t FROM tok WHERE len(t) >= {_SS_N}),
+    sh AS (SELECT doc_id, {H.sql_shingles('t', _SS_N)} AS sgl FROM nz),
+    occ AS (
+      SELECT doc_id, start, md5(sgl[start]) AS g
+      FROM (SELECT doc_id, sgl, unnest(generate_series(1, len(sgl))) AS start
+            FROM sh)),
+    dup AS (SELECT g FROM occ GROUP BY g HAVING COUNT(*) >= 2),
+    ds AS (SELECT doc_id, start FROM occ WHERE g IN (SELECT g FROM dup)),
+    isl AS (
+      SELECT doc_id, start,
+             SUM(CASE WHEN prev IS NULL OR start > prev + {_SS_N}
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY start) AS span_id
+      FROM (SELECT doc_id, start,
+                   LAG(start) OVER (PARTITION BY doc_id ORDER BY start) AS prev
+            FROM ds)),
+    spans AS (
+      SELECT doc_id,
+             CAST(MIN(start) AS BIGINT) AS span_start,
+             CAST(MAX(start) + {_SS_N} - 1 AS BIGINT) AS span_end,
+             CAST(MAX(start) + {_SS_N} - MIN(start) AS BIGINT) AS n_tokens
+      FROM isl GROUP BY doc_id, span_id)"""
+
+
+@register(
+    "dedup_substring_spans",
+    f"""
+    WITH {_SS_OCC_CTES}
+    SELECT doc_id, span_start, span_end, n_tokens FROM spans
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT DUPLICATED-SUBSTRING SPANS over the corpus (the ExactSubstr
+    pass of Lee et al. 2022, re-expressed as stride-1 fixed-width grams
+    + corpus-duplicate detection + per-doc interval merge instead of
+    the paper's single-machine suffix array — see
+    operators/dedup.py:duplicated_substring_spans for the shuffle-by-
+    shuffle scale story). Completes the span family:
+    text_duplicate_spans SCORES documents (share of spans duplicated
+    anywhere — the cut-list signal); this produces the actual REMOVAL
+    PLAN — which byte ranges to cut, overlaps merged into maximal
+    spans. Distinct from text_paragraph_dedup too: paragraphs are fixed
+    non-overlapping blocks (a C4 cleaning rule); this finds duplicated
+    text at ANY token offset, the shape that catches licence
+    boilerplate, templated headers and copy-paste chains that straddle
+    paragraph boundaries. Output is one row per maximal span."""
+    return duplicated_substring_spans(
+        table(spark, sf_dir, "documents"), "doc_id", "text", _SS_N
+    )
+
+
+@register(
+    "dedup_substring_savings",
+    f"""
+    WITH {_SS_OCC_CTES},
+    per_doc AS (
+      SELECT doc_id, SUM(n_tokens) AS dup_tok FROM spans GROUP BY doc_id),
+    tot AS (SELECT doc_id, len(t) AS n_tok FROM tok)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN p.dup_tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_hit,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tokens_total,
+           CAST(SUM(COALESCE(p.dup_tok, 0)) AS BIGINT) AS tokens_duplicated,
+           ROUND(SUM(COALESCE(p.dup_tok, 0)) * 1.0 / SUM(t.n_tok), 6)
+             AS duplicated_share
+    FROM documents d
+    JOIN tot t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    GROUP BY d.source
+    """,
+)
+def dedup_substring_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IMPACT ACCOUNTING for the substring pass (the dedup_token_savings
+    convention): per source feed, the token mass sitting inside
+    duplicated spans — the upper bound of what an ExactSubstr cut
+    removes (the pass may retain one occurrence per duplicate cluster;
+    with overlapping maximal spans the retained mass has no closed
+    per-span form, so the report prices the full duplicated mass and
+    says so). Denominator is EVERY document's token count, including
+    docs too short to carry a gram — corpus savings, not
+    participating-docs savings."""
+    docs = table(spark, sf_dir, "documents")
+    spans = duplicated_substring_spans(docs, "doc_id", "text", _SS_N)
+    per_doc = spans.groupBy("doc_id").agg(F.sum("n_tokens").alias("dup_tok"))
+    tot = docs.select(
+        "doc_id",
+        "source",
+        F.size(H.tokens(F.col("text"))).cast("long").alias("n_tok"),
+    )
+    return (
+        tot.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("dup_tok").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_hit"),
+            F.sum("n_tok").cast("long").alias("tokens_total"),
+            F.sum(F.coalesce("dup_tok", F.lit(0)))
+            .cast("long")
+            .alias("tokens_duplicated"),
+            F.round(
+                F.sum(F.coalesce("dup_tok", F.lit(0))) * 1.0 / F.sum("n_tok"),
+                6,
+            ).alias("duplicated_share"),
         )
     )

@@ -1136,3 +1136,92 @@ def storage_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_price"),
     )
+
+
+@register(
+    "storage_wap_publish",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def storage_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-AUDIT-PUBLISH on the snapshot table (the Iceberg WAP
+    recipe, operators/snapshot_table.py:stage_append/publish_branch):
+    snapshot 1 publishes the pre-1996 orders on main; the 1996-97 batch
+    is then STAGED on an ``audit`` branch — deliberately dirty (it
+    carries post-1997 rows, violating the freshness contract). The DQ
+    gate (operators/quality.py:expect — the reference's abort-on-bad-
+    fetch check, `sf_html_data.py:95-105`, pointed at staged data
+    instead of a live table) reads the BRANCH, fails, and the branch is
+    dropped and re-staged with the violating rows filtered; the second
+    audit passes and publish_branch fast-forwards LATEST. The query
+    reads main AFTER the full cycle; the oracle reconstructs the same
+    state from the raw orders relation, so a hash match proves the bad
+    batch never reached a main reader and the good one landed intact —
+    while it was staged, main served snapshot 1 only (asserted in
+    tests/test_round10_ops.py). At 100 TB this is the only safe shape
+    for gated ingestion: the audit costs a branch read, a failed audit
+    costs a pointer delete, and no reader ever sees a half-validated
+    table."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.quality import expect
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_wap_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    t = SnapshotTable(root)
+    # expected-final-state guard: LATEST == 2 (drop_branch reclaims the
+    # failed stage's id, so the published head is v2) and no leftover
+    # branch pointer — anything else restages from scratch
+    if t.latest_snapshot_id() != 2 or t.branch_head("audit") is not None:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
+        t.commit_overwrite(o.filter(F.col("o_orderdate") < "1996-01-01"))
+        dirty = o.filter(F.col("o_orderdate") >= "1996-01-01")
+        t.stage_append(dirty, branch="audit")
+        fresh_ok = expect(
+            t.read_as_of(spark, branch="audit"),
+            F.col("o_orderdate") >= "1997-01-01",
+            "freshness",
+            "staged batch carries post-1996 rows",
+        )
+        if not fresh_ok:
+            t.drop_branch("audit")
+            t.stage_append(
+                dirty.filter(F.col("o_orderdate") < "1997-01-01"),
+                branch="audit",
+            )
+            # fail=True: a re-staged batch that still violates the
+            # contract aborts the pipeline instead of publishing
+            expect(
+                t.read_as_of(spark, branch="audit"),
+                F.col("o_orderdate") >= "1997-01-01",
+                "freshness",
+                "staged batch carries post-1996 rows",
+                fail=True,
+            )
+        t.publish_branch("audit")
+    return (
+        t.read_as_of(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )

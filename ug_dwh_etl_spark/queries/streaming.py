@@ -761,3 +761,26 @@ def q_stream_user_totals_bootstrap_tws(
             raise
         except ImportError:
             return stream_user_totals_bootstrap(spark, sf_dir)
+
+
+@register(
+    "stream_wap_ingest",
+    """
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate < DATE '1997-01-01'
+    GROUP BY o_orderstatus
+    """,
+)
+def q_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-micro-batch write-audit-publish: stage on a branch, DQ-gate the
+    # INCREMENT, remediate (drop junk rows) on failure, fast-forward
+    # LATEST on pass — the oracle is the junk-free relation, proving no
+    # dirty row ever published regardless of how the source carved
+    # batches
+    from ug_dwh_etl_spark.streaming.jobs import stream_wap_gated_ingest
+
+    return stream_wap_gated_ingest(spark, sf_dir)

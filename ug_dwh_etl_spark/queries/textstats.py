@@ -2839,3 +2839,79 @@ def corpus_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.crossJoin(F.broadcast(thr)).select(
         "doc_id", "logw", (F.col("k") >= F.col("kmin")).alias("selected")
     )
+
+
+# --- training-epoch shuffle plan -------------------------------------------------
+_EPOCH_SHARDS = 8
+_EPOCH_COUNT = 2
+
+
+@register(
+    "corpus_epoch_shuffle",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len({H.sql_tokens('text')}) AS n_tok FROM documents),
+    ep AS (SELECT unnest(range(1, {_EPOCH_COUNT + 1})) AS epoch),
+    h AS (
+      SELECT ep.epoch, t.doc_id, t.n_tok,
+             ('0x' || substr(md5(CAST(ep.epoch AS VARCHAR) || ':'
+                                 || CAST(t.doc_id AS VARCHAR)),
+                             1, 15))::BIGINT AS h60
+      FROM tok t CROSS JOIN ep)
+    SELECT epoch, h60 % {_EPOCH_SHARDS} AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(h60 % 1000003) AS BIGINT) AS h_checksum
+    FROM h GROUP BY epoch, shard
+    """,
+)
+def corpus_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC TRAINING-EPOCH SHUFFLE PLAN: each epoch reshuffles
+    the corpus by seeding a per-doc hash with the epoch number
+    (md5(epoch:doc_id)), docs land in hash-assigned shards, and readers
+    stream each shard in hash order — the standard way to give an LLM
+    data loader a different, reproducible global order per epoch
+    WITHOUT ever materializing a permutation (Spark's own shuffle does
+    the placement; sortWithinPartitions on the hash pins the intra-shard
+    order locally, no global sort). The query audits the plan, not the
+    bytes: per (epoch, shard) doc/token counts prove balance (no shard
+    outgrows its siblings) and a mod-prime hash checksum pins the exact
+    assignment cross-engine — everything is a PARTIAL (map-side-combined)
+    aggregate over a corpus scan per epoch, no data-keyed window, no
+    collect, so the audit itself survives 100 TB. Epoch 1 vs 2 rows
+    differ in checksum (the reshuffle) while totals match (no doc lost)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.size(H.tokens(F.col("text"))).cast("long").alias("n_tok")
+    )
+    ep = toks.select(
+        F.explode(
+            F.array(
+                *[F.lit(i).cast("long") for i in range(1, _EPOCH_COUNT + 1)]
+            )
+        ).alias("epoch"),
+        "doc_id",
+        "n_tok",
+    )
+    h60 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.col("epoch").cast("string"), F.col("doc_id").cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        ep.withColumn("h60", h60)
+        .groupBy("epoch", (F.col("h60") % _EPOCH_SHARDS).alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.col("h60") % 1000003).cast("long").alias("h_checksum"),
+        )
+    )

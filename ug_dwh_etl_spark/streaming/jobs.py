@@ -1340,3 +1340,125 @@ def stream_semantic_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         open(done_marker, "a").close()
     qual.unpersist()
     return spark.read.parquet(out).select("vec_id", "cluster", "kept")
+
+
+def stream_wap_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest where EVERY micro-batch rides write-audit-publish
+    (operators/snapshot_table.py stage_append/publish_branch): the batch
+    lands on an ``audit`` branch, the DQ gate reads the BRANCH (the
+    as-written bytes, not the in-flight DataFrame — a writer bug is
+    caught too), and only a passing audit fast-forwards LATEST. A
+    failing audit drops the branch and re-stages the batch with the
+    violating rows REMOVED (audit-remediate-publish), so the published
+    state is deterministic however the file source carves batches —
+    which is what lets the result carry an exact oracle (gate-reject-
+    whole-batch semantics would make the final state depend on the
+    mtime-tie-sensitive file->batch assignment, the
+    stream_snapshot_ingest staging note). Contract here: orders dated
+    1997+ are junk the feed must never publish. Main readers are
+    snapshot-isolated from every staged batch; a crash between stage
+    and publish leaves main clean and the orphaned branch is swept by
+    drop_branch/remove_orphan_files. This is the reference's
+    gate-then-abort cron (`sf_html_data.py:95-105`) upgraded to a
+    landing path where 'abort' costs a pointer delete instead of a
+    restore."""
+    import os
+    import tempfile
+
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.operators.quality import expect
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+    from ug_dwh_etl_spark.queries.registry import sfdir_key
+
+    work = os.path.join(
+        tempfile.gettempdir(),
+        f"snap_wap_ingest_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    src = os.path.join(work, "src")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        orders.repartition(8).write.mode("overwrite").parquet(src)
+    table_dir = os.path.join(work, "table")
+    # same wipe-partial-output discipline as stream_snapshot_ingest: a
+    # retry after a mid-stream crash restages from a fresh checkpoint,
+    # so any partially published table is wiped first
+    done_marker = os.path.join(work, "_INGEST_DONE")
+    if not os.path.exists(done_marker):
+        import shutil
+
+        shutil.rmtree(table_dir, ignore_errors=True)
+    table = SnapshotTable(table_dir)
+    junk = F.col("o_orderdate") >= "1997-01-01"
+    if not os.path.exists(done_marker):
+        stream = (
+            spark.readStream.schema(orders.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+
+        def land(batch, batch_id):
+            base = table.latest_snapshot_id() or 0
+            table.stage_append(batch, branch="audit", batch_id=batch_id)
+            if table.branch_head("audit") is None:
+                # batch_id already in the published lineage — a
+                # same-checkpoint replay; nothing staged, nothing to do
+                return
+            spark_b = batch.sparkSession
+
+            def staged():
+                # audit the INCREMENT, not the table: at 100 TB the gate
+                # must cost O(batch), and the branch ids are a contiguous
+                # append-only range above the published head
+                return table.read_incremental(
+                    spark_b, from_id=base, to_id=table.branch_head("audit")
+                )
+
+            ok = expect(
+                staged(),
+                junk,
+                "freshness",
+                f"batch {batch_id} carries post-1996 rows",
+            )
+            if not ok:
+                table.drop_branch("audit")
+                table.stage_append(
+                    batch.filter(~junk), branch="audit", batch_id=batch_id
+                )
+                expect(
+                    staged(),
+                    junk,
+                    "freshness",
+                    f"batch {batch_id} still dirty after remediation",
+                    fail=True,
+                )
+            table.publish_branch("audit")
+            global LAST_BATCH_PLAN
+            try:
+                LAST_BATCH_PLAN = (
+                    "== Physical Plan ==\n"
+                    + batch._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:
+                pass
+
+        with _checkpoint_dir(None, "ckpt_wap_ingest_") as ckpt:
+            (
+                stream.writeStream.foreachBatch(land)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+        open(done_marker, "a").close()
+    return (
+        table.read_as_of(spark)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
