@@ -735,3 +735,27 @@ def test_epoch_shuffle_balanced_and_epoch_sensitive(spark):
     # the reshuffle actually reshuffles: shard checksums differ
     cks = {e: sorted(r.h_checksum for r in rs) for e, rs in by_epoch.items()}
     assert cks[1] != cks[2]
+
+
+def test_unimax_waterfill_invariants(spark):
+    """UniMax allocation laws: (a) every allocation respects the epoch
+    cap, (b) saturated languages take exactly their capacity, (c) all
+    non-saturated languages share ONE water level, and (d) the budget
+    is exactly exhausted whenever at least one language is unsaturated
+    (waterfill conservation)."""
+    from ug_dwh_etl_spark.queries.registry import QUERIES
+    from ug_dwh_etl_spark.queries.textstats import _UNIMAX_BUDGET_EPOCHS
+
+    rows = QUERIES["corpus_unimax_budget"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "no languages"
+    budget = sum(r.n_chars for r in rows) * _UNIMAX_BUDGET_EPOCHS
+    for r in rows:
+        assert r.alloc_chars <= r.capacity + 1e-6
+        if r.saturated:
+            assert r.alloc_chars == pytest.approx(float(r.capacity))
+    levels = {round(r.alloc_chars, 4) for r in rows if not r.saturated}
+    assert len(levels) <= 1, f"non-saturated languages at different levels: {levels}"
+    if levels:  # someone absorbs the leftover -> budget exactly spent
+        assert sum(r.alloc_chars for r in rows) == pytest.approx(budget, rel=1e-9)

@@ -86,6 +86,12 @@ EXPECTED_NESTED_LOOP = {
     "text_pmi_bigrams",
     # two 1-row scalars (corpus total, normalizer) on the 5-row lang table
     "corpus_mixture_weights",
+    # 1-row budget scalar cross-joined onto the 5-row lang capacity table
+    "corpus_unimax_budget",
+    # 1-row est/exact scalar frames cross-joined into the audit rows;
+    # 64-row register spine left-broadcast-joined (HLL fold)
+    "sketch_hll_cardinality",
+    "sketch_hll_daily_merge",
     # same scalar chain feeding the 5-row broadcast rate table
     "corpus_weighted_sample",
     # 9-quantile 1-row cutpoint frame broadcast onto per-customer RFM
@@ -277,6 +283,7 @@ EXPECTED_GLOBAL_WINDOW: dict[str, str] = {
     "text_bm25_topdocs": "rank over the 20 TakeOrdered survivors",
     "text_bpe_merges": "rank over the character-pair relation (<= |alphabet|^2)",
     "text_bpe_apply_merge": "winner rank over the character-pair relation",
+    "corpus_unimax_budget": "waterfill rank/prefix/level over the lang-cardinality capacity table",
     "text_ndcg_bm25": "DCG/IDCG position windows over <=10-row frames",
     "fit_auc_roc": "ROC cumulates over the 10-bin table",
     "fit_boost_stump": "threshold scan over the <=50-row candidate curve",

@@ -469,50 +469,69 @@ def strongly_connected_components(
             "node", F.lit("0").alias("color")
         ).localCheckpoint(eager=True)
 
-        def dir_min(ea: DataFrame, act: DataFrame, forward: bool) -> DataFrame:
+        def dirs_min(ea: DataFrame, act: DataFrame) -> DataFrame:
             # min-label propagation to a verified fixpoint: m(u) folds in
-            # the out-neighbor minima (forward) or in-neighbor minima
-            # (backward) until nothing changes. TWO hops per driver
-            # round-trip: the loop's cost on a |V|-label state is job
-            # overhead, not data, so batching steps between the
-            # checkpoint+convergence actions halves wall time; the
-            # fixpoint test stays exact (a no-change double step implies
-            # a no-change single step).
+            # the out-neighbor minima (dir='f') or in-neighbor minima
+            # (dir='b') until nothing changes. Both directions run FUSED
+            # in one (node, dir)-keyed state over the per-direction edge
+            # union — the per-key computations are independent, so the
+            # fused fixpoint is identical to two separate loops, but each
+            # double-step + convergence test is ONE job instead of two
+            # (the loop's cost on a |V|-label state is job overhead, not
+            # data; round-10 cut of the graph_scc wall time). TWO hops
+            # per driver round-trip for the same reason; the fixpoint
+            # test stays exact (a no-change double step implies a
+            # no-change single step — and a direction that converges
+            # first just no-ops its extra steps, min is idempotent).
+            e2 = (
+                ea.select("s", "d", F.lit("f").alias("dir"))
+                .unionByName(
+                    ea.select(
+                        F.col("d").alias("s"),
+                        F.col("s").alias("d"),
+                        F.lit("b").alias("dir"),
+                    )
+                )
+                .localCheckpoint(eager=True)
+            )
+
             def step(m: DataFrame) -> DataFrame:
-                # the label table is |V|-sized — broadcast it into the
+                # the label table is 2|V|-sized — broadcast it into the
                 # edge join so the (checkpointed, partitioned) edge
                 # relation never reshuffles: one shuffle per step (the
                 # groupBy) instead of three. At cluster scale, swap the
                 # broadcasts for a co-located join on pre-bucketed edges.
-                if forward:
-                    pulled = (
-                        ea.join(F.broadcast(m), ea["d"] == m["node"])
-                        .groupBy(F.col("s").alias("n2"))
-                        .agg(F.min("m").alias("nm"))
+                pulled = (
+                    e2.join(
+                        F.broadcast(m),
+                        (e2["d"] == m["node"]) & (e2["dir"] == m["dr"]),
                     )
-                else:
-                    pulled = (
-                        ea.join(F.broadcast(m), ea["s"] == m["node"])
-                        .groupBy(F.col("d").alias("n2"))
-                        .agg(F.min("m").alias("nm"))
-                    )
+                    .groupBy(F.col("s").alias("n2"), e2["dir"].alias("dr2"))
+                    .agg(F.min("m").alias("nm"))
+                )
                 return m.join(
-                    F.broadcast(pulled), m["node"] == pulled["n2"], "left"
+                    F.broadcast(pulled),
+                    (m["node"] == pulled["n2"]) & (m["dr"] == pulled["dr2"]),
+                    "left",
                 ).select(
                     "node",
+                    "dr",
                     F.least(
                         F.col("m"), F.coalesce(F.col("nm"), F.col("m"))
                     ).alias("m"),
                 )
 
-            m = act.select("node", F.col("node").alias("m"))
+            m = act.select(
+                "node", F.col("node").alias("m")
+            ).withColumn("dr", F.explode(F.array(F.lit("f"), F.lit("b"))))
             for _ in range(max_rounds):
                 m2 = step(step(m)).localCheckpoint(eager=True)
                 changed = (
                     m2.alias("a")
                     .join(
                         F.broadcast(m.alias("b")),
-                        F.col("a.node") == F.col("b.node"),
+                        (F.col("a.node") == F.col("b.node"))
+                        & (F.col("a.dr") == F.col("b.dr")),
                     )
                     .filter(F.col("a.m") != F.col("b.m"))
                     .count()
@@ -523,8 +542,9 @@ def strongly_connected_components(
             return m
 
         settled_parts: list[DataFrame] = []
+        n_active = active.count()
         for _ in range(max_rounds):
-            if active.limit(1).count() == 0:
+            if n_active == 0:
                 break
             sa = active.select(F.col("node").alias("s"), F.col("color").alias("cs"))
             da = active.select(F.col("node").alias("d"), F.col("color").alias("cd"))
@@ -535,10 +555,11 @@ def strongly_connected_components(
                 .select("s", "d")
                 .localCheckpoint(eager=True)
             )
-            fwd = dir_min(ea, active, forward=True).select(
+            mm = dirs_min(ea, active)
+            fwd = mm.filter(F.col("dr") == "f").select(
                 "node", F.col("m").alias("fmin")
             )
-            bwd = dir_min(ea, active, forward=False).select(
+            bwd = mm.filter(F.col("dr") == "b").select(
                 "node", F.col("m").alias("bmin")
             )
             lab = (
@@ -555,6 +576,10 @@ def strongly_connected_components(
                 "node",
                 F.concat_ws("|", "color", "fmin", "bmin").alias("color"),
             ).localCheckpoint(eager=True)
+            # the re-color filter already materialized the survivors —
+            # count them here instead of paying a limit(1) job at the
+            # top of the next round
+            n_active = active.count()
         out = settled_parts[0]
         for p in settled_parts[1:]:
             out = out.unionByName(p)

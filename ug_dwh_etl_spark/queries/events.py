@@ -1304,6 +1304,184 @@ def sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- HyperLogLog (Flajolet et al. 2007) -----------------------------------------
+# m = 64 registers (b = 6): register j = h % 64, rho = leftmost-1
+# position of the remaining 54-bit word, computed EXACTLY via the binary
+# string length (bin(w) has floor(log2 w)+1 chars in BOTH engines — no
+# float log at any point). The indicator sum uses the integer identity
+# 2^-M = 2^(55-M) / 2^55, so SUM(shiftleft(1L, 55 - M)) is an exact
+# BIGINT (64 terms <= 2^55 -> < 2^62); the only float ops are one
+# division and the alpha constant, identical IEEE doubles both engines.
+# Small-range (linear-counting) correction when E <= 2.5m and zero
+# registers exist — the user_id scope lands in that branch (150 users,
+# ~6 empty registers), the event_id scope exercises the raw estimator.
+_HLL_M = 64
+_HLL_ALPHA_SQL = "(0.7213 / (1.0 + 1.079 / 64.0))"
+_HLL_POW55 = 1 << 55  # 2^55, the fixed-point scale of the register sum
+
+
+def _hll_reg_sql(val_expr: str, extra_group: str = "") -> str:
+    """CTE body: per-register max-rho over md5-hashed values. The 100 TB
+    shape is ONE map-side-combined groupBy over (group, j<=64) — the
+    sketch is 64 rows per group no matter how many input rows fold in."""
+    g = f"{extra_group}, " if extra_group else ""
+    h = f"('0x' || substr(md5({val_expr} || '|hll'), 1, 15))::BIGINT"
+    return (
+        f"SELECT {g}{h} % {_HLL_M} AS j, "
+        f"MAX(CASE WHEN {h} // {_HLL_M} = 0 THEN 55 "
+        f"ELSE 55 - length(bin({h} // {_HLL_M})) END) AS mreg "
+        f"FROM events GROUP BY {g}({h} % {_HLL_M})"
+    )
+
+
+_HLL_EST_SQL = f"""
+      CASE WHEN {_HLL_ALPHA_SQL} * 4096.0 * {_HLL_POW55}.0 / s <= 160.0 AND v > 0
+           THEN 64.0 * ln(64.0 / v)
+           ELSE {_HLL_ALPHA_SQL} * 4096.0 * {_HLL_POW55}.0 / s END"""
+
+
+def _hll_registers(df: DataFrame, val: F.Column, *groups: str) -> DataFrame:
+    """Spark twin of _hll_reg_sql: (groups..., j, mreg) register relation."""
+    from ug_dwh_etl_spark.operators.hashing import md5_long
+
+    h = md5_long(F.concat(val.cast("string"), F.lit("|hll")))
+    w = F.expr(f"h div {_HLL_M}")
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.lit(55) - F.length(F.bin(w))
+    )
+    return (
+        df.select(*groups, h.alias("h"))
+        .select(*groups, F.pmod("h", F.lit(_HLL_M)).alias("j"), rho.alias("rho"))
+        .groupBy(*groups, "j")
+        .agg(F.max("rho").alias("mreg"))
+    )
+
+
+def _hll_estimate(spark: SparkSession, regs: DataFrame) -> DataFrame:
+    """Fold a 64-row register relation into the 1-row (est, v) frame —
+    zero registers materialized via the broadcast 64-row spine."""
+    spine = spark.range(_HLL_M).select(F.col("id").alias("j"))
+    full = spine.join(F.broadcast(regs), "j", "left").select(
+        F.coalesce("mreg", F.lit(0)).alias("mreg")
+    )
+    sums = full.agg(
+        F.sum(F.expr("shiftleft(1L, 55 - mreg)")).alias("s"),
+        F.sum(F.when(F.col("mreg") == 0, 1).otherwise(0)).alias("v"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / 64.0)
+    raw = F.lit(alpha) * F.lit(4096.0) * F.lit(float(_HLL_POW55)) / F.col("s")
+    est = F.when(
+        (raw <= 160.0) & (F.col("v") > 0),
+        F.lit(64.0) * F.log(F.lit(64.0) / F.col("v")),
+    ).otherwise(raw)
+    return sums.select(est.alias("est"), F.col("v").cast("long").alias("zero_regs"))
+
+
+@register(
+    "sketch_hll_cardinality",
+    f"""
+    WITH spine AS (SELECT range AS j FROM range({_HLL_M})),
+    r_ev AS ({_hll_reg_sql("event_id::VARCHAR")}),
+    r_us AS ({_hll_reg_sql("user_id::VARCHAR")}),
+    f_ev AS (SELECT spine.j, COALESCE(r_ev.mreg, 0) AS mreg FROM spine LEFT JOIN r_ev ON spine.j = r_ev.j),
+    f_us AS (SELECT spine.j, COALESCE(r_us.mreg, 0) AS mreg FROM spine LEFT JOIN r_us ON spine.j = r_us.j),
+    s_ev AS (SELECT SUM(1::BIGINT << (55 - mreg)) AS s, SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v FROM f_ev),
+    s_us AS (SELECT SUM(1::BIGINT << (55 - mreg)) AS s, SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v FROM f_us),
+    e_ev AS (SELECT {_HLL_EST_SQL} AS est, v FROM s_ev),
+    e_us AS (SELECT {_HLL_EST_SQL} AS est, v FROM s_us),
+    x AS (SELECT COUNT(DISTINCT event_id) AS x_ev, COUNT(DISTINCT user_id) AS x_us FROM events)
+    SELECT 'event_id' AS scope, ROUND(e.est, 4) AS est,
+           CAST(x.x_ev AS BIGINT) AS exact,
+           ROUND(ABS(e.est - x.x_ev) / x.x_ev, 6) AS rel_err,
+           CAST(e.v AS BIGINT) AS zero_regs
+    FROM e_ev e, x
+    UNION ALL
+    SELECT 'user_id', ROUND(e.est, 4), CAST(x.x_us AS BIGINT),
+           ROUND(ABS(e.est - x.x_us) / x.x_us, 6), CAST(e.v AS BIGINT)
+    FROM e_us e, x
+    """,
+)
+def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality over two scopes: event_id (high cardinality, raw
+    estimator) and user_id (small range — exercises the linear-counting
+    correction). Audited against the exact distinct counts. At 100 TB
+    each sketch is one map-side-combined groupBy folding the whole scan
+    into 64 rows; nothing downstream of it touches data-sized relations."""
+    ev = table(spark, sf_dir, "events")
+
+    def one(scope: str, val: str) -> DataFrame:
+        est = _hll_estimate(spark, _hll_registers(ev, F.col(val)))
+        exact = ev.agg(F.countDistinct(val).alias("exact"))
+        return (
+            est.crossJoin(F.broadcast(exact))
+            .select(
+                F.lit(scope).alias("scope"),
+                F.round("est", 4).alias("est"),
+                F.col("exact").cast("long").alias("exact"),
+                F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+                    "rel_err"
+                ),
+                "zero_regs",
+            )
+        )
+
+    return one("event_id", "event_id").unionAll(one("user_id", "user_id"))
+
+
+@register(
+    "sketch_hll_daily_merge",
+    f"""
+    WITH spine AS (SELECT range AS j FROM range({_HLL_M})),
+    rd AS ({_hll_reg_sql("event_id::VARCHAR", "date_trunc('day', ts)")}),
+    merged AS (SELECT j, MAX(mreg) AS mreg FROM rd GROUP BY j),
+    f AS (SELECT spine.j, COALESCE(merged.mreg, 0) AS mreg FROM spine LEFT JOIN merged ON spine.j = merged.j),
+    sums AS (SELECT SUM(1::BIGINT << (55 - mreg)) AS s, SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v FROM f),
+    e AS (SELECT {_HLL_EST_SQL} AS est, v FROM sums),
+    x AS (SELECT COUNT(DISTINCT event_id) AS exact,
+                 COUNT(DISTINCT date_trunc('day', ts)) AS n_days FROM events),
+    sk AS (SELECT COUNT(*) AS sketch_rows FROM rd)
+    SELECT ROUND(e.est, 4) AS est_union,
+           CAST(x.exact AS BIGINT) AS exact_union,
+           ROUND(ABS(e.est - x.exact) / x.exact, 6) AS rel_err,
+           CAST(x.n_days AS BIGINT) AS n_days,
+           CAST(sk.sketch_rows AS BIGINT) AS sketch_rows
+    FROM e, x, sk
+    """,
+)
+def sketch_hll_daily_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL MERGEABILITY — the property that makes the sketch the 100 TB
+    distinct-count answer: per-day 64-register sketches (the nightly
+    artifact a warehouse stores per partition) merge by register-wise
+    MAX into the sketch of the union, so a month-over-any-window distinct
+    query reads days x 64 rows, never the raw events. Audited against
+    the exact distinct over the union; sketch_rows records the merge
+    input size."""
+    ev = table(spark, sf_dir, "events")
+    rd = _hll_registers(
+        ev.withColumn("d", F.date_trunc("day", "ts")), F.col("event_id"), "d"
+    )
+    merged = rd.groupBy("j").agg(F.max("mreg").alias("mreg"))
+    est = _hll_estimate(spark, merged)
+    x = ev.agg(
+        F.countDistinct("event_id").alias("exact"),
+        F.countDistinct(F.date_trunc("day", "ts")).alias("n_days"),
+    )
+    sk = rd.agg(F.count(F.lit(1)).alias("sketch_rows"))
+    return (
+        est.crossJoin(F.broadcast(x))
+        .crossJoin(F.broadcast(sk))
+        .select(
+            F.round("est", 4).alias("est_union"),
+            F.col("exact").cast("long").alias("exact_union"),
+            F.round(F.abs(F.col("est") - F.col("exact")) / F.col("exact"), 6).alias(
+                "rel_err"
+            ),
+            F.col("n_days").cast("long").alias("n_days"),
+            F.col("sketch_rows").cast("long").alias("sketch_rows"),
+        )
+    )
+
+
 @register(
     "events_cusum_changepoint",
     """

@@ -843,6 +843,104 @@ def corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- UniMax waterfilled token budget -------------------------------------------
+# UniMax (Chung et al. 2023): instead of temperature scaling, allocate a
+# fixed training budget UNIFORMLY across languages subject to a per-
+# language epoch cap — a saturated (low-resource) language takes its full
+# capacity n_l * cap_epochs, and its unused share waterfills into the
+# languages that can still absorb it. The waterfill has a sorted closed
+# form (no iteration): ascending by capacity with prefix sums S_i, the
+# candidate level at rank i is L_i = (B - S_{i-1}) / (k - i + 1); a
+# language saturates iff c_i < L_i (the predicate is monotone), and every
+# non-saturated language receives the level of the FIRST non-saturated
+# rank. Budget here = 3.5x the corpus (mean 3.5 epochs), cap = 4 epochs
+# (past the ~4-epoch cliff repetition stops helping — Muennighoff et al.).
+_UNIMAX_EPOCH_CAP = 4
+_UNIMAX_BUDGET_EPOCHS = 3.5
+
+
+@register(
+    "corpus_unimax_budget",
+    f"""
+    WITH counts AS (SELECT lang, SUM(n_chars) AS n_chars FROM documents GROUP BY lang),
+    tot AS (SELECT SUM(n_chars) * {_UNIMAX_BUDGET_EPOCHS} AS budget, COUNT(*) AS k FROM counts),
+    ranked AS (
+      SELECT lang, n_chars, n_chars * {_UNIMAX_EPOCH_CAP} AS capacity, t.budget, t.k,
+             ROW_NUMBER() OVER (ORDER BY n_chars * {_UNIMAX_EPOCH_CAP}, lang) AS rk,
+             COALESCE(SUM(n_chars * {_UNIMAX_EPOCH_CAP}) OVER (
+               ORDER BY n_chars * {_UNIMAX_EPOCH_CAP}, lang
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+      FROM counts, tot t),
+    lev AS (
+      SELECT *, (budget - prefix) / (k - rk + 1) AS level,
+             capacity < (budget - prefix) / (k - rk + 1) AS saturated
+      FROM ranked),
+    wat AS (SELECT MIN(CASE WHEN NOT saturated THEN rk END) AS mrk FROM lev),
+    wlevel AS (SELECT l.level AS water FROM lev l, wat WHERE l.rk = wat.mrk)
+    SELECT l.lang,
+           CAST(l.n_chars AS BIGINT) AS n_chars,
+           CAST(l.capacity AS BIGINT) AS capacity,
+           ROUND(CASE WHEN l.saturated THEN l.capacity::DOUBLE
+                      ELSE LEAST(l.capacity::DOUBLE, w.water) END, 4) AS alloc_chars,
+           ROUND(CASE WHEN l.saturated THEN l.capacity::DOUBLE
+                      ELSE LEAST(l.capacity::DOUBLE, w.water) END / l.n_chars, 6) AS epochs,
+           l.saturated
+    FROM lev l LEFT JOIN wlevel w ON TRUE
+    """,
+)
+def corpus_unimax_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation: uniform-with-cap waterfill of a training
+    budget over languages (see block comment above for the closed form).
+    Cost shape at 100 TB: ONE map-side-combined groupBy(lang) over the
+    corpus; every window below it runs on the lang-cardinality tail
+    (~10^2 rows), so the waterfill itself is free — no iteration, no
+    driver loop, no data-sized window."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.sum("n_chars").alias("n_chars"))
+    tot = counts.agg(
+        (F.sum("n_chars") * F.lit(_UNIMAX_BUDGET_EPOCHS)).alias("budget"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    w = Window.orderBy("capacity", "lang")
+    lev = (
+        counts.withColumn(
+            "capacity", F.col("n_chars") * F.lit(_UNIMAX_EPOCH_CAP)
+        )
+        .crossJoin(F.broadcast(tot))
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "prefix",
+            F.coalesce(
+                F.sum("capacity").over(
+                    w.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .withColumn(
+            "level",
+            (F.col("budget") - F.col("prefix")) / (F.col("k") - F.col("rk") + 1),
+        )
+        .withColumn("saturated", F.col("capacity") < F.col("level"))
+    )
+    water = F.min(
+        F.when(~F.col("saturated"), F.struct("rk", "level"))
+    ).over(Window.partitionBy())["level"]
+    alloc = F.when(
+        F.col("saturated"), F.col("capacity").cast("double")
+    ).otherwise(F.least(F.col("capacity").cast("double"), water))
+    return lev.select(
+        "lang",
+        "n_chars",
+        "capacity",
+        F.round(alloc, 4).alias("alloc_chars"),
+        F.round(alloc / F.col("n_chars"), 6).alias("epochs"),
+        "saturated",
+    )
+
+
 # --- per-language token-length deciles ----------------------------------------
 @register(
     "doc_length_deciles",
