@@ -1784,6 +1784,21 @@ _POIS_CDF = (
     "0.999405815182",
 )
 
+# Per-replicate uniforms come from ONE md5 seed per row pushed through
+# B integer permutations ((seed*a_r + b_r) mod P)/P — the MinHash-perm
+# discipline (operators/hashing.py: a < 2^20 so seed*a < 2^52, no int64
+# overflow under ANSI mode). One hash per row instead of one per
+# (row, replicate) — md5 WAS 32/33rds of this query's scan cost.
+_BOOT_P = 4294967311  # = hashing.MINHASH_PRIME
+_boot_rng = __import__("random").Random(20241031)
+_BOOT_COEFFS = [
+    (_boot_rng.randrange(1, 1 << 20) | 1, _boot_rng.randrange(0, _BOOT_P))
+    for _ in range(_BOOT_B)
+]
+_BOOT_VALUES_SQL = ", ".join(
+    f"({r}, {a}, {b})" for r, (a, b) in enumerate(_BOOT_COEFFS)
+)
+
 
 def _boot_weight_sql(u: str) -> str:
     return " + ".join(f"CASE WHEN {u} >= {c} THEN 1 ELSE 0 END" for c in _POIS_CDF)
@@ -1792,11 +1807,15 @@ def _boot_weight_sql(u: str) -> str:
 @register(
     "sample_bootstrap_ci",
     f"""
-    WITH reps AS (
-      SELECT o_totalprice, r,
-             ('0x' || substr(md5(o_orderkey::VARCHAR || '|' || r::VARCHAR || '|boot'),
-                             1, 15))::BIGINT / 1152921504606846976.0 AS u
-      FROM orders, (SELECT unnest(generate_series(0, {_BOOT_B - 1})) AS r)),
+    WITH seeds AS (
+      SELECT o_totalprice,
+             ('0x' || substr(md5(o_orderkey::VARCHAR || '|boot'), 1, 15))::BIGINT
+               % {_BOOT_P} AS seed
+      FROM orders),
+    reps AS (
+      SELECT o_totalprice, c.r,
+             ((seed * c.a + c.b) % {_BOOT_P}) / {_BOOT_P}.0 AS u
+      FROM seeds, (VALUES {_BOOT_VALUES_SQL}) AS c(r, a, b)),
     weighted AS (
       SELECT r, o_totalprice, {_boot_weight_sql('u')} AS w FROM reps),
     means AS (
@@ -1815,30 +1834,44 @@ def sample_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     with replacement (a shuffle per replicate), every row draws its own
     Poisson(1) multiplicity per replicate from a DETERMINISTIC hash
     uniform, which converges to the multinomial bootstrap for large n.
-    All {_BOOT_B} replicates compute in ONE scan (explode × B is
-    map-side) and one partial-aggregated groupBy(r); the CI is an exact
-    percentile over B driver-sized rows. Deterministic hashing makes
-    the 'random' replicates engine-exact, so the whole CI matches the
-    oracle to the rounding digit."""
+    All {_BOOT_B} replicates compute in ONE scan (one md5 seed per row,
+    B integer permutations exploded map-side) and one partial-aggregated
+    groupBy(r); the CI is an exact percentile over B driver-sized rows.
+    Deterministic hashing makes the 'random' replicates engine-exact,
+    so the whole CI matches the oracle to the rounding digit."""
     orders = table(spark, sf_dir, "orders")
     from ug_dwh_etl_spark.operators.hashing import md5_long
 
-    reps = orders.select(
-        "o_orderkey", "o_totalprice", F.explode(F.sequence(F.lit(0), F.lit(_BOOT_B - 1))).alias("r")
+    seed = F.pmod(
+        md5_long(F.concat(F.col("o_orderkey").cast("string"), F.lit("|boot"))),
+        F.lit(_BOOT_P),
     )
-    u = (
-        md5_long(
-            F.concat(
-                F.col("o_orderkey").cast("string"),
-                F.lit("|"),
-                F.col("r").cast("string"),
-                F.lit("|boot"),
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), F.lit(a).alias("a"), F.lit(b).alias("b")
             )
+            for r, (a, b) in enumerate(_BOOT_COEFFS)
+        ]
+    )
+    reps = (
+        orders.select("o_totalprice", seed.alias("seed"))
+        .select("o_totalprice", "seed", F.explode(coeffs).alias("c"))
+        .select(
+            "o_totalprice",
+            F.col("c.r").alias("r"),
+            (
+                F.pmod(
+                    F.col("seed") * F.col("c.a") + F.col("c.b"),
+                    F.lit(_BOOT_P),
+                )
+                / F.lit(float(_BOOT_P))
+            ).alias("u"),
         )
-        / F.lit(1152921504606846976.0)
     )
     w = sum(
-        (F.when(u >= float(c), 1).otherwise(0) for c in _POIS_CDF), F.lit(0)
+        (F.when(F.col("u") >= float(c), 1).otherwise(0) for c in _POIS_CDF),
+        F.lit(0),
     )
     means = reps.withColumn("w", w).groupBy("r").agg(
         F.sum("w").alias("sw"),
