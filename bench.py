@@ -426,8 +426,17 @@ def main() -> None:
             if e["built"]:
                 artifact_builds[e["name"]] = e["secs"]
 
+    import gc
+
     for name in HEADLINE:
         fn = QUERIES[name].fn
+        # release the previous query's dead DataFrame references NOW so
+        # the ContextCleaner drops their localCheckpoint/persist blocks
+        # before this query is timed — without it a 400-query session
+        # accumulates every iterative operator's checkpoint generations
+        # in executor storage and later queries time 2-3x over their
+        # isolated cost (observed on graph_personalized_pagerank)
+        gc.collect()
         la = round(os.getloadavg()[0], 2)
         # best-of-2, then up to QUIET_RETRIES extra attempts while the
         # BEST run so far was externally loud — the gate enforces quiet

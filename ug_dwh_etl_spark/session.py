@@ -67,6 +67,15 @@ def get_spark(app_name: str = "ug-dwh-etl-spark", master: str | None = None) -> 
             "spark.driver.extraJavaOptions",
             "-Dderby.system.home=/tmp/derby -XX:ReservedCodeCacheSize=512m",
         )
+        # ContextCleaner only drops unreferenced persist/localCheckpoint
+        # blocks after a JVM GC proves them unreachable; the default
+        # periodic-GC interval is 30min, so a long multi-query session
+        # (the bench, a notebook, a daily driver) accumulates every
+        # iterative operator's checkpoint generations in executor
+        # storage for up to half an hour — observed as 2-3x timing noise
+        # on queries that run late in the session. 2min bounds the
+        # backlog at negligible GC cost (one System.gc() per interval).
+        .config("spark.cleaner.periodicGC.interval", "2min")
     )
     if master is not None:
         builder = builder.master(master)
