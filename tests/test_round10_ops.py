@@ -759,3 +759,61 @@ def test_unimax_waterfill_invariants(spark):
     assert len(levels) <= 1, f"non-saturated languages at different levels: {levels}"
     if levels:  # someone absorbs the leftover -> budget exactly spent
         assert sum(r.alloc_chars for r in rows) == pytest.approx(budget, rel=1e-9)
+
+
+def test_partition_spec_evolution(spark, tmp_path):
+    """Iceberg partition evolution: dir 1 unpartitioned, dir 2 written
+    under an identity day-spec, dir 3 under a (day, region) spec — old
+    dirs are never rewritten, reads reconcile all three layouts to ONE
+    schema with partition values restored and re-typed from the tracked
+    schema (not directory-name inference), and manifest-stats pruning
+    keeps working across mixed specs."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    def mk(lo, hi, day, region):
+        return spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            F.lit(day).alias("day"),
+            F.lit(region).alias("region"),
+            (F.col("id") * 10).alias("v"),
+        )
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.commit_overwrite(mk(0, 100, "2024-01-01", "eu"), stats_cols=("k",))
+    t.commit_append(
+        mk(100, 200, "2024-01-02", "us"),
+        stats_cols=("k",),
+        partition_by=("day",),
+    )
+    t.commit_append(
+        mk(200, 300, "2024-01-03", "ap"),
+        stats_cols=("k",),
+        partition_by=("day", "region"),
+    )
+    df = t.read_as_of(spark)
+    # one logical schema across three physical layouts, day stays STRING
+    assert [f.name for f in df.schema.fields] == ["k", "day", "region", "v"]
+    assert dict(df.dtypes)["day"] == "string"
+    rows = {r.k: (r.day, r.region, r.v) for r in df.collect()}
+    assert len(rows) == 300
+    assert rows[50] == ("2024-01-01", "eu", 500)
+    assert rows[150] == ("2024-01-02", "us", 1500)
+    assert rows[250] == ("2024-01-03", "ap", 2500)
+
+    # stats pruning spans mixed specs: a [120, 130] scan reads only the
+    # day-spec dir's files, never dir 1 or dir 3
+    pruned, files_read, files_total = t.scan_pruned(spark, "k", "120", "130")
+    got = sorted(r.k for r in pruned.filter(
+        (F.col("k") >= 120) & (F.col("k") <= 130)).collect())
+    assert got == list(range(120, 131))
+    assert 0 < files_read < files_total
+
+    # spec evolution composes with merge-on-read deletes: upsert into
+    # the partitioned era, read back reconciled
+    t.commit_merge_on_read(
+        mk(150, 160, "2024-01-02", "us").withColumn("v", F.lit(-1)),
+        key_cols=["k"],
+        stats_cols=("k",),
+    )
+    got2 = {r.k: r.v for r in t.read_as_of(spark).collect()}
+    assert len(got2) == 300 and got2[155] == -1 and got2[50] == 500

@@ -266,6 +266,7 @@ class SnapshotTable:
         delete_keys: tuple[DataFrame, list[str]] | None = None,
         bloom_cols: tuple[str, ...] = (),
         branch: str | None = None,
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         # a branch commit chains off the branch head (or current LATEST
         # for a fresh branch) and lands its id in the BRANCH pointer —
@@ -322,7 +323,17 @@ class SnapshotTable:
             ),
         ) + 1
         rel_dir = os.path.join("data", f"s{new_id}-{uuid.uuid4().hex[:8]}")
-        df.write.parquet(os.path.join(self.root, rel_dir))
+        # PARTITION SPEC EVOLUTION (Iceberg): each data dir carries the
+        # spec it was WRITTEN under; changing the spec affects only new
+        # dirs — old data is never rewritten, and reads reconcile mixed
+        # layouts per-dir (partition columns restored from directory
+        # names and cast back to the tracked schema type, never left to
+        # inference). Pruning is spec-agnostic: per-file manifest stats
+        # cover identity-partition columns like any other column.
+        writer = df.write
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(os.path.join(self.root, rel_dir))
         # field-id schema tracking (Iceberg schema evolution): every
         # manifest carries the CURRENT schema as [{id, name, type}] and a
         # per-data-dir {field_id -> physical column name} map recording
@@ -339,11 +350,15 @@ class SnapshotTable:
         )
         id_by_name = {f["name"]: f["id"] for f in schema}
         dir_cols: dict[str, dict[str, str]] = {}
+        specs: dict[str, list[str]] = {}
         if parent is not None and operation in ("append", "merge_on_read"):
             dir_cols.update(self.manifest(parent).get("dir_cols", {}))
+            specs.update(self.manifest(parent).get("specs", {}))
         dir_cols[rel_dir] = {
             str(id_by_name[fld.name]): fld.name for fld in df.schema.fields
         }
+        if partition_by:
+            specs[rel_dir] = list(partition_by)
         dirs: list[str] = []
         files: list[dict] = []
         # merge-on-read bookkeeping (Iceberg v2 sequence-number model):
@@ -425,6 +440,7 @@ class SnapshotTable:
             "deletes": deletes,
             "schema": schema,
             "dir_cols": dir_cols,
+            "specs": specs,
             "last_field_id": last_field_id,
             # full ancestry batch-id map — carried through EVERY commit
             # (appends, overwrites, compactions) so expiry cannot shrink
@@ -456,12 +472,18 @@ class SnapshotTable:
         df: DataFrame,
         stats_cols: tuple[str, ...] = (),
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """The reference's ``if_exists='replace'`` with history kept.
         ``stats_cols`` adds per-file min/max manifest stats for
         ``scan_pruned``; ``bloom_cols`` adds per-file Bloom bitmaps for
-        ``scan_point``."""
-        return self._commit(df, "overwrite", stats_cols, bloom_cols=bloom_cols)
+        ``scan_point``; ``partition_by`` writes the dir under an
+        identity partition spec (see partition-spec evolution note in
+        :meth:`_commit`)."""
+        return self._commit(
+            df, "overwrite", stats_cols, bloom_cols=bloom_cols,
+            partition_by=partition_by,
+        )
 
     def commit_append(
         self,
@@ -469,12 +491,16 @@ class SnapshotTable:
         stats_cols: tuple[str, ...] = (),
         batch_id: int | None = None,
         bloom_cols: tuple[str, ...] = (),
+        partition_by: tuple[str, ...] = (),
     ) -> int:
         """The reference's ``if_exists='append'``: the new snapshot sees
         the parent's data dirs plus the new one — no rewrite of old data.
-        ``batch_id`` makes the commit idempotent for streaming replays."""
+        ``batch_id`` makes the commit idempotent for streaming replays.
+        ``partition_by`` evolves the partition spec for THIS dir only —
+        prior dirs keep their layout (Iceberg partition evolution)."""
         return self._commit(
-            df, "append", stats_cols, batch_id, bloom_cols=bloom_cols
+            df, "append", stats_cols, batch_id, bloom_cols=bloom_cols,
+            partition_by=partition_by,
         )
 
     # -- write-audit-publish ---------------------------------------------------
@@ -676,6 +702,7 @@ class SnapshotTable:
             "deletes": pm.get("deletes", []),
             "schema": schema,
             "dir_cols": pm.get("dir_cols", {}),
+            "specs": pm.get("specs", {}),
             "last_field_id": (
                 self._last_field_id(pm)
                 if last_field_id is None
@@ -758,8 +785,13 @@ class SnapshotTable:
         """True iff ``rel_dir``'s physical columns differ from the
         manifest's current schema — a rename happened, a column was
         added after the dir was written (null back-fill needed), or a
-        column was dropped (physical data to hide). Legacy dirs with no
-        recorded dir_cols read on the plain path."""
+        column was dropped (physical data to hide) — or the dir was
+        written under a partition spec (partition columns must be
+        restored from directory names and re-typed, which the plain
+        multi-path scan cannot do across mixed layouts). Legacy dirs
+        with no recorded dir_cols read on the plain path."""
+        if (m.get("specs") or {}).get(rel_dir):
+            return True
         schema = m.get("schema")
         if not schema:
             return False
@@ -778,10 +810,21 @@ class SnapshotTable:
         alias-only), fields the dir predates become typed nulls, and
         dropped fields simply aren't selected — the projection is plan
         metadata, so Parquet column pruning still reads only the
-        physical columns that survive it."""
+        physical columns that survive it. A dir written under a
+        partition spec reads with basePath anchored at the dir root, so
+        a file-level pruned read still restores its partition-column
+        values from the directory names; restored columns are CAST back
+        to the tracked schema type (Iceberg types partition values by
+        the table schema — directory-name inference must never decide)."""
         import pyspark.sql.functions as F
 
-        df = spark.read.parquet(*paths)
+        spec = (m.get("specs") or {}).get(rel_dir) or []
+        reader = spark.read
+        if spec:
+            reader = reader.option(
+                "basePath", os.path.join(self.root, rel_dir)
+            )
+        df = reader.parquet(*paths)
         schema = m.get("schema")
         phys = (m.get("dir_cols") or {}).get(rel_dir)
         if not schema or phys is None:
@@ -791,6 +834,8 @@ class SnapshotTable:
             p = phys.get(str(f["id"]))
             if p is None:
                 cols.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+            elif p in spec:
+                cols.append(F.col(p).cast(f["type"]).alias(f["name"]))
             elif p == f["name"]:
                 cols.append(F.col(p))
             else:
@@ -1179,6 +1224,19 @@ class SnapshotTable:
             return tag(self.read_as_of(spark, to_id).limit(0), "insert", 0)
         return out
 
+    @staticmethod
+    def _data_dir_of(m: dict, rel_path: str) -> str:
+        """The data dir a file rel-path belongs to. os.path.dirname is
+        only right for flat dirs — a partition-spec dir nests files
+        under key=value subdirs, so resolve by longest matching
+        data_dirs prefix instead (falls back to dirname for paths of
+        dirs the manifest doesn't list, e.g. in tests)."""
+        best = ""
+        for d in m.get("data_dirs", []):
+            if rel_path.startswith(d + os.sep) and len(d) > len(best):
+                best = d
+        return best or os.path.dirname(rel_path)
+
     def scan_pruned(
         self,
         spark: SparkSession,
@@ -1208,7 +1266,7 @@ class SnapshotTable:
         # data dirs from commits made WITHOUT stats_cols never appear in
         # the files list — read them wholesale, never silently drop them
         # (conservative = keep anything the stats can't prune)
-        covered = {os.path.dirname(f["file"]) for f in files}
+        covered = {self._data_dir_of(m, f["file"]) for f in files}
         unstated = [d for d in m["data_dirs"] if d not in covered]
         keep = []
         for f in files:
@@ -1220,7 +1278,7 @@ class SnapshotTable:
         # as read_as_of; a no-deletes manifest reads paths directly)
         paths_by_dir: dict[str, list[str]] = {}
         for p in keep:
-            paths_by_dir.setdefault(os.path.dirname(p), []).append(
+            paths_by_dir.setdefault(self._data_dir_of(m, p), []).append(
                 os.path.join(self.root, p)
             )
         for d in unstated:
@@ -1228,9 +1286,15 @@ class SnapshotTable:
         # metrics count ACTUAL parquet files everywhere — a stats-less
         # data dir holds many part files, and counting it as one unit
         # would understate the pruning ratio (data results are the same
-        # either way; only the files_read/files_total report cares)
+        # either way; only the files_read/files_total report cares);
+        # recursive glob covers partition-spec dirs' nested layout
         n_unstated = sum(
-            len(glob.glob(os.path.join(self.root, d, "*.parquet")))
+            len(
+                glob.glob(
+                    os.path.join(self.root, d, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
             for d in unstated
         )
         total = len(files) + n_unstated
@@ -1283,17 +1347,22 @@ class SnapshotTable:
             return False
 
         keep = [f["file"] for f in files if not pruned(f)]
-        covered = {os.path.dirname(f["file"]) for f in files}
+        covered = {self._data_dir_of(m, f["file"]) for f in files}
         unstated = [d for d in m["data_dirs"] if d not in covered]
         paths_by_dir: dict[str, list[str]] = {}
         for p in keep:
-            paths_by_dir.setdefault(os.path.dirname(p), []).append(
+            paths_by_dir.setdefault(self._data_dir_of(m, p), []).append(
                 os.path.join(self.root, p)
             )
         for d in unstated:
             paths_by_dir.setdefault(d, []).append(os.path.join(self.root, d))
         n_unstated = sum(
-            len(glob.glob(os.path.join(self.root, d, "*.parquet")))
+            len(
+                glob.glob(
+                    os.path.join(self.root, d, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
             for d in unstated
         )
         total = len(files) + n_unstated
@@ -1361,7 +1430,7 @@ class SnapshotTable:
             bm = base64.b64decode(b64)
             return all(bm[p // 8] & (1 << (p % 8)) for p in positions)
 
-        covered = {os.path.dirname(f["file"]) for f in files}
+        covered = {self._data_dir_of(m, f["file"]) for f in files}
         unstated = [d for d in m["data_dirs"] if d not in covered]
         keep = [
             f["file"]
@@ -1371,13 +1440,18 @@ class SnapshotTable:
         ]
         paths_by_dir: dict[str, list[str]] = {}
         for p in keep:
-            paths_by_dir.setdefault(os.path.dirname(p), []).append(
+            paths_by_dir.setdefault(self._data_dir_of(m, p), []).append(
                 os.path.join(self.root, p)
             )
         for d in unstated:
             paths_by_dir.setdefault(d, []).append(os.path.join(self.root, d))
         n_unstated = sum(
-            len(glob.glob(os.path.join(self.root, d, "*.parquet")))
+            len(
+                glob.glob(
+                    os.path.join(self.root, d, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
             for d in unstated
         )
         total = len(files) + n_unstated

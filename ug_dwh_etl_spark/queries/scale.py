@@ -1225,3 +1225,81 @@ def storage_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+@register(
+    "storage_partition_evolution",
+    """
+    WITH eras AS (
+      SELECT strftime(o_orderdate, '%Y') AS o_year, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderdate < DATE '1997-01-01')
+    SELECT o_year, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM eras GROUP BY o_year, o_orderstatus
+    """,
+)
+def storage_partition_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION SPEC EVOLUTION (Iceberg) on the snapshot table: three
+    eras of orders land under three DIFFERENT partition specs — commit 1
+    unpartitioned (the table's early life), commit 2 identity-partitioned
+    on o_year, commit 3 on (o_year, o_orderstatus) — with zero rewrites
+    of prior dirs; each data dir carries the spec it was written under
+    (operators/snapshot_table.py: manifest 'specs'), reads reconcile the
+    mixed layouts per-dir with partition values restored from directory
+    names and CAST back to the tracked schema type (never left to
+    directory-name inference), and manifest file stats keep pruning
+    spec-agnostically. The oracle computes the same aggregate straight
+    from orders — a hash match proves the layout change is invisible to
+    query results, which is the entire contract of partition evolution:
+    repartition the FUTURE of a 100 TB table (finer grain as it grows)
+    without a rewrite job over its past."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.date_format("o_orderdate", "yyyy")
+    ).select("o_orderkey", "o_year", "o_orderstatus", "o_totalprice", "o_orderdate")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_spec_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() != 3:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
+        t.commit_overwrite(
+            o.filter(F.col("o_orderdate") < "1994-01-01"), stats_cols=("o_orderdate",)
+        )
+        t.commit_append(
+            o.filter(
+                (F.col("o_orderdate") >= "1994-01-01")
+                & (F.col("o_orderdate") < "1996-01-01")
+            ),
+            stats_cols=("o_orderdate",),
+            partition_by=("o_year",),
+        )
+        t.commit_append(
+            o.filter(
+                (F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01")
+            ),
+            stats_cols=("o_orderdate",),
+            partition_by=("o_year", "o_orderstatus"),
+        )
+    return (
+        t.read_as_of(spark)
+        .groupBy("o_year", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
