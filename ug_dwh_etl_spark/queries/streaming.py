@@ -784,3 +784,32 @@ def q_stream_wap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.streaming.jobs import stream_wap_gated_ingest
 
     return stream_wap_gated_ingest(spark, sf_dir)
+
+
+def _hll_stream_oracle() -> str:
+    from ug_dwh_etl_spark.queries.events import (
+        _HLL_EST_SQL,
+        _HLL_M,
+        _hll_reg_sql,
+    )
+
+    return f"""
+    WITH spine AS (SELECT range AS j FROM range({_HLL_M})),
+    r AS ({_hll_reg_sql("event_id::VARCHAR")}),
+    f AS (SELECT spine.j, COALESCE(r.mreg, 0) AS mreg FROM spine LEFT JOIN r ON spine.j = r.j),
+    sums AS (SELECT SUM(1::BIGINT << (55 - mreg)) AS s, SUM(CASE WHEN mreg = 0 THEN 1 ELSE 0 END) AS v FROM f),
+    e AS (SELECT {_HLL_EST_SQL} AS est, v FROM sums)
+    SELECT ROUND(e.est, 4) AS est, CAST(e.v AS BIGINT) AS zero_regs FROM e
+    """
+
+
+@register("stream_hll_event_ids", _hll_stream_oracle())
+def q_stream_hll_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the HLL sketch AS stream state: <=64 ints forever, register-wise
+    # max IS the merge operator, so a built-in complete-mode aggregate
+    # maintains the union sketch with no custom state code; the
+    # deterministic hash makes the streaming estimate equal the batch
+    # sketch's oracle bit-for-bit
+    from ug_dwh_etl_spark.streaming.jobs import stream_hll_event_ids
+
+    return stream_hll_event_ids(spark, sf_dir)

@@ -1462,3 +1462,28 @@ def stream_wap_gated_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_price"),
         )
     )
+
+
+def stream_hll_event_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the 64-register sketch AS the stream
+    state — a complete-mode groupBy(register).max(rho) whose state is
+    at most 64 ints FOREVER, however many events flow through (the HLL
+    analogue of stream_kmv_viewers, but with zero custom state code:
+    register-wise max is a built-in streaming aggregate, and max is
+    exactly HLL's merge operator, so every micro-batch folds into the
+    union sketch for free). Deterministic hashing makes the streaming
+    estimate equal the batch sketch bit-for-bit; the estimator fold
+    (spine join + fixed-point indicator sum) runs batch-side on the
+    materialized <=64-row result."""
+    import pyspark.sql.functions as F  # noqa: F811
+
+    from ug_dwh_etl_spark.queries.events import _hll_estimate, _hll_registers
+
+    ev = read_events_stream(spark, sf_dir)
+    regs = _hll_registers(ev, F.col("event_id"))
+    out = run_stream_to_memory(regs, "complete")
+    est = _hll_estimate(spark, out)
+    return est.select(
+        F.round("est", 4).alias("est"),
+        F.col("zero_regs").cast("long").alias("zero_regs"),
+    )
