@@ -817,3 +817,21 @@ def test_partition_spec_evolution(spark, tmp_path):
     )
     got2 = {r.k: r.v for r in t.read_as_of(spark).collect()}
     assert len(got2) == 300 and got2[155] == -1 and got2[50] == 500
+
+
+def test_bloom_point_lookup_on_partitioned_dir(spark, tmp_path):
+    """Bloom manifest metrics compose with a partition spec: per-file
+    bitmaps collected under day= subdirs still skip files on point
+    lookups, and the file-subset read restores partition values."""
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 1000, "2024-01-01").otherwise("2024-01-02").alias("day"),
+    ).repartition(4, "k")
+    t.commit_overwrite(df, bloom_cols=("k",), partition_by=("day",))
+    got, files_read, files_total = t.scan_point(spark, "k", 1500)
+    rows = got.filter(F.col("k") == 1500).collect()
+    assert len(rows) == 1 and rows[0].day == "2024-01-02"
+    assert 0 < files_read < files_total
