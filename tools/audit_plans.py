@@ -92,6 +92,9 @@ EXPECTED_NESTED_LOOP = {
     # 64-row register spine left-broadcast-joined (HLL fold)
     "sketch_hll_cardinality",
     "sketch_hll_daily_merge",
+    # seven 1-row audit folds (counts, modularity terms) cross-joined
+    # into the sweep's single result row
+    "graph_louvain_move",
     # same scalar chain feeding the 5-row broadcast rate table
     "corpus_weighted_sample",
     # 9-quantile 1-row cutpoint frame broadcast onto per-customer RFM

@@ -1253,3 +1253,162 @@ def _anf_run(spark: SparkSession, sf_dir: str, H) -> DataFrame:
         F.count(F.lit(1)).alias("n_nodes"),
         F.round(F.avg(F.expr(_anf_est(""))), 4).alias("avg_reach_est"),
     ).localCheckpoint(eager=True)
+
+
+# --- Louvain local-move sweep (Blondel et al. 2008, synchronous variant) --------
+@register(
+    "graph_louvain_move",
+    """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+    mm AS (SELECT SUM(w) AS m FROM e),
+    deg AS (SELECT node, SUM(w) AS k FROM (
+              SELECT a AS node, w FROM e UNION ALL SELECT b, w FROM e)
+            GROUP BY node),
+    cand AS (SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e),
+    scored AS (
+      SELECT c.u, c.v, 2 * mm.m * c.w - ku.k * kv.k AS score
+      FROM cand c
+      JOIN deg ku ON ku.node = c.u
+      JOIN deg kv ON kv.node = c.v, mm),
+    ranked AS (
+      SELECT u, v, score,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, v) AS rn
+      FROM scored),
+    assign AS (
+      SELECT u AS node, CASE WHEN score > 0 THEN v ELSE u END AS comm
+      FROM ranked WHERE rn = 1),
+    a_in AS (
+      SELECT COALESCE(SUM(e.w), 0) AS a_in
+      FROM e JOIN assign ca ON ca.node = e.a
+             JOIN assign cb ON cb.node = e.b
+      WHERE ca.comm = cb.comm),
+    tot AS (SELECT a2.comm, SUM(d.k) AS tot
+            FROM assign a2 JOIN deg d ON d.node = a2.node GROUP BY a2.comm),
+    bsum AS (SELECT SUM(tot * tot) AS b FROM tot),
+    k2 AS (SELECT SUM(k * k) AS sk2 FROM deg),
+    moved AS (SELECT COUNT(*) AS n_moved FROM assign WHERE comm <> node),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    nc AS (SELECT COUNT(DISTINCT comm) AS n_communities FROM assign)
+    SELECT CAST(nn.n_nodes AS BIGINT) AS n_nodes,
+           CAST(moved.n_moved AS BIGINT) AS n_moved,
+           CAST(nc.n_communities AS BIGINT) AS n_communities,
+           ROUND(0.0 - k2.sk2::DOUBLE / (4.0 * mm.m * mm.m), 6) AS q_singleton,
+           ROUND(a_in.a_in::DOUBLE / mm.m
+                 - bsum.b::DOUBLE / (4.0 * mm.m * mm.m), 6) AS q_after
+    FROM nn, moved, nc, k2, bsum, a_in, mm
+    """,
+)
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One SYNCHRONOUS Louvain local-move sweep (Blondel et al. 2008;
+    the Jacobi-style variant distributed implementations run, since the
+    paper's sequential sweep doesn't parallelize) over the WEIGHTED part
+    co-purchase graph, from the singleton partition. For a singleton
+    target {v}, the modularity gain of moving u is
+    w_uv/m - k_u*k_v/(2m^2), and argmax over neighbors is equivalently
+    argmax of the INTEGER score 2m*w_uv - k_u*k_v (multiply by the
+    positive 2m^2) — so candidate ranking never touches a float and is
+    exact in both engines; u moves iff its best score is positive, ties
+    break to the smallest neighbor id. Emits the sweep's audit row:
+    nodes, moves, resulting community count, and modularity before
+    (singleton: -sum(k^2)/4m^2) and after (A/m - B/4m^2 with A = intra-
+    community weight, B = sum of squared community degrees) — both
+    computed from exact integer sums with one float division at the
+    edge. Scale shape: one projection groupBy, degree aggregates, a
+    per-node argmax window PARTITIONED BY node (bounded by degree, no
+    global window), and two broadcast-sized audit folds; nothing
+    quadratic beyond the order-width-bounded projection every
+    co-purchase query shares. At 100 TB-graph scale the integer score
+    wants decimal(38) headroom (2m*w and k*k both fit int64 here)."""
+    from pyspark.sql.window import Window
+
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("x"), op.alias("y")
+    e = (
+        a.join(b, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
+        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    mm = e.agg(F.sum("w").alias("m"))
+    deg = (
+        e.select(F.col("a").alias("node"), "w")
+        .unionByName(e.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("k"))
+    )
+    cand = e.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    ku = deg.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = deg.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    scored = (
+        cand.join(ku, "u")
+        .join(kv, "v")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "u",
+            "v",
+            (F.lit(2) * F.col("m") * F.col("w") - F.col("ku") * F.col("kv")).alias(
+                "score"
+            ),
+        )
+    )
+    w_rank = Window.partitionBy("u").orderBy(F.desc("score"), "v")
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("u").alias("node"),
+            F.when(F.col("score") > 0, F.col("v")).otherwise(F.col("u")).alias(
+                "comm"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    ca = assign.select(F.col("node").alias("a"), F.col("comm").alias("comm_a"))
+    cb = assign.select(F.col("node").alias("b"), F.col("comm").alias("comm_b"))
+    a_in = (
+        e.join(ca, "a")
+        .join(cb, "b")
+        .filter(F.col("comm_a") == F.col("comm_b"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("a_in"))
+    )
+    tot = (
+        assign.join(deg, "node")
+        .groupBy("comm")
+        .agg(F.sum("k").alias("tot"))
+    )
+    bsum = tot.agg(F.sum(F.col("tot") * F.col("tot")).alias("b"))
+    k2 = deg.agg(F.sum(F.col("k") * F.col("k")).alias("sk2"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    moved = assign.filter(F.col("comm") != F.col("node")).agg(
+        F.count(F.lit(1)).alias("n_moved")
+    )
+    nc = assign.agg(F.countDistinct("comm").alias("n_communities"))
+    row = (
+        nn.crossJoin(F.broadcast(moved))
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(k2))
+        .crossJoin(F.broadcast(bsum))
+        .crossJoin(F.broadcast(a_in))
+        .crossJoin(F.broadcast(mm))
+    )
+    md = F.col("m").cast("double")
+    return row.select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_moved").cast("long").alias("n_moved"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.round(
+            F.lit(0.0) - F.col("sk2").cast("double") / (4.0 * md * md), 6
+        ).alias("q_singleton"),
+        F.round(
+            F.col("a_in").cast("double") / md
+            - F.col("b").cast("double") / (4.0 * md * md),
+            6,
+        ).alias("q_after"),
+    )
