@@ -312,7 +312,14 @@ def _busy_jiffies() -> int:
 
 def _tree_jiffies() -> int:
     """utime+stime summed over this process and all its descendants
-    (the Spark JVM and its Python workers are children of the bench)."""
+    (the Spark JVM and its Python workers are children of the bench),
+    PLUS each survivor's cutime+cstime — the CPU of descendants that
+    already exited and were reaped. Without the reaped term, a
+    streaming query's short-lived per-micro-batch Python workers take
+    their jiffies with them when they exit mid-run, the tree delta
+    undercounts 'us', and the difference shows up as phantom EXTERNAL
+    load — which is why only stream_* queries kept reading 'loud' on an
+    otherwise idle machine (2-3 phantom cores per run, round 10)."""
     procs: dict[int, tuple[int, int]] = {}
     for d in os.listdir("/proc"):
         if not d.isdigit():
@@ -324,7 +331,11 @@ def _tree_jiffies() -> int:
             continue  # raced a process exit
         try:
             rest = s[s.rindex(")") + 2 :].split()
-            procs[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+            procs[int(d)] = (
+                int(rest[1]),
+                # utime+stime (self) + cutime+cstime (reaped children)
+                int(rest[11]) + int(rest[12]) + int(rest[13]) + int(rest[14]),
+            )
         except (ValueError, IndexError):
             continue
     children: dict[int, list[int]] = {}
