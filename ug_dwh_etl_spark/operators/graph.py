@@ -524,7 +524,6 @@ def strongly_connected_components(
             m = act.select(
                 "node", F.col("node").alias("m")
             ).withColumn("dr", F.explode(F.array(F.lit("f"), F.lit("b"))))
-            prev_ckpt = None
             for _ in range(max_rounds):
                 m2 = step(step(m)).localCheckpoint(eager=True)
                 changed = (
@@ -537,18 +536,16 @@ def strongly_connected_components(
                     .filter(F.col("a.m") != F.col("b.m"))
                     .count()
                 )
-                # the superseded checkpoint is dead once the convergence
-                # test consumed it — drop its blocks NOW instead of
-                # waiting for driver GC, or a long session accumulates
-                # every fixpoint generation in executor storage and
-                # evicts later queries' caches (observed as 2-3x noise
-                # on neighboring bench queries)
-                if prev_ckpt is not None:
-                    prev_ckpt.unpersist()
-                prev_ckpt, m = m2, m2
+                m = m2
                 if changed == 0:
                     break
-            e2.unpersist()
+            # superseded checkpoint generations are reclaimed by the
+            # ContextCleaner once a JVM GC proves them unreachable —
+            # Dataset.unpersist() does NOT free localCheckpoint RDD
+            # blocks (verified empirically: getRDDStorageInfo unchanged
+            # after unpersist), so session.py pins
+            # spark.cleaner.periodicGC.interval=2min to keep long
+            # sessions from accumulating every fixpoint generation
             return m
 
         settled_parts: list[DataFrame] = []
@@ -577,7 +574,6 @@ def strongly_connected_components(
                 .join(bwd, "node")
                 .localCheckpoint(eager=True)
             )
-            prev_active = active
             settled_parts.append(
                 lab.filter(F.col("fmin") == F.col("bmin")).select(
                     "node", F.col("fmin").alias("scc_id")
@@ -589,21 +585,15 @@ def strongly_connected_components(
             ).localCheckpoint(eager=True)
             # the re-color filter already materialized the survivors —
             # count them here instead of paying a limit(1) job at the
-            # top of the next round
+            # top of the next round. Superseded generations (mm, ea, lab,
+            # the prior active) are localCheckpoint blocks: freed by the
+            # periodic ContextCleaner GC (session.py), not by
+            # unpersist(), which is a no-op on checkpoint RDDs.
             n_active = active.count()
-            # everything this round materialized and superseded is dead:
-            # drop blocks eagerly (see dirs_min) — only the settled parts
-            # and the new active survive to the next round
-            for dead in (mm, ea, lab, prev_active):
-                dead.unpersist()
         out = settled_parts[0]
         for p in settled_parts[1:]:
             out = out.unionByName(p)
         result = out.localCheckpoint(eager=True)
-        for p in settled_parts:
-            p.unpersist()
-        active.unpersist()
-        e0.unpersist()
         return result
     finally:
         if prev is not None:

@@ -813,20 +813,33 @@ class SnapshotTable:
         physical columns that survive it. A dir written under a
         partition spec reads with basePath anchored at the dir root, so
         a file-level pruned read still restores its partition-column
-        values from the directory names; restored columns are CAST back
-        to the tracked schema type (Iceberg types partition values by
-        the table schema — directory-name inference must never decide)."""
+        values from the directory names. Partition values are typed by
+        the TABLE schema (Iceberg semantics), never by Spark's
+        directory-name inference: the read gets an explicit schema with
+        partition columns as STRING (inference is skipped entirely when
+        a user schema supplies the partition columns), and the only
+        typing step is the cast from that string to the tracked type —
+        so values like '0123' or '1e5' survive verbatim instead of
+        round-tripping through int/double inference."""
         import pyspark.sql.functions as F
 
         spec = (m.get("specs") or {}).get(rel_dir) or []
         reader = spark.read
+        schema = m.get("schema")
+        phys = (m.get("dir_cols") or {}).get(rel_dir)
         if spec:
             reader = reader.option(
                 "basePath", os.path.join(self.root, rel_dir)
             )
+            if schema and phys is not None:
+                type_by_id = {str(f["id"]): f["type"] for f in schema}
+                parts = []
+                for fid, p in phys.items():
+                    t = "string" if p in spec else type_by_id.get(fid)
+                    if t is not None:  # dropped fields aren't selected
+                        parts.append(f"`{p}` {t}")
+                reader = reader.schema(", ".join(parts))
         df = reader.parquet(*paths)
-        schema = m.get("schema")
-        phys = (m.get("dir_cols") or {}).get(rel_dir)
         if not schema or phys is None:
             return df
         cols = []
