@@ -439,7 +439,12 @@ def main() -> None:
 
     import gc
 
-    for name in HEADLINE:
+    # dev knob: SPARK_GRAFT_ONLY_PREFIX=graph_ times just one family
+    # (same warmup + quiet gate); the driver never sets it
+    only_prefix = os.environ.get("SPARK_GRAFT_ONLY_PREFIX", "")
+    headline_names = [n for n in HEADLINE if n.startswith(only_prefix)]
+
+    for name in headline_names:
         fn = QUERIES[name].fn
         # release the previous query's dead DataFrame references NOW so
         # the ContextCleaner drops their localCheckpoint/persist blocks
@@ -488,7 +493,7 @@ def main() -> None:
     errors: list[str] = []
     headline_set = set(HEADLINE)
     for name, entry in QUERIES.items():
-        if name in headline_set:
+        if name in headline_set or not name.startswith(only_prefix):
             continue
         try:
             elapsed, ext = timed_noop(entry.fn, spark, sf_dir)
@@ -562,7 +567,10 @@ def main() -> None:
     # Full per-query map: side artifact + an EARLY stdout line (its head
     # may be truncated by the driver's tail capture; the file is the
     # durable copy).
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_detail.json")
+    # a prefix-filtered dev run must never clobber the canonical
+    # full-registry detail file the round-over-round diff reads
+    detail_name = "bench_detail_partial.json" if only_prefix else "bench_detail.json"
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), detail_name)
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
     print(json.dumps(detail))
@@ -584,7 +592,7 @@ def main() -> None:
                 ),
                 "n_loud": len(loud_queries)
                 + sum(1 for r in headline_runs.values() if r.get("loaded")),
-                "detail": "bench_detail.json",
+                "detail": detail_name,
                 "queries": slowest,
             }
         )

@@ -95,6 +95,9 @@ EXPECTED_NESTED_LOOP = {
     # seven 1-row audit folds (counts, modularity terms) cross-joined
     # into the sweep's single result row
     "graph_louvain_move",
+    # same 1-row audit folds, once per level (m, moved, a_in, b-sum,
+    # community count) composed into the two per-level result rows
+    "graph_louvain",
     # same scalar chain feeding the 5-row broadcast rate table
     "corpus_weighted_sample",
     # 9-quantile 1-row cutpoint frame broadcast onto per-customer RFM

@@ -29,6 +29,27 @@ def _timings(detail: dict) -> dict[str, float]:
     return out
 
 
+# the round-10 verdict's mechanical gate threshold: a query REGRESSED
+# when it is BOTH >1.5x its prior timing and >1s absolutely slower.
+# (The report below uses a tighter 1.3x/0.5s lens for archaeology;
+# only the 1.5x/1s tier is a gate failure.)
+GATE_RATIO, GATE_ABS_S = 1.5, 1.0
+
+
+def gate_regressions(
+    old: dict, new: dict, ratio: float = GATE_RATIO, abs_s: float = GATE_ABS_S
+) -> list[tuple[str, float, float]]:
+    """Common-query regressions at the gate threshold, worst first.
+    Callers (tools/check_battery.py) fail their run when non-empty."""
+    q_old, q_new = _timings(old), _timings(new)
+    regs = [
+        (k, t0, q_new[k])
+        for k, t0 in q_old.items()
+        if k in q_new and q_new[k] > t0 * ratio and q_new[k] - t0 > abs_s
+    ]
+    return sorted(regs, key=lambda r: -(r[2] - r[1]))
+
+
 def main() -> int:
     if len(sys.argv) < 2:
         print(__doc__)
@@ -68,7 +89,11 @@ def main() -> int:
         print(f"\nnew queries (no prior timing): {len(only_new)}")
         for k in only_new:
             print(f"  {k}: {q_new[k]:.2f}s")
-    return 0
+    gate = gate_regressions(old, new)
+    print(f"\nGATE (>={GATE_RATIO}x and >={GATE_ABS_S}s): {len(gate)} regressions")
+    for k, t0, t1 in gate:
+        print(f"  {k:40s} {t0:7.2f}s -> {t1:7.2f}s  ({t1 / t0:.2f}x)")
+    return 1 if gate else 0
 
 
 if __name__ == "__main__":

