@@ -160,6 +160,44 @@ def _state_rows(spark, name: str) -> int:
     return sum(op.get("numRowsTotal", 0) for op in p.get("stateOperators", []))
 
 
+class _RddStorageSampler:
+    """Background sampler for PEAK block-manager usage (memory + disk)
+    across all cached/checkpointed RDDs during a timed run — the
+    round-11 graph-octave evidence that checkpoint GC keeps iterative
+    loops' storage bounded (localCheckpoint blocks don't show in the
+    SQL cache, only in RDDStorageInfo)."""
+
+    def __init__(self, spark, interval_s: float = 0.25):
+        import threading
+
+        self._sc = spark.sparkContext
+        self._stop = threading.Event()
+        self.peak_bytes = 0
+        self._t = threading.Thread(target=self._loop, args=(interval_s,), daemon=True)
+
+    def _loop(self, interval_s: float) -> None:
+        jsc = self._sc._jsc.sc()
+        while not self._stop.is_set():
+            try:
+                total = sum(
+                    i.memSize() + i.diskSize() for i in jsc.getRDDStorageInfo()
+                )
+                if total > self.peak_bytes:
+                    self.peak_bytes = total
+            except Exception:
+                pass
+            self._stop.wait(interval_s)
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join(timeout=2)
+        return False
+
+
 def main() -> None:
     probes = sys.argv[1:] or list(PROBES) + list(STREAM_PROBES)
     spark = get_spark("scale-probe")
@@ -176,6 +214,18 @@ def main() -> None:
     for name in probes:
         fn = QUERIES[name].fn
         streaming = name.startswith("stream_")
+        # drop the previous query's dead checkpoint/persist blocks NOW:
+        # the peak-storage sampler must not attribute a predecessor's
+        # pending-GC blocks to this query (JVM GC is what lets the
+        # ContextCleaner reclaim checkpoint RDDs)
+        import gc
+
+        gc.collect()
+        try:
+            spark._jvm.System.gc()
+            time.sleep(1.0)
+        except Exception:
+            pass
         # untimed 1x run first: absorbs the query's codegen compilation so
         # the 1x timing doesn't carry one-time costs the 16x run won't pay
         # (if it also pays a materialize_once build, attribute that build
@@ -186,7 +236,7 @@ def main() -> None:
         else:
             fn(spark, dirs[FACTORS[0]]).write.format("noop").mode("overwrite").save()
         warm_build = sum(e["secs"] for e in MATERIALIZE_EVENTS if e["built"])
-        times, states, builds = [], [], []
+        times, states, builds, peaks = [], [], [], []
         for f in FACTORS:
             # per-factor materialize_once accounting: the artifact BUILD
             # is the growth signal for memoized queries, so (1) drain the
@@ -195,6 +245,8 @@ def main() -> None:
             # holds the query's own (warm) cost and `builds` the
             # artifact's per-factor cost
             MATERIALIZE_EVENTS.clear()
+            sampler = _RddStorageSampler(spark)
+            sampler.__enter__()
             t0 = time.perf_counter()
             if streaming:
                 # a streaming query materializes inside fn (AvailableNow →
@@ -210,10 +262,12 @@ def main() -> None:
                 t0 = time.perf_counter()
                 fn(spark, dirs[f]).write.format("noop").mode("overwrite").save()
                 elapsed = time.perf_counter() - t0
+            sampler.__exit__()
             if f == FACTORS[0] and not built:
                 built = warm_build
             builds.append(built)
             times.append(elapsed)
+            peaks.append(sampler.peak_bytes)
         growth = times[-1] / times[0] if times[0] > 0 else float("nan")
         flag = "" if growth <= FACTORS[-1] * 1.5 else "  <-- SUPERLINEAR"
         state_col = (
@@ -224,9 +278,12 @@ def main() -> None:
             if any(builds)
             else ""
         )
+        peak_col = "   peakMB " + "/".join(
+            f"{p / 1e6:.0f}" for p in peaks
+        )
         print(
             f"{name:40s} " + " ".join(f"{t:7.2f}s" for t in times)
-            + f"   {growth:5.1f}x{flag}{state_col}{build_col}"
+            + f"   {growth:5.1f}x{flag}{state_col}{build_col}{peak_col}"
         )
 
 

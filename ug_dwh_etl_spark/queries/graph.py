@@ -1141,7 +1141,7 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely because the fixture's blocks bound it; the Spark side
     never materializes closure pairs (state is |V| labels)."""
     comp = strongly_connected_components(
-        _scc_edges(spark, sf_dir), loop_partitions=8
+        _scc_edges(spark, sf_dir), loop_partitions=8, assume_distinct=True
     )
     return comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
 
