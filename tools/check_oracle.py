@@ -123,7 +123,14 @@ def main() -> int:
             )
         if ok_rows and ok_cols and ok_vals:
             times[name] = round(time.time() - t0, 2)
-            print(f"OK    {name}: {len(sdf)} rows  ({time.time() - t0:.1f}s)")
+            if len(sdf) == 0:
+                # both sides empty is a VACUOUS match (round-11: a scan
+                # range outside the fixture's date span was green for a
+                # day) — surface it loudly without failing
+                print(f"OK    {name}: 0 rows  VACUOUS — oracle and Spark "
+                      "both empty; check the predicate touches the fixture")
+            else:
+                print(f"OK    {name}: {len(sdf)} rows  ({time.time() - t0:.1f}s)")
         else:
             failures.append(name)
 

@@ -1319,6 +1319,119 @@ class SnapshotTable:
             total,
         )
 
+    def manifest_df(
+        self, spark: SparkSession, snapshot_id: int | None = None
+    ):
+        """The snapshot's per-file stats as a DataFrame, persisted once
+        per snapshot as a parquet SIDE-TABLE under
+        ``_manifests_pq/v<sid>/`` — the 100 TB escalation of the JSON
+        manifest that SCALE.md's round-11 probe sized: planning stays
+        flat to ~10^5 files driver-side, past which the manifest itself
+        must be a distributed relation (Iceberg's avro manifest lists).
+        Long format, one row per (file, stats column):
+
+            file STRING, dir STRING, rows LONG,
+            col STRING, min_s STRING, max_s STRING
+
+        plus one ``col IS NULL`` row for any stats-covered file that
+        has no bounds for a column (none today — kept for schema
+        stability). Here the parquet is converted FROM the JSON
+        manifest on first use (write-through at commit is the
+        production variant); conversion cost is manifest-sized and
+        paid once. Returns the DataFrame; callers filter/join it like
+        any relation."""
+        sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        path = os.path.join(self.root, "_manifests_pq", f"v{sid}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            m = self.manifest(sid)
+            rows = []
+            for f in m.get("files", []):
+                d = self._data_dir_of(m, f["file"])
+                stats = f.get("stats", {})
+                if stats:
+                    for c, (mn, mx) in stats.items():
+                        rows.append((f["file"], d, int(f["rows"]), c, mn, mx))
+                else:
+                    rows.append((f["file"], d, int(f["rows"]), None, None, None))
+            schema = (
+                "file string, dir string, rows long, "
+                "col string, min_s string, max_s string"
+            )
+            spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(path)
+        return spark.read.parquet(path)
+
+    def scan_pruned_df(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo: str,
+        hi: str,
+        snapshot_id: int | None = None,
+    ) -> tuple[DataFrame, int, int]:
+        """``scan_pruned`` with the pruning arithmetic run as a SPARK
+        plan over the parquet manifest side-table (``manifest_df``)
+        instead of a driver-side Python loop — the read path that keeps
+        scan planning distributed when the file count outgrows the
+        driver (SCALE.md round-11 snaptable addendum: ~250 B/file of
+        manifest means ~10^6 files is 250 MB of driver JSON; this path
+        never loads it). Same contract and conservatism as
+        ``scan_pruned``: files overlapping [lo, hi] on ``col`` are
+        read, files with no recorded bounds for ``col`` are KEPT, and
+        data dirs from stats-less commits are read wholesale. Only the
+        SURVIVING file list is collected — O(files matched), the
+        needle-sized set a range-clustered layout makes small."""
+        import pyspark.sql.functions as F
+
+        sid = self.latest_snapshot_id() if snapshot_id is None else snapshot_id
+        if sid is None:
+            raise ValueError(f"empty snapshot table at {self.root}")
+        m = self.manifest(sid)
+        if not m.get("files"):
+            return self.read_as_of(spark, sid), -1, -1
+        mf = self.manifest_df(spark, sid)
+        with_col = mf.filter(F.col("col") == col)
+        overlap = with_col.filter(
+            (F.col("max_s") >= F.lit(lo)) & (F.col("min_s") <= F.lit(hi))
+        ).select("file", "dir")
+        # conservative: a stats-covered file with NO bounds row for this
+        # column cannot be pruned
+        no_bounds = (
+            mf.select("file", "dir")
+            .distinct()
+            .join(with_col.select("file"), "file", "left_anti")
+        )
+        kept = overlap.unionByName(no_bounds).distinct().collect()
+        covered = {self._data_dir_of(m, f["file"]) for f in m["files"]}
+        unstated = [d for d in m["data_dirs"] if d not in covered]
+        paths_by_dir: dict[str, list[str]] = {}
+        for r in kept:
+            paths_by_dir.setdefault(r["dir"], []).append(
+                os.path.join(self.root, r["file"])
+            )
+        for d in unstated:
+            paths_by_dir.setdefault(d, []).append(os.path.join(self.root, d))
+        n_unstated = sum(
+            len(
+                glob.glob(
+                    os.path.join(self.root, d, "**", "*.parquet"),
+                    recursive=True,
+                )
+            )
+            for d in unstated
+        )
+        total = len(m["files"]) + n_unstated
+        if not paths_by_dir:
+            return self.read_as_of(spark, sid).limit(0), 0, total
+        return (
+            self._read_with_deletes(spark, m, paths_by_dir),
+            len(kept) + n_unstated,
+            total,
+        )
+
     def scan_pruned_multi(
         self,
         spark: SparkSession,

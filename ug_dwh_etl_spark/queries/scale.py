@@ -842,6 +842,72 @@ def storage_manifest_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "storage_manifest_df_scan",
+    """
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE)
+             AS total_price
+    FROM orders
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+    GROUP BY 1
+    """,
+)
+def storage_manifest_df_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED scan planning: the manifest itself as a parquet
+    side-table (`SnapshotTable.manifest_df`), with file pruning run as
+    a Spark filter over it (`scan_pruned_df`) instead of a driver-side
+    Python loop — the 100 TB escalation the round-11 manifest probe
+    sized (driver JSON planning is flat to ~10^5 files at ~250 B/file;
+    past that the manifest must be a relation, which is exactly
+    Iceberg's avro manifest-list design). Orders are committed
+    range-clustered on o_orderdate with per-file min/max; the Jan-Jun
+    1996 scan filters the manifest relation for overlapping files,
+    collects only the SURVIVING paths (needle-sized under range
+    clustering), and reads those with the residual row filter on top.
+    The oracle computes the same aggregate from raw orders, so a hash
+    match proves the distributed planner dropped no rows; files_read <
+    files_total and parity with the driver-side scan_pruned planner are
+    pinned in tests/test_round11_ops.py."""
+    import os
+    import tempfile
+
+    from ug_dwh_etl_spark.operators.snapshot_table import SnapshotTable
+
+    o = table(spark, sf_dir, "orders")
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"snaptable_mdf_{os.getpid()}",
+        sfdir_key(sf_dir),
+    )
+    t = SnapshotTable(root)
+    if t.latest_snapshot_id() != 1:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+        t = SnapshotTable(root)
+        t.commit_overwrite(
+            o.repartitionByRange(8, "o_orderdate"),
+            stats_cols=("o_orderdate",),
+        )
+    lo, hi = "1996-01-01", "1996-06-30 23:59:59.999999"
+    df, _read, _total = t.scan_pruned_df(spark, "o_orderdate", lo, hi)
+    return (
+        df.filter(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1996-07-01")
+        )
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
+
+
+@register(
     "storage_merge_upsert",
     """
     WITH effective AS (
