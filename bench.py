@@ -310,6 +310,19 @@ def _busy_jiffies() -> int:
     return sum(vals) - vals[3] - vals[4]  # total minus idle+iowait
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor steal — time this VM's vCPUs were runnable but the
+    host ran someone else. Included in _busy_jiffies (so the ext gate
+    already counts it as contamination), but recorded separately per
+    run since round 11: a co-tenant burst shows up as ~uniform 1.5-2x
+    wall inflation on short 32-task stages (the stage waits for its
+    slowest task; preempting ANY task's vCPU for 50-100 ms stalls the
+    whole barrier) with nothing in the process table — steal is the
+    only signal that distinguishes that from a code regression."""
+    with open("/proc/stat") as f:
+        return int(f.readline().split()[8])
+
+
 def _tree_jiffies() -> int:
     """utime+stime summed over this process and all its descendants
     (the Spark JVM and its Python workers are children of the bench),
@@ -350,15 +363,26 @@ def _tree_jiffies() -> int:
     return total
 
 
+LAST_STEAL_CORES = 0.0
+STEAL_AT_START = 0
+
+
 def timed_noop(fn, spark, sf_dir) -> tuple[float, float]:
     """Run fn to full materialization; return (wall_sec, external_cores):
     cores consumed by processes OUTSIDE this bench's tree during the run
-    — the signal that the timing was contaminated by machine load."""
-    b0, j0 = _busy_jiffies(), _tree_jiffies()
+    — the signal that the timing was contaminated by machine load.
+    Also stamps LAST_STEAL_CORES (hypervisor steal during the run, in
+    core-equivalents; a subset of external_cores) for the per-query
+    record."""
+    global LAST_STEAL_CORES
+    b0, j0, s0 = _busy_jiffies(), _tree_jiffies(), _steal_jiffies()
     t0 = time.perf_counter()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     elapsed = time.perf_counter() - t0
     ext = (_busy_jiffies() - b0) - (_tree_jiffies() - j0)
+    LAST_STEAL_CORES = max(
+        0.0, (_steal_jiffies() - s0) / _HZ / max(elapsed, 1e-3)
+    )
     return elapsed, max(0.0, ext / _HZ / max(elapsed, 1e-3))
 
 
@@ -367,6 +391,8 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
+    global STEAL_AT_START
+    STEAL_AT_START = _steal_jiffies()
 
     # JVM/codegen warmup so the first timed queries don't pay startup:
     # a trivial agg (executor spin-up), a parquet scan (reader paths),
@@ -458,15 +484,19 @@ def main() -> None:
         # BEST run so far was externally loud — the gate enforces quiet
         # timings instead of merely recording load for later archaeology
         runs: list[tuple[float, float]] = []
+        steals: list[float] = []
         for _ in range(2):
             runs.append(timed_noop(fn, spark, sf_dir))
+            steals.append(LAST_STEAL_CORES)
         best = min(runs)
         retries = 0
         while best[1] > QUIET_EXT_CORES and retries < QUIET_RETRIES:
             time.sleep(1.0)  # let a transient spike pass
             retries += 1
             runs.append(timed_noop(fn, spark, sf_dir))
+            steals.append(LAST_STEAL_CORES)
             best = min(runs)
+        steal_best = steals[runs.index(best)]
         _collect_builds()
         arts, _ = _drain_events()
         if arts:
@@ -477,6 +507,7 @@ def main() -> None:
             "t2": round(max(r[0] for r in runs), 3),
             "loadavg": la,
             "ext_cores": round(best[1], 2),
+            **({"steal": round(steal_best, 2)} if steal_best >= 0.05 else {}),
             **({"retries": retries} if retries else {}),
             **({"loaded": True} if best[1] > QUIET_EXT_CORES else {}),
             **({"artifacts": arts} if arts else {}),
@@ -529,6 +560,7 @@ def main() -> None:
         others[name] = round(elapsed, 3)
 
     total = round(sum(timings.values()), 3)
+    steal_total_s = round((_steal_jiffies() - STEAL_AT_START) / _HZ, 1)
     others_total = round(sum(others.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     detail = {
@@ -556,6 +588,11 @@ def main() -> None:
         "quiet_gate_ext_cores": QUIET_EXT_CORES,
         "loud_queries": loud_queries,
         "loadavg_end": round(os.getloadavg()[0], 2),
+        # hypervisor steal over the WHOLE bench run (seconds of vCPU
+        # time the host gave to a co-tenant while we were runnable):
+        # the signal that separates host-degraded rounds from code
+        # regressions when per-query ext stays under the gate
+        "steal_total_s": steal_total_s,
         # single-run timings for every non-headline registered query —
         # full-registry regression visibility (headline stays best-of-2)
         "other_queries": others,
