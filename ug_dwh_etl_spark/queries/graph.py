@@ -1648,29 +1648,26 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").alias("a"), F.col("y").alias("b"), "w"
     )
     assign1 = _lv_sweep(ce1, cdeg, mm).localCheckpoint(eager=False)
-    final = assign0.select(
-        "node", F.col("comm").alias("c0")
-    ).join(
-        assign1.select(F.col("node").alias("c0"), F.col("comm").alias("comm")),
-        "c0",
-    ).select("node", "comm").localCheckpoint(eager=False)
 
-    def level_row(level: int, assign: DataFrame, n_nodes: DataFrame) -> DataFrame:
-        fa = assign.select(F.col("node").alias("a"), F.col("comm").alias("fa"))
-        fb = assign.select(F.col("node").alias("b"), F.col("comm").alias("fb"))
-        a_in = (
-            e.join(fa, "a")
-            .join(fb, "b")
-            .filter(F.col("fa") == F.col("fb"))
-            .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("a_in"))
-        )
-        tot = (
-            assign.join(deg, "node")
-            .groupBy("comm")
-            .agg(F.sum("k").alias("tot"))
-        )
-        bsum = tot.agg(F.sum(F.col("tot") * F.col("tot")).alias("b"))
-        nc = assign.agg(F.countDistinct("comm").alias("n_communities"))
+    # Modularity ledger straight off the COARSE relations (round-11:
+    # the e-sized re-joins the first cut paid are redundant — the
+    # coarsening already aggregated every integer the ledger needs):
+    #  - level-1 a_in  = the x = y self-loop rows of ce (by
+    #    construction they carry exactly the intra-community weight)
+    #  - level-1 tot   = cdeg itself (sum of member degrees per comm)
+    #  - level-2 a_in  = ce re-keyed by assign1 (community-pair rows
+    #    aggregate the same e.w integers, so filtering/summing ce where
+    #    assign1(x) = assign1(y) equals the e-level sum exactly)
+    #  - level-2 tot   = cdeg grouped by assign1 comm
+    # Each replaced join was O(E); these are O(communities^2)-bounded.
+    # Same integer sums -> same doubles -> identical oracle rows.
+    def q_row(
+        level: int,
+        n_nodes: DataFrame,
+        nc: DataFrame,
+        a_in: DataFrame,
+        bsum: DataFrame,
+    ) -> DataFrame:
         md = F.col("m").cast("double")
         return (
             n_nodes.crossJoin(F.broadcast(nc))
@@ -1689,6 +1686,30 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
+    a_in1 = ce.filter(F.col("x") == F.col("y")).agg(
+        F.coalesce(F.sum("w"), F.lit(0)).alias("a_in")
+    )
+    bsum1 = cdeg.agg(F.sum(F.col("k") * F.col("k")).alias("b"))
+    nc1 = assign0.agg(F.countDistinct("comm").alias("n_communities"))
+
+    f_x = assign1.select(F.col("node").alias("x"), F.col("comm").alias("fx"))
+    f_y = assign1.select(F.col("node").alias("y"), F.col("comm").alias("fy"))
+    a_in2 = (
+        ce.join(f_x, "x")
+        .join(f_y, "y")
+        .filter(F.col("fx") == F.col("fy"))
+        .agg(F.coalesce(F.sum("w"), F.lit(0)).alias("a_in"))
+    )
+    tot2 = (
+        cdeg.join(
+            assign1.select("node", "comm"), "node"
+        )
+        .groupBy("comm")
+        .agg(F.sum("k").alias("tot"))
+    )
+    bsum2 = tot2.agg(F.sum(F.col("tot") * F.col("tot")).alias("b"))
+    nc2 = assign1.agg(F.countDistinct("comm").alias("n_communities"))
+
     moved0 = assign0.filter(F.col("comm") != F.col("node")).agg(
         F.count(F.lit(1)).alias("n_moved")
     )
@@ -1697,8 +1718,8 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nn0 = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     nn1 = cdeg.agg(F.count(F.lit(1)).alias("n_nodes"))
-    r1 = level_row(1, assign0, nn0).crossJoin(F.broadcast(moved0))
-    r2 = level_row(2, final, nn1).crossJoin(F.broadcast(moved1))
+    r1 = q_row(1, nn0, nc1, a_in1, bsum1).crossJoin(F.broadcast(moved0))
+    r2 = q_row(2, nn1, nc2, a_in2, bsum2).crossJoin(F.broadcast(moved1))
     cols = ["level", "n_nodes", "n_moved", "n_communities", "q_after"]
     return r1.select(*[F.col(c).cast("long") if c == "n_moved" else F.col(c) for c in cols]).unionByName(
         r2.select(*[F.col(c).cast("long") if c == "n_moved" else F.col(c) for c in cols])
