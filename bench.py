@@ -574,7 +574,13 @@ def main() -> None:
                     # (quiet contamination only inflates, never deflates)
                     ext, steal = min(ext, x2), min(steal, s2)
             if ext > QUIET_EXT_CORES or steal > QUIET_STEAL_CORES:
-                loud_queries[name] = round(max(ext, steal), 2)
+                # ext and steal gate on DIFFERENT bands (2.0 vs 0.5
+                # cores) — record them separately so the round-over-
+                # round reader can tell which band tripped
+                loud_queries[name] = {
+                    "ext": round(ext, 2),
+                    "steal": round(steal, 2),
+                }
             if arts:
                 memoized_queries[name] = arts
         except Exception as e:  # noqa: BLE001 — one bad query must not
@@ -611,13 +617,18 @@ def main() -> None:
                 text=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)),
             ).stdout.strip()
-            shown = subprocess.run(
-                ["git", "show", f"{rev}:bench_detail.json"],
-                capture_output=True,
-                text=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            old = json.loads(shown.stdout) if shown.returncode == 0 else None
+            if not rev:
+                # no committed bench yet: "git show :path" would read
+                # the INDEX copy as a phantom baseline — skip instead
+                old = None
+            else:
+                shown = subprocess.run(
+                    ["git", "show", f"{rev}:bench_detail.json"],
+                    capture_output=True,
+                    text=True,
+                    cwd=os.path.dirname(os.path.abspath(__file__)),
+                )
+                old = json.loads(shown.stdout) if shown.returncode == 0 else None
         except Exception:  # noqa: BLE001 — no git/prior detail: skip
             old = None
         if old is not None and old.get("sf") == (
@@ -633,26 +644,55 @@ def main() -> None:
                 gc.collect()
                 best_t, best_s = t_sweep, -1.0
                 for _ in range(3):
-                    t, _x = timed_noop(QUERIES[name].fn, spark, sf_dir)
+                    try:
+                        t, x = timed_noop(QUERIES[name].fn, spark, sf_dir)
+                    except Exception as e:  # noqa: BLE001 — a transient
+                        # rerun failure must not abort main() after the
+                        # full sweep already succeeded (the sweep loop
+                        # guards this same mode); keep the sweep timing
+                        print(
+                            f"FLUTTER RERUN ERROR {name}: "
+                            f"{type(e).__name__}: {str(e)[:200]}"
+                        )
+                        continue
                     s = LAST_STEAL_CORES
                     _drain_events()
-                    if s <= QUIET_STEAL_CORES and t < best_t:
+                    # a rerun only qualifies when BOTH quiet bands hold
+                    # (an ext-loud run is as contaminated as a steal-
+                    # loud one) and it beats the best so far
+                    if (
+                        s <= QUIET_STEAL_CORES
+                        and x <= QUIET_EXT_CORES
+                        and t < best_t
+                    ):
                         best_t, best_s = t, s
+                # The self-heal exists to UNDO contamination-inflated
+                # sweep timings, not to manufacture improvements: the
+                # reruns happen after a 400-query sweep warmed every
+                # page cache, so best3 below the prior quiet timing is
+                # warmth, not a plan (observed: storage_zorder_box_scan
+                # best3 0.235s vs its own quiet prior 1.40s). Cap the
+                # replacement at the prior quiet value; best3 stays
+                # recorded raw for audit.
+                applied = max(best_t, t_old)
                 flutter_reruns[name] = {
                     "sweep": round(t_sweep, 3),
                     "prior": round(t_old, 3),
                     "best3": round(best_t, 3),
+                    **({"best3_steal": round(best_s, 2)} if best_s >= 0 else {}),
+                    "applied": round(min(applied, t_sweep), 3),
                 }
-                if best_t < t_sweep:
+                if applied < t_sweep:
                     if name in timings:
-                        timings[name] = round(best_t, 3)
-                        headline_runs[name]["t"] = round(best_t, 3)
+                        timings[name] = round(applied, 3)
+                        headline_runs[name]["t"] = round(applied, 3)
                         headline_runs[name]["flutter_rerun"] = True
                     else:
-                        others[name] = round(best_t, 3)
+                        others[name] = round(applied, 3)
                 print(
                     f"flutter-rerun {name}: sweep {t_sweep:.2f}s -> "
-                    f"best3 {best_t:.2f}s (prior {t_old:.2f}s)"
+                    f"best3 {best_t:.2f}s, applied "
+                    f"{min(applied, t_sweep):.2f}s (prior {t_old:.2f}s)"
                 )
 
     total = round(sum(timings.values()), 3)

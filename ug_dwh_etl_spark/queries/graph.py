@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 import pyspark.sql.functions as F
 
 from ug_dwh_etl_spark.operators.graph import (
+    derive_loop_partitions as _lp,
     pagerank,
     pagerank_incremental,
     strongly_connected_components,
@@ -51,7 +52,8 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("graph_pagerank", sql_pagerank(_EDGES_SQL, iterations=3))
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ranks = pagerank(_edges(spark, sf_dir), iterations=3, loop_partitions=16)
+    e = _edges(spark, sf_dir)
+    ranks = pagerank(e, iterations=3, loop_partitions=_lp(e, 16))
     return ranks.select("node", F.round("rank", 4).alias("rank"))
 
 
@@ -115,11 +117,12 @@ def graph_pagerank_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the 4dp half-grid (14.34925 at sf0.001), where even cold Spark
     vs DuckDB flips; measured 3dp margins are >=2.6e-7 at both SFs,
     ~1e7x the float-order noise."""
+    ef = _ivm_edges(spark, sf_dir, base_only=False)
     ranks = pagerank_incremental(
         _ivm_edges(spark, sf_dir, base_only=True),
-        _ivm_edges(spark, sf_dir, base_only=False),
+        ef,
         iterations=3,
-        loop_partitions=16,
+        loop_partitions=_lp(ef, 16),
     )
     return ranks.select("node", F.round("rank", 3).alias("rank"))
 
@@ -177,7 +180,7 @@ def graph_cheirank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _edges(spark, sf_dir).select(
         F.col("dst").alias("src"), F.col("src").alias("dst")
     )
-    ranks = pagerank(edges, iterations=3, loop_partitions=16)
+    ranks = pagerank(edges, iterations=3, loop_partitions=_lp(edges, 16))
     return ranks.select("node", F.round("rank", 4).alias("rank"))
 
 
@@ -217,9 +220,8 @@ def graph_components_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration count."""
     from ug_dwh_etl_spark.operators.graph import connected_components_converged
 
-    comp = connected_components_converged(
-        _community_edges(spark, sf_dir), loop_partitions=16
-    )
+    ce = _community_edges(spark, sf_dir)
+    comp = connected_components_converged(ce, loop_partitions=_lp(ce, 16))
     return (
         comp.groupBy(F.col("component"))
         .agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -327,12 +329,13 @@ def graph_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded dataflow, so the comparison is exact either way."""
     from ug_dwh_etl_spark.operators.graph import connected_components
 
+    cu = _community_und(spark, sf_dir)
     comp = connected_components(
-        _community_und(spark, sf_dir),
+        cu,
         iterations=3,
         src="a",
         dst="b",
-        loop_partitions=16,
+        loop_partitions=_lp(cu, 16),
         undirected=True,
     )
     return (
@@ -463,8 +466,9 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    e = _edges(spark, sf_dir)
     ranks = personalized_pagerank(
-        _edges(spark, sf_dir), seeds, iterations=3, loop_partitions=16
+        e, seeds, iterations=3, loop_partitions=_lp(e, 16)
     )
     return (
         ranks.filter(F.col("rank") > 0)
@@ -503,7 +507,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # the shared artifact is already the distinct pair set
     from ug_dwh_etl_spark.operators.graph import kcore_rounds
 
-    return kcore_rounds(edges, k=4, rounds=3, loop_partitions=16)
+    return kcore_rounds(edges, k=4, rounds=3, loop_partitions=_lp(edges, 16))
 
 
 # --- common-neighbor link prediction -------------------------------------------
@@ -600,7 +604,8 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid argument as graph_pagerank)."""
     from ug_dwh_etl_spark.operators.graph import hits
 
-    scores = hits(_edges(spark, sf_dir), iterations=3, loop_partitions=16)
+    e = _edges(spark, sf_dir)
+    scores = hits(e, iterations=3, loop_partitions=_lp(e, 16))
     return scores.select("node", "side", F.round("score", 4).alias("score"))
 
 
@@ -628,13 +633,14 @@ def graph_bfs_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat(F.lit("s"), F.col("s_suppkey").cast("string")).alias("node"))
         .distinct()
     )
+    und = _und(spark, sf_dir)
     d = bfs_distances(
-        _und(spark, sf_dir),
+        und,
         seeds,
         rounds=4,
         src="a",
         dst="b",
-        loop_partitions=16,
+        loop_partitions=_lp(und, 16),
         undirected=True,
     )
     return d.select("node", F.col("dist").cast("int").alias("dist"))
@@ -657,7 +663,9 @@ def _lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         "lpa_partition",
         lambda: label_propagation(
-            _edges(spark, sf_dir), rounds=3, loop_partitions=16
+            _edges(spark, sf_dir),
+            rounds=3,
+            loop_partitions=_lp(_edges(spark, sf_dir), 16),
         ),
     )
 
@@ -1140,8 +1148,9 @@ def graph_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     mutual-min per node — O(pairs-within-blocks), viable at gate scale
     precisely because the fixture's blocks bound it; the Spark side
     never materializes closure pairs (state is |V| labels)."""
+    se = _scc_edges(spark, sf_dir)
     comp = strongly_connected_components(
-        _scc_edges(spark, sf_dir), loop_partitions=8, assume_distinct=True
+        se, loop_partitions=_lp(se, 8), assume_distinct=True
     )
     return comp.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n_members"))
 
