@@ -106,6 +106,23 @@ def doc_shingle_hashes(df: DataFrame, id_col: str, text_col: str, n: int = 3) ->
     return ex.select(F.col(id_col), H.content_hash_long("shingle", 15).alias("sh")).distinct()
 
 
+def shingle_hashes_raw(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, h) WITH duplicates — the shared pre-aggregation relation
+    both the MinHash signature (min over h permutations) and the
+    distinct shingle-set view (``doc_shingle_hashes``) derive from.
+    Queries that need several of those views checkpoint this once so
+    the corpus text is tokenized/shingled/hashed a single time."""
+    ex = _exploded_shingles(spread(df), id_col, text_col)
+    return ex.select(F.col(id_col), H.content_hash_long("shingle", 15).alias("h"))
+
+
+def minhash_signatures_from_hashed(hashed: DataFrame, id_col: str) -> DataFrame:
+    """(id, mh0..mh15) from a ``shingle_hashes_raw`` relation."""
+    return hashed.groupBy(id_col).agg(
+        *[F.min(H.minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_MINHASH)]
+    )
+
+
 def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, mh0..mh15) — min over shingles of each permuted hash.
 
@@ -114,22 +131,13 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     computed per shingle row inside codegen and partial-aggregated
     map-side, so the shuffle payload is 16 longs per doc per partition.
     """
-    ex = _exploded_shingles(spread(df), id_col, text_col)
-    hashed = ex.select(F.col(id_col), H.content_hash_long("shingle", 15).alias("h"))
-    return hashed.groupBy(id_col).agg(
-        *[F.min(H.minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(N_MINHASH)]
+    return minhash_signatures_from_hashed(
+        shingle_hashes_raw(df, id_col, text_col), id_col
     )
 
 
-def lsh_band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, band_id, band_key) — the banded MinHash signature relation.
-
-    This IS the persistable LSH index: append each ingest batch's rows
-    to a table partition-keyed however the corpus is sharded, and later
-    batches match against the table by (band_id, band_key) equi-join
-    without ever rescanning corpus text (see ``incremental_neardup``).
-    """
-    sig = minhash_signatures(df, id_col, text_col)
+def lsh_band_keys_from_sig(sig: DataFrame, id_col: str) -> DataFrame:
+    """(id, band_id, band_key) from an existing signature relation."""
     return sig.select(
         F.col(id_col),
         F.explode(
@@ -147,6 +155,36 @@ def lsh_band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).select(id_col, "band.band_id", "band.band_key")
 
 
+def lsh_band_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, band_id, band_key) — the banded MinHash signature relation.
+
+    This IS the persistable LSH index: append each ingest batch's rows
+    to a table partition-keyed however the corpus is sharded, and later
+    batches match against the table by (band_id, band_key) equi-join
+    without ever rescanning corpus text (see ``incremental_neardup``).
+    """
+    return lsh_band_keys_from_sig(
+        minhash_signatures(df, id_col, text_col), id_col
+    )
+
+
+def lsh_pairs_from_bands(bands: DataFrame, id_col: str) -> DataFrame:
+    """Distinct (id_a < id_b) pairs agreeing on >= 1 band, from a band
+    relation the caller has already checkpointed/shared."""
+    left = bands.alias("l")
+    right = bands.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_key") == F.col("r.band_key"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) that agree on at
     least one LSH band. At scale the bucket-join is the whole point:
@@ -161,18 +199,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # 1.6s vs 1.9s (persist) vs 2.2s (ReuseExchange-only). Trade-off:
     # truncated lineage can't recompute lost blocks under executor
     # failure — same deliberate choice as near_dup_clusters/pagerank.
-    left = bands.alias("l")
-    right = bands.alias("r")
-    return (
-        left.join(
-            right,
-            (F.col("l.band_id") == F.col("r.band_id"))
-            & (F.col("l.band_key") == F.col("r.band_key"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b"))
-        .distinct()
-    )
+    return lsh_pairs_from_bands(bands, id_col)
 
 
 def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -486,15 +486,27 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     from ug_dwh_etl_spark.operators.dedup import (
-        doc_shingle_hashes,
-        minhash_lsh_pairs,
-        minhash_signatures,
-        spread,
+        lsh_band_keys_from_sig,
+        lsh_pairs_from_bands,
+        minhash_signatures_from_hashed,
+        shingle_hashes_raw,
     )
 
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
-    sig = minhash_signatures(docs, "doc_id", "text")
+    # r12 subtree sharing (guide 2.4/5): the r11 plan tokenized the
+    # corpus THREE times (lsh pairs, signatures, shingle sets) and ran
+    # the LSH bucket self-join TWICE (`pairs` feeds both the estimator
+    # join and the exact-jaccard join). Checkpoint the shared stages -
+    # one text pass, one signature aggregation, one bucket self-join.
+    hashed = shingle_hashes_raw(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    sig = minhash_signatures_from_hashed(hashed, "doc_id").localCheckpoint(
+        eager=False
+    )
+    pairs = lsh_pairs_from_bands(
+        lsh_band_keys_from_sig(sig, "doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -512,7 +524,7 @@ def dedup_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "id_b")
         .select("id_a", "id_b", (match_sum / 16.0).alias("est"))
     )
-    shh = doc_shingle_hashes(spread(docs), "doc_id", "text")
+    shh = hashed.select("doc_id", F.col("h").alias("sh")).distinct()
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
@@ -1169,26 +1181,36 @@ def _lsh_tuning_sql() -> str:
 @register("dedup_lsh_tuning_curve", _lsh_tuning_sql())
 def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH layout tuning: the SAME 16-component MinHash signature cut
-    into (16×1, 8×2, 4×4, 2×8) band layouts, each measured against the
-    exact-Jaccard truth set — candidates, recall, precision, next to
+    into (16x1, 8x2, 4x4, 2x8) band layouts, each measured against the
+    exact-Jaccard truth set - candidates, recall, precision, next to
     the theoretical S-curve catch probability 1-(1-t^r)^b at the dedup
     threshold. This is the sibling of sim_ivf_recall_curve for the
     dedup stack: the measurement that picks the banding BEFORE a
-    100 TB run (more bands → recall→1 but candidate volume explodes;
-    more rows/band → precision→1 but borderline dups slip). The
-    signature relation is computed ONCE (doc-sized, persisted) and each
-    layout is a band-key bucket self-join on it; the exact truth set
-    reuses the shingle-hash join — at corpus scale you'd run this audit
-    on a sampled partition, which this plan does unchanged."""
-    from ug_dwh_etl_spark.operators.dedup import (
-        doc_shingle_hashes,
-        minhash_signatures,
-        spread,
-    )
+    100 TB run (more bands -> recall->1 but candidate volume explodes;
+    more rows/band -> precision->1 but borderline dups slip).
+
+    r12 banding fusion (guide §2.3/§2.4): every layout's candidate set
+    is derivable from ONE relation - the per-pair 16-bit component
+    AGREEMENT MASK (bit i set iff the pair agrees on mh_i). A pair is a
+    (b, r) candidate iff some aligned r-bit band of its mask is all
+    ones, so the four band-key self-joins + distincts of the r11 plan
+    collapse into one single-component self-join (exactly the 16x1
+    layout's join, the superset of all four candidate sets) + one
+    8-way conditional aggregate over the mask relation. The shingle
+    hash relation is checkpointed and shared by the signature AND the
+    exact-truth side, so the corpus text is tokenized once, not twice.
+    At corpus scale you'd run this audit on a sampled partition - this
+    plan does unchanged."""
+    from ug_dwh_etl_spark.operators.dedup import _exploded_shingles, spread
 
     docs = table(spark, sf_dir, "documents")
-    sig = minhash_signatures(docs, "doc_id", "text").persist()
-    shh = doc_shingle_hashes(spread(docs), "doc_id", "text")
+    ex = _exploded_shingles(spread(docs), "doc_id", "text")
+    hashed = ex.select(
+        F.col("doc_id"), H.content_hash_long("shingle", 15).alias("h")
+    ).localCheckpoint(eager=False)
+    # exact-Jaccard truth set (same dataflow as r11, now over the
+    # checkpointed hash relation instead of a second text pass)
+    shh = hashed.select("doc_id", F.col("h").alias("sh")).distinct()
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))
@@ -1209,76 +1231,92 @@ def dedup_lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= _LSH_T
         )
         .select("id_a", "id_b")
-        .persist()
+        .localCheckpoint(eager=False)  # consumed twice: flag join + count
+    )
+    sig = hashed.groupBy("doc_id").agg(
+        *[
+            F.min(H.minhash_perm(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(N_MINHASH)
+        ]
+    )
+    comp = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.col(f"mh{i}") for i in range(N_MINHASH)])
+        ).alias("i", "v"),
+    )
+    l = comp.alias("l")
+    r_ = comp.alias("r")
+    # one row per candidate pair; at most one match per (pair, i), so
+    # the sum of 2^i IS the bitwise-or agreement mask
+    masks = (
+        l.join(
+            r_,
+            (F.col("l.i") == F.col("r.i"))
+            & (F.col("l.v") == F.col("r.v"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .groupBy(
+            F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
+        )
+        .agg(F.sum(F.expr("shiftleft(1, cast(l.i as int))")).alias("mask"))
+    )
+    flagged = masks.join(
+        F.broadcast(truth.withColumn("it", F.lit(1))), ["id_a", "id_b"], "left"
+    )
+
+    def is_cand(bands: int, rows: int):
+        cond = None
+        for bb in range(bands):
+            bm = ((1 << rows) - 1) << (bb * rows)
+            c = F.col("mask").bitwiseAND(F.lit(bm)) == bm
+            cond = c if cond is None else (cond | c)
+        return cond
+
+    aggs = []
+    for bands, rows in _LSH_CONFIGS:
+        tag = f"{bands}_{rows}"
+        aggs.append(
+            F.sum(F.when(is_cand(bands, rows), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nc_{tag}")
+        )
+        aggs.append(
+            F.sum(
+                F.when(is_cand(bands, rows) & F.col("it").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"tp_{tag}")
+        )
+    stats = flagged.agg(*aggs).crossJoin(
+        F.broadcast(
+            truth.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+        )
     )
     out = None
-    cands = []
     for bands, rows in _LSH_CONFIGS:
-        bexpr = F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bb).alias("band_id"),
-                        F.concat_ws(
-                            "_",
-                            *[F.col(f"mh{bb * rows + r}") for r in range(rows)],
-                        ).alias("band_key"),
-                    )
-                    for bb in range(bands)
-                ]
-            )
-        )
-        banded = sig.select("doc_id", bexpr.alias("bd")).select(
-            "doc_id", "bd.band_id", "bd.band_key"
-        )
-        l = banded.alias("l")
-        r_ = banded.alias("r")
-        cand = (
-            l.join(
-                r_,
-                (F.col("l.band_id") == F.col("r.band_id"))
-                & (F.col("l.band_key") == F.col("r.band_key"))
-                & (F.col("l.doc_id") < F.col("r.doc_id")),
-            )
-            .select(
-                F.col("l.doc_id").alias("id_a"), F.col("r.doc_id").alias("id_b")
-            )
-            .distinct()
-            .persist()
-        )
-        cands.append(cand)
-        tp = cand.join(truth, ["id_a", "id_b"], "inner")
+        tag = f"{bands}_{rows}"
         p_catch = 1.0 - (1.0 - _LSH_T**rows) ** bands
-        row = (
-            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
-            .crossJoin(F.broadcast(truth.agg(F.count(F.lit(1)).alias("n_true_pairs"))))
-            .crossJoin(F.broadcast(tp.agg(F.count(F.lit(1)).alias("true_positives"))))
-            .select(
-                F.lit(bands).alias("bands"),
-                F.lit(rows).alias("rows_per_band"),
-                F.col("n_candidates").cast("long").alias("n_candidates"),
-                F.col("n_true_pairs").cast("long").alias("n_true_pairs"),
-                F.col("true_positives").cast("long").alias("true_positives"),
-                F.round(
-                    F.col("true_positives")
-                    / F.nullif(F.col("n_true_pairs") * F.lit(1.0), F.lit(0.0)),
-                    6,
-                ).alias("recall"),
-                F.round(
-                    F.col("true_positives")
-                    / F.nullif(F.col("n_candidates") * F.lit(1.0), F.lit(0.0)),
-                    6,
-                ).alias("precision"),
-                F.round(F.lit(p_catch), 6).alias("p_catch_at_threshold"),
-            )
+        row = stats.select(
+            F.lit(bands).alias("bands"),
+            F.lit(rows).alias("rows_per_band"),
+            F.col(f"nc_{tag}").alias("n_candidates"),
+            F.col("n_true_pairs"),
+            F.col(f"tp_{tag}").alias("true_positives"),
+            F.round(
+                F.col(f"tp_{tag}")
+                / F.nullif(F.col("n_true_pairs") * F.lit(1.0), F.lit(0.0)),
+                6,
+            ).alias("recall"),
+            F.round(
+                F.col(f"tp_{tag}")
+                / F.nullif(F.col(f"nc_{tag}") * F.lit(1.0), F.lit(0.0)),
+                6,
+            ).alias("precision"),
+            F.round(F.lit(p_catch), 6).alias("p_catch_at_threshold"),
         )
         out = row if out is None else out.unionByName(row)
-    out = out.localCheckpoint(eager=True)
-    sig.unpersist()
-    truth.unpersist()
-    for c in cands:
-        c.unpersist()
-    return out
+    return out.localCheckpoint(eager=True)
 
 
 # --- chunk-boundary (suffix→prefix) overlap --------------------------------------
@@ -1503,15 +1541,27 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyspark.sql.functions as F
 
     from ug_dwh_etl_spark.operators.dedup import (
-        doc_shingle_hashes,
-        minhash_lsh_pairs,
-        minhash_signatures,
-        spread,
+        lsh_band_keys_from_sig,
+        lsh_pairs_from_bands,
+        minhash_signatures_from_hashed,
+        shingle_hashes_raw,
     )
 
     docs = table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
-    sig = minhash_signatures(docs, "doc_id", "text")
+    # r12 subtree sharing (guide 2.4/5): the r11 plan tokenized the
+    # corpus THREE times (lsh pairs, signatures, shingle sets) and ran
+    # the LSH bucket self-join TWICE (`pairs` feeds both the estimator
+    # join and the exact-jaccard join). Checkpoint the shared stages -
+    # one text pass, one signature aggregation, one bucket self-join.
+    hashed = shingle_hashes_raw(docs, "doc_id", "text").localCheckpoint(
+        eager=False
+    )
+    sig = minhash_signatures_from_hashed(hashed, "doc_id").localCheckpoint(
+        eager=False
+    )
+    pairs = lsh_pairs_from_bands(
+        lsh_band_keys_from_sig(sig, "doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(N_MINHASH)],
@@ -1543,7 +1593,7 @@ def dedup_bbit_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_1bit"),
         )
     )
-    shh = doc_shingle_hashes(spread(docs), "doc_id", "text")
+    shh = hashed.select("doc_id", F.col("h").alias("sh")).distinct()
     sizes = shh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = shh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sha"))
     b = shh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("shb"))

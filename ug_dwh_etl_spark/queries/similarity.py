@@ -818,23 +818,36 @@ def sim_ivf_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("q_id", F.col("vec_id").alias("neighbor_id"))
         )
 
+    # r12 curve-point fusion (guide §2.4): the r11 plan recomputed the
+    # exact-kNN cross join (the dominant term) once PER curve point —
+    # it feeds each point's recall join — and ran one assignment join +
+    # cosine pass per probe depth. The candidate sets are nested
+    # (crnk<=1 ⊂ crnk<=2 ⊂ crnk<=4), so ONE join at the deepest probe
+    # with crnk attached carries every curve point; per-point candidacy
+    # is a filter over the checkpointed relation, and the exact top-k
+    # (q-sized, tiny) is checkpointed and shared by all three points.
     exact = topk(
         emb.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("q_id"))
         .select("q_id", "vec_id", cosine("embedding", "qe").alias("cs"))
+    ).localCheckpoint(eager=False)
+    cand_all = (
+        a.join(
+            F.broadcast(qprobe.filter(F.col("crnk") <= 4).join(q, "q_id")),
+            "cluster",
+        )
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id", "vec_id", "crnk", cosine("embedding", "qe").alias("cs")
+        )
+        .localCheckpoint(eager=False)
     )
     curves = []
     for np_ in (1, 2, 4):
-        cand = (
-            a.join(
-                F.broadcast(
-                    qprobe.filter(F.col("crnk") <= np_).join(q, "q_id")
-                ),
-                "cluster",
-            )
-            .filter(F.col("vec_id") != F.col("q_id"))
-            .select("q_id", "vec_id", cosine("embedding", "qe").alias("cs"))
-        )
+        # each vec_id lives in exactly one cluster and qprobe has one
+        # row per (q_id, cluster), so filtering the shared relation on
+        # crnk <= np_ IS the original per-depth join, row for row
+        cand = cand_all.filter(F.col("crnk") <= np_)
         appr = topk(cand).select(
             F.col("q_id").alias("mq"), F.col("neighbor_id").alias("mn")
         )

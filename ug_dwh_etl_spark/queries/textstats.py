@@ -2307,8 +2307,21 @@ def text_lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a_bg = bigrams(lt.filter(F.col("doc_id") % 2 == 0), with_doc=False)
-    model = a_bg.groupBy("bg").agg(F.count(F.lit(1)).alias("cnt"))
-    ctx = a_bg.groupBy("c1").agg(F.count(F.lit(1)).alias("tot"))
+    # One fit pass, not three: ctx and vv are pure arithmetic over the
+    # bigram model (every bigram's first char IS its context — i never
+    # exceeds length-1, so bg is always 2 chars — hence tot(c1) =
+    # Σ cnt(bg) over bg starting with c1, and v = |model|). r11 shipped
+    # three independent broadcast subtrees, each re-running the
+    # per-position explode over the training half; the checkpoint makes
+    # the model the only explode pass on that half (guide §2.4).
+    model = (
+        a_bg.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    ctx = model.groupBy(F.substring("bg", 1, 1).alias("c1")).agg(
+        F.sum("cnt").alias("tot")
+    )
     vv = model.agg((F.count(F.lit(1)) * 1.0).alias("v"))
     b_bg = bigrams(lt.filter(F.col("doc_id") % 2 == 1), with_doc=True)
     lp = F.log(
