@@ -892,15 +892,28 @@ def corpus_pipeline_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", HH.tokens("text").alias("t"))
     keep = quality_rule_columns("t")["keep"]
-    keepers = toks.select(
-        "doc_id",
-        F.md5(F.concat_ws(" ", F.col("t"))).alias("fingerprint"),
-        keep.alias("keep"),
-    ).filter(F.col("keep"))
+    # r12 (guide §2.4/§5): the four crossJoined funnel counters are
+    # independent subtrees, so the tokenize pass used to run ~6x (once
+    # per keepers/exact consumer, twice under spans). Checkpoint the
+    # two doc-id-sized derived relations; tokenize now runs twice
+    # (keepers, spans), every counter reads the checkpoints.
+    keepers = (
+        toks.select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.col("t"))).alias("fingerprint"),
+            keep.alias("keep"),
+        )
+        .filter(F.col("keep"))
+        .localCheckpoint(eager=False)
+    )
     exact = keepers.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
-    spans = toks.select(
-        "doc_id", F.explode(HH.shingles(F.col("t"), _SPAN_N)).alias("span")
-    ).select("doc_id", HH.md5_long("span", 15).alias("h"))
+    spans = (
+        toks.select(
+            "doc_id", F.explode(HH.shingles(F.col("t"), _SPAN_N)).alias("span")
+        )
+        .select("doc_id", HH.md5_long("span", 15).alias("h"))
+        .localCheckpoint(eager=False)
+    )
     occ = spans.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
     spanstats = (
         spans.join(occ, "h")
@@ -1701,9 +1714,19 @@ def _build_semantic_verdicts(
         .select("vec_id", "embedding", "cluster")
         .join(qual, "vec_id")
     )
+    # r12: precompute each row's norm ONCE — cosine over a pair is
+    # three O(d) folds (dot(x,y), dot(x,x), dot(y,y)); hoisting the
+    # self-dots to the |cell|-sized relations leaves ONE fold on the
+    # quadratic pair term. sqrt(dot(v,v)) is a deterministic function
+    # of the row, so the per-pair value (and its 6dp round) is
+    # bit-identical to the inline form.
+    from ug_dwh_etl_spark.operators.similarity import dot as _dot
+
+    nrm = F.sqrt(_dot("embedding", "embedding"))
     x = av.select(
         F.col("vec_id").alias("xid"),
         F.col("embedding").alias("xe"),
+        nrm.alias("xn"),
         F.col("cluster"),
         F.col("q").alias("xq"),
     )
@@ -1718,6 +1741,7 @@ def _build_semantic_verdicts(
     y = y_src.select(
         F.col("vec_id").alias("yid"),
         F.col("embedding").alias("ye"),
+        nrm.alias("yn"),
         F.col("cluster"),
         F.col("q").alias("yq"),
     )
@@ -1730,7 +1754,10 @@ def _build_semantic_verdicts(
                 | ((F.col("yq") == F.col("xq")) & (F.col("yid") < F.col("xid")))
             )
         )
-        .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+        .filter(
+            F.round(_dot("xe", "ye") / (F.col("xn") * F.col("yn")), 6)
+            >= _SEMDEDUP_TAU
+        )
         .select(F.col("xid").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
@@ -1902,15 +1929,20 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     elite = materialize_once(spark, sf_dir, "semantic_elite", build_elite)
+    from ug_dwh_etl_spark.operators.similarity import dot as _dot
+
+    nrm = F.sqrt(_dot("embedding", "embedding"))
     batch = av.filter(F.col("vec_id") % 10 == 0).select(
         F.col("vec_id").alias("xid"),
         F.col("embedding").alias("xe"),
+        nrm.alias("xn"),
         F.col("cluster"),
         F.col("q").alias("xq"),
     )
     y = elite.select(
         F.col("vec_id").alias("yid"),
         F.col("embedding").alias("ye"),
+        nrm.alias("yn"),
         F.col("cluster"),
         F.col("q").alias("yq"),
     )
@@ -1920,7 +1952,10 @@ def dedup_semantic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("yq") > F.col("xq"))
             | ((F.col("yq") == F.col("xq")) & (F.col("yid") < F.col("xid")))
         )
-        .filter(F.round(cosine("xe", "ye"), 6) >= _SEMDEDUP_TAU)
+        .filter(
+            F.round(_dot("xe", "ye") / (F.col("xn") * F.col("yn")), 6)
+            >= _SEMDEDUP_TAU
+        )
         .select(F.col("xid").alias("vec_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
